@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column kit for training-data pipelines: tokenization, char
+ * n-grams, language-ID heuristic, quality scoring, fingerprinting. All pure
+ * `Column` expressions (whole-stage-codegen'd) — at 100 TB the text scan is
+ * the bottleneck, so nothing here leaves the codegen path except the
+ * explicitly-registered Catalyst expression in [[Fingerprint]].
+ */
+object TextKit {
+
+  /** Whitespace tokens; empty/blank input → empty array (size 0, not [""]).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex — runs of letters, digits, or
+    * single non-space symbols (a cheap stand-in for a real BPE vocab; the
+    * shape — regex extract-all count — is what a tokenizer-count pipeline
+    * looks like at scale).
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character n-grams in input order (with repeats): text shorter than n →
+    * empty array. Built with transform(sequence) so it stays in codegen.
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** n-gram Jaccard similarity of two texts as distinct-set overlap. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(charNgrams(a, n))
+    val sb = array_distinct(charNgrams(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** Stopword-marker counts per language — a tiny n-gram/stopword
+    * language-ID heuristic. Counts are whole-word regex matches.
+    */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "fr" -> "\\b(le|la|de|et|les)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "zh" -> "\\b(zh|shi|de|le|bu)\\b")
+
+  /** Language-ID: argmax of marker-hit counts, ties broken by fixed
+    * language order, no hits → "und". Deterministic and cross-engine
+    * reproducible (same regexes run in the DuckDB oracle).
+    */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, re) =>
+      (lang, size(regexp_extract_all(text, lit(re), lit(0))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // Earliest language in langMarkers order wins ties (build the when
+    // chain outside-in so the head of the list is the outermost branch).
+    scored.reverse.foldLeft(lit("und")) { case (els, (lang, cnt)) =>
+      when(cnt === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  /** English stopword hits (quality-scoring feature). */
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+
+  /** Document quality score in [0,1]: blend of length band, punctuation
+    * ratio and stopword ratio — the standard cheap pre-filter shape for
+    * LLM corpus cleaning. Returned as a double; quantize with
+    * [[Kit.bps]] for cross-engine compares.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = greatest(tokenCount(text).cast("double"), lit(1.0))
+    val lengthScore =
+      least(nChars / lit(200.0), lit(1.0)) // 200+ chars = full marks
+    val stopRatio = least(stopwordCount(text).cast("double") / toks, lit(1.0))
+    val punctRatio = least(punctCount(text).cast("double") / toks, lit(1.0))
+    // weights: 0.5 length + 0.3 stopwords + 0.2 (1 - excessive punct)
+    lengthScore * 0.5 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+  }
+
+  /** 32-bit polynomial rolling-hash fingerprint (codegen'd Catalyst
+    * expression — see [[graft.functions.Fingerprint32]]).
+    */
+  def fingerprint32(text: Column): Column = Fingerprint.fingerprint32(text)
+}

@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.functions.{Kit, TextKit, VectorKit}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators — the heart of the reference (SURVEY §2.5 D1-D3)
+ * plus the near-dup family a training-data pipeline needs at 100 TB scale.
+ *
+ * Scale posture: every operator here is a single hash-shuffle on the dedup
+ * key (or LSH bucket) — no all-pairs joins, no driver-side collection. The
+ * only O(pairs) work happens inside an LSH/blocking bucket, which is bounded
+ * by construction.
+ */
+object Dedup {
+
+  // ── D1: exact dedup by key ───────────────────────────────────────────────
+
+  /**
+   * `distinctByKey` (mediation/MediationService.scala:115,125,219) with a
+   * deterministic winner: the row with the smallest `orderCol` survives.
+   * One shuffle on `keyCols`; map-side partial aggregation applies since the
+   * winner is a min. Prefer this over `dropDuplicates`, whose surviving row
+   * is arrival-order-dependent and irreproducible across cluster runs.
+   */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * D3's output-cardinality contract in relational form: EVERY input row is
+   * emitted, tagged `SENT` (first per key, by orderCols) or
+   * `SENT_OR_DUPLICATED` (the rest) — mirroring the stateful TTL dedup's
+   * one-output-per-input behavior
+   * (mediation/http/StateAsyncParDoWithHttpHandler.scala:105-131; the
+   * streaming twin lives in [[graft.streaming.StatefulTtlDedup]]).
+   */
+  def dedupMarkers(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      statusName: String = "status"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    df.withColumn(statusName,
+      when(row_number().over(w) === 1, lit("SENT"))
+        .otherwise(lit("SENT_OR_DUPLICATED")))
+  }
+
+  // ── MinHash + LSH near-dup ───────────────────────────────────────────────
+
+  /** Deterministic 64-bit mixer (splitmix64 finalizer) — used to derive the
+    * MinHash permutation constants with no stored model. */
+  private def mix64(x: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * MinHash signature over distinct char-`shingleLen` shingles:
+   * `sig[i] = min over shingles s of (a_i * x(s) + b_i) mod 2^61-1`,
+   * `x(s) = xxhash64(s) & Long.MaxValue`. Pure higher-order functions —
+   * the whole signature computation is one codegen'd projection, no UDFs,
+   * no shuffle.
+   */
+  def minhashSignature(text: Column, numHashes: Int, shingleLen: Int): Column = {
+    val p = 2305843009213693951L // 2^61-1, Mersenne prime
+    val shingles = array_distinct(TextKit.charNgrams(text, shingleLen))
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val sig = (0 until numHashes).map { i =>
+      val a = (mix64(2L * i + 1) & Long.MaxValue) % (p - 1) + 1 // a ∈ [1, p-1]
+      val b = (mix64(2L * i + 2) & Long.MaxValue) % p // b ∈ [0, p-1]
+      // (a*x + b) mod p without overflow: x < 2^61, a < 2^61 — a*x overflows
+      // long, so reduce via double-precision-free modular multiply is too
+      // costly in SQL; instead halve the operand sizes: use 31-bit a and
+      // x mod 2^31 keeps products within 2^62.
+      val a31 = a & 0x7FFFFFFFL
+      val x31 = transform(hashed, x => pmod(x, lit(2147483647L)))
+      array_min(transform(x31, x => pmod(x * a31 + (b & 0x7FFFFFFFL), lit(2147483647L))))
+    }
+    array(sig: _*)
+  }
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs: signature → `bands` bands of
+   * `rowsPerBand` rows → band-hash buckets → per-bucket pairing.
+   *
+   * Scale path: `explode` produces `n × bands` rows, the shuffle key is
+   * (band, bandHash) — co-locates only probable near-dups; the per-bucket
+   * self-join is quadratic ONLY within a bucket. To bound pathological
+   * buckets (e.g. empty-text clusters) pairs are generated per-bucket with a
+   * cap. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+   */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleLen: Int = 5, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("doc"),
+      minhashSignature(col(textCol), numHashes, shingleLen).as("sig"))
+    val bandHashes = array((0 until bands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    val banded = sig.select(col("doc"),
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+    // group per (band,bucket) then pair inside the bucket
+    banded.groupBy("band", "bucket")
+      .agg(collect_list("doc").as("docs"))
+      .filter(size(col("docs")).between(2, maxBucketSize))
+      .select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
+  /**
+   * Near-dup pairs = LSH candidates verified by exact n-gram Jaccard ≥
+   * `threshold`. The verify join re-reads only candidate texts (semi-joined),
+   * so the exact Jaccard — the expensive part — runs on |candidates|, not n².
+   */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, shingleLen: Int = 5,
+      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, shingleLen, bands)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(docs.withColumnRenamed("id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(docs.withColumnRenamed("id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .withColumn("jaccard", TextKit.ngramJaccard(col("text_a"), col("text_b"), shingleLen))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ── SimHash near-dup ─────────────────────────────────────────────────────
+
+  /**
+   * 64-bit SimHash over whitespace tokens: per-token xxhash64, per-bit
+   * sign-sum, sign → bit. Near-dups are rows whose simhash Hamming distance
+   * ≤ k; at scale candidates come from exact-matching one of the 4 16-bit
+   * chunks (pigeonhole: distance ≤ 3 ⇒ some chunk equal).
+   */
+  def simhash64(text: Column): Column = {
+    val tokenHashes = transform(TextKit.tokens(text), t => xxhash64(t))
+    // One aggregate per bit (b is a Scala Int so shiftright stays in the
+    // builtin API); bits are packed with bitwiseOR — no ANSI overflow on
+    // bit 63, and the whole thing remains a single codegen'd projection.
+    (0 until 64).map { b =>
+      val signSum = aggregate(tokenHashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(signSum >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash candidate pairs by 16-bit chunk collision (pigeonhole for
+    * Hamming distance ≤ 3), verified by true Hamming distance ≤ `maxDist`. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+    val chunks = array((0 until 4).map(c =>
+      shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)
+    val chunked = sh.select(col("doc"), col("sh"),
+      posexplode(chunks).as(Seq("chunk", "ckey")))
+    val l = chunked.select(col("chunk"), col("ckey"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("ckey"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+      .distinct()
+  }
+
+  // ── Embedding cosine near-dup ────────────────────────────────────────────
+
+  /**
+   * Embedding near-dup pairs: cosine ≥ threshold. Scale path = random-
+   * hyperplane LSH bucketing ([[VectorKit.rhpBucket]]) so the pair join is
+   * per-bucket; near-identical vectors agree on all sign bits with high
+   * probability. `exact=true` skips bucketing (test/oracle mode).
+   */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, dim: Int = 64,
+      exact: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBucket =
+      if (exact) base.withColumn("bucket", lit(0L))
+      else base.withColumn("bucket", VectorKit.rhpBucket(col("v"), nBits, dim))
+    val l = withBucket.select(col("bucket"), col("id").as("vec_a"), col("v").as("va"))
+    val r = withBucket.select(col("bucket"), col("id").as("vec_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorKit.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
+  }
+}
