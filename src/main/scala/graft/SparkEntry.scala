@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RelationalQueries
+import graft.queries.{ExtensionQueries, LlmQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -16,10 +16,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all
+    RelationalQueries.all ++ LlmQueries.all ++ ExtensionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for the approximate ops (dd_simhash,
+    * sim_topk_lsh — no SQL-expressible oracle; driver records a rows-only
+    * check and the ScalaTest suite asserts recall vs in-engine brute force).
+    */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtensionQueries.oracles
 }

@@ -37,11 +37,13 @@ object Kit {
   // ── time kit ─────────────────────────────────────────────────────────────
 
   /** U4 — multi-format timestamp parse: first pattern that parses wins
-    * (utils/time/TimeUtils.scala:67-84). `to_timestamp` yields NULL on
-    * mismatch (non-ANSI), so `coalesce` is the Spark-native "try chain".
+    * (utils/time/TimeUtils.scala:67-84). `try_to_timestamp` (NULL on
+    * mismatch even under ANSI mode) + `coalesce` is the Spark-native
+    * "try chain" — plain `to_timestamp` would throw in Spark 4's default
+    * ANSI mode on the first non-matching format.
     */
   def parseTsMulti(c: Column, formats: Seq[String]): Column =
-    coalesce(formats.map(f => to_timestamp(c, f)): _*)
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
 
   /** Reference's six patterns (utils/time/TimeUtils.scala:67-84). */
   val DefaultTsFormats: Seq[String] = Seq(

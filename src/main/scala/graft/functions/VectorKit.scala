@@ -26,8 +26,15 @@ object VectorKit {
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity; 0 when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 when either side has zero norm. Delegates to the
+    * native codegen'd expression ([[NativeVectorKit.cosine]]); the HOF
+    * composition below ([[cosineHof]]) is semantically identical but falls
+    * out of whole-stage codegen on wide pair joins.
+    */
+  def cosine(a: Column, b: Column): Column = NativeVectorKit.cosine(a, b)
+
+  /** HOF reference formulation of [[cosine]] (kept for cross-checking). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = norm2(a)
     val nb = norm2(b)
@@ -44,21 +51,5 @@ object VectorKit {
     * splitmix-style integer mix, so the bucketing is stable across runs and
     * engines with no stored model.
     */
-  def rhpBucket(v: Column, nBits: Int, dim: Int): Column = {
-    // plane(b, i) = mix(b * dim + i) mapped to {-1, +1}
-    def planeCoef(b: Int, i: Int): Double = {
-      var z = (b.toLong * dim + i) * 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      if (z >= 0) 1.0 else -1.0
-    }
-    val bits = (0 until nBits).map { b =>
-      val coefs = array((0 until dim).map(i => lit(planeCoef(b, i))): _*)
-      val proj = aggregate(zip_with(asDouble(v), coefs, (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0.0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def rhpBucket(v: Column, nBits: Int): Column = NativeVectorKit.rhpBucket(v, nBits)
 }

@@ -61,29 +61,31 @@ object Dedup {
   }
 
   /**
-   * MinHash signature over distinct char-`shingleLen` shingles:
-   * `sig[i] = min over shingles s of (a_i * x(s) + b_i) mod 2^61-1`,
-   * `x(s) = xxhash64(s) & Long.MaxValue`. Pure higher-order functions —
-   * the whole signature computation is one codegen'd projection, no UDFs,
-   * no shuffle.
+   * Per-hash-function MinHash constants: odd 31-bit multiplier + 31-bit
+   * offset derived from the hash index — stable across runs, no stored model.
    */
-  def minhashSignature(text: Column, numHashes: Int, shingleLen: Int): Column = {
-    val p = 2305843009213693951L // 2^61-1, Mersenne prime
-    val shingles = array_distinct(TextKit.charNgrams(text, shingleLen))
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
-    val sig = (0 until numHashes).map { i =>
-      val a = (mix64(2L * i + 1) & Long.MaxValue) % (p - 1) + 1 // a ∈ [1, p-1]
-      val b = (mix64(2L * i + 2) & Long.MaxValue) % p // b ∈ [0, p-1]
-      // (a*x + b) mod p without overflow: x < 2^61, a < 2^61 — a*x overflows
-      // long, so reduce via double-precision-free modular multiply is too
-      // costly in SQL; instead halve the operand sizes: use 31-bit a and
-      // x mod 2^31 keeps products within 2^62.
-      val a31 = a & 0x7FFFFFFFL
-      val x31 = transform(hashed, x => pmod(x, lit(2147483647L)))
-      array_min(transform(x31, x => pmod(x * a31 + (b & 0x7FFFFFFFL), lit(2147483647L))))
-    }
-    array(sig: _*)
+  private def minhashCoefs(i: Int): (Long, Long) = {
+    val a = (mix64(2L * i + 1) & 0x7FFFFFFFL) | 1L // odd, 31-bit
+    val b = mix64(2L * i + 2) & 0x7FFFFFFFL
+    (a, b)
   }
+
+  /**
+   * MinHash signatures via the native single-pass expression
+   * ([[graft.functions.MinHashSig]] — the composed HOF formulation falls out
+   * of whole-stage codegen at 128 hashes and runs ~500× slower interpreted).
+   * The input is repartitioned to the session's default parallelism first:
+   * sketching is CPU-bound and the testdata arrives as a single parquet
+   * row-group (1 partition); on a real cluster the scan is already split,
+   * and the repartition is a cheap no-op-sized shuffle relative to the
+   * sketch cost either way.
+   */
+  def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleLen: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"),
+        graft.functions.NativeTextKit.minhashSig(col(textCol), numHashes, shingleLen)
+          .as("sig"))
 
   /**
    * MinHash-LSH near-duplicate candidate pairs: signature → `bands` bands of
@@ -94,14 +96,18 @@ object Dedup {
    * self-join is quadratic ONLY within a bucket. To bound pathological
    * buckets (e.g. empty-text clusters) pairs are generated per-bucket with a
    * cap. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+   *
+   * Band sizing: rows-per-band (numHashes/bands) controls background noise —
+   * corpora with a shared vocabulary have non-trivial baseline jaccard
+   * (~0.25 here), and r=4 admits ~1.5M false candidates at 5k docs where r=8
+   * admits ~10³ (collision prob j^r per band). Defaults are r=8, b=32.
    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleLen: Int = 5, bands: Int = 16,
+      numHashes: Int = 256, shingleLen: Int = 5, bands: Int = 32,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("doc"),
-      minhashSignature(col(textCol), numHashes, shingleLen).as("sig"))
+    val sig = withMinhashSignature(df, idCol, textCol, numHashes, shingleLen)
     val bandHashes = array((0 until bands).map(b =>
       hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
     val banded = sig.select(col("doc"),
@@ -123,8 +129,8 @@ object Dedup {
    * so the exact Jaccard — the expensive part — runs on |candidates|, not n².
    */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 64, shingleLen: Int = 5,
-      bands: Int = 16): DataFrame = {
+      threshold: Double, numHashes: Int = 256, shingleLen: Int = 5,
+      bands: Int = 32): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, shingleLen, bands)
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
     cands
@@ -143,23 +149,14 @@ object Dedup {
    * ≤ k; at scale candidates come from exact-matching one of the 4 16-bit
    * chunks (pigeonhole: distance ≤ 3 ⇒ some chunk equal).
    */
-  def simhash64(text: Column): Column = {
-    val tokenHashes = transform(TextKit.tokens(text), t => xxhash64(t))
-    // One aggregate per bit (b is a Scala Int so shiftright stays in the
-    // builtin API); bits are packed with bitwiseOR — no ANSI overflow on
-    // bit 63, and the whole thing remains a single codegen'd projection.
-    (0 until 64).map { b =>
-      val signSum = aggregate(tokenHashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(signSum >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  def simhash64(text: Column): Column = graft.functions.NativeTextKit.simhash64(text)
 
   /** SimHash candidate pairs by 16-bit chunk collision (pigeonhole for
     * Hamming distance ≤ 3), verified by true Hamming distance ≤ `maxDist`. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
     val chunks = array((0 until 4).map(c =>
       shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)
     val chunked = sh.select(col("doc"), col("sh"),
@@ -183,19 +180,31 @@ object Dedup {
    * probability. `exact=true` skips bucketing (test/oracle mode).
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8, dim: Int = 64,
+      threshold: Double, nBits: Int = 8,
       exact: Boolean = false): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withBucket =
-      if (exact) base.withColumn("bucket", lit(0L))
-      else base.withColumn("bucket", VectorKit.rhpBucket(col("v"), nBits, dim))
-    val l = withBucket.select(col("bucket"), col("id").as("vec_a"), col("v").as("va"))
-    val r = withBucket.select(col("bucket"), col("id").as("vec_b"), col("v").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", VectorKit.cosine(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
-      .distinct()
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (exact) {
+      // all-pairs: broadcast the build side and let the probe side stream —
+      // a crossJoin (BroadcastNestedLoop) keeps every partition busy, where
+      // a constant-key equi-join would collapse into a single task
+      val l = base.select(col("id").as("vec_a"), col("v").as("va"))
+      val r = base.select(col("id").as("vec_b"), col("v").as("vb"))
+      l.crossJoin(broadcast(r))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", VectorKit.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+    } else {
+      val withBucket = base.withColumn("bucket", VectorKit.rhpBucket(col("v"), nBits))
+      val l = withBucket.select(col("bucket"), col("id").as("vec_a"), col("v").as("va"))
+      val r = withBucket.select(col("bucket"), col("id").as("vec_b"), col("v").as("vb"))
+      l.join(r, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", VectorKit.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .distinct()
+    }
   }
 }

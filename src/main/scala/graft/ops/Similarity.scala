@@ -45,12 +45,12 @@ object Similarity {
    * top-k within candidates. Recall is tunable via `nBits` (fewer bits →
    * bigger buckets → higher recall, more compute).
    */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int, dim: Int,
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VectorKit.rhpBucket(col(vecCol), nBits, dim).as("bucket"))
+      VectorKit.rhpBucket(col(vecCol), nBits).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VectorKit.rhpBucket(col(vecCol), nBits, dim).as("bucket"))
+      VectorKit.rhpBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorKit.cosine(col("cv"), col("qv")))

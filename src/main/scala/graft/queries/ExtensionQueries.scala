@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.functions.Kit
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Engine extensions beyond the reference's surface (SURVEY §2.12): analytic
+ * window functions, rollup, set ops, multi-format timestamp parsing — all
+ * Spark builtins re-exported through the engine, each oracle-checked.
+ */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── analytic window: top-3 orders per customer ──────────────────────────
+  private val xRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+        Kit.cents(col("o_totalprice")).as("price_c"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+  private val xRankSql =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+      |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders
+      |QUALIFY rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // ── rollup: grouped counts with subtotal rows ───────────────────────────
+  private val xRollup: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Kit.cents(sum(col("o_totalprice"))).as("total_c"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_c"))
+      .orderBy(col("status"), col("priority"))
+  }
+  private val xRollupSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n,
+      |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS total_c
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ── set ops: INTERSECT / EXCEPT on user activity ────────────────────────
+  private val xSetOps: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val purchasers = e.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct()
+    purchasers.intersect(signups).withColumn("op", lit("both"))
+      .unionByName(purchasers.except(signups).withColumn("op", lit("purchase_only")))
+      .select(col("op"), col("user_id"))
+      .orderBy(col("op"), col("user_id"))
+  }
+  private val xSetOpsSql =
+    """SELECT 'both' AS op, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      |)
+      |UNION ALL
+      |SELECT 'purchase_only' AS op, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      |)
+      |ORDER BY op, user_id""".stripMargin
+
+  // ── U4: multi-format timestamp parse (try-chain) ────────────────────────
+  private val u4MultiTs: Q = (s, dir) => {
+    val fmtd = Tables.orders(s, dir).select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .as("ts_str"))
+    fmtd.select(col("o_orderkey"),
+      unix_millis(Kit.parseTsMulti(col("ts_str"),
+        Seq("yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy", "yyyy-MM-dd'T'HH:mm:ss")))
+        .as("parsed_ms"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val u4MultiTsSql =
+    """WITH f AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+      |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+      |         ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS ts_str
+      |  FROM orders
+      |)
+      |SELECT o_orderkey,
+      |  epoch_ms(coalesce(
+      |    try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+      |    try_strptime(ts_str, '%d/%m/%Y'),
+      |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S'))) AS parsed_ms
+      |FROM f ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "x_rank_window" -> xRank,
+    "x_rollup" -> xRollup,
+    "x_set_ops" -> xSetOps,
+    "u4_multiformat_ts" -> u4MultiTs)
+
+  val oracles: Map[String, String] = Map(
+    "x_rank_window" -> xRankSql,
+    "x_rollup" -> xRollupSql,
+    "x_set_ops" -> xSetOpsSql,
+    "u4_multiformat_ts" -> u4MultiTsSql)
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.functions.{Kit, TextKit, VectorKit}
+import graft.ops.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data-pipeline operator inventory: deduplication (exact, MinHash-
+ * LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search, text
+ * analysis. Same cross-engine conventions as [[RelationalQueries]].
+ *
+ * Oracle notes: the MinHash-LSH and n-gram queries emit pairs verified by
+ * EXACT jaccard, so the DuckDB oracle is the brute-force pair join (with a
+ * provable length-ratio prune: j ≥ 0.8 ⇒ |A| ≥ 0.8·|B|). SimHash and
+ * LSH-top-k are approximate by construction → no SQL oracle (rows-only
+ * driver check); their recall is asserted against in-engine brute force in
+ * the ScalaTest suite instead.
+ */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── exact dedup by content hash (over a doubled corpus) ─────────────────
+  private val ddExact: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val doubled = d.unionByName(d) // simulate a re-crawled corpus
+    doubled.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
+      .orderBy(col("h"))
+  }
+  private val ddExactSql =
+    """SELECT md5(text) AS h, min(doc_id) AS canonical_doc, count(*) AS n_copies
+      |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      |GROUP BY 1 ORDER BY h""".stripMargin
+
+  // ── n-gram Jaccard near-dup, prefix-blocked (exact, oracle-able) ────────
+  private val ddNgram: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pfx"))
+    val a = d.select(col("pfx"), col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = d.select(col("pfx"), col("doc_id").as("doc_b"), col("text").as("tb"))
+    a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", TextKit.ngramJaccard(col("ta"), col("tb"), 3))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("j")).as("j_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val ddNgramSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, substring(text, 1, 16) AS pfx FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    list_distinct([substring(a.text, x, 3) for x in range(1, length(a.text) - 1)]) AS ga,
+      |    list_distinct([substring(b.text, x, 3) for x in range(1, length(b.text) - 1)]) AS gb
+      |  FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      |), j AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) AS jac
+      |  FROM p
+      |)
+      |SELECT doc_a, doc_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
+      |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ── MinHash-LSH near-dup (LSH candidates, exact-jaccard verified) ───────
+  private val ddMinhash: Q = (s, dir) => {
+    Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.8, numHashes = 256, shingleLen = 5, bands = 32)
+      .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("jaccard")).as("j_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  // Brute-force oracle with the provable prune: j≥0.8 ⇒ 5|A|≥4|B| ∧ 5|B|≥4|A|.
+  // Valid iff LSH recall is 1 on this data (min true pair j = .93, miss prob
+  // (1-.93⁸)³² ≈ 4e-12) — asserted in the ScalaTest suite too.
+  private val ddMinhashSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, x, 5) for x in range(1, length(text) - 3)]) AS gs
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gs AS ga, b.gs AS gb
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |    AND len(a.gs) * 5 >= len(b.gs) * 4 AND len(b.gs) * 5 >= len(a.gs) * 4
+      |), j AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) AS jac
+      |  FROM p
+      |)
+      |SELECT doc_a, doc_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
+      |FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ── SimHash near-dup (approximate — rows-only driver check) ─────────────
+  private val ddSimhash: Q = (s, dir) => {
+    Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ── embedding cosine near-dup (exact all-pairs at test SF) ──────────────
+  private val ddEmbedding: Q = (s, dir) => {
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.42, exact = true)
+      .select(col("vec_a"), col("vec_b"), Kit.microUnits(col("cos")).as("cos_micro"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+  private val ddEmbeddingSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), s AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) /
+      |      (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |)
+      |SELECT vec_a, vec_b, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro
+      |FROM s WHERE cos >= 0.42 ORDER BY vec_a, vec_b""".stripMargin
+
+  // ── similarity search: exact brute-force cosine top-k ───────────────────
+  private val simTopK: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    Similarity.bruteForceTopK(em, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        Kit.microUnits(col("cos")).as("cos_micro"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val simTopKSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0
+      |), s AS (
+      |  SELECT q.query_id, v.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> v.e[i] * q.qe[i])) /
+      |      (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cos
+      |  FROM v, q WHERE v.vec_id <> q.query_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM s
+      |)
+      |SELECT query_id, neighbor_id, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ── similarity search: LSH-bucketed (approximate — rows-only check) ─────
+  private val simLsh: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    Similarity.lshTopK(em, queries, k = 5, nBits = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        Kit.microUnits(col("cos")).as("cos_micro"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ── text analysis ───────────────────────────────────────────────────────
+  private val tTokens: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextKit.tokenCount(col("text")).as("n_tokens"),
+        TextKit.bpeishCount(col("text")).as("n_bpeish"))
+      .orderBy(col("doc_id"))
+  }
+  private val tTokensSql =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val tQuality: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Kit.bps(TextKit.qualityScore(col("text"))).as("quality_bps"))
+      .orderBy(col("doc_id"))
+  }
+  private val tQualitySql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS nchars,
+      |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS toks,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS puncts
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    least(nchars / 200.0, 1.0) * 0.5
+      |      + least(stops / toks, 1.0) * 0.3
+      |      + (1.0 - least(puncts / toks, 1.0)) * 0.2 AS quality
+      |  FROM f
+      |)
+      |SELECT doc_id, CAST(round(quality * 10000, 0) AS BIGINT) AS quality_bps
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  private val tLang: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextKit.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+  private val tLangSql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) AS s_en,
+      |    len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) AS s_es,
+      |    len(regexp_extract_all(text, '\b(le|la|de|et|les)\b')) AS s_fr,
+      |    len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
+      |    len(regexp_extract_all(text, '\b(zh|shi|de|le|bu)\b')) AS s_zh
+      |  FROM documents
+      |), b AS (
+      |  SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM s
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN best = 0 THEN 'und'
+      |       WHEN s_en = best THEN 'en'
+      |       WHEN s_es = best THEN 'es'
+      |       WHEN s_fr = best THEN 'fr'
+      |       WHEN s_de = best THEN 'de'
+      |       ELSE 'zh' END AS lang_pred
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  private val tFingerprint: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextKit.fingerprint32(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val tFingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform([substring(text, x, 1) for x in range(1, length(text) + 1)],
+      |                     c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "dd_exact_hash" -> ddExact,
+    "dd_ngram_jaccard" -> ddNgram,
+    "dd_minhash_lsh" -> ddMinhash,
+    "dd_simhash" -> ddSimhash,
+    "dd_embedding_neardup" -> ddEmbedding,
+    "sim_topk_bruteforce" -> simTopK,
+    "sim_topk_lsh" -> simLsh,
+    "t_token_count" -> tTokens,
+    "t_quality_score" -> tQuality,
+    "t_lang_id" -> tLang,
+    "t_fingerprint" -> tFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact_hash" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramSql,
+    "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_embedding_neardup" -> ddEmbeddingSql,
+    "sim_topk_bruteforce" -> simTopKSql,
+    "t_token_count" -> tTokensSql,
+    "t_quality_score" -> tQualitySql,
+    "t_lang_id" -> tLangSql,
+    "t_fingerprint" -> tFingerprintSql)
+}

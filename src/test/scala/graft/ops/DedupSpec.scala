@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.TestSpark.sf0001
+import graft.functions.TextKit
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exactDedup keeps exactly one row per key, the deterministic winner") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", 3L, "c"), ("k1", 1L, "a"), ("k1", 2L, "b"),
+      ("k2", 5L, "z")).toDF("k", "ord", "v")
+    val out = Dedup.exactDedup(df, Seq("k"), Seq("ord")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq == Seq(("k1", "a"), ("k2", "z")))
+  }
+
+  test("dedupMarkers: every input row emitted, 1 SENT + N-1 SENT_OR_DUPLICATED per key " +
+    "(the reference's canonical 1+2-duplicate scenario, MediationServiceSpec:45-83)") {
+    import spark.implicits._
+    // quique arrives 3 times (1 unique + 2 dups), abuela once
+    val df = Seq(
+      ("unique_kcop-1", 1L), ("unique_kcop-1", 5L), ("unique_kcop-1", 1L),
+      ("unique_abu-2", 2L)).toDF("key", "ts")
+    val out = Dedup.dedupMarkers(df.withColumn("id", monotonically_increasing_id()),
+      col("key"), Seq(col("ts"), col("id")))
+    assert(out.count() == 4) // all N produce an output row
+    val statuses = out.groupBy("key").agg(
+      sum(when(col("status") === "SENT", 1).otherwise(0)).as("sent"),
+      sum(when(col("status") === "SENT_OR_DUPLICATED", 1).otherwise(0)).as("dup"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toMap2
+    assert(statuses("unique_kcop-1") == (1L, 2L))
+    assert(statuses("unique_abu-2") == (1L, 0L))
+  }
+
+  implicit class ToMap2(rows: Array[(String, Long, Long)]) {
+    def toMap2: Map[String, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("minhash-LSH recall is 1.0 vs brute-force jaccard>=0.8 on testdata") {
+    val docs = Tables.documents(spark, sf0001)
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.8, numHashes = 256, shingleLen = 5, bands = 32)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs, exact jaccard
+    val d1 = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val d2 = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    val brute = d1.crossJoin(d2).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", TextKit.ngramJaccard(col("ta"), col("tb"), 5))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain near-dup pairs")
+    assert(lsh == brute, s"LSH missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
+  }
+
+  test("simhash chunk-blocking is exact for hamming distance <= 3 (pigeonhole)") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val viaChunks = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("sh"))
+    val brute = sh.select(col("id").as("doc_a"), col("sh").as("sa"))
+      .crossJoin(sh.select(col("id").as("doc_b"), col("sh").as("sb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaChunks == brute)
+  }
+
+  test("embedding near-dup: LSH-bucketed pairs are a subset of exact pairs with " +
+    "identical cosine values") {
+    val em = Tables.embeddings(spark, sf0001)
+    val exact = Dedup.embeddingNearDupPairs(em, "vec_id", "embedding", 0.42, exact = true)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairs(em, "vec_id", "embedding", 0.42,
+      nBits = 4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}

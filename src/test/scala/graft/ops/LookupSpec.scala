@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LookupSpec extends SparkSpec {
+
+  test("strict mode crashes on duplicate build keys (J1 contract, " +
+    "MediationServiceSpec:156-173)") {
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val stream = Seq((1L, "x")).toDF("k", "s")
+    val e = intercept[IllegalStateException] {
+      Lookup.enrichLookup(stream, dup, "k", strictUnique = true)
+    }
+    assert(e.getMessage.contains("Duplicate key"))
+  }
+
+  test("non-strict broadcast join multiplies on duplicate keys (Spark semantics)") {
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val stream = Seq((1L, "x")).toDF("k", "s")
+    assert(Lookup.enrichLookup(stream, dup, "k").count() == 2)
+  }
+
+  test("enrichLookup: missing keys get defaults (J2, MinimalPubSubBQLookup:39-45)") {
+    import spark.implicits._
+    val lookup = Seq((1L, "alice")).toDF("k", "name")
+    val stream = Seq(1L, 2L).toDF("k")
+    val out = Lookup.enrichLookup(stream, lookup, "k", Map("name" -> lit("")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "alice"), (2L, "")))
+  }
+
+  test("semiAntiSplit partitions fresh into novel + duplicated (D2)") {
+    import spark.implicits._
+    val fresh = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val hist = Seq(2L, 4L).toDF("k")
+    val (novel, dups) = Lookup.semiAntiSplit(fresh, hist, "k")
+    assert(novel.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(dups.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("semiAntiSplit plan broadcasts the historical side (scale contract)") {
+    import spark.implicits._
+    val fresh = Seq(1L, 2L).toDF("k")
+    val hist = Seq(2L).toDF("k")
+    val (novel, _) = Lookup.semiAntiSplit(fresh, hist, "k")
+    val plan = novel.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in plan:\n$plan")
+  }
+}
