@@ -1,0 +1,126 @@
+package graft.apps
+
+import graft.model.{MyEventRecord, SendResult}
+import graft.streaming.{AsyncEnrich, Marked, StatefulTtlDedup, WindowedSink}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+
+/**
+ * The flagship app recomposed (SURVEY §3.1, mediation/MediationService.scala:71-145):
+ *
+ *   STEP 1   bootstrap: batch-scan historical record dirs, dedup by
+ *            idempotent key, tag INITIAL_LOAD (:89-96, :270-315)
+ *   STEP 2   stream: key by idempotent key (:110-127)
+ *            validity split → toxic windowed sink (:129-131, 30 s windows)
+ *   STEP 2.2 historical-vs-fresh dedup (D2): the reference broadcasts the
+ *            historical key set as a side input and drops hits — the "new"
+ *            branch emits nothing for them (:163-207). Spark-native twin:
+ *            stream-static `left_anti` join against the broadcast historical
+ *            key set. A bounded∪unbounded union is the shape the reference
+ *            explicitly rejects (README NOTE 2) and Spark cannot even
+ *            express — the join IS the supported construct (§7.3 #5).
+ *   STEP 3-5 stateful TTL dedup → async HTTP per novel record (:125-135)
+ *   STEP 5-6 (record, response) analytics output (:259-268)
+ *
+ * Scale posture: every stage is a streaming Dataset transform — state is
+ * hash-partitioned by key across executors, the async stage bounds in-flight
+ * requests per task, and the only driver-side work is query management. At
+ * 1000 executors the bootstrap union is a file scan, not a collect.
+ */
+object MediationApp {
+
+  final case class Config(
+      ttlMillis: Long = 120000L, // local default ttl-time=120 s (application.conf:20)
+      timerCleanup: Boolean = true, // state-store GC timer (see StatefulTtlDedup)
+      toxicWindow: String = "30 seconds", // MediationService.scala:129
+      watermarkDelay: String = "0 seconds", // allowedLateness=0 (W5)
+      enrich: AsyncEnrich.Config = AsyncEnrich.Config())
+
+  /** STEP 1 — bootstrap scan: union the historical dirs (S4 multi-path
+    * scan), keep valid records, one per idempotent key, tagged INITIAL_LOAD
+    * (getOldAvrosFromGCS, MediationService.scala:270-315).
+    */
+  def bootstrap(spark: SparkSession, paths: Seq[String],
+      format: String = "parquet"): Dataset[MyEventRecord] = {
+    import spark.implicits._
+    if (paths.isEmpty) spark.emptyDataset[MyEventRecord]
+    else spark.read.format(format).load(paths: _*)
+      .as[MyEventRecord]
+      .filter(_.isValid)
+      .groupByKey(_.idempotentKey)
+      .reduceGroups((a, _) => a).map(_._2) // distinctByKey (D1)
+      .map(_.tagInitialLoad)
+  }
+
+  /** Validity split (F1/F2): returns (ok, toxic). Both sides derive from one
+    * plan; Spark evaluates the predicate twice rather than caching — cheaper
+    * than a persist for a filter this narrow, and streaming-safe.
+    */
+  def validitySplit(events: Dataset[MyEventRecord])
+      : (Dataset[MyEventRecord], Dataset[MyEventRecord]) =
+    (events.filter(_.isValid), events.filter(r => !r.isValid))
+
+  /** STEP 2-5 core: dedup-mark then enrich. Batch shape — also the body of
+    * the streaming foreachBatch below, so batch and streaming share one
+    * code path (micro-batch = bundle).
+    */
+  def processBatch(marked: Dataset[Marked], cfg: Config,
+      client: () => AsyncEnrich.NotificationClient): Dataset[SendResult] =
+    AsyncEnrich.enrich(marked, cfg.enrich, client)
+
+  /**
+   * Full streaming pipeline. `events` is an unbounded Dataset[MyEventRecord]
+   * (MemoryStream in tests; file/kafka stream in production). Returns the
+   * running analytics query; toxic records stream to `toxicPath` as windowed
+   * files in parallel.
+   */
+  def start(spark: SparkSession, events: Dataset[MyEventRecord],
+      historicalPaths: Seq[String], cfg: Config,
+      client: () => AsyncEnrich.NotificationClient,
+      outPath: String, toxicPath: String, checkpointRoot: String): Seq[StreamingQuery] = {
+    import spark.implicits._
+
+    val (ok, toxic) = validitySplit(events)
+
+    // toxic quarantine: 30 s tumbling windows, one dir per window (K1)
+    val toxicQuery = WindowedSink.start(
+      toxic.map(r => (r.idempotentKey, r.event.nhubTimestamp.getOrElse(0L)))
+        .toDF("idempotent_key", "ts_ms")
+        .withColumn("event_time", timestamp_millis(col("ts_ms"))),
+      "event_time", cfg.toxicWindow, cfg.watermarkDelay,
+      toxicPath, s"$checkpointRoot/toxic")
+
+    // D2: drop stream records whose key is in the historical snapshot —
+    // stream-static left_anti on the broadcast key set. Historical hits
+    // produce NO output, matching the reference's "new" branch emptiness
+    // (MediationServiceSpec.scala:135-154).
+    val novel =
+      if (historicalPaths.isEmpty) ok
+      else {
+        val histKeys = bootstrap(spark, historicalPaths)
+          .map(_.idempotentKey).toDF("idempotent_key")
+        ok.withColumn("idempotent_key",
+            concat_ws("-",
+              coalesce(col("event.transactionId"), lit("null")),
+              coalesce(col("customer.id"), lit("null"))))
+          .join(broadcast(histKeys), Seq("idempotent_key"), "left_anti")
+          .drop("idempotent_key")
+          .as[MyEventRecord]
+      }
+
+    val analytics = StatefulTtlDedup(novel, cfg.ttlMillis, cfg.timerCleanup)
+    implicit val enc = Encoders.product[SendResult]
+    val analyticsQuery = analytics.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Marked], _: Long) =>
+        processBatch(batch.filter(!_.record.isInitialLoad), cfg, client)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", s"$checkpointRoot/analytics")
+      .trigger(Trigger.ProcessingTime(0L)) // per-element firing (W3)
+      .start()
+
+    Seq(analyticsQuery, toxicQuery)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.{MockData, NotificationResponse}
+
+/** §2.9 — async enrichment stage: KO containment, retry with backoff,
+  * duplicate pass-through, bundle-flush (all results present).
+  */
+class AsyncEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quique = MockData.notSentDebitQuique
+  private val abuela = MockData.notSentDebitAbuela
+
+  test("SENT records get the echo response; DUPs pass through untouched") {
+    val ds = spark.createDataset(Seq(
+      Marked(quique.idempotentKey, quique, Marked.Sent),
+      Marked(quique.idempotentKey, quique, Marked.Dup),
+      Marked(abuela.idempotentKey, abuela, Marked.Dup)))
+    val out = AsyncEnrich.enrich(ds,
+      AsyncEnrich.Config(clientId = "spec-basic", backoffMillis = 1L),
+      () => new AsyncEnrich.StubClient()).collect().toSeq
+
+    assert(out.size == 3) // every input yields an output (bundle flush)
+    val sent = out.filter(_.response.id == 101)
+    assert(sent.size == 1)
+    // success enrichment mirrors newEventRecordWithSuccess (P4)
+    assert(sent.head.record.notification.nhubSuccess.contains(true))
+    assert(sent.head.record.notification.successDescr.contains("SUCESSFUL PUSH"))
+    assert(out.count(_.response == NotificationResponse.SentOrDuplicated) == 2)
+  }
+
+  test("transient failures are retried with incremented retries (P5)") {
+    val ds = spark.createDataset(Seq(
+      Marked(quique.idempotentKey, quique, Marked.Sent))).repartition(1)
+    val out = AsyncEnrich.enrich(ds,
+      AsyncEnrich.Config(clientId = "spec-retry", maxRetries = 3, backoffMillis = 1L),
+      () => new AsyncEnrich.StubClient(failFirstN = 2)).collect().toSeq
+    assert(out.size == 1)
+    assert(out.head.response.id == 101)
+    // two failures → third attempt succeeds; retries None→0→1
+    assert(out.head.record.notification.retries.contains(1))
+  }
+
+  test("exhausted retries are contained as KO results, never thrown") {
+    val ds = spark.createDataset(Seq(
+      Marked(quique.idempotentKey, quique, Marked.Sent))).repartition(1)
+    val out = AsyncEnrich.enrich(ds,
+      AsyncEnrich.Config(clientId = "spec-ko", maxRetries = 1, backoffMillis = 1L),
+      () => new AsyncEnrich.StubClient(failFirstN = 99)).collect().toSeq
+    assert(out.size == 1)
+    assert(!out.head.response.isSuccess)
+    assert(out.head.record.notification.nhubSuccess.contains(false))
+  }
+
+  test("many records complete under bounded concurrency") {
+    val recs = (1 to 200).map { i =>
+      val r = quique.copy(event = quique.event.copy(transactionId = Some(s"tx$i")))
+      Marked(r.idempotentKey, r, Marked.Sent)
+    }
+    val out = AsyncEnrich.enrich(spark.createDataset(recs),
+      AsyncEnrich.Config(clientId = "spec-many", maxConcurrency = 8,
+        ratePerSec = 100000, backoffMillis = 1L),
+      () => new AsyncEnrich.StubClient()).collect()
+    assert(out.length == 200)
+    assert(out.forall(_.response.id == 101))
+  }
+}
