@@ -27,6 +27,15 @@ object NativeTextKit {
     GraftColumnBridge.column(
       MinHashSig(GraftColumnBridge.expression(c), numHashes, shingleLen))
 
+  /** LSH band-bucket hashes straight from the text — one sketch pass, one
+    * long per band. Use this (not 32 × `hash(slice(minhashSig(...)))`):
+    * Catalyst's project collapsing inlines the signature into every
+    * band-hash expression, recomputing the full sketch per band.
+    */
+  def minhashBands(c: Column, numHashes: Int, shingleLen: Int, bands: Int): Column =
+    GraftColumnBridge.column(
+      MinHashBands(GraftColumnBridge.expression(c), numHashes, shingleLen, bands))
+
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
 }
@@ -107,6 +116,54 @@ object MinHashSig {
       i += 1
     }
     sig
+  }
+}
+
+/**
+ * MinHash LSH band hashes: the `numHashes`-wide signature folded into
+ * `bands` bucket keys (64-bit FNV over each band's minima). Equivalent to
+ * banding the [[MinHashSig]] output; computed in the same single pass so
+ * the signature is never materialized into the plan (no risk of Catalyst
+ * duplicating the sketch per band, and no 8·numHashes bytes per row in the
+ * explode shuffle).
+ */
+case class MinHashBands(child: Expression, numHashes: Int, shingleLen: Int,
+    bands: Int) extends UnaryExpression {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashBands.compute(
+      input.asInstanceOf[UTF8String].toString, numHashes, shingleLen, bands))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashBands.compute($c.toString(), $numHashes, $shingleLen, $bands));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  def compute(s: String, numHashes: Int, shingleLen: Int, bands: Int): Array[Long] = {
+    val sig = MinHashSig.compute(s, numHashes, shingleLen)
+    val rowsPerBand = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xCBF29CE484222325L ^ b
+      var j = 0
+      while (j < rowsPerBand) {
+        h = (h ^ sig(b * rowsPerBand + j)) * 0x100000001B3L
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
   }
 }
 

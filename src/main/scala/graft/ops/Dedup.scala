@@ -106,12 +106,13 @@ object Dedup {
       numHashes: Int = 256, shingleLen: Int = 5, bands: Int = 32,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = withMinhashSignature(df, idCol, textCol, numHashes, shingleLen)
-    val bandHashes = array((0 until bands).map(b =>
-      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
-    val banded = sig.select(col("doc"),
-      posexplode(bandHashes).as(Seq("band", "bucket")))
+    // band hashes computed in the sketch pass itself (MinHashBands):
+    // banding the signature column with hash(slice(sig,...)) per band makes
+    // Catalyst inline the sketch into every band expression → 32× the work
+    val banded = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"),
+        posexplode(graft.functions.NativeTextKit.minhashBands(
+          col(textCol), numHashes, shingleLen, bands)).as(Seq("band", "bucket")))
     // group per (band,bucket) then pair inside the bucket
     banded.groupBy("band", "bucket")
       .agg(collect_list("doc").as("docs"))
@@ -132,11 +133,16 @@ object Dedup {
       threshold: Double, numHashes: Int = 256, shingleLen: Int = 5,
       bands: Int = 32): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, shingleLen, bands)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // shingle sets precomputed once per doc — NOT from raw text per pair
+    // (the threshold filter lands in the join condition, interpreted and
+    // un-CSE'd; see TextKit.ngramSet) — and as sorted long hashes, which
+    // cut the verify join's heap/shuffle ~8× vs UTF8 shingle arrays
+    val gsets = df.select(col(idCol).as("id"),
+      TextKit.ngramHashSet(col(textCol), shingleLen).as("gset"))
     cands
-      .join(docs.withColumnRenamed("id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
-      .join(docs.withColumnRenamed("id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
-      .withColumn("jaccard", TextKit.ngramJaccard(col("text_a"), col("text_b"), shingleLen))
+      .join(gsets.withColumnRenamed("id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
+      .join(gsets.withColumnRenamed("id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
+      .withColumn("jaccard", TextKit.jaccardFromSets(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -155,12 +161,15 @@ object Dedup {
     * Hamming distance ≤ 3), verified by true Hamming distance ≤ `maxDist`. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // explode the chunk index FIRST, then derive the chunk key from the
+    // materialized sh attribute — an array of 4 shift expressions over the
+    // sketch column would get the sketch inlined (recomputed) per chunk
     val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
-    val chunks = array((0 until 4).map(c =>
-      shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)
-    val chunked = sh.select(col("doc"), col("sh"),
-      posexplode(chunks).as(Seq("chunk", "ckey")))
+      .select(col("doc"), col("sh"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+    val chunked = sh.withColumn("ckey",
+      expr("shiftright(sh, chunk * 16) & 65535"))
     val l = chunked.select(col("chunk"), col("ckey"), col("doc").as("doc_a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("ckey"), col("doc").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "ckey"))

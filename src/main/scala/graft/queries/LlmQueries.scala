@@ -36,12 +36,16 @@ object LlmQueries {
 
   // ── n-gram Jaccard near-dup, prefix-blocked (exact, oracle-able) ────────
   private val ddNgram: Q = (s, dir) => {
+    // shingle sets once per doc per side, BEFORE the pair join — the j≥0.5
+    // filter lands in the join condition where expressions are interpreted
+    // per probed pair without CSE (see TextKit.ngramSet)
     val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pfx"))
-    val a = d.select(col("pfx"), col("doc_id").as("doc_a"), col("text").as("ta"))
-    val b = d.select(col("pfx"), col("doc_id").as("doc_b"), col("text").as("tb"))
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("pfx"),
+        TextKit.ngramHashSet(col("text"), 3).as("g"))
+    val a = d.select(col("pfx"), col("doc_id").as("doc_a"), col("g").as("ga"))
+    val b = d.select(col("pfx"), col("doc_id").as("doc_b"), col("g").as("gb"))
     a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("j", TextKit.ngramJaccard(col("ta"), col("tb"), 3))
+      .withColumn("j", TextKit.jaccardFromSets(col("ga"), col("gb")))
       .filter(col("j") >= 0.5)
       .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("j")).as("j_micro"))
       .orderBy(col("doc_a"), col("doc_b"))
