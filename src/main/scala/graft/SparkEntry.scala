@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtensionQueries, LlmQueries, RelationalQueries}
+import graft.queries.{ExtensionQueries, LlmQueries, MultimodalQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ LlmQueries.all ++ ExtensionQueries.all
+    RelationalQueries.all ++ LlmQueries.all ++ ExtensionQueries.all ++
+      MultimodalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the approximate ops (dd_simhash,
@@ -24,5 +25,6 @@ object SparkEntry {
     * check and the ScalaTest suite asserts recall vs in-engine brute force).
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtensionQueries.oracles
+    RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtensionQueries.oracles ++
+      MultimodalQueries.oracles
 }
