@@ -107,15 +107,43 @@ object ExtensionQueries {
       |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S'))) AS parsed_ms
       |FROM f ORDER BY o_orderkey""".stripMargin
 
+  // ── U5/U8: window-name formatting + human duration over event windows ───
+  private val u5u8TimeKit: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_ms", Kit.nanosToMillis("ts"))
+      .withColumn("wstart_ms", Kit.tumblingStartMs("ts", 3600000L))
+    e.select(col("event_id"),
+        Kit.windowName(timestamp_millis(col("wstart_ms")),
+          timestamp_millis(col("wstart_ms") + 3600000L)).as("window_name"),
+        Kit.humanDuration(col("ts_ms") - col("wstart_ms")).as("offset_human"))
+      .orderBy(col("event_id"))
+  }
+  private val u5u8TimeKitSql =
+    """WITH t AS (
+      |  SELECT event_id,
+      |    epoch_ns(ts) // 1000000 AS ts_ms,
+      |    (epoch_ns(ts) // 3600000000000) * 3600000 AS wstart_ms
+      |  FROM events
+      |)
+      |SELECT event_id,
+      |  strftime(make_timestamp(wstart_ms * 1000), '%Y%m%dT%H%M%S') || '_' ||
+      |    strftime(make_timestamp((wstart_ms + 3600000) * 1000), '%H%M%S') AS window_name,
+      |  ((ts_ms - wstart_ms) // 3600000)::VARCHAR || 'h ' ||
+      |    (((ts_ms - wstart_ms) % 3600000) // 60000)::VARCHAR || 'm ' ||
+      |    (((ts_ms - wstart_ms) % 60000) // 1000)::VARCHAR || 'sec' AS offset_human
+      |FROM t ORDER BY event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "x_rank_window" -> xRank,
     "x_rollup" -> xRollup,
     "x_set_ops" -> xSetOps,
-    "u4_multiformat_ts" -> u4MultiTs)
+    "u4_multiformat_ts" -> u4MultiTs,
+    "u5_u8_time_kit" -> u5u8TimeKit)
 
   val oracles: Map[String, String] = Map(
     "x_rank_window" -> xRankSql,
     "x_rollup" -> xRollupSql,
     "x_set_ops" -> xSetOpsSql,
-    "u4_multiformat_ts" -> u4MultiTsSql)
+    "u4_multiformat_ts" -> u4MultiTsSql,
+    "u5_u8_time_kit" -> u5u8TimeKitSql)
 }

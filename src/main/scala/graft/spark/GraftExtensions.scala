@@ -1,0 +1,80 @@
+package graft.spark
+
+import graft.functions.{BinaryFeatures, Fingerprint32, MinHashBands, MinHashSig, SimHash64}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * Catalyst integration point: registers the engine's native expressions as
+ * SQL functions via `SparkSessionExtensions` — the public Spark extension
+ * API (enable with
+ * `.config("spark.sql.extensions", "graft.spark.GraftExtensions")`, or
+ * `GraftExtensions.registerAll(spark)` on a live session). Pure-SQL users
+ * then get the engine's sketch/fingerprint kit with full codegen:
+ *
+ *   SELECT graft_fingerprint32(text),
+ *          graft_simhash64(text),
+ *          graft_minhash_bands(text, 256, 5, 32)
+ *   FROM documents
+ *
+ * Constant arguments (hash counts, shingle length, bands, dims) must be
+ * integer literals — they parameterize generated code, mirroring how
+ * Spark's own `approx_percentile` treats its accuracy argument.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
+  /** The engine's SQL function surface: (name, usage, builder). */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_fingerprint32",
+      "graft_fingerprint32(str) - 32-bit polynomial rolling-hash fingerprint",
+      { case Seq(c) => Fingerprint32(c) }: Seq[Expression] => Expression),
+    ("graft_simhash64",
+      "graft_simhash64(str) - 64-bit SimHash over whitespace tokens",
+      { case Seq(c) => SimHash64(c) }: Seq[Expression] => Expression),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(str, numHashes, shingleLen) - MinHash signature array",
+      { case Seq(c, n, l) =>
+        MinHashSig(c, intArg(n, "numHashes", "graft_minhash_sig"),
+          intArg(l, "shingleLen", "graft_minhash_sig"))
+      }: Seq[Expression] => Expression),
+    ("graft_minhash_bands",
+      "graft_minhash_bands(str, numHashes, shingleLen, bands) - LSH band bucket keys",
+      { case Seq(c, n, l, b) =>
+        MinHashBands(c, intArg(n, "numHashes", "graft_minhash_bands"),
+          intArg(l, "shingleLen", "graft_minhash_bands"),
+          intArg(b, "bands", "graft_minhash_bands"))
+      }: Seq[Expression] => Expression),
+    ("graft_binary_features",
+      "graft_binary_features(bin, dim) - deterministic feature vector from bytes (decode stub)",
+      { case Seq(c, d) =>
+        BinaryFeatures(c, intArg(d, "dim", "graft_binary_features"))
+      }: Seq[Expression] => Expression))
+
+  /** Register into a live session's function registry (tests, notebooks —
+    * no session restart needed).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (name, usage, builder) =>
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder)
+    }
+  }
+}
