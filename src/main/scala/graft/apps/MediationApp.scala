@@ -44,8 +44,11 @@ object MediationApp {
   def bootstrap(spark: SparkSession, paths: Seq[String],
       format: String = "parquet"): Dataset[MyEventRecord] = {
     import spark.implicits._
-    if (paths.isEmpty) spark.emptyDataset[MyEventRecord]
-    else spark.read.format(format).load(paths: _*)
+    // F4: prune non-existent dirs before building the scan, so a missing
+    // date partition can't fail the job (MediationService.scala:274-295)
+    val existing = graft.sources.Tables.existingPaths(spark, paths)
+    if (existing.isEmpty) spark.emptyDataset[MyEventRecord]
+    else spark.read.format(format).load(existing: _*)
       .as[MyEventRecord]
       .filter(_.isValid)
       .groupByKey(_.idempotentKey)
@@ -109,7 +112,12 @@ object MediationApp {
           .as[MyEventRecord]
       }
 
+    // K5 log-effect taps → Spark-native observable metrics: per-batch row
+    // counts surface through QueryProgressEvent.observedMetrics instead of
+    // map(log.info) side effects (MediationService.scala:106,130,134)
     val analytics = StatefulTtlDedup(novel, cfg.ttlMillis, cfg.timerCleanup)
+      .observe("graft_dedup", count(lit(1)).as("rows"),
+        count(when(col("status") === Marked.Sent, 1)).as("sent"))
     implicit val enc = Encoders.product[SendResult]
     val analyticsQuery = analytics.writeStream
       .outputMode(OutputMode.Append)

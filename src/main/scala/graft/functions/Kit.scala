@@ -104,4 +104,17 @@ object Kit {
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
   def bps(c: Column): Column = round(c * 10000, 0).cast("long")
   def microUnits(c: Column): Column = round(c * 1000000, 0).cast("long")
+
+  // ── test-data generation (NOT for the hot path) ─────────────────────────
+
+  /** U13/P6 — random mock key: one of `prefixes` + 24 uppercase hex chars
+    * (mediation/avro/MyEventRecordUtils.scala:41-53; used by the mock
+    * producer P6). Non-deterministic by design — datagen only.
+    */
+  def randomHexKey(prefixes: Seq[String] = Seq("E2", "23")): Column = {
+    val prefix = element_at(
+      shuffle(array(prefixes.map(lit): _*)), 1)
+    val hex24 = upper(substring(sha2((rand() * 1e18).cast("string"), 256), 1, 24))
+    concat(prefix, hex24)
+  }
 }

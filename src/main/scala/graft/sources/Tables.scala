@@ -47,4 +47,20 @@ object Tables {
     configure(spark)
     spark.read.format(format).load(paths: _*)
   }
+
+  /**
+   * F4 — existence-pruned path filter (mediation/MediationService.scala:274-295,
+   * utils/GCSCommonUtilsInterim.scala:11-40): the reference lists GCS and
+   * keeps only date dirs that exist before building scans, so a missing
+   * partition doesn't fail the job. Hadoop-FS based, so it works against
+   * any supported filesystem (local, HDFS, object stores) — a driver-side
+   * metadata call, not a data scan.
+   */
+  def existingPaths(spark: SparkSession, paths: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+  }
 }

@@ -72,7 +72,9 @@ class MediationAppSpec extends SparkSpec {
     spark.createDataset(Seq(
       MockData.notSentDebitQuique, MockData.trueSentDebitQuique,
       MockData.invalidRecord)).write.mode("overwrite").parquet(hist)
-    val boot = MediationApp.bootstrap(spark, Seq(hist)).collect().toSeq
+    // nonexistent path is pruned (F4), not a job failure
+    val boot = MediationApp.bootstrap(spark, Seq(hist, "/no/such/dir"))
+      .collect().toSeq
     assert(boot.size == 1) // same idempotent key → one record; invalid dropped
     assert(boot.head.isInitialLoad)
   }
