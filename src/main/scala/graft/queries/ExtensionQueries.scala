@@ -133,17 +133,55 @@ object ExtensionQueries {
       |    (((ts_ms - wstart_ms) % 60000) // 1000)::VARCHAR || 'sec' AS offset_human
       |FROM t ORDER BY event_id""".stripMargin
 
+  // ── W8: session windows (absent in the reference — Beam windows are
+  //    fixed/global only; Spark gives sessionization for free). Oracle =
+  //    gaps-and-islands. Spark's session interval is half-open
+  //    [start, last+gap): an event landing exactly at last+gap starts a NEW
+  //    session, hence `diff >= gap` as the oracle's break condition. ──────
+  private val w8Session: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("ts_ms", Kit.nanosToMillis("ts"))
+      .withColumn("et", timestamp_millis(col("ts_ms")))
+      .groupBy(col("user_id"), session_window(col("et"), "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        Kit.cents(sum(col("value"))).as("value_c"),
+        max(col("ts_ms")).as("last_ms"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("last_ms"), col("n"), col("value_c"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+  private val w8SessionSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events
+      |), s AS (
+      |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+      |                   OR ts_ms - lag(ts_ms) OVER w >= 1800000
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+      |), g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s
+      |)
+      |SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS last_ms,
+      |  count(*) AS n, CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_c
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   val all: Map[String, Q] = Map(
     "x_rank_window" -> xRank,
     "x_rollup" -> xRollup,
     "x_set_ops" -> xSetOps,
     "u4_multiformat_ts" -> u4MultiTs,
-    "u5_u8_time_kit" -> u5u8TimeKit)
+    "u5_u8_time_kit" -> u5u8TimeKit,
+    "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
     "x_rank_window" -> xRankSql,
     "x_rollup" -> xRollupSql,
     "x_set_ops" -> xSetOpsSql,
     "u4_multiformat_ts" -> u4MultiTsSql,
-    "u5_u8_time_kit" -> u5u8TimeKitSql)
+    "u5_u8_time_kit" -> u5u8TimeKitSql,
+    "w8_session_window" -> w8SessionSql)
 }

@@ -36,8 +36,12 @@ object WindowedSink {
       .write.mode("append").format(format)
       .partitionBy("window_name").save(path)
 
-  /** Streaming write via foreachBatch (micro-batch = the reference's pane
-    * firing; DISCARDING panes per W4 — each batch appends only its own rows).
+  /** Streaming write, immediate mode: every micro-batch appends its rows
+    * under their window dirs right away — the analogue of the reference's
+    * per-element-trigger DISCARDING panes (W3/W4: a window may receive
+    * files from several panes). NB a stateless watermark does NOT drop late
+    * rows in Spark — late arrivals land in their (old) window dir; use
+    * [[streamFinalized]] for drop-late/write-once-per-window semantics.
     */
   def stream(df: DataFrame, eventTime: String, duration: String,
       watermarkDelay: String, path: String,
@@ -49,10 +53,42 @@ object WindowedSink {
           writeBatch(batch, eventTime, duration, path, format)
       }
 
+  /**
+   * Streaming write, finalized-window mode: rows are grouped into event-time
+   * windows under the watermark and each window is written exactly once,
+   * when the watermark passes its end — so late data (beyond
+   * `watermarkDelay`; W5 allowedLateness) is dropped by the aggregation.
+   * This is the Beam on-watermark pane firing. The per-window
+   * `collect_list` bounds memory by window contents — same contract as the
+   * reference's `(IntervalWindow, Iterable[T])` grouping
+   * (streaming/utils/SinkUtils.scala:36-56); size windows accordingly.
+   */
+  def streamFinalized(df: DataFrame, eventTime: String, duration: String,
+      watermarkDelay: String, path: String,
+      format: String = "parquet"): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val cols = df.columns.toSeq
+    df.withWatermark(eventTime, watermarkDelay)
+      .groupBy(window(col(eventTime), duration).as("w"))
+      .agg(collect_list(struct(cols.map(col): _*)).as("rows"))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          batch.select(
+              Kit.windowName(col("w.start"), col("w.end")).as("window_name"),
+              explode(col("rows")).as("r"))
+            .select(col("window_name") +: cols.map(c => col(s"r.$c")): _*)
+            .write.mode("append").format(format)
+            .partitionBy("window_name").save(path)
+      }
+  }
+
   def start(df: DataFrame, eventTime: String, duration: String,
       watermarkDelay: String, path: String, checkpoint: String,
-      format: String = "parquet"): StreamingQuery =
-    stream(df, eventTime, duration, watermarkDelay, path, format)
-      .option("checkpointLocation", checkpoint)
-      .start()
+      format: String = "parquet", finalized: Boolean = false): StreamingQuery = {
+    val writer =
+      if (finalized) streamFinalized(df, eventTime, duration, watermarkDelay, path, format)
+      else stream(df, eventTime, duration, watermarkDelay, path, format)
+    writer.option("checkpointLocation", checkpoint).start()
+  }
 }
