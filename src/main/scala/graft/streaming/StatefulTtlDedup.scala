@@ -78,7 +78,8 @@ object StatefulTtlDedup {
           } else {
             val nowMs = clockMs.map(_.apply())
               .getOrElse(state.getCurrentProcessingTimeMs())
-            var seen = state.exists && nowMs < state.get.expiresAtMs
+            val seenAtStart = state.exists && nowMs < state.get.expiresAtMs
+            var seen = seenAtStart
             val out = records.map { r =>
               val status =
                 if (r.isInitialLoad) {
@@ -92,8 +93,11 @@ object StatefulTtlDedup {
                 }
               Marked(key, r, status)
             }.toVector // materialize before touching state (iterator is lazy)
-            if (seen) {
-              // last-write-wins TTL re-arm on every batch with arrivals
+            if (seen && !seenAtStart) {
+              // TTL armed only on the bag-empty→occupied transition:
+              // duplicates do NOT extend the window — the reference's timer
+              // is set by non-dup elements only (:91-94,127,147-153); a dup
+              // hit emits its marker without touching state
               val deadline =
                 if (ttlMillis > 0) nowMs + ttlMillis else Long.MaxValue
               state.update(SeenState(deadline))

@@ -87,14 +87,15 @@ class StatefulTtlDedupSpec extends SparkSpec {
     assert(out.map(_.status).sorted == Seq(Marked.Sent, Marked.Sent))
   }
 
-  test("TTL re-arm is last-write-wins (duplicate inside window extends it)") {
+  test("duplicates do NOT extend the TTL window (only non-dups arm it)") {
     val r = MockData.notSentDebitQuique
-    // t=0 SENT (deadline 600); t=350 dup, re-arms to 950; t=700 — past the
-    // original deadline but inside the re-armed one → still a duplicate
+    // t=0 SENT (deadline 600); t=350 dup — window NOT extended
+    // (StateAsyncParDoWithHttpHandler:105-131 emits without touching the
+    // timer); t=700 is past the deadline → SENT again, new window armed
     val out = runStream("ttl_rearm", Seq(Seq(r), Seq(r), Seq(r)),
       ttlMillis = 600L, advanceAfterBatchMs = 350L)
-    assert(out.count(_.status == Marked.Sent) == 1)
-    assert(out.count(_.status == Marked.Dup) == 2)
+    assert(out.count(_.status == Marked.Sent) == 2)
+    assert(out.count(_.status == Marked.Dup) == 1)
   }
 
   test("works on batch datasets too (state scoped to the batch)") {
