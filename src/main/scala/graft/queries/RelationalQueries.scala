@@ -254,8 +254,30 @@ object RelationalQueries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ── salted shuffled join (skew path): result identical to the plain join,
+  //    which IS the oracle — salting must never change the answer ──────────
+  private val xSaltedJoin: Q = (s, dir) => {
+    import graft.ops.Skew
+    val big = Tables.events(s, dir).withColumnRenamed("user_id", "k")
+    val small = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+    // deterministic scatter so the physical plan is replayable
+    Skew.saltedJoin(big, small, "k", salt = 8, joinType = "left_outer",
+      scatter = Some(pmod(hash(col("event_id")), lit(8))))
+      .groupBy(coalesce(col("segment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n"), Kit.cents(sum(col("value"))).as("value_c"))
+      .orderBy(col("segment"))
+  }
+  private val xSaltedJoinSql =
+    """SELECT coalesce(c.c_mktsegment, 'NONE') AS segment,
+      |  count(*) AS n,
+      |  CAST(round(sum(e.value) * 100, 0) AS BIGINT) AS value_c
+      |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1 ORDER BY segment""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "x_salted_join" -> xSaltedJoin,
     "s4_union_scan" -> s4Union,
     "p1_key_extraction" -> p1Key,
     "f2_validity_route" -> f2Route,
@@ -272,6 +294,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "x_salted_join" -> xSaltedJoinSql,
     "s4_union_scan" -> s4UnionSql,
     "p1_key_extraction" -> p1KeySql,
     "f2_validity_route" -> f2RouteSql,
