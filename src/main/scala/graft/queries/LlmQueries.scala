@@ -149,6 +149,16 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro, rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ── similarity search: IVF coarse-quantizer (approximate — rows-only) ───
+  private val simIvf: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    Similarity.ivfTopK(em, queries, k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        Kit.microUnits(col("cos")).as("cos_micro"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ── similarity search: LSH-bucketed (approximate — rows-only check) ─────
   private val simLsh: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
@@ -243,6 +253,7 @@ object LlmQueries {
     "dd_embedding_neardup" -> ddEmbedding,
     "sim_topk_bruteforce" -> simTopK,
     "sim_topk_lsh" -> simLsh,
+    "sim_topk_ivf" -> simIvf,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_lang_id" -> tLang,

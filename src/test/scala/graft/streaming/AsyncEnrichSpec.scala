@@ -53,6 +53,29 @@ class AsyncEnrichSpec extends SparkSpec {
     assert(out.head.record.notification.nhubSuccess.contains(false))
   }
 
+  test("throughput: sustains the reference's >200K/min rate against a local stub") {
+    // BASELINE.md: >200,000 notifications/min (~3,333/s) on Dataflow with
+    // a real HTTPS endpoint. Hermetic analogue: 20k sends through the full
+    // dispatch machinery (semaphore, token bucket, retry wrapper, bundle
+    // flush) against the instant stub.
+    val n = 20000
+    val recs = (1 to n).map { i =>
+      val r = quique.copy(event = quique.event.copy(transactionId = Some(s"tp$i")))
+      Marked(r.idempotentKey, r, Marked.Sent)
+    }
+    val ds = spark.createDataset(recs).repartition(4)
+    val t0 = System.nanoTime()
+    val out = AsyncEnrich.enrich(ds,
+      AsyncEnrich.Config(clientId = "spec-tput", maxConcurrency = 256,
+        ratePerSec = 1000000, burst = 1000000, backoffMillis = 1L),
+      () => new AsyncEnrich.StubClient()).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = n / secs
+    info(f"stub throughput: $rate%.0f sends/s over $n records")
+    assert(out == n)
+    assert(rate >= 3333.0, f"only $rate%.0f sends/s — below the 3,333/s baseline")
+  }
+
   test("many records complete under bounded concurrency") {
     val recs = (1 to 200).map { i =>
       val r = quique.copy(event = quique.event.copy(transactionId = Some(s"tx$i")))
