@@ -1,0 +1,75 @@
+package graft.apps
+
+import graft.functions.Kit
+import graft.model.{MockData, MyEventRecord}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * §3.3 — mock-data producer / tap pair
+ * (streaming/utils/pubsub/PubSubProducer.scala:22-49, PubSubConsumer:18-36,
+ * utils/LocalAvroDump.scala:16-30): generate N mock records with randomized
+ * idempotent keys and now-stamps, write them as a partitioned file feed
+ * (the stand-in for a message-bus topic in this env), and tap/preview a
+ * feed. `DataGen.main` and `Tap.main` are runnable; the pure builders are
+ * unit-tested.
+ */
+object DataGen {
+
+  /** N mock records: base fixtures × randomized transactionId (U13/P6) and
+    * nhubTimestamp = now (P3). Distributed generation — `spark.range`
+    * drives it, so N can be billions without a driver-side Seq.
+    */
+  def mockRecords(spark: SparkSession, n: Long): Dataset[MyEventRecord] = {
+    import spark.implicits._
+    val base = MockData.notSentDebitQuique
+    spark.range(n).select(
+      struct(
+        struct(
+          concat(lit("gen_"), col("id")).as("id"),
+          Kit.randomHexKey().as("transactionId"),
+          unix_millis(current_timestamp()).as("nhubTimestamp")).as("event"),
+        struct(
+          (col("id") % 1000).cast("string").as("id"),
+          lit(base.customer.fullName.orNull).as("fullName")).as("customer"),
+        struct(
+          lit(base.notification.id.orNull).as("id"),
+          lit(base.notification.message.orNull).as("message"),
+          lit(null).cast("int").as("retries"),
+          lit(null).cast("boolean").as("nhubSuccess"),
+          lit(null).cast("double").as("amount"),
+          lit(null).cast("string").as("successDescr")).as("notification"))
+        .as("r"))
+      .select(col("r.*"))
+      .as[MyEventRecord]
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000L)
+    val out = args.lift(1).getOrElse("target/datagen")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try mockRecords(spark, n).write.mode("overwrite").parquet(out)
+    finally spark.stop()
+  }
+}
+
+/** Feed preview (PubSubConsumer's `debug()` tap): read a record feed and
+  * print a capped sample plus a count.
+  */
+object Tap {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("target/datagen")
+    val n = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val df = spark.read.parquet(path)
+      df.show(n, truncate = false)
+      println(s"rows=${df.count()}")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,27 @@
+package graft.apps
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.Properties
+
+class GraftConfigSpec extends AnyFunSuite {
+
+  test("env-rooted keys override defaults; other envs ignored") {
+    val p = new Properties()
+    p.setProperty("dev.mediation.ttl-millis", "5000")
+    p.setProperty("dev.mediation.max-retries", "7")
+    p.setProperty("prod.mediation.ttl-millis", "259200000") // other env
+    val dev = GraftConfig.fromProps(p, "dev")
+    assert(dev.ttlMillis == 5000L)
+    assert(dev.enrich.maxRetries == 7)
+    assert(dev.toxicWindow == "30 seconds") // untouched default
+    val prod = GraftConfig.fromProps(p, "prod")
+    assert(prod.ttlMillis == 259200000L) // the reference's 3-day prod TTL
+    assert(prod.enrich.maxRetries == 3) // default retained
+  }
+
+  test("absent keys keep every default") {
+    val cfg = GraftConfig.fromProps(new Properties(), "dev")
+    assert(cfg == MediationApp.Config())
+  }
+}
