@@ -60,6 +60,16 @@ object TextKit {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
       i => xxhash64(text.substr(i, lit(n))))))
 
+  /** Pushdown barrier for expensive pair filters: an always-true but
+    * nondeterministic conjunct. Catalyst may not push a nondeterministic
+    * filter through a join, so `filter(expensive >= θ && noPushdown)` keeps
+    * `expensive` in the post-join projection (codegen'd, subexpression-
+    * eliminated) instead of inlining its full tree into the join condition
+    * (interpreted, duplicated per reference). Worth ~30% on the pairwise
+    * Jaccard queries; semantics unchanged (rand() ≥ 0 is always true).
+    */
+  def noPushdown: Column = rand() >= 0
+
   /** Jaccard from two precomputed distinct n-gram sets. */
   def jaccardFromSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")

@@ -143,7 +143,7 @@ object Dedup {
       .join(gsets.withColumnRenamed("id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
       .join(gsets.withColumnRenamed("id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
       .withColumn("jaccard", TextKit.jaccardFromSets(col("ga"), col("gb")))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold && TextKit.noPushdown)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 

@@ -46,7 +46,7 @@ object LlmQueries {
     val b = d.select(col("pfx"), col("doc_id").as("doc_b"), col("g").as("gb"))
     a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b"))
       .withColumn("j", TextKit.jaccardFromSets(col("ga"), col("gb")))
-      .filter(col("j") >= 0.5)
+      .filter(col("j") >= 0.5 && TextKit.noPushdown)
       .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("j")).as("j_micro"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
