@@ -36,15 +36,23 @@ object LlmQueries {
 
   // ── n-gram Jaccard near-dup, prefix-blocked (exact, oracle-able) ────────
   private val ddNgram: Q = (s, dir) => {
-    // shingle sets once per doc per side, BEFORE the pair join — the j≥0.5
-    // filter lands in the join condition where expressions are interpreted
-    // per probed pair without CSE (see TextKit.ngramSet)
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 16).as("pfx"),
-        TextKit.ngramHashSet(col("text"), 3).as("g"))
-    val a = d.select(col("pfx"), col("doc_id").as("doc_a"), col("g").as("ga"))
-    val b = d.select(col("pfx"), col("doc_id").as("doc_b"), col("g").as("gb"))
-    a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b"))
+    // ids-first pairing (same shape as the MinHash verify): the blocked
+    // pair join carries ONLY (pfx, doc_id) — shingle sets are computed once
+    // per doc and attached to candidates by id equi-joins afterward, so no
+    // array ever rides the pair join's broadcast/shuffle. The j≥0.5 filter
+    // keeps a pushdown barrier so the Jaccard evaluates in the codegen'd
+    // post-join projection (see TextKit.noPushdown).
+    val docs = Tables.documents(s, dir)
+    val dIds = docs.select(col("doc_id"), substring(col("text"), 1, 16).as("pfx"))
+    val cands = dIds.select(col("pfx"), col("doc_id").as("doc_a"))
+      .join(dIds.select(col("pfx"), col("doc_id").as("doc_b")), Seq("pfx"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val gsets = docs.select(col("doc_id").as("id"),
+      TextKit.ngramHashSet(col("text"), 3).as("gset"))
+    cands
+      .join(gsets.withColumnRenamed("id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
+      .join(gsets.withColumnRenamed("id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
       .withColumn("j", TextKit.jaccardFromSets(col("ga"), col("gb")))
       .filter(col("j") >= 0.5 && TextKit.noPushdown)
       .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("j")).as("j_micro"))
