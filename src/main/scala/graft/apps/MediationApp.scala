@@ -35,7 +35,9 @@ object MediationApp {
       timerCleanup: Boolean = true, // state-store GC timer (see StatefulTtlDedup)
       toxicWindow: String = "30 seconds", // MediationService.scala:129
       watermarkDelay: String = "0 seconds", // allowedLateness=0 (W5)
-      enrich: AsyncEnrich.Config = AsyncEnrich.Config())
+      enrich: AsyncEnrich.Config = AsyncEnrich.Config(),
+      // per-element firing (W3) by default; AvailableNow = bounded replay
+      trigger: Trigger = Trigger.ProcessingTime(0L))
 
   /** STEP 1 — bootstrap scan: union the historical dirs (S4 multi-path
     * scan), keep valid records, one per idempotent key, tagged INITIAL_LOAD
@@ -92,7 +94,7 @@ object MediationApp {
         .toDF("idempotent_key", "ts_ms")
         .withColumn("event_time", timestamp_millis(col("ts_ms"))),
       "event_time", cfg.toxicWindow, cfg.watermarkDelay,
-      toxicPath, s"$checkpointRoot/toxic")
+      toxicPath, s"$checkpointRoot/toxic", trigger = cfg.trigger)
 
     // D2: drop stream records whose key is in the historical snapshot —
     // stream-static left_anti on the broadcast key set. Historical hits
@@ -126,9 +128,50 @@ object MediationApp {
           .write.mode("append").parquet(outPath)
       }
       .option("checkpointLocation", s"$checkpointRoot/analytics")
-      .trigger(Trigger.ProcessingTime(0L)) // per-element firing (W3)
+      .trigger(cfg.trigger)
       .start()
 
     Seq(analyticsQuery, toxicQuery)
+  }
+
+  /** S1 as a file-stream source: tail a directory of record files
+    * (the message-bus stand-in in this environment; swap for
+    * `format("kafka")` + `from_avro` against a real bus).
+    */
+  def fileStream(spark: SparkSession, dir: String): Dataset[MyEventRecord] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(Encoders.product[MyEventRecord].schema)
+      .parquet(dir)
+      .as[MyEventRecord]
+  }
+
+  /**
+   * Runnable entry: drain the events directory once (Trigger.AvailableNow)
+   * through the full pipeline and exit — the bounded-replay mode of the
+   * reference's local runs. `GRAFT_ENDPOINT` selects a real HTTP endpoint;
+   * otherwise sends go to the hermetic stub.
+   */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: MediationApp <eventsDir> <outPath> <toxicPath> <checkpoint> [histPath...]")
+    val Array(eventsDir, outPath, toxicPath, ckpt) = args.take(4)
+    val hist = args.drop(4).toSeq
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val client: () => AsyncEnrich.NotificationClient =
+      sys.env.get("GRAFT_ENDPOINT") match {
+        case Some(ep) => () => new AsyncEnrich.JdkHttpClient(java.net.URI.create(ep))
+        case None => () => new AsyncEnrich.StubClient()
+      }
+    val cfg = GraftConfig.load(sys.env.getOrElse("GRAFT_ENV", "dev"))
+      .copy(trigger = Trigger.AvailableNow())
+    try {
+      val queries = start(spark, fileStream(spark, eventsDir), hist, cfg,
+        client, outPath, toxicPath, ckpt)
+      queries.foreach(_.awaitTermination())
+    } finally spark.stop()
   }
 }

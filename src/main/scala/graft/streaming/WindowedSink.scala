@@ -85,10 +85,12 @@ object WindowedSink {
 
   def start(df: DataFrame, eventTime: String, duration: String,
       watermarkDelay: String, path: String, checkpoint: String,
-      format: String = "parquet", finalized: Boolean = false): StreamingQuery = {
+      format: String = "parquet", finalized: Boolean = false,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): StreamingQuery = {
     val writer =
       if (finalized) streamFinalized(df, eventTime, duration, watermarkDelay, path, format)
       else stream(df, eventTime, duration, watermarkDelay, path, format)
-    writer.option("checkpointLocation", checkpoint).start()
+    writer.option("checkpointLocation", checkpoint).trigger(trigger).start()
   }
 }
