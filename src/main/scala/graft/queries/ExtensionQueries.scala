@@ -169,7 +169,60 @@ object ExtensionQueries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  // ── cube: all grouping-set combinations ─────────────────────────────────
+  private val xCube: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+      .orderBy(col("status"), col("priority"))
+  }
+  private val xCubeSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ── pivot via Spark's pivot API; oracle = conditional aggregation ───────
+  private val xPivot: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("priority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy(col("priority"))
+  }
+  private val xPivotSql =
+    """SELECT o_orderpriority AS priority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
+  // ── exact percentiles (linear interpolation both engines) ───────────────
+  private val xPercentile: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        Kit.cents(expr("percentile(o_totalprice, 0.5)")).as("p50_c"),
+        Kit.cents(expr("percentile(o_totalprice, 0.9)")).as("p90_c"),
+        Kit.cents(expr("percentile(o_totalprice, 0.99)")).as("p99_c"))
+      .orderBy(col("o_orderstatus"))
+  }
+  private val xPercentileSql =
+    """SELECT o_orderstatus,
+      |  CAST(round(quantile_cont(o_totalprice, 0.5)*100, 0) AS BIGINT) AS p50_c,
+      |  CAST(round(quantile_cont(o_totalprice, 0.9)*100, 0) AS BIGINT) AS p90_c,
+      |  CAST(round(quantile_cont(o_totalprice, 0.99)*100, 0) AS BIGINT) AS p99_c
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_cube" -> xCube,
+    "x_pivot" -> xPivot,
+    "x_percentile" -> xPercentile,
     "x_rank_window" -> xRank,
     "x_rollup" -> xRollup,
     "x_set_ops" -> xSetOps,
@@ -178,6 +231,9 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_cube" -> xCubeSql,
+    "x_pivot" -> xPivotSql,
+    "x_percentile" -> xPercentileSql,
     "x_rank_window" -> xRankSql,
     "x_rollup" -> xRollupSql,
     "x_set_ops" -> xSetOpsSql,
