@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Range (interval) join — left points `t` against right intervals
+ * `[start, end)`, optionally sharing equi-keys. Spark plans a bare
+ * inequality join as BroadcastNestedLoop (O(|L|·|R|) compares); the scale
+ * path chunks time into fixed buckets: every interval explodes over the
+ * buckets it covers, points map to exactly one bucket, and the join
+ * becomes an equi-join on (keys..., bucket) + an exact residual filter.
+ * A point lies in one bucket, so no duplicate matches and no dedup pass.
+ *
+ * Shuffle volume: |R| × avg-buckets-per-interval + |L| — choose
+ * `bucketMs` ≈ the typical interval length so intervals explode to ~1-2
+ * buckets. (Same technique as Spark's own AQE-era range-join hints in
+ * other engines; composed here from public operators.)
+ */
+object RangeJoin {
+
+  def byBucket(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      t: String, start: String, end: String, bucketMs: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(bucketMs > 0)
+    val lb = left.withColumn("__b", expr(s"$t div $bucketMs"))
+    val rb = right.withColumn("__b",
+      explode(sequence(expr(s"$start div $bucketMs"),
+        expr(s"($end - 1) div $bucketMs"))))
+    lb.join(rb, (keyCols :+ "__b").toSeq, joinType)
+      .filter(col(t) >= col(start) && col(t) < col(end))
+      .drop("__b")
+  }
+}

@@ -301,8 +301,44 @@ object RelationalQueries {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.order_ms
       |ORDER BY event_id""".stripMargin
 
+  // ── range join: events inside the user's 7-day post-order windows, via
+  //    the bucket-chunked operator; oracle = plain inequality join ─────────
+  private val xRangeJoin: Q = (s, dir) => {
+    import graft.ops.RangeJoin
+    val day = 86400000L
+    // orders are 1995-2001 but events are 2024 — fold each order date into
+    // the events' month (deterministic modulo remap, mirrored in the
+    // oracle) so the windows actually cover event timestamps
+    val remapped = expr("unix_millis(cast(o_orderdate as timestamp))") % (30L * day) +
+      lit(1704067200000L)
+    val l = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), Kit.nanosToMillis("ts").as("ts_ms"))
+    val r = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user_id"), remapped.as("w_start"),
+        (remapped + day).as("w_end"))
+    RangeJoin.byBucket(l, r, Seq("user_id"), "ts_ms", "w_start", "w_end",
+        bucketMs = day)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_windows"), min(col("w_start")).as("first_w_ms"))
+      .orderBy(col("event_id"))
+  }
+  private val xRangeJoinSql =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+      |), r AS (
+      |  SELECT o_custkey AS user_id,
+      |    epoch_ms(o_orderdate) % 2592000000 + 1704067200000 AS w_start,
+      |    epoch_ms(o_orderdate) % 2592000000 + 1704067200000 + 86400000 AS w_end
+      |  FROM orders
+      |)
+      |SELECT l.event_id, count(*) AS n_windows, min(r.w_start) AS first_w_ms
+      |FROM l JOIN r ON l.user_id = r.user_id
+      |  AND l.ts_ms >= r.w_start AND l.ts_ms < r.w_end
+      |GROUP BY l.event_id ORDER BY event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "x_range_join" -> xRangeJoin,
     "x_asof_join" -> xAsofJoin,
     "x_salted_join" -> xSaltedJoin,
     "s4_union_scan" -> s4Union,
@@ -321,6 +357,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "x_range_join" -> xRangeJoinSql,
     "x_asof_join" -> xAsofJoinSql,
     "x_salted_join" -> xSaltedJoinSql,
     "s4_union_scan" -> s4UnionSql,
