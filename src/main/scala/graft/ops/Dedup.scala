@@ -152,6 +152,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // ── near-dup clustering (connected components) ───────────────────────────
+
+  /**
+   * Collapse near-dup pairs into clusters: every document labeled with the
+   * minimum doc id reachable through the pair graph (its canonical
+   * representative) — the step that actually deduplicates a corpus (keep
+   * canonical, drop the rest). Input: (doc_a, doc_b) pairs, any direction.
+   *
+   * Label propagation as iterative DataFrame joins: each round every node
+   * takes min(own label, neighbors' labels); converges in ≤ graph-diameter
+   * rounds (near-dup clusters are tiny — diameter a handful), checked via
+   * a per-round changed-count action. At 100 TB each round is one
+   * shuffle-join on node id — the standard large-scale CC shape; `maxIter`
+   * bounds the worst case.
+   */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("canonical"))
+  }
+
   // ── SimHash near-dup ─────────────────────────────────────────────────────
 
   /**

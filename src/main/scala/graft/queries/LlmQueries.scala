@@ -103,6 +103,42 @@ object LlmQueries {
       |SELECT doc_a, doc_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
       |FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ── near-dup clusters: connected components over the verified MinHash
+  //    pairs; canonical = min doc id in the component. Oracle = recursive
+  //    CTE transitive closure over the same pair set. ───────────────────────
+  private val ddCluster: Q = (s, dir) => {
+    val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.8, numHashes = 256, shingleLen = 5, bands = 32)
+    Dedup.nearDupClusters(pairs)
+      .orderBy(col("doc_id"))
+  }
+  private val ddClusterSql =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, x, 5) for x in range(1, length(text) - 3)]) AS gs
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gs AS ga, b.gs AS gb
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |    AND len(a.gs) * 5 >= len(b.gs) * 4 AND len(b.gs) * 5 >= len(a.gs) * 4
+      |), j AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) AS jac
+      |  FROM p
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM j WHERE jac >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |), cc(node, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b
+      |)
+      |SELECT node AS doc_id, min(label) AS canonical
+      |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
+
   // ── SimHash near-dup (approximate — rows-only driver check) ─────────────
   private val ddSimhash: Q = (s, dir) => {
     Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
@@ -257,6 +293,7 @@ object LlmQueries {
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
     "dd_minhash_lsh" -> ddMinhash,
+    "dd_cluster_canonical" -> ddCluster,
     "dd_simhash" -> ddSimhash,
     "dd_embedding_neardup" -> ddEmbedding,
     "sim_topk_bruteforce" -> simTopK,
@@ -271,6 +308,7 @@ object LlmQueries {
     "dd_exact_hash" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_cluster_canonical" -> ddClusterSql,
     "dd_embedding_neardup" -> ddEmbeddingSql,
     "sim_topk_bruteforce" -> simTopKSql,
     "t_token_count" -> tTokensSql,
