@@ -168,9 +168,13 @@ object Dedup {
    * bounds the worst case.
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // cache the edge set: every propagation round joins it — without this
+    // each round re-executes the whole upstream pair pipeline (LSH sketch,
+    // bucket join, verify) from the scan
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
+      .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var iter = 0
@@ -190,6 +194,7 @@ object Dedup {
       labels = next
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("canonical"))
   }
 
