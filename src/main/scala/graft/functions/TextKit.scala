@@ -56,9 +56,13 @@ object TextKit {
     * arrays — bytes per shingle is the scaling term.
     */
   def ngramHashSet(text: Column, n: Int): Column =
-    sort_array(array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => xxhash64(text.substr(i, lit(n))))))
+    // Guard text shorter than n like charNgrams: sequence(1, len-(n-1))
+    // with len < n yields the DESCENDING array [1,0] (not empty), which
+    // would hash the truncated text into a spurious singleton set.
+    when(length(text) < n, array().cast("array<bigint>"))
+      .otherwise(sort_array(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => xxhash64(text.substr(i, lit(n)))))))
 
   /** Pushdown barrier for expensive pair filters: an always-true but
     * nondeterministic conjunct. Catalyst may not push a nondeterministic

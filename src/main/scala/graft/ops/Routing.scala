@@ -16,7 +16,10 @@ object Routing {
    * reference gets from Beam's `partition` (one pass, two outputs).
    */
   def okKoSplit(df: DataFrame, isOk: Column): (DataFrame, DataFrame) =
-    (df.filter(isOk), df.filter(!isOk))
+    // NULL predicate routes to KO (same total partition as [[tagRoute]] and
+    // the reference's Either split); a bare `!isOk` would drop NULL rows
+    // from BOTH branches under three-valued logic.
+    (df.filter(isOk), df.filter(!coalesce(isOk, lit(false))))
 
   /** One-pass routed form: adds a `route` tag column instead of splitting —
     * preferred at scale (single scan, downstream writers partition by tag).
