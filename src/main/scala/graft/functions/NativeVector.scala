@@ -23,8 +23,8 @@ object NativeVectorKit {
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  def rhpBucket(v: Column, nBits: Int): Column =
-    GraftColumnBridge.column(RhpBucket(GraftColumnBridge.expression(v), nBits))
+  def rhpBucket(v: Column, nBits: Int, table: Int = 0): Column =
+    GraftColumnBridge.column(RhpBucket(GraftColumnBridge.expression(v), nBits, table))
 }
 
 /** Cosine similarity of two numeric arrays (double accumulation, index
@@ -73,11 +73,13 @@ object CosineSim {
 
 /**
  * Random-hyperplane LSH bucket: sign bits of `nBits` deterministic ±1
- * hyperplanes (splitmix64-derived from (bit, dim index)), packed into a
- * long. Stable across runs and engines with no stored model; same plane
- * family as the HOF version in [[VectorKit.rhpBucket]].
+ * hyperplanes (splitmix64-derived from (table, bit, dim index)), packed into
+ * a long. Stable across runs and engines with no stored model; same plane
+ * family as the HOF version in [[VectorKit.rhpBucket]]. `table` selects an
+ * independent hyperplane family for multi-table (OR-amplified) LSH; table 0
+ * is the original single-table family.
  */
-case class RhpBucket(child: Expression, nBits: Int) extends UnaryExpression {
+case class RhpBucket(child: Expression, nBits: Int, table: Int = 0) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -87,11 +89,11 @@ case class RhpBucket(child: Expression, nBits: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    RhpBucket.compute(input.asInstanceOf[ArrayData], nBits, isFloat)
+    RhpBucket.compute(input.asInstanceOf[ArrayData], nBits, table, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.RhpBucket.compute($c, $nBits, $isFloat);")
+      s"${ev.value} = graft.functions.RhpBucket.compute($c, $nBits, $table, $isFloat);")
 
   override protected def withNewChildInternal(newChild: Expression): RhpBucket =
     copy(child = newChild)
@@ -105,11 +107,13 @@ object RhpBucket {
     z ^ (z >>> 31)
   }
 
-  /** plane(b, i) ∈ {-1, +1}, derived from mix64(b*dim + i). */
-  def planeCoef(b: Int, i: Int, dim: Int): Double =
-    if (mix64(b.toLong * dim + i) >= 0) 1.0 else -1.0
+  /** plane(t, b, i) ∈ {-1, +1}, derived from mix64((t*1000003 + b)*dim + i);
+    * t = 0 reduces to the original mix64(b*dim + i) family.
+    */
+  def planeCoef(t: Int, b: Int, i: Int, dim: Int): Double =
+    if (mix64((t.toLong * 1000003L + b) * dim + i) >= 0) 1.0 else -1.0
 
-  def compute(v: ArrayData, nBits: Int, isFloat: Boolean): Long = {
+  def compute(v: ArrayData, nBits: Int, table: Int, isFloat: Boolean): Long = {
     val dim = v.numElements()
     var out = 0L
     var b = 0
@@ -118,7 +122,7 @@ object RhpBucket {
       var i = 0
       while (i < dim) {
         val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        proj += x * planeCoef(b, i, dim)
+        proj += x * planeCoef(table, b, i, dim)
         i += 1
       }
       if (proj >= 0.0) out |= (1L << b)

@@ -74,11 +74,16 @@ object TextKit {
     */
   def noPushdown: Column = rand() >= 0
 
-  /** Jaccard from two precomputed distinct n-gram sets. */
+  /** Jaccard from two precomputed distinct n-gram sets. Empty-vs-empty is
+    * DEFINED as 0.0 (not the 0/0 indeterminate): two sub-n-length texts
+    * share no shingle evidence, so they are not near-dups — and the DuckDB
+    * oracles guard the same case explicitly, keeping both engines off the
+    * NaN/NULL divergence (ADVICE r2).
+    */
   def jaccardFromSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = (size(sa) + size(sb)).cast("double") - inter
-    when(union === 0, lit(1.0)).otherwise(inter / union)
+    when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
   /** n-gram Jaccard similarity of two texts as distinct-set overlap.

@@ -51,5 +51,6 @@ object VectorKit {
     * splitmix-style integer mix, so the bucketing is stable across runs and
     * engines with no stored model.
     */
-  def rhpBucket(v: Column, nBits: Int): Column = NativeVectorKit.rhpBucket(v, nBits)
+  def rhpBucket(v: Column, nBits: Int, table: Int = 0): Column =
+    NativeVectorKit.rhpBucket(v, nBits, table)
 }

@@ -237,10 +237,17 @@ object Dedup {
    * Embedding near-dup pairs: cosine ≥ threshold. Scale path = random-
    * hyperplane LSH bucketing ([[VectorKit.rhpBucket]]) so the pair join is
    * per-bucket; near-identical vectors agree on all sign bits with high
-   * probability. `exact=true` skips bucketing (test/oracle mode).
+   * probability. `nTables` independent hyperplane families OR-amplify
+   * recall (a pair is a candidate if it collides in ANY table): per-pair
+   * miss probability (1-p^nBits)^nTables with p = 1 - θ/π. Note the recall
+   * guarantee is for NEAR-DUPS (θ small); this is not a general cosine-
+   * threshold join — at thresholds far below 1 the sign-agreement
+   * probability is too flat for any bucketing to prune (see the gated
+   * query in [[graft.queries.LlmQueries]] for both shapes).
+   * `exact=true` skips bucketing (all-pairs baseline / oracle mode).
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8,
+      threshold: Double, nBits: Int = 8, nTables: Int = 1,
       exact: Boolean = false): DataFrame = {
     val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -256,15 +263,22 @@ object Dedup {
         .filter(col("cos") >= threshold)
         .select(col("vec_a"), col("vec_b"), col("cos"))
     } else {
-      val withBucket = base.withColumn("bucket", VectorKit.rhpBucket(col("v"), nBits))
-      val l = withBucket.select(col("bucket"), col("id").as("vec_a"), col("v").as("va"))
-      val r = withBucket.select(col("bucket"), col("id").as("vec_b"), col("v").as("vb"))
-      l.join(r, Seq("bucket"))
+      // one row per (vector, table): shuffle key = (table, bucket), so the
+      // pair join is per-bucket per-table; distinct() collapses pairs that
+      // collide in several tables before the (cheap, post-join) verify
+      val withBucket = base.select(col("id"), col("v"),
+        posexplode(array((0 until nTables).map(t =>
+          VectorKit.rhpBucket(col("v"), nBits, t)): _*)).as(Seq("tbl", "bucket")))
+      val l = withBucket.select(col("tbl"), col("bucket"), col("id").as("vec_a"), col("v").as("va"))
+      val r = withBucket.select(col("tbl"), col("bucket"), col("id").as("vec_b"), col("v").as("vb"))
+      val cands = l.join(r, Seq("tbl", "bucket"))
         .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .distinct()
+      cands
         .withColumn("cos", VectorKit.cosine(col("va"), col("vb")))
         .filter(col("cos") >= threshold)
         .select(col("vec_a"), col("vec_b"), col("cos"))
-        .distinct()
     }
   }
 }

@@ -68,8 +68,9 @@ object LlmQueries {
       |  FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
       |), j AS (
       |  SELECT doc_a, doc_b,
-      |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
-      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) AS jac
+      |    CASE WHEN len(ga) + len(gb) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) END AS jac
       |  FROM p
       |)
       |SELECT doc_a, doc_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
@@ -96,8 +97,9 @@ object LlmQueries {
       |    AND len(a.gs) * 5 >= len(b.gs) * 4 AND len(b.gs) * 5 >= len(a.gs) * 4
       |), j AS (
       |  SELECT doc_a, doc_b,
-      |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
-      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) AS jac
+      |    CASE WHEN len(ga) + len(gb) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) END AS jac
       |  FROM p
       |)
       |SELECT doc_a, doc_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
@@ -123,8 +125,9 @@ object LlmQueries {
       |    AND len(a.gs) * 5 >= len(b.gs) * 4 AND len(b.gs) * 5 >= len(a.gs) * 4
       |), j AS (
       |  SELECT doc_a, doc_b,
-      |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
-      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) AS jac
+      |    CASE WHEN len(ga) + len(gb) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) END AS jac
       |  FROM p
       |), pairs AS (
       |  SELECT doc_a, doc_b FROM j WHERE jac >= 0.8
@@ -145,14 +148,61 @@ object LlmQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // ── embedding cosine near-dup (exact all-pairs at test SF) ──────────────
+  // ── embedding cosine near-dup — the SCALE path (RHP-LSH bucketed) ───────
+  // Near-dup detection semantics: the corpus is seeded with re-scaled
+  // duplicates (each vector also appears as 2·v under vec_id+10⁶ — the
+  // "same embedding, different normalization" re-crawl case, mirroring
+  // dd_exact_hash's doubled corpus). Scaling by exactly 2.0 is an exponent
+  // shift: every product/partial-sum in the RHP projection doubles EXACTLY,
+  // so all sign bits — hence buckets — are identical, and LSH recall on the
+  // planted pairs is provably 1 (not just w.h.p.). Threshold 0.9 has a huge
+  // real margin here: planted pairs compute to cos = 1 ± 1 ulp (the same
+  // value in both engines — op order matches), background pairs max out at
+  // ~0.62 on this corpus (verified at sf0.01/sf0.1). NOTE a provable-recall LSH gate at the corpus's own
+  // 0.42-threshold continuum is impossible — the pair-cosine distribution
+  // is smooth through 0.42 (gap ~1e-4), and sign-agreement probability at
+  // θ≈65° prunes nothing; that shape stays gated as the exact baseline
+  // below (dd_embedding_threshold).
   private val ddEmbedding: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val copies = em.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = em.select(col("vec_id"), col("embedding")).unionByName(copies)
+    Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, nBits = 8, nTables = 2)
+      .select(col("vec_a"), col("vec_b"), Kit.microUnits(col("cos")).as("cos_micro"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+  private val ddEmbeddingSql =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), v AS (
+      |  SELECT vec_id, e FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0) FROM base
+      |), s AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) /
+      |      (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |)
+      |SELECT vec_a, vec_b, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro
+      |FROM s WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin
+
+  // ── embedding cosine threshold join (exact all-pairs baseline) ──────────
+  // The general cosine-threshold similarity join at a mid-range threshold:
+  // kept on the exact path BY DESIGN (see note above — no bucketing prunes
+  // at θ≈65°). The plan is broadcast-nested-loop with the small side
+  // broadcast: right for "corpus × bounded reference set"; an unbounded
+  // 100 TB self-join at this threshold is Ω(n²) in any engine.
+  private val ddEmbeddingThreshold: Q = (s, dir) => {
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.42, exact = true)
       .select(col("vec_a"), col("vec_b"), Kit.microUnits(col("cos")).as("cos_micro"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
-  private val ddEmbeddingSql =
+  private val ddEmbeddingThresholdSql =
     """WITH v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       |), s AS (
@@ -296,6 +346,7 @@ object LlmQueries {
     "dd_cluster_canonical" -> ddCluster,
     "dd_simhash" -> ddSimhash,
     "dd_embedding_neardup" -> ddEmbedding,
+    "dd_embedding_threshold" -> ddEmbeddingThreshold,
     "sim_topk_bruteforce" -> simTopK,
     "sim_topk_lsh" -> simLsh,
     "sim_topk_ivf" -> simIvf,
@@ -310,6 +361,7 @@ object LlmQueries {
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_cluster_canonical" -> ddClusterSql,
     "dd_embedding_neardup" -> ddEmbeddingSql,
+    "dd_embedding_threshold" -> ddEmbeddingThresholdSql,
     "sim_topk_bruteforce" -> simTopKSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,

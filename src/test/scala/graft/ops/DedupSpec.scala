@@ -79,4 +79,20 @@ class DedupSpec extends SparkSpec {
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("embedding near-dup: multi-table LSH finds every planted scaled copy " +
+    "(×2 is an exponent shift — sign bits provably identical, recall = 1)") {
+    val em = Tables.embeddings(spark, sf0001)
+    val copies = em.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = em.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val n = em.count()
+    val pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, nBits = 8, nTables = 2)
+      .select("vec_a", "vec_b", "cos").collect()
+    assert(pairs.length == n) // one pair per planted copy, nothing else
+    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+    // cos = 1 ± 1ulp (√S·√S re-rounds); micro-quantization is exact
+    assert(pairs.forall(r => math.rint(r.getDouble(2) * 1e6) == 1000000.0))
+  }
 }
