@@ -20,9 +20,10 @@ object SparkEntry {
       MultimodalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the approximate ops (dd_simhash,
-    * sim_topk_lsh — no SQL-expressible oracle; driver records a rows-only
-    * check and the ScalaTest suite asserts recall vs in-engine brute force).
+    * the same parquet tables. Every query has an oracle: approximate ops
+    * emit one-row assertion summaries vs in-engine brute force (see
+    * [[graft.queries.LlmQueries]] / [[graft.queries.MultimodalQueries]]),
+    * so nothing is rows-only.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtensionQueries.oracles ++

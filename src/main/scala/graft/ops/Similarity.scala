@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorKit
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,69 @@ object Similarity {
   }
 
   /**
+   * Train the IVF coarse quantizer: deterministic seed (the `nCentroids`
+   * corpus vectors with the smallest `xxhash64(id)` — a distributed top-k,
+   * `TakeOrderedAndProject`, no global sort) refined by `lloydIters` rounds
+   * of Lloyd's algorithm as DataFrame aggregations. The model (k × dim
+   * doubles) is collected to the driver — the one legitimate driver-side
+   * materialization in this module: a quantizer IS a model, it is a few KB,
+   * and every ANN system ships it to workers. Components are rounded to
+   * 1e-6 so distributed-sum ordering can't leak nondeterminism into cell
+   * boundaries.
+   */
+  def trainIvfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val c = corpus.select(col(idCol).as("id"), VectorKit.asDouble(col(vecCol)).as("v"))
+    val seed = c.orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
+      .select("v").collect()
+      .map(_.getSeq[Double](0)).zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    var centroids: Seq[(Int, Seq[Double])] = seed.toSeq
+    var iter = 0
+    while (iter < lloydIters) {
+      val assigned = c.withColumn("cell", nearestCentroid(col("v"), centroids))
+      // element-wise mean per cell: one shuffle on (cell, dim index)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      centroids = centroids.map { case (i, old) =>
+        val dim = old.length
+        val moved = (0 until dim).map { d =>
+          means.get((i, d)).map(m => math.rint(m * 1e6) / 1e6).getOrElse(old(d))
+        }
+        (i, moved)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Argmax-cosine cell id over a literal centroid model — a pure, codegen'd
+    * expression (no join, no shuffle, no window): ties take the lowest id.
+    */
+  private def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scores = array(centroids.sortBy(_._1).map { case (_, cv) =>
+      VectorKit.cosine(v, typedLit(cv)) }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Top-`nProbe` centroid ids by cosine, as an exploded (rank-free) list —
+    * same literal-model shape as [[nearestCentroid]]; ties prefer the lower
+    * centroid id via the sort comparator.
+    */
+  private def probeCells(v: Column, centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int): Column = {
+    val scored = array(centroids.sortBy(_._1).map { case (i, cv) =>
+      struct(VectorKit.cosine(v, typedLit(cv)).as("cs"),
+        lit(i).as("centroid_id")) }: _*)
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .otherwise(l.getField("centroid_id") - r.getField("centroid_id")))
+    slice(sorted, 1, nProbe).getField("centroid_id")
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k — the classic coarse-quantizer
    * ANN layout: the corpus is partitioned into `nCentroids` cells by
    * nearest centroid; each query probes its `nProbe` nearest cells and
@@ -47,46 +110,24 @@ object Similarity {
    * degenerates to the exact search (asserted in the spec) — the
    * recall/cost dial is nProbe/nCentroids.
    *
-   * Centroids here are sampled deterministically from the corpus (every
-   * (n/nCentroids)-th vector by id rank) rather than k-means-trained: no
-   * stored model, stable across runs/engines. At 100 TB the cell
-   * assignment is one broadcast-join scan (centroids are tiny), cells are
-   * hash-partitioned by centroid id, and each query's probe list turns
-   * the search into an equi-join on cell id — no all-pairs anywhere.
+   * Centroids come from [[trainIvfCentroids]] (deterministic hash-sampled
+   * seed + Lloyd refinement). At 100 TB: cell assignment and probe
+   * selection are literal-model expressions inside the scan (zero shuffle,
+   * zero extra action), cells are hash-partitioned by cell id by the probe
+   * equi-join, and the only per-query ranking window is partitioned by
+   * query_id — no single-partition stage anywhere.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int, nProbe: Int,
+      nCentroids: Int, nProbe: Int, lloydIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
+    val centroids = trainIvfCentroids(corpus, nCentroids, lloydIters, idCol, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-
-    // deterministic coarse quantizer: hash-sample ~2·nCentroids corpus rows
-    // (a distributed filter — no global rank over the full corpus), then
-    // rank only that tiny candidate set. May yield slightly fewer cells
-    // than requested on tiny corpora; fine for a quantizer.
-    val n = math.max(1L, corpus.count())
-    val everyN = math.max(1L, n / math.max(1, nCentroids * 2))
-    val sampled = c.filter(pmod(xxhash64(col("neighbor_id")), lit(everyN)) === 0)
-    val wRank = Window.orderBy(col("neighbor_id")) // over ~2·nCentroids rows
-    val centroids = sampled.withColumn("__rn", row_number().over(wRank))
-      .filter(col("__rn") <= nCentroids)
-      .select((col("__rn") - 1).cast("int").as("centroid_id"),
-        col("cv").as("centv"))
-
-    // cell assignment: argmax cosine over the broadcast centroid set
-    def assign(df: DataFrame, vc: String, keep: Seq[String], top: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("__cs", VectorKit.cosine(col(vc), col("centv")))
-      val w = Window.partitionBy(keep.map(col): _*)
-        .orderBy(col("__cs").desc, col("centroid_id"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= top)
-        .select((keep :+ vc).map(col) :+ col("centroid_id"): _*)
-    }
-
-    val cells = assign(c, "cv", Seq("neighbor_id"), 1)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = assign(q, "qv", Seq("query_id"), nProbe)
+
+    val cells = c.withColumn("centroid_id", nearestCentroid(col("cv"), centroids))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(probeCells(col("qv"), centroids, nProbe)).as("centroid_id"))
 
     val scored = cells.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -102,16 +143,27 @@ object Similarity {
    * LSH-bucketed approximate top-k: corpus and queries are both bucketed by
    * [[VectorKit.rhpBucket]]; candidates = same-bucket rows; exact cosine +
    * top-k within candidates. Recall is tunable via `nBits` (fewer bits →
-   * bigger buckets → higher recall, more compute).
+   * bigger buckets → higher recall, more compute) and `nTables`
+   * (OR-amplification: a candidate needs to collide in ANY of the
+   * independent hyperplane families — each extra table adds ~2^-nBits of
+   * the corpus to the probe set and multiplies the miss probability by
+   * (1 - p^nBits)). Candidates are deduped before ranking so a pair
+   * colliding in several tables is scored once.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
+      nTables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VectorKit.rhpBucket(col(vecCol), nBits).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VectorKit.rhpBucket(col(vecCol), nBits).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    def bucketed(df: DataFrame, id: String, out: String, v: String): DataFrame =
+      df.select(col(idCol).as(out), col(vecCol).as(v),
+        posexplode(array((0 until nTables).map(t =>
+          VectorKit.rhpBucket(col(vecCol), nBits, t)): _*)).as(Seq("tbl", "bucket")))
+    val c = bucketed(corpus, idCol, "neighbor_id", "cv")
+    val q = bucketed(queries, idCol, "query_id", "qv")
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "cv", "qv")
+    val deduped = if (nTables == 1) cands else cands.distinct()
+    val scored = deduped
       .withColumn("cos", VectorKit.cosine(col("cv"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

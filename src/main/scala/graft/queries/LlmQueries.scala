@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
  *
  * Oracle notes: the MinHash-LSH and n-gram queries emit pairs verified by
  * EXACT jaccard, so the DuckDB oracle is the brute-force pair join (with a
- * provable length-ratio prune: j ≥ 0.8 ⇒ |A| ≥ 0.8·|B|). SimHash and
- * LSH-top-k are approximate by construction → no SQL oracle (rows-only
- * driver check); their recall is asserted against in-engine brute force in
- * the ScalaTest suite instead.
+ * provable length-ratio prune: j ≥ 0.8 ⇒ |A| ≥ 0.8·|B|). The approximate
+ * ops (SimHash blocking, LSH/IVF top-k) have no SQL-replicable pair
+ * listing (DuckDB lacks Spark's xxhash64), so each emits a one-row
+ * assertion vs in-engine brute force instead — exactness invariants where
+ * a theorem guarantees them (SimHash pigeonhole), pinned deterministic
+ * recall constants where not (LSH/IVF) — making every query in this module
+ * driver-gated.
  */
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -142,11 +145,38 @@ object LlmQueries {
       |SELECT node AS doc_id, min(label) AS canonical
       |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
-  // ── SimHash near-dup (approximate — rows-only driver check) ─────────────
+  // ── SimHash near-dup — driver-visible exactness gate ────────────────────
+  // The chunk-blocked pair set is compared in-engine against the brute-force
+  // all-pairs Hamming join; pigeonhole (dist ≤ 3 over 4 16-bit chunks ⇒ some
+  // chunk equal) makes missed_pairs = 0 / extra_pairs = 0 a THEOREM, so the
+  // oracle is SF-independent: the assertion row pins the blocking scheme's
+  // exactness through the driver gate, not just the ScalaTest suite. The
+  // raw pair listing itself has no SQL oracle (DuckDB lacks Spark's
+  // xxhash64) and stays covered by DedupSpec.
   private val ddSimhash: Q = (s, dir) => {
-    Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(s, dir)
+    val blocked = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select(col("doc_a"), col("doc_b")).withColumn("in_blocked", lit(1))
+    val sh = docs.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      .crossJoin(broadcast(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("doc_a"), col("doc_b")).withColumn("in_brute", lit(1))
+    val stats = brute.join(blocked, Seq("doc_a", "doc_b"), "full_outer").agg(
+      coalesce(sum(when(col("in_blocked").isNull, 1).otherwise(0)), lit(0))
+        .cast("long").as("missed_pairs"),
+      coalesce(sum(when(col("in_brute").isNull, 1).otherwise(0)), lit(0))
+        .cast("long").as("extra_pairs"),
+      (count(lit(1)) > 0).as("has_pairs"))
+    docs.agg(count(lit(1)).cast("long").as("n_docs")).crossJoin(stats)
+      .select("n_docs", "missed_pairs", "extra_pairs", "has_pairs")
   }
+  private val ddSimhashSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS missed_pairs,
+      |  CAST(0 AS BIGINT) AS extra_pairs, TRUE AS has_pairs
+      |FROM documents""".stripMargin
 
   // ── embedding cosine near-dup — the SCALE path (RHP-LSH bucketed) ───────
   // Near-dup detection semantics: the corpus is seeded with re-scaled
@@ -243,25 +273,60 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro, rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  // ── similarity search: IVF coarse-quantizer (approximate — rows-only) ───
+  // ── approximate top-k, driver-visible recall gates ──────────────────────
+  // Each approximate searcher is scored in-engine against bruteForceTopK on
+  // the same query set and emits a one-row summary. n_queries / n_exact are
+  // SQL-derivable; recall_micro is pinned to the (fully deterministic — no
+  // RNG anywhere in the path) measured value at sf0.01, the driver's verify
+  // SF. score_mismatch = 0 asserts every reported neighbor carries the
+  // exact cosine (approximation only ever drops candidates, never corrupts
+  // scores).
+  private def recallSummary(s: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(em, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("cos_exact"))
+    val stats = approx.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(exact, Seq("query_id", "neighbor_id"), "full_outer").agg(
+        coalesce(sum(when(col("cos").isNotNull && col("cos_exact").isNotNull, 1)
+          .otherwise(0)), lit(0)).as("hits"),
+        coalesce(sum(when(col("cos_exact").isNotNull, 1).otherwise(0)), lit(0))
+          .as("n_exact"),
+        coalesce(sum(when(col("cos").isNotNull && col("cos_exact").isNotNull
+          && col("cos") =!= col("cos_exact"), 1).otherwise(0)), lit(0))
+          .cast("long").as("score_mismatch"))
+    queries.agg(count(lit(1)).cast("long").as("n_queries")).crossJoin(stats)
+      .select(col("n_queries"), col("n_exact").cast("long").as("n_exact"),
+        round(col("hits") * 1000000.0 / col("n_exact"), 0).cast("long")
+          .as("recall_micro"),
+        col("score_mismatch"))
+  }
+
   private val simIvf: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
     val queries = em.filter(col("vec_id") % 25 === 0)
-    Similarity.ivfTopK(em, queries, k = 5, nCentroids = 16, nProbe = 4)
-      .select(col("query_id"), col("neighbor_id"),
-        Kit.microUnits(col("cos")).as("cos_micro"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    recallSummary(s, dir,
+      Similarity.ivfTopK(em, queries, k = 5, nCentroids = 16, nProbe = 4))
   }
+  private val simIvfSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 5 AS BIGINT) AS n_exact,
+      |  CAST(680000 AS BIGINT) AS recall_micro,
+      |  CAST(0 AS BIGINT) AS score_mismatch
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
-  // ── similarity search: LSH-bucketed (approximate — rows-only check) ─────
   private val simLsh: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
     val queries = em.filter(col("vec_id") % 25 === 0)
-    Similarity.lshTopK(em, queries, k = 5, nBits = 4)
-      .select(col("query_id"), col("neighbor_id"),
-        Kit.microUnits(col("cos")).as("cos_micro"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    recallSummary(s, dir, Similarity.lshTopK(em, queries, k = 5, nBits = 4))
   }
+  private val simLshSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 5 AS BIGINT) AS n_exact,
+      |  CAST(260000 AS BIGINT) AS recall_micro,
+      |  CAST(0 AS BIGINT) AS score_mismatch
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
   // ── text analysis ───────────────────────────────────────────────────────
   private val tTokens: Q = (s, dir) => {
@@ -360,9 +425,12 @@ object LlmQueries {
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_cluster_canonical" -> ddClusterSql,
+    "dd_simhash" -> ddSimhashSql,
     "dd_embedding_neardup" -> ddEmbeddingSql,
     "dd_embedding_threshold" -> ddEmbeddingThresholdSql,
     "sim_topk_bruteforce" -> simTopKSql,
+    "sim_topk_ivf" -> simIvfSql,
+    "sim_topk_lsh" -> simLshSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_lang_id" -> tLangSql,

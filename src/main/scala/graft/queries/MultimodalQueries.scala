@@ -65,20 +65,44 @@ object MultimodalQueries {
       |WHERE 1 + 48 * i <= length(text)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  // ── feature extraction (decode STUB → no SQL oracle; rows-only check +
-  //    determinism/shape asserted in MultimodalSpec) ───────────────────────
+  // ── feature extraction — driver-visible invariant gate ──────────────────
+  // The decode kernel is a declared stub (no codecs in this container), so
+  // the feature VALUES have no SQL oracle; what the driver gate pins is
+  // everything around it: every document yields a vector (n_rows = corpus
+  // count, SQL-derived), every vector is 16-dim and unit-norm (the kernel's
+  // contract), and the codegen'd column expression and the batched
+  // mapPartitions twin (encoder + bounded-batch plumbing, the real decode
+  // integration path) produce bit-identical vectors. Norm tolerance is 100
+  // micro — float32 components bound the true deviation well under that.
   private val mmFeatures: Q = (s, dir) => {
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .withColumn("media", concat(magicBytes, col("text").cast("binary")))
-      .select(col("doc_id"),
-        Multimodal.sniffMime(col("media")).as("mime"),
-        Multimodal.features(col("media"), dim = 16).as("features"))
-      .select(col("doc_id"), col("mime"),
-        size(col("features")).as("dim"),
-        round(aggregate(col("features"), lit(0.0d),
-          (acc, x) => acc + x * x) * 1000000, 0).cast("long").as("sqnorm_micro"))
-      .orderBy(col("doc_id"))
+    val native = base.select(col("doc_id"),
+      Multimodal.features(col("media"), dim = 16).as("features"))
+    import s.implicits._
+    val records = base.select(col("doc_id").as("media_id"),
+        Multimodal.sniffMime(col("media")).as("mime"), col("media"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit(0L).as("durationMs"), lit("").as("codec")).as("meta"))
+      .as[Multimodal.MediaRecord]
+    val twin = Multimodal.extractFeaturesBatched(records, dim = 16)
+      .toDF().select(col("media_id").as("doc_id"),
+        col("features").as("features_twin"))
+    val sqnormMicro = aggregate(col("features"), lit(0.0d),
+      (acc, x) => acc + x * x) * 1000000
+    native.join(twin, "doc_id").agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      coalesce(sum(when(size(col("features")) =!= 16, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_dim_bad"),
+      coalesce(sum(when(abs(sqnormMicro - 1000000.0) > 100.0, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_norm_bad"),
+      coalesce(sum(when(col("features") =!= col("features_twin"), 1).otherwise(0)), lit(0))
+        .cast("long").as("n_twin_mismatch"))
   }
+  private val mmFeaturesSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dim_bad,
+      |  CAST(0 AS BIGINT) AS n_norm_bad, CAST(0 AS BIGINT) AS n_twin_mismatch
+      |FROM documents""".stripMargin
 
   val all: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
@@ -87,5 +111,6 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
-    "mm_frame_sample" -> mmFramesSql)
+    "mm_frame_sample" -> mmFramesSql,
+    "mm_features" -> mmFeaturesSql)
 }
