@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,14 +20,28 @@ object Bench {
     // numbers then measure execution, not first-compile (~2-4 s per heavy
     // pair-join otherwise, charged to whichever query ran first).
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, warmDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: $e")
+      }
     }
-    // stable name order → per-query times comparable across rounds
+    // Per-query median-of-reps: sf0.1 totals swing ±2× with machine load
+    // (SURVEY §9.1), and a median per query absorbs one-off stalls without
+    // letting a crashed query masquerade as a fast one — failures print to
+    // stderr and report -1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          -1.0
+        }
+      }
+      val med =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -178,8 +178,9 @@ object Dedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var iter = 0
-    var changed = 1L
-    while (iter < maxIter && changed > 0) {
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    while (iter < maxIter && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
@@ -188,8 +189,15 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+      // labels only ever decrease (least of own and neighbor min), so the
+      // label sum strictly decreases iff any node changed: one tiny
+      // aggregate on the cached result replaces the old join+count changed
+      // check (decimal(38) so a 100 TB-scale id sum can't overflow ANSI
+      // arithmetic)
+      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      converged = prevSum != null && prevSum.compareTo(s) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
