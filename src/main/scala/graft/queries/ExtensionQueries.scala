@@ -219,7 +219,34 @@ object ExtensionQueries {
       |  CAST(round(quantile_cont(o_totalprice, 0.99)*100, 0) AS BIGINT) AS p99_c
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ── I2: Avro wire-codec round trip ──────────────────────────────────────
+  // Encode a nullable multi-type struct per event to Avro binary (the
+  // reference's toByteBuffer message shape) and decode it back in the same
+  // plan; the oracle is the identity projection, so encode∘decode = id is
+  // driver-gated across string/long/double/null values. Both codec
+  // expressions are codegen'd reference-object calls (same pattern as
+  // spark-avro's converters).
+  private val i2AvroRoundtrip: Q = (s, dir) => {
+    val wireDdl = "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        graft.functions.AvroKit.toAvro(struct(
+          col("user_id"), col("event_type"), col("value"), col("props")))
+          .as("wire"))
+      .select(col("event_id"),
+        graft.functions.AvroKit.fromAvro(col("wire"), wireDdl).as("rec"))
+      .select(col("event_id"), col("rec.user_id").as("user_id"),
+        col("rec.event_type").as("event_type"),
+        Kit.cents(col("rec.value")).as("value_c"), col("rec.props").as("props"))
+      .orderBy(col("event_id"))
+  }
+  private val i2AvroRoundtripSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "x_cube" -> xCube,
     "x_pivot" -> xPivot,
     "x_percentile" -> xPercentile,
@@ -231,6 +258,7 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "x_cube" -> xCubeSql,
     "x_pivot" -> xPivotSql,
     "x_percentile" -> xPercentileSql,
