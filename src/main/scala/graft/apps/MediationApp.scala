@@ -1,7 +1,7 @@
 package graft.apps
 
 import graft.model.{MyEventRecord, SendResult}
-import graft.streaming.{AsyncEnrich, Marked, StatefulTtlDedup, WindowedSink}
+import graft.streaming.{AsyncEnrich, Marked, StatefulTtlDedup, StatefulTtlDedupTws, WindowedSink}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
@@ -32,12 +32,21 @@ object MediationApp {
 
   final case class Config(
       ttlMillis: Long = 120000L, // local default ttl-time=120 s (application.conf:20)
-      timerCleanup: Boolean = true, // state-store GC timer (see StatefulTtlDedup)
+      timerCleanup: Boolean = true, // state-store GC timer / Tws timer-clear
       toxicWindow: String = "30 seconds", // MediationService.scala:129
       watermarkDelay: String = "0 seconds", // allowedLateness=0 (W5)
       enrich: AsyncEnrich.Config = AsyncEnrich.Config(),
       // per-element firing (W3) by default; AvailableNow = bounded replay
-      trigger: Trigger = Trigger.ProcessingTime(0L))
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      // D3 engine: "tws" (transformWithState + native TTL + timer-clear,
+      // RocksDB state store — the preferred §2.9 mapping) or "fmgws"
+      // (flatMapGroupsWithState twin, any provider)
+      d3: String = "tws",
+      // bus source: "file" (dir-tail stand-in), "kafka" (needs the
+      // spark-sql-kafka connector jar at runtime; see sources/Bus)
+      source: String = "file",
+      kafkaBootstrap: String = "",
+      kafkaTopic: String = "")
 
   /** STEP 1 — bootstrap scan: union the historical dirs (S4 multi-path
     * scan), keep valid records, one per idempotent key, tagged INITIAL_LOAD
@@ -114,10 +123,27 @@ object MediationApp {
           .as[MyEventRecord]
       }
 
+    // D3: transformWithState (native TTL + timer-clear on RocksDB) is the
+    // default engine; the flatMapGroupsWithState twin stays selectable for
+    // providers without Tws support. NOTE Tws with a TTL runs
+    // TimeMode.ProcessingTime, where Spark re-triggers no-data batches —
+    // bounded drains (AvailableNow) and sink-polling tests are the
+    // compatible harnesses (see StatefulTtlDedupTws).
+    val deduped =
+      if (cfg.d3 == "tws") {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        // Tws needs a multi-column-family store; getOption surfaces the
+        // HDFS-backed DEFAULT, so test for RocksDB rather than for absence
+        if (!spark.conf.getOption(providerKey).exists(_.contains("RocksDB")))
+          spark.conf.set(providerKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        StatefulTtlDedupTws(novel, cfg.ttlMillis, timerClear = cfg.timerCleanup)
+      } else StatefulTtlDedup(novel, cfg.ttlMillis, cfg.timerCleanup)
+
     // K5 log-effect taps → Spark-native observable metrics: per-batch row
     // counts surface through QueryProgressEvent.observedMetrics instead of
     // map(log.info) side effects (MediationService.scala:106,130,134)
-    val analytics = StatefulTtlDedup(novel, cfg.ttlMillis, cfg.timerCleanup)
+    val analytics = deduped
       .observe("graft_dedup", count(lit(1)).as("rows"),
         count(when(col("status") === Marked.Sent, 1)).as("sent"))
     implicit val enc = Encoders.product[SendResult]
@@ -168,8 +194,15 @@ object MediationApp {
       }
     val cfg = GraftConfig.load(sys.env.getOrElse("GRAFT_ENV", "dev"))
       .copy(trigger = Trigger.AvailableNow())
+    // S1: bus source selected by config — Kafka (wire-decoded via the Avro
+    // codec) when configured, the dir-tail stand-in otherwise
+    val events = cfg.source match {
+      case "kafka" =>
+        graft.sources.Bus.kafkaRecordSource(spark, cfg.kafkaBootstrap, cfg.kafkaTopic)
+      case _ => fileStream(spark, eventsDir)
+    }
     try {
-      val queries = start(spark, fileStream(spark, eventsDir), hist, cfg,
+      val queries = start(spark, events, hist, cfg,
         client, outPath, toxicPath, ckpt)
       queries.foreach(_.awaitTermination())
     } finally spark.stop()

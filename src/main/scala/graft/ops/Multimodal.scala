@@ -49,6 +49,21 @@ object Multimodal {
       .otherwise("application/octet-stream")
   }
 
+  /** PNG IHDR dimensions parsed straight from header bytes — real metadata
+    * extraction with no decoder: a PNG stream is signature (8 B) + IHDR
+    * chunk whose first payload bytes are width/height as big-endian u32
+    * (offsets 17-20 / 21-24, 1-based). Pure codegen'd expressions; null for
+    * non-PNG blobs, so stored metadata can be cross-checked (or replaced)
+    * from bytes the scan already read.
+    */
+  def pngWidth(blob: Column): Column =
+    when(hex(substring(blob, 1, 8)) === "89504E470D0A1A0A",
+      conv(hex(substring(blob, 17, 4)), 16, 10).cast("int"))
+
+  def pngHeight(blob: Column): Column =
+    when(hex(substring(blob, 1, 8)) === "89504E470D0A1A0A",
+      conv(hex(substring(blob, 21, 4)), 16, 10).cast("int"))
+
   // ── frame sampling ───────────────────────────────────────────────────────
 
   /**

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Multimodal
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -15,22 +15,35 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** doc_id-keyed synthetic container prefix: 5 families of magic bytes. */
+  /** doc_id-keyed synthetic container prefix: 5 families of magic bytes.
+    * The PNG family carries a REAL header — 8-byte signature + IHDR chunk
+    * length/type/width/height (24 bytes total), width/height derived from
+    * doc_id — so the header-parsing expressions below work on genuine PNG
+    * byte layout, not trusted stored metadata.
+    */
   private def magic = expr("doc_id % 5") // 0 png, 1 jpeg, 2 gif, 3 wav, 4 mp4
+  private def beU32(v: Column) = unhex(lpad(hex(v.cast("int")), 8, "0"))
+  private def pngHeader =
+    concat(unhex(lit("89504E470D0A1A0A")), unhex(lit("0000000D")),
+      lit("IHDR").cast("binary"),
+      beU32(col("doc_id") % 640 + 1), beU32(col("doc_id") % 480 + 1))
   private def magicBytes =
-    when(magic === 0, unhex(lit("89504E47")))
+    when(magic === 0, pngHeader)
       .when(magic === 1, unhex(lit("FFD8")))
       .when(magic === 2, unhex(lit("474946")))
       .when(magic === 3, unhex(lit("52494646")))
       .otherwise(concat(unhex(lit("00000018")), lit("ftyp").cast("binary")))
 
-  // ── metadata extraction: sniffed mime + byte length + content hash ──────
+  // ── metadata extraction: sniffed mime + byte length + content hash +
+  //    dimensions parsed from real PNG header bytes ────────────────────────
   private val mmMeta: Q = (s, dir) => {
     Tables.documents(s, dir)
       .withColumn("media", concat(magicBytes, col("text").cast("binary")))
       .select(col("doc_id"),
         Multimodal.sniffMime(col("media")).as("mime"),
         octet_length(col("media")).as("n_bytes"),
+        Multimodal.pngWidth(col("media")).as("png_width"),
+        Multimodal.pngHeight(col("media")).as("png_height"),
         md5(col("text").cast("binary")).as("body_md5"))
       .orderBy(col("doc_id"))
   }
@@ -39,8 +52,10 @@ object MultimodalQueries {
       |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
       |                  WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
       |                  ELSE 'video/mp4' END AS mime,
-      |  length(text) + (CASE doc_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 2
+      |  length(text) + (CASE doc_id % 5 WHEN 0 THEN 24 WHEN 1 THEN 2
       |                  WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 8 END) AS n_bytes,
+      |  CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 640 + 1 AS INTEGER) END AS png_width,
+      |  CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 480 + 1 AS INTEGER) END AS png_height,
       |  md5(text) AS body_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 

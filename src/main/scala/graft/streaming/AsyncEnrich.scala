@@ -159,14 +159,61 @@ object AsyncEnrich {
     }
   }
 
+  /** mTLS material loader — the public-API equivalent of the reference's
+    * Secret-Manager-distributed SSL config
+    * (streaming/utils/dofn/ssl/SslConfigHelper.scala:24-48,
+    * mediation/http/clients/akka/AkkaSSLContextFromSecretManager.scala:16-56):
+    * PKCS12 keystore (client identity for mutual TLS) + truststore (server
+    * CA pinning) from worker-local paths → an `SSLContext` to hand to
+    * [[JdkHttpClient]]. Either side is optional: keystore-only = client
+    * cert with default trust; truststore-only = pinned server, no client
+    * cert.
+    */
+  object SslMaterial {
+    import java.io.FileInputStream
+    import java.security.KeyStore
+    import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+
+    def contextFrom(keystorePath: Option[String] = None,
+        keystorePassword: String = "",
+        truststorePath: Option[String] = None,
+        truststorePassword: String = ""): SSLContext = {
+      def load(path: String, pass: String): KeyStore = {
+        val ks = KeyStore.getInstance("PKCS12")
+        scala.util.Using.resource(new FileInputStream(path))(
+          ks.load(_, pass.toCharArray))
+        ks
+      }
+      val kms = keystorePath.map { p =>
+        val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(load(p, keystorePassword), keystorePassword.toCharArray)
+        kmf.getKeyManagers
+      }.orNull
+      val tms = truststorePath.map { p =>
+        val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(load(p, truststorePassword))
+        tmf.getTrustManagers
+      }.orNull
+      val ctx = SSLContext.getInstance("TLS")
+      ctx.init(kms, tms, null)
+      ctx
+    }
+  }
+
   /** Real HTTP client over the JDK's async HttpClient (public API, no extra
     * deps): JSON POST, response body parsed leniently — a non-2xx or
     * error-ish body yields a KO response (MyHttpResponse.scala:19-27).
+    * `sslContext` plugs in [[SslMaterial]] for mTLS endpoints (I4).
     */
   final class JdkHttpClient(endpoint: java.net.URI,
-      timeoutMillis: Long = 30000L) extends NotificationClient {
-    private val http = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis)).build()
+      timeoutMillis: Long = 30000L,
+      sslContext: Option[javax.net.ssl.SSLContext] = None) extends NotificationClient {
+    private val http = {
+      val b = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+      sslContext.foreach(b.sslContext)
+      b.build()
+    }
 
     private def esc(s: String): String =
       s.flatMap {

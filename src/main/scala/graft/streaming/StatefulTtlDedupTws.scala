@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.MyEventRecord
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /**
  * D3 on the Spark 4 `transformWithState` API (SURVEY §2.9's preferred
@@ -19,8 +19,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
  * TTL is armed only when the key transitions empty→seen (a duplicate never
  * extends the window), matching the reference's timer discipline
  * (StateAsyncParDoWithHttpHandler.scala:91-94,127,147-153).
+ *
+ * `timerClear=true` additionally registers a per-key processing-time timer
+ * at arm time and clears the state when it fires — the reference's
+ * timer-clear discipline (StateBaseAsyncDoFn.java:156-166: the TTL timer's
+ * ONLY job is clearing the bag; it emits nothing). With the native
+ * TTLConfig also active this is belt-and-braces: whichever fires first
+ * empties the key, and clearing an already-expired key is a no-op.
  */
-class TtlDedupProcessor(ttlMillis: Long)
+class TtlDedupProcessor(ttlMillis: Long, timerClear: Boolean = false)
     extends StatefulProcessor[String, MyEventRecord, Marked] {
 
   @transient private var seen: ValueState[Boolean] = _
@@ -43,8 +50,19 @@ class TtlDedupProcessor(ttlMillis: Long)
         else { isSeen = true; Marked.Sent }
       Marked(key, r, status)
     }.toVector // materialize before the state write below
-    if (isSeen && !wasSeen) seen.update(true) // arms the TTL exactly once
+    if (isSeen && !wasSeen) {
+      seen.update(true) // arms the TTL exactly once
+      if (timerClear && ttlMillis > 0)
+        getHandle.registerTimer(
+          timerValues.getCurrentProcessingTimeInMs() + ttlMillis)
+    }
     out.iterator
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Marked] = {
+    seen.clear() // timer-clear: empty the key, emit nothing
+    Iterator.empty
   }
 }
 
@@ -56,13 +74,14 @@ object StatefulTtlDedupTws {
     * trigger=0 and makes processAllAvailable() hang. TTL'd queries should
     * run a real trigger interval (and tests poll the sink instead).
     */
-  def apply(ds: Dataset[MyEventRecord], ttlMillis: Long): Dataset[Marked] = {
+  def apply(ds: Dataset[MyEventRecord], ttlMillis: Long,
+      timerClear: Boolean = false): Dataset[Marked] = {
     implicit val outEnc: Encoder[Marked] = Encoders.product[Marked]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     val timeMode =
       if (ttlMillis > 0) TimeMode.ProcessingTime() else TimeMode.None()
     ds.groupByKey(_.idempotentKey)
-      .transformWithState(new TtlDedupProcessor(ttlMillis),
+      .transformWithState(new TtlDedupProcessor(ttlMillis, timerClear),
         timeMode, OutputMode.Append)
   }
 }

@@ -22,7 +22,7 @@ class MediationAppSpec extends SparkSpec {
 
     val input = MemoryStream[MyEventRecord]
     val queries = MediationApp.start(spark, input.toDS(),
-      historicalPaths = Nil, MediationApp.Config(timerCleanup = false, enrich =
+      historicalPaths = Nil, MediationApp.Config(ttlMillis = 0L, timerCleanup = false, enrich =
         AsyncEnrich.Config(clientId = "app-e2e", backoffMillis = 1L)),
       () => new AsyncEnrich.StubClient(), out, toxic, ckpt)
     try {
@@ -52,7 +52,7 @@ class MediationAppSpec extends SparkSpec {
 
     val input = MemoryStream[MyEventRecord]
     val queries = MediationApp.start(spark, input.toDS(),
-      historicalPaths = Seq(hist), MediationApp.Config(timerCleanup = false, enrich =
+      historicalPaths = Seq(hist), MediationApp.Config(ttlMillis = 0L, timerCleanup = false, enrich =
         AsyncEnrich.Config(clientId = "app-hist", backoffMillis = 1L)),
       () => new AsyncEnrich.StubClient(), out, toxic, ckpt)
     try {

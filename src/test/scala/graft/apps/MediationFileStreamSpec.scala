@@ -27,7 +27,7 @@ class MediationFileStreamSpec extends SparkSpec {
     val queries = MediationApp.start(spark,
       MediationApp.fileStream(spark, events),
       historicalPaths = Nil,
-      MediationApp.Config(timerCleanup = false,
+      MediationApp.Config(ttlMillis = 0L, timerCleanup = false,
         trigger = Trigger.AvailableNow(),
         enrich = AsyncEnrich.Config(clientId = "fs-spec", backoffMillis = 1L)),
       () => new AsyncEnrich.StubClient(), out, toxic, ckpt)
