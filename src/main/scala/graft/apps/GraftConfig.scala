@@ -2,7 +2,7 @@ package graft.apps
 
 import graft.streaming.AsyncEnrich
 
-import java.io.{FileInputStream, InputStream}
+import java.io.InputStream
 import java.util.Properties
 import scala.util.Using
 
@@ -18,18 +18,27 @@ import scala.util.Using
  *     →  JVM system properties
  *   key shape: `<env>.mediation.<field>`, e.g. `dev.mediation.ttl-millis`
  *
+ * `configFile` resolves through Hadoop FS, so the override can live on any
+ * supported store (`file://`, `hdfs://`, object stores) — the remote-blob
+ * config override of `readConfigFromGcsOrResources`
+ * (utils/pureconfig/RootPureConfig.scala:58-64) without the GCS coupling.
+ *
  * Unknown keys are ignored; absent keys keep [[MediationApp.Config]]
  * defaults — additive config, same contract as the reference's per-env
  * HOCON fallbacks.
  */
 object GraftConfig {
 
-  def load(env: String, configFile: Option[String] = None): MediationApp.Config = {
+  def load(env: String, configFile: Option[String] = None,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): MediationApp.Config = {
     val props = new Properties()
     resource("graft.properties").foreach(in =>
       Using.resource(in)(props.load))
-    configFile.foreach(f =>
-      Using.resource(new FileInputStream(f))(props.load))
+    configFile.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      Using.resource(p.getFileSystem(hadoopConf).open(p))(props.load(_))
+    }
     props.putAll(System.getProperties) // sysprops win
     fromProps(props, env)
   }

@@ -59,12 +59,20 @@ object MediationApp {
     // date partition can't fail the job (MediationService.scala:274-295)
     val existing = graft.sources.Tables.existingPaths(spark, paths)
     if (existing.isEmpty) spark.emptyDataset[MyEventRecord]
-    else spark.read.format(format).load(existing: _*)
-      .as[MyEventRecord]
-      .filter(_.isValid)
-      .groupByKey(_.idempotentKey)
-      .reduceGroups((a, _) => a).map(_._2) // distinctByKey (D1)
-      .map(_.tagInitialLoad)
+    else {
+      // "avro" = the reference's native bootstrap format (S3), served by
+      // the avro-core container reader; other formats via the datasource
+      val scan =
+        if (format == "avro")
+          graft.sources.AvroFiles.read(spark, existing,
+            Encoders.product[MyEventRecord].schema)
+        else spark.read.format(format).load(existing: _*)
+      scan.as[MyEventRecord]
+        .filter(_.isValid)
+        .groupByKey(_.idempotentKey)
+        .reduceGroups((a, _) => a).map(_._2) // distinctByKey (D1)
+        .map(_.tagInitialLoad)
+    }
   }
 
   /** Validity split (F1/F2): returns (ok, toxic). Both sides derive from one

@@ -29,12 +29,18 @@ object WindowedSink {
 
   /** Batch write: one `window_name=.../` dir per window (K1's batch twin K2
     * keeps the same layout so bootstrap reads can glob either).
+    * `format="avro"` routes through [[graft.sources.AvroFiles]] — real Avro
+    * object-container files, the reference's windowed-sink format — since
+    * this environment has no spark-avro datasource; any other format is a
+    * plain datasource write.
     */
   def writeBatch(df: DataFrame, eventTime: String, duration: String,
-      path: String, format: String = "parquet"): Unit =
-    withWindowName(df, eventTime, duration)
-      .write.mode("append").format(format)
+      path: String, format: String = "parquet"): Unit = {
+    val named = withWindowName(df, eventTime, duration)
+    if (format == "avro") graft.sources.AvroFiles.writeWindowed(named, path)
+    else named.write.mode("append").format(format)
       .partitionBy("window_name").save(path)
+  }
 
   /** Streaming write, immediate mode: every micro-batch appends its rows
     * under their window dirs right away — the analogue of the reference's

@@ -32,4 +32,11 @@ class GraftConfigSpec extends AnyFunSuite {
     val cfg = GraftConfig.fromProps(new Properties(), "dev")
     assert(cfg == MediationApp.Config())
   }
+
+  test("configFile override resolves through Hadoop FS (file:// URI)") {
+    val f = java.nio.file.Files.createTempFile("graft", ".properties")
+    java.nio.file.Files.writeString(f, "dev.mediation.ttl-millis=777\n")
+    val cfg = GraftConfig.load("dev", Some(f.toUri.toString))
+    assert(cfg.ttlMillis == 777L)
+  }
 }
