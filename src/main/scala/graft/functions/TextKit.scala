@@ -64,15 +64,17 @@ object TextKit {
         sequence(lit(1), length(text) - (n - 1)),
         i => xxhash64(text.substr(i, lit(n)))))))
 
-  /** Pushdown barrier for expensive pair filters: an always-true but
-    * nondeterministic conjunct. Catalyst may not push a nondeterministic
-    * filter through a join, so `filter(expensive >= θ && noPushdown)` keeps
-    * `expensive` in the post-join projection (codegen'd, subexpression-
-    * eliminated) instead of inlining its full tree into the join condition
-    * (interpreted, duplicated per reference). Worth ~30% on the pairwise
-    * Jaccard queries; semantics unchanged (rand() ≥ 0 is always true).
+  /** Pushdown barrier for expensive pair filters:
+    * `filter(noPushdown(expensive >= θ))` keeps `expensive` in the
+    * codegen'd post-join stage instead of letting predicate pushdown
+    * inline its full tree into the join condition (interpreted, evaluated
+    * per probed row, before distinct). The barrier must WRAP the predicate
+    * ([[OpaqueValue]]) — in Spark 4 neither `rand() >= 0` (range-folded to
+    * a literal) nor a nondeterministic sibling conjunct (pushdown now
+    * splits conjunctions with `partition(_.deterministic)`, not `span`)
+    * blocks anything.
     */
-  def noPushdown: Column = rand() >= 0
+  def noPushdown(cond: Column): Column = BarrierKit.opaque(cond)
 
   /** Jaccard from two precomputed distinct n-gram sets. Empty-vs-empty is
     * DEFINED as 0.0 (not the 0/0 indeterminate): two sub-n-length texts

@@ -148,7 +148,7 @@ object Dedup {
       .join(gsets.withColumnRenamed("id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
       .join(gsets.withColumnRenamed("id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
       .withColumn("jaccard", TextKit.jaccardFromSets(col("ga"), col("gb")))
-      .filter(col("jaccard") >= threshold && TextKit.noPushdown)
+      .filter(TextKit.noPushdown(col("jaccard") >= threshold))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -222,9 +222,13 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     // explode the chunk index FIRST, then derive the chunk key from the
     // materialized sh attribute — an array of 4 shift expressions over the
-    // sketch column would get the sketch inlined (recomputed) per chunk
+    // sketch column would get the sketch inlined (recomputed) per chunk.
+    // coalesce('') makes the sketch non-nullable, so join-key constraint
+    // propagation can't push an isnotnull(simhash64(text)) DataFilter into
+    // the SCAN — which would run the whole sketch a second time per row.
     val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+      .select(col(idCol).as("doc"),
+        simhash64(coalesce(col(textCol), lit(""))).as("sh"))
       .select(col("doc"), col("sh"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
     val chunked = sh.withColumn("ckey",
@@ -283,9 +287,13 @@ object Dedup {
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b", "va", "vb")
         .distinct()
+      // noPushdown barrier: without it Catalyst folds the cosine filter
+      // into the bucket join's condition — interpreted per probed row and
+      // evaluated BEFORE distinct(), i.e. once per table collision instead
+      // of once per unique pair
       cands
         .withColumn("cos", VectorKit.cosine(col("va"), col("vb")))
-        .filter(col("cos") >= threshold)
+        .filter(TextKit.noPushdown(col("cos") >= threshold))
         .select(col("vec_a"), col("vec_b"), col("cos"))
     }
   }

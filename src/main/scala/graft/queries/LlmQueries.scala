@@ -57,7 +57,7 @@ object LlmQueries {
       .join(gsets.withColumnRenamed("id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
       .join(gsets.withColumnRenamed("id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
       .withColumn("j", TextKit.jaccardFromSets(col("ga"), col("gb")))
-      .filter(col("j") >= 0.5 && TextKit.noPushdown)
+      .filter(TextKit.noPushdown(col("j") >= 0.5))
       .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("j")).as("j_micro"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -157,8 +157,10 @@ object LlmQueries {
     val docs = Tables.documents(s, dir)
     val blocked = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select(col("doc_a"), col("doc_b")).withColumn("in_blocked", lit(1))
+    // coalesce('') → non-nullable sketch, so constraint propagation can't
+    // re-evaluate simhash64 inside the scan's DataFilters (see Dedup)
     val sh = docs.repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .select(col("doc_id"), Dedup.simhash64(coalesce(col("text"), lit(""))).as("sh"))
     val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
       .crossJoin(broadcast(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))))
       .filter(col("doc_a") < col("doc_b"))
