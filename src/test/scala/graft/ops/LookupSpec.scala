@@ -10,10 +10,33 @@ class LookupSpec extends SparkSpec {
     import spark.implicits._
     val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
     val stream = Seq((1L, "x")).toDF("k", "s")
-    val e = intercept[IllegalStateException] {
-      Lookup.enrichLookup(stream, dup, "k", strictUnique = true)
-    }
-    assert(e.getMessage.contains("Duplicate key"))
+    val joined = Lookup.enrichLookup(stream, dup, "k", strictUnique = true)
+    // The guard is lazy (in-plan raise_error, no extra driver action); it
+    // must survive optimization — the executed plan still carries the
+    // raise_error conditional.
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("raise_error") ||
+      plan.toLowerCase.contains("raiseerror"),
+      s"uniqueness guard was optimized away:\n$plan")
+    // The crash fires at execution, during the broadcast build of the same
+    // job — intercept the runtime error and check the contract message
+    // anywhere in the cause chain (Spark may wrap it in SparkException).
+    val e = intercept[Throwable] { joined.count() }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("Duplicate key"),
+      s"expected duplicate-key contract error, got:\n$messages")
+  }
+
+  test("strict mode passes through when build keys are unique (J1)") {
+    import spark.implicits._
+    val uniq = Seq((1L, "a"), (2L, "c")).toDF("k", "v")
+    val stream = Seq((1L, "x"), (3L, "y")).toDF("k", "s")
+    val out = Lookup.enrichLookup(stream, uniq, "k",
+      defaults = Map("v" -> lit("none")), strictUnique = true)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "a"), (3L, "none")))
   }
 
   test("non-strict broadcast join multiplies on duplicate keys (Spark semantics)") {
