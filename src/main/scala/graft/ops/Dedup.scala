@@ -160,12 +160,25 @@ object Dedup {
    * representative) — the step that actually deduplicates a corpus (keep
    * canonical, drop the rest). Input: (doc_a, doc_b) pairs, any direction.
    *
-   * Label propagation as iterative DataFrame joins: each round every node
-   * takes min(own label, neighbors' labels); converges in ≤ graph-diameter
-   * rounds (near-dup clusters are tiny — diameter a handful), checked via
-   * a per-round changed-count action. At 100 TB each round is one
-   * shuffle-join on node id — the standard large-scale CC shape; `maxIter`
-   * bounds the worst case.
+   * Min-label propagation as iterative DataFrame joins, accelerated three
+   * ways over the naive loop:
+   *   1. the SEED fuses propagation round 1 — label₀ = min(self, direct
+   *      neighbors) is one aggregation over the symmetrized edge list, not a
+   *      distinct + a join round;
+   *   2. each round pointer-jumps THROUGH THE CACHED PREVIOUS MAPPING
+   *      (label ← prev(label) after the neighbor-min step), the hash-to-min
+   *      shortcut that converges in O(log diameter) rounds instead of
+   *      O(diameter), at the cost of one extra join against an
+   *      already-cached tiny table;
+   *   3. convergence = a changed-label count folded into the SAME aggregate
+   *      action that materializes the round's cache — no separate proof
+   *      round, no sum bookkeeping.
+   * At 100 TB each round is two shuffle-joins on node id (edges × labels,
+   * labels × labels) — the standard large-scale CC shape; `maxIter` bounds
+   * the worst case. The result is `localCheckpoint`ed (labels are tiny
+   * relative to the corpus — one (id,id) pair per near-dup doc) so every
+   * intermediate cache can be dropped before returning: repeated calls
+   * leave nothing registered in the CacheManager.
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // cache the edge set: every propagation round joins it — without this
@@ -175,35 +188,42 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-    var iter = 0
-    var prevSum: java.math.BigDecimal = null
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(least(col("a"), col("b"))).as("label"))
+      .cache()
+    var cached = labels
+    var iter = 1 // the seed IS round 1
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "b"), "b")
+      val nm = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node"))
-        .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .agg(min(col("nl")).as("nmin"))
+      val stepped = labels.join(nm, Seq("node"), "left_outer")
+        .select(col("node"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("__sl"))
+      // pointer-jump: shortcut the stepped label through the previous
+      // mapping (labels is cached, so this join reads memory, not lineage)
+      val relabel = labels.select(col("node").as("__ln"), col("label").as("__ll"))
+      val next = stepped.join(relabel, col("__sl") === col("__ln"), "left_outer")
+        .select(col("node"), col("__old"),
+          least(col("__sl"), coalesce(col("__ll"), col("__sl"))).as("label"))
         .cache()
-      // labels only ever decrease (least of own and neighbor min), so the
-      // label sum strictly decreases iff any node changed: one tiny
-      // aggregate on the cached result replaces the old join+count changed
-      // check (decimal(38) so a 100 TB-scale id sum can't overflow ANSI
-      // arithmetic)
-      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)
-      converged = prevSum != null && prevSum.compareTo(s) == 0
-      prevSum = s
-      labels.unpersist()
-      labels = next
+      // one action per round: materializes the cache AND decides convergence
+      // (labels only ever decrease, so changed = count of strict decreases)
+      val changed = next.agg(count(when(col("label") < col("__old"), 1)))
+        .collect()(0).getLong(0)
+      converged = changed == 0L
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
+    val out = labels.select(col("node").as("doc_id"), col("label").as("canonical"))
+      .localCheckpoint(eager = true)
+    cached.unpersist()
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("canonical"))
+    out
   }
 
   // ── SimHash near-dup ─────────────────────────────────────────────────────
