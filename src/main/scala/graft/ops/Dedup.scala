@@ -130,6 +130,30 @@ object Dedup {
   }
 
   /**
+   * Prefix-blocked candidate pairs: documents sharing their first
+   * `prefixLen` characters are paired within the block. Blocks are
+   * size-capped with the same windowed-count pattern as
+   * [[minhashCandidatePairs]] — at 100× scale one hot boilerplate prefix
+   * ("Terms of Service…", crawler headers) would otherwise make a single
+   * block quadratic; blocks over `maxBlockSize` are dropped whole (same
+   * semantics as the MinHash bucket cap: a block that hot is boilerplate,
+   * not near-dup signal). Singleton blocks are pruned in the same pass.
+   */
+  def prefixBlockedCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 16, maxBlockSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol).as("doc"),
+      substring(col(textCol), 1, prefixLen).as("pfx"))
+    val w = Window.partitionBy(col("pfx"))
+    val eligible = ids.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBlockSize)).drop("__n")
+    eligible.select(col("pfx"), col("doc").as("doc_a"))
+      .join(eligible.select(col("pfx"), col("doc").as("doc_b")), Seq("pfx"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+  }
+
+  /**
    * Near-dup pairs = LSH candidates verified by exact n-gram Jaccard ≥
    * `threshold`. The verify join re-reads only candidate texts (semi-joined),
    * so the exact Jaccard — the expensive part — runs on |candidates|, not n².

@@ -45,12 +45,13 @@ object LlmQueries {
     // array ever rides the pair join's broadcast/shuffle. The j≥0.5 filter
     // keeps a pushdown barrier so the Jaccard evaluates in the codegen'd
     // post-join projection (see TextKit.noPushdown).
+    // Blocks are size-capped (Dedup.prefixBlockedCandidatePairs): the cap
+    // (1000) is far above the observed max block at sf0.1 (10), so the
+    // oracle — which pairs uncapped — sees identical output, while a hot
+    // boilerplate prefix at 100× scale can't go quadratic.
     val docs = Tables.documents(s, dir)
-    val dIds = docs.select(col("doc_id"), substring(col("text"), 1, 16).as("pfx"))
-    val cands = dIds.select(col("pfx"), col("doc_id").as("doc_a"))
-      .join(dIds.select(col("pfx"), col("doc_id").as("doc_b")), Seq("pfx"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    val cands = Dedup.prefixBlockedCandidatePairs(docs, "doc_id", "text",
+      prefixLen = 16, maxBlockSize = 1000)
     val gsets = docs.select(col("doc_id").as("id"),
       TextKit.ngramHashSet(col("text"), 3).as("gset"))
     cands

@@ -40,6 +40,37 @@ class DedupSpec extends SparkSpec {
     def toMap2: Map[String, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("prefixBlockedCandidatePairs caps pathological shared-prefix blocks") {
+    import spark.implicits._
+    // 50 docs share one hot boilerplate prefix (a capped-out block), two
+    // separate small blocks still pair, one singleton block pairs nothing
+    val hot = (1L to 50L).map(i => (i, s"Terms of Service: clause $i"))
+    val small = Seq((100L, "unique-prefix-aaaa one"), (101L, "unique-prefix-aaaa two"),
+      (200L, "other-prefix-bbbbb x"), (201L, "other-prefix-bbbbb y"),
+      (300L, "lonely-prefix-cccc z"))
+    val docs = (hot ++ small).toDF("doc_id", "text")
+    val capped = Dedup.prefixBlockedCandidatePairs(docs, "doc_id", "text",
+      prefixLen = 16, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L), (200L, 201L)),
+      s"hot block must be dropped whole, small blocks kept: $capped")
+    // with the cap above the hot-block size, the quadratic block pairs fully
+    val uncapped = Dedup.prefixBlockedCandidatePairs(docs, "doc_id", "text",
+      prefixLen = 16, maxBlockSize = 1000).count()
+    assert(uncapped == 50L * 49 / 2 + 2)
+  }
+
+  test("jaccardFromSets defines empty-vs-empty as 0.0 (oracle parity, ADVICE r3)") {
+    import spark.implicits._
+    // two sub-n-length docs: both shingle sets empty -> NOT near-dups (0.0),
+    // matching the DuckDB oracles' explicit len(ga)+len(gb)=0 guard
+    val row = Seq(("ab", "xy")).toDF("a", "b")
+      .select(TextKit.jaccardFromSets(
+        TextKit.ngramHashSet(col("a"), 3), TextKit.ngramHashSet(col("b"), 3)).as("j"))
+      .collect()(0)
+    assert(row.getDouble(0) == 0.0)
+  }
+
   test("minhash-LSH recall is 1.0 vs brute-force jaccard>=0.8 on testdata") {
     val docs = Tables.documents(spark, sf0001)
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
