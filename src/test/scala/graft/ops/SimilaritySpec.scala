@@ -21,6 +21,48 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAll == exact) // probing every cell = scanning the corpus
   }
 
+  /** Recall@k of an approximate result against the exact top-k. */
+  private def recallAt(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+    if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("recall curves: nTables (LSH) and nProbe (IVF) are monotone dials " +
+    "reaching production-grade recall") {
+    val k = 5
+    val exact = pairs(Similarity.bruteForceTopK(em, queries, k))
+    // LSH: tables are a prefix family (table t's hyperplanes are seeded by
+    // t), so candidates at nTables+1 are a superset of nTables — recall is
+    // structurally non-decreasing. The pinned gate constant (nBits=4,
+    // nTables=1 -> 0.26) is the deliberately aggressive end of this dial.
+    val lshCurve = for (nBits <- Seq(2, 4); nTables <- Seq(1, 4, 8)) yield {
+      val r = recallAt(pairs(Similarity.lshTopK(em, queries, k, nBits, nTables)), exact)
+      info(f"lshTopK  nBits=$nBits nTables=$nTables  recall@$k = $r%.2f")
+      (nBits, nTables, r)
+    }
+    for (b <- Seq(2, 4)) {
+      val byTables = lshCurve.filter(_._1 == b).sortBy(_._2).map(_._3)
+      assert(byTables == byTables.sorted,
+        s"recall must be non-decreasing in nTables at nBits=$b: $byTables")
+    }
+    assert(lshCurve.map(_._3).max >= 0.9,
+      s"some swept LSH config must reach production-grade recall: $lshCurve")
+    // IVF: probe cells are the top-nProbe by centroid cosine — nested sets,
+    // recall non-decreasing in nProbe, exact at nProbe = nCentroids.
+    val ivfCurve = Seq(1, 2, 4, 6, 7, 8).map { nProbe =>
+      val r = recallAt(
+        pairs(Similarity.ivfTopK(em, queries, k, nCentroids = 8, nProbe = nProbe)), exact)
+      info(f"ivfTopK  nProbe=$nProbe/8  recall@$k = $r%.2f")
+      (nProbe, r)
+    }
+    assert(ivfCurve.map(_._2) == ivfCurve.map(_._2).sorted,
+      s"recall must be non-decreasing in nProbe: $ivfCurve")
+    assert(ivfCurve.exists { case (p, r) => p < 8 && r >= 0.85 },
+      s"a partial probe must reach high recall: $ivfCurve")
+    assert(ivfCurve.last._2 == 1.0, "full probe = exact search")
+  }
+
   test("IVF partial probe: scores are exact, recall bounded by probe ratio") {
     val ivf = Similarity.ivfTopK(em, queries, k = 5, nCentroids = 8, nProbe = 2)
       .as[(Long, Long, Double, Int)].collect()
