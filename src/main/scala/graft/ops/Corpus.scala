@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.functions.TextKit
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-management operators for training-data pipelines: deterministic
+ * splitting, benchmark decontamination, and sequence packing — the three
+ * steps between "deduplicated documents" and "training shards" that every
+ * LLM data pipeline runs at full-corpus scale.
+ *
+ * Scale posture: splitting is a pure per-row expression (zero shuffle);
+ * decontamination broadcasts the benchmark n-gram set (benchmark suites are
+ * MBs against a 100 TB corpus) so the corpus side is one scan + one
+ * broadcast-join + one hash-shuffle on doc id; packing windows are
+ * partitioned by shard (never a global single-partition window).
+ */
+object Corpus {
+
+  /**
+   * Deterministic content-hash split assignment: the first hex character of
+   * md5(text) buckets every document into 16 stable cells, carved into
+   * train (0–c, 13/16), val (d–e, 2/16), test (f, 1/16). Content-based (not
+   * id-based) so re-crawled copies of the same text always land in the same
+   * split — the property that prevents test-set leakage through duplicates.
+   * A pure codegen'd expression: at 100 TB this is a free rider on any
+   * existing scan of the text column.
+   */
+  def splitLabel(text: Column): Column = {
+    val h = substring(md5(text.cast("binary")), 1, 1)
+    when(h < "d", "train").when(h < "f", "val").otherwise("test")
+  }
+
+  /**
+   * Benchmark decontamination: for each corpus document, the number of its
+   * distinct character `n`-grams that appear anywhere in the benchmark set
+   * (the standard n-gram-overlap contamination test for eval suites).
+   * Documents with zero overlap are absent from the output — filter the
+   * corpus with an anti-join on the result to decontaminate.
+   *
+   * The benchmark's distinct n-gram set is broadcast — the contract is the
+   * usual one (eval suites are small); the corpus side stays a single scan
+   * whose exploded n-grams are hashed 64-bit ([[TextKit.ngramHashSet]]), so
+   * the broadcast carries longs, not strings, and the per-doc overlap count
+   * is one hash-shuffle on doc id.
+   */
+  def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextKit.ngramHashSet(col(textCol), n)).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(TextKit.ngramHashSet(col(textCol), n)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      // ngramHashSet is distinct per document, so the per-doc row count IS
+      // the distinct-shared-gram count — no second distinct needed
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
+   * Sequence packing (contiguous greedy): documents are packed in `orderCol`
+   * order into chunks of ~`budget` tokens — a document starts a new chunk
+   * when the exclusive running token total crosses the next multiple of
+   * `budget`. Deterministic, one pass, and the window is PARTITIONED BY
+   * `shardCol` (source file / crawl shard), never global: each shard packs
+   * independently, which is both how production packers shard the work and
+   * what keeps the plan free of single-partition stages at 100 TB.
+   * Output: one row per (shard, chunk) with document and token counts.
+   */
+  def packChunks(df: DataFrame, shardCol: String, orderCol: String,
+      tokenCount: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(orderCol), tokenCount.as("__t"))
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("__t")).over(w), lit(0L)) / budget))
+      .groupBy(col(shardCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("chunk_tokens"))
+  }
+}

@@ -407,6 +407,73 @@ object LlmQueries {
       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ── corpus management: split / decontaminate / pack ─────────────────────
+  // Deterministic content-hash split: md5 parity with DuckDB is already
+  // load-bearing for dd_exact_hash; the first-hex-char carve (0-c/d-e/f)
+  // is pure lexicographic comparison in both engines.
+  private val tSplit: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.ops.Corpus.splitLabel(col("text")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+  private val tSplitSql =
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(text), 1, 1) < 'd' THEN 'train'
+      |       WHEN substring(md5(text), 1, 1) < 'f' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Benchmark decontamination: benchmark = every 20th doc; output = per
+  // training doc, how many of its distinct 8-grams appear in the benchmark
+  // set. Spark counts 64-bit hashed grams, the oracle counts the strings —
+  // identical unless xxhash64 collides within one doc's shingles (P≈10⁻¹³).
+  private val ddDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Corpus.contaminationCounts(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+  private val ddDecontaminateSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, x, 8) for x in range(1, length(text) - 6)]) AS gs
+      |  FROM documents
+      |), bench AS (
+      |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 20 = 0
+      |), train AS (
+      |  SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 20 <> 0
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM train JOIN bench USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // Sequence packing: per-source shards, whitespace token budget 512,
+  // chunk boundaries from the exclusive running total — pure integer
+  // window arithmetic, identical in both engines.
+  private val tPack: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Corpus.packChunks(docs, "source", "doc_id",
+      TextKit.tokenCount(col("text")).cast("long"), budget = 512L)
+      .orderBy(col("source"), col("chunk_id"))
+  }
+  private val tPackSql =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, tok,
+      |    CAST(floor(coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+      |      AS chunk_id
+      |  FROM t
+      |)
+      |SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS chunk_tokens
+      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
@@ -421,7 +488,10 @@ object LlmQueries {
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_lang_id" -> tLang,
-    "t_fingerprint" -> tFingerprint)
+    "t_fingerprint" -> tFingerprint,
+    "t_corpus_split" -> tSplit,
+    "dd_decontaminate" -> ddDecontaminate,
+    "t_pack_chunks" -> tPack)
 
   val oracles: Map[String, String] = Map(
     "dd_exact_hash" -> ddExactSql,
@@ -437,5 +507,8 @@ object LlmQueries {
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_lang_id" -> tLangSql,
-    "t_fingerprint" -> tFingerprintSql)
+    "t_fingerprint" -> tFingerprintSql,
+    "t_corpus_split" -> tSplitSql,
+    "dd_decontaminate" -> ddDecontaminateSql,
+    "t_pack_chunks" -> tPackSql)
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextKit
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitLabel is content-deterministic: identical text → identical split") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a different document entirely")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), Corpus.splitLabel(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L), "duplicate text must land in the same split")
+    assert(Set("train", "val", "test").contains(out(3L)))
+  }
+
+  test("splitLabel carve covers all 16 hex cells with 13/2/1 weights") {
+    // every possible first hex char maps to exactly one split
+    val cells = "0123456789abcdef".map(_.toString)
+    val labels = cells.map { h =>
+      // mirror the expression's comparison logic directly
+      if (h < "d") "train" else if (h < "f") "val" else "test"
+    }
+    assert(labels.count(_ == "train") == 13)
+    assert(labels.count(_ == "val") == 2)
+    assert(labels.count(_ == "test") == 1)
+  }
+
+  test("contaminationCounts finds n-gram overlap and only overlap") {
+    val corpus = Seq(
+      (1L, "xylophone orchestra quartet jubilee zigzag"),
+      (2L, "the secret benchmark passphrase appears here"),
+      (3L, "short")).toDF("doc_id", "text") // len < n → empty gram set
+    val bench = Seq((100L, "the secret benchmark passphrase")).toDF("doc_id", "text")
+    val out = Corpus.contaminationCounts(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(2L), "contaminated doc must be reported")
+    assert(!out.contains(1L), "clean doc must be absent")
+    assert(!out.contains(3L), "sub-n doc has no shingle evidence")
+    // the shared-gram count equals the true distinct-set intersection
+    def grams(s: String): Set[String] = s.sliding(8).filter(_.length == 8).toSet
+    val expected = grams("the secret benchmark passphrase appears here")
+      .intersect(grams("the secret benchmark passphrase")).size
+    assert(out(2L) == expected.toLong)
+  }
+
+  test("packChunks: per-shard exclusive-cumsum boundaries, no global window") {
+    val docs = Seq(
+      // shard A: tokens 3,3,3,3 with budget 6 → chunks (0: docs 1,2), (1: docs 3,4)
+      ("A", 1L, "a b c"), ("A", 2L, "d e f"), ("A", 3L, "g h i"), ("A", 4L, "j k l"),
+      // shard B packs independently: one doc, chunk 0
+      ("B", 9L, "x y")).toDF("source", "doc_id", "text")
+    val out = Corpus.packChunks(docs, "source", "doc_id",
+      TextKit.tokenCount(col("text")).cast("long"), budget = 6L)
+      .orderBy("source", "chunk_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("A", 0L, 2L, 6L), ("A", 1L, 2L, 6L), ("B", 0L, 1L, 2L)))
+    // scale contract: the window is partitioned by shard — the plan must not
+    // contain a single-partition (empty partitionBy) window
+    val plan = Corpus.packChunks(docs, "source", "doc_id",
+      TextKit.tokenCount(col("text")).cast("long"), budget = 6L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window detected:\n$plan")
+  }
+}
