@@ -74,7 +74,7 @@ class DedupSpec extends SparkSpec {
   test("minhash-LSH recall is 1.0 vs brute-force jaccard>=0.8 on testdata") {
     val docs = Tables.documents(spark, sf0001)
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-      threshold = 0.8, numHashes = 256, shingleLen = 5, bands = 32)
+      threshold = 0.8, numHashes = 128, shingleLen = 5, bands = 16)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute force: all pairs, exact jaccard
     val d1 = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
