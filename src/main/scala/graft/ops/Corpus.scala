@@ -60,6 +60,26 @@ object Corpus {
   }
 
   /**
+   * Corpus vocabulary statistics — the aggregation a tokenizer-training /
+   * vocab-building pass runs: per token, the number of documents containing
+   * it and its total occurrence count. Two shuffles, both with map-side
+   * partial aggregation: (doc, token) → tf first (so the second shuffle
+   * carries one row per distinct (doc, token), not one per occurrence and
+   * never needs a count-distinct), then token → (doc_freq, total). At
+   * 100 TB the first shuffle is the big one and is exactly
+   * corpus-token-cardinality-bound — the minimum any exact vocab count
+   * needs.
+   */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol).as("__doc"),
+        explode(TextKit.tokens(col(textCol))).as("token"))
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("__tf")).as("total_count"))
+  }
+
+  /**
    * Sequence packing (contiguous greedy): documents are packed in `orderCol`
    * order into chunks of ~`budget` tokens — a document starts a new chunk
    * when the exclusive running token total crosses the next multiple of

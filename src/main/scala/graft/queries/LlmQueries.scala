@@ -479,6 +479,25 @@ object LlmQueries {
       |  CAST(sum(tok) AS BIGINT) AS chunk_tokens
       |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
 
+  // Vocabulary statistics: top 50 tokens by document frequency. Integer-only
+  // output (no float aggregates to quantize); ties broken by token.
+  private val tVocab: Q = (s, dir) => {
+    graft.ops.Corpus.vocabStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(50)
+  }
+  private val tVocabSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), d AS (
+      |  SELECT token, doc_id, count(*) AS tf FROM t GROUP BY 1, 2
+      |)
+      |SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+      |  CAST(sum(tf) AS BIGINT) AS total_count
+      |FROM d GROUP BY token
+      |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
@@ -496,7 +515,8 @@ object LlmQueries {
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
     "dd_decontaminate" -> ddDecontaminate,
-    "t_pack_chunks" -> tPack)
+    "t_pack_chunks" -> tPack,
+    "t_vocab" -> tVocab)
 
   val oracles: Map[String, String] = Map(
     "dd_exact_hash" -> ddExactSql,
@@ -515,5 +535,6 @@ object LlmQueries {
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,
     "dd_decontaminate" -> ddDecontaminateSql,
-    "t_pack_chunks" -> tPackSql)
+    "t_pack_chunks" -> tPackSql,
+    "t_vocab" -> tVocabSql)
 }

@@ -46,6 +46,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == expected.toLong)
   }
 
+  test("vocabStats: doc_freq counts documents, total_count counts occurrences") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "   ")).toDF("doc_id", "text") // blank doc contributes nothing
+    val out = Corpus.vocabStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("alpha" -> (2L, 3L), "beta" -> (1L, 1L), "gamma" -> (1L, 1L)))
+    // scale contract: neither aggregate is a count-distinct (the (doc,token)
+    // pre-aggregation makes doc_freq a plain count) — both hash aggregates
+    // keep map-side partial aggregation
+    val plan = Corpus.vocabStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("distinct"), s"count-distinct leaked into the plan:\n$plan")
+  }
+
   test("packChunks: per-shard exclusive-cumsum boundaries, no global window") {
     val docs = Seq(
       // shard A: tokens 3,3,3,3 with budget 6 → chunks (0: docs 1,2), (1: docs 3,4)
