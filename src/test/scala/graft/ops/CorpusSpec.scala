@@ -46,6 +46,15 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == expected.toLong)
   }
 
+  test("contaminationCounts broadcasts the benchmark gram set (scale contract)") {
+    val corpus = Seq((1L, "some training document text here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark document text")).toDF("doc_id", "text")
+    val plan = Corpus.contaminationCounts(corpus, bench, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams must be the broadcast build side:\n$plan")
+  }
+
   test("vocabStats: doc_freq counts documents, total_count counts occurrences") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
