@@ -160,31 +160,38 @@ object Dedup {
    */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 256, shingleLen: Int = 5,
-      bands: Int = 32): DataFrame = {
-    // materialize the (tiny) candidate pair set ONCE: it feeds both the
-    // id filter below and the verify join — as a lazy plan the whole
-    // sketch+banding pipeline would execute twice. localCheckpoint also
-    // gives the verify join exact size stats, so AQE broadcasts the small
-    // sides instead of shuffle-sorting.
-    val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, shingleLen, bands)
-      .localCheckpoint(eager = true)
-    // shingle sets precomputed once per doc — NOT from raw text per pair
-    // (the threshold filter lands in the join condition, interpreted and
-    // un-CSE'd; see TextKit.ngramSet) — and as sorted long hashes, which
-    // cut the verify join's heap/shuffle ~8× vs UTF8 shingle arrays.
-    // Semi-joining to the candidate ids FIRST (broadcast: candidate ids are
-    // ≤ 2·|pairs| longs — if that doesn't fit in memory, no dedup output
-    // shape does) means the wide shingle arrays of NON-candidate docs —
-    // the overwhelming majority at any scale — never leave the scan:
-    // measured 2.26 s → 1.2 s at sf0.1, and at 100 TB it's the difference
-    // between shuffling the corpus's shingle sets twice and shuffling only
-    // the candidates'.
+      bands: Int = 32): DataFrame =
+    verifiedJaccardPairs(df,
+      minhashCandidatePairs(df, idCol, textCol, numHashes, shingleLen, bands),
+      idCol, textCol, shingleLen, threshold)
+
+  /**
+   * Exact n-gram-Jaccard verification of a candidate pair set — the shared
+   * second half of every blocked near-dup operator (MinHash bands, prefix
+   * blocks, …): pairs whose exact Jaccard ≥ `threshold`, with the score.
+   *
+   * Shape, in order of what matters at 100 TB:
+   *   - `candidates` is materialized ONCE (`localCheckpoint`): it feeds
+   *     both the id filter and the verify join — as a lazy plan the whole
+   *     candidate pipeline would execute twice — and the exact size stats
+   *     let AQE broadcast the small sides instead of shuffle-sorting.
+   *   - candidate doc ids (≤ 2·|pairs| longs — if those don't fit in
+   *     memory, no dedup output shape does) are broadcast-semi-joined
+   *     against the RAW (id, text) rows, and the shingle sets are computed
+   *     only for the survivors. Order matters: with the sketch projection
+   *     below the semi-join, Catalyst computes every document's set anyway
+   *     (verified in the executed plan). Non-candidate documents — the
+   *     overwhelming majority at any scale — never leave the scan.
+   *   - sets are sorted 64-bit shingle hashes ([[TextKit.ngramHashSet]]),
+   *     ~8× less heap/shuffle than UTF8 shingle arrays, and the threshold
+   *     filter sits behind a pushdown barrier so the Jaccard evaluates in
+   *     the codegen'd post-join projection, once per pair.
+   */
+  def verifiedJaccardPairs(df: DataFrame, candidates: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int, threshold: Double): DataFrame = {
+    val cands = candidates.localCheckpoint(eager = true)
     val ids = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
       .distinct()
-    // order matters: semi-join the RAW (id, text) rows, THEN sketch — with
-    // the projection first, Catalyst leaves the semi-join above it and the
-    // shingle sets get computed for every document anyway (verified in the
-    // executed plan)
     val gsets = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id"), TextKit.ngramHashSet(col("__text"), shingleLen).as("gset"))

@@ -48,18 +48,14 @@ object LlmQueries {
     // Blocks are size-capped (Dedup.prefixBlockedCandidatePairs): the cap
     // (1000) is far above the observed max block at sf0.1 (10), so the
     // oracle — which pairs uncapped — sees identical output, while a hot
-    // boilerplate prefix at 100× scale can't go quadratic.
+    // boilerplate prefix at 100× scale can't go quadratic. Verification is
+    // the shared candidates-only shape (Dedup.verifiedJaccardPairs).
     val docs = Tables.documents(s, dir)
-    val cands = Dedup.prefixBlockedCandidatePairs(docs, "doc_id", "text",
-      prefixLen = 16, maxBlockSize = 1000)
-    val gsets = docs.select(col("doc_id").as("id"),
-      TextKit.ngramHashSet(col("text"), 3).as("gset"))
-    cands
-      .join(gsets.withColumnRenamed("id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
-      .join(gsets.withColumnRenamed("id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
-      .withColumn("j", TextKit.jaccardFromSets(col("ga"), col("gb")))
-      .filter(TextKit.noPushdown(col("j") >= 0.5))
-      .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("j")).as("j_micro"))
+    Dedup.verifiedJaccardPairs(docs,
+      Dedup.prefixBlockedCandidatePairs(docs, "doc_id", "text",
+        prefixLen = 16, maxBlockSize = 1000),
+      "doc_id", "text", shingleLen = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("jaccard")).as("j_micro"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
   private val ddNgramSql =
