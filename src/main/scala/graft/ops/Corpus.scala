@@ -47,10 +47,15 @@ object Corpus {
    */
   def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = benchmark
+    // sketching is CPU-bound: spread both sides across the session's
+    // parallelism first (a single-row-group parquet scan is 1 partition;
+    // on a real cluster the scan is already split and this is a no-op-sized
+    // shuffle relative to the shingle pass)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val benchGrams = benchmark.repartition(par)
       .select(explode(TextKit.ngramHashSet(col(textCol), n)).as("g"))
       .distinct()
-    corpus
+    corpus.repartition(par)
       .select(col(idCol), explode(TextKit.ngramHashSet(col(textCol), n)).as("g"))
       .join(broadcast(benchGrams), Seq("g"))
       // ngramHashSet is distinct per document, so the per-doc row count IS
