@@ -71,6 +71,39 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("distinct"), s"count-distinct leaked into the plan:\n$plan")
   }
 
+  test("packChunks invariants on a seeded random corpus") {
+    val rng = new scala.util.Random(42)
+    val docs = (0 until 500).map { i =>
+      val shard = s"s${rng.nextInt(7)}"
+      val words = 1 + rng.nextInt(40)
+      (shard, i.toLong, Seq.fill(words)("w").mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    val budget = 64L
+    val out = Corpus.packChunks(docs, "source", "doc_id",
+      TextKit.tokenCount(col("text")).cast("long"), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byShard = out.groupBy(_._1)
+    val truth = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(TextKit.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byShard.foreach { case (shard, chunks) =>
+      val (nDocs, totTok) = truth(shard)
+      // nothing lost: doc and token totals are preserved per shard
+      assert(chunks.map(_._3).sum == nDocs)
+      assert(chunks.map(_._4).sum == totTok)
+      // chunk ids are contiguous from 0
+      val ids = chunks.map(_._2).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq, s"$shard gaps: ${ids.toSeq}")
+      // every non-final chunk is filled to its boundary: cumulative tokens
+      // through chunk c reach (c+1)·budget (the next chunk's first doc has
+      // exclusive prefix ≥ (c+1)·budget by the boundary rule)
+      val cum = chunks.sortBy(_._2).map(_._4).scanLeft(0L)(_ + _).drop(1)
+      cum.dropRight(1).zipWithIndex.foreach { case (tok, c) =>
+        assert(tok >= (c + 1) * budget, s"$shard chunk $c underfilled: $tok")
+      }
+    }
+  }
+
   test("packChunks: per-shard exclusive-cumsum boundaries, no global window") {
     val docs = Seq(
       // shard A: tokens 3,3,3,3 with budget 6 → chunks (0: docs 1,2), (1: docs 3,4)
