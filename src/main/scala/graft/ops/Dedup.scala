@@ -188,19 +188,67 @@ object Dedup {
    *     the codegen'd post-join projection, once per pair.
    */
   def verifiedJaccardPairs(df: DataFrame, candidates: DataFrame, idCol: String,
-      textCol: String, shingleLen: Int, threshold: Double): DataFrame = {
+      textCol: String, shingleLen: Int, threshold: Double): DataFrame =
+    verifiedJaccardPairsAcross(df, df, candidates, idCol, textCol,
+      shingleLen, threshold)
+
+  /** Two-corpus form of [[verifiedJaccardPairs]]: `doc_a` ids resolve
+    * against `left`, `doc_b` ids against `right` (use `left` = `right` for
+    * self-join dedup). Same candidates-only shape; each side's semi-join
+    * carries only the ids that can appear on that side.
+    */
+  def verifiedJaccardPairsAcross(left: DataFrame, right: DataFrame,
+      candidates: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, threshold: Double): DataFrame = {
     val cands = candidates.localCheckpoint(eager = true)
-    val ids = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
-      .distinct()
-    val gsets = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .join(broadcast(ids), Seq("id"), "left_semi")
-      .select(col("id"), TextKit.ngramHashSet(col("__text"), shingleLen).as("gset"))
+    def side(src: DataFrame, idName: String, gName: String): DataFrame = {
+      val ids = cands.select(col(idName).as("id")).distinct()
+      src.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(broadcast(ids), Seq("id"), "left_semi")
+        .select(col("id").as(idName),
+          TextKit.ngramHashSet(col("__text"), shingleLen).as(gName))
+    }
     cands
-      .join(gsets.withColumnRenamed("id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
-      .join(gsets.withColumnRenamed("id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
+      .join(side(left, "doc_a", "ga"), "doc_a")
+      .join(side(right, "doc_b", "gb"), "doc_b")
       .withColumn("jaccard", TextKit.jaccardFromSets(col("ga"), col("gb")))
       .filter(TextKit.noPushdown(col("jaccard") >= threshold))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * Incremental near-dup detection: fresh documents that near-duplicate an
+   * existing REFERENCE corpus — the shape a production pipeline runs on
+   * every new crawl (dedupe the increment against the accumulated corpus,
+   * not the union against itself). Both sides are banded with the same
+   * deterministic MinHash family, so a fresh/reference near-dup collides
+   * exactly as it would in the self-join; the pair join is fresh×reference
+   * per (band, bucket) — the reference side's bucket membership is capped
+   * (hot boilerplate buckets in a 100 TB reference corpus would otherwise
+   * make every fresh doc pair with them). Output: (doc_a = fresh id,
+   * doc_b = reference id, jaccard ≥ threshold); anti-join `fresh` on
+   * `doc_a` to admit only novel documents.
+   */
+  def incrementalNearDupPairs(fresh: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      numHashes: Int = 128, shingleLen: Int = 5, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = fresh.sparkSession.sparkContext.defaultParallelism
+    def banded(df: DataFrame, out: String): DataFrame =
+      df.repartition(par).select(col(idCol).as(out),
+        posexplode(graft.functions.NativeTextKit.minhashBands(
+          col(textCol), numHashes, shingleLen, bands)).as(Seq("band", "bucket")))
+    val f = banded(fresh, "doc_a")
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val r = banded(reference, "doc_b")
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val cands = f.join(r, Seq("band", "bucket"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifiedJaccardPairsAcross(fresh, reference, cands, idCol, textCol,
+      shingleLen, threshold)
   }
 
   // ── near-dup clustering (connected components) ───────────────────────────

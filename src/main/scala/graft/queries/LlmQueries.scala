@@ -110,6 +110,39 @@ object LlmQueries {
       |SELECT doc_a, doc_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
       |FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ── incremental near-dup: fresh crawl (odd ids) vs reference corpus
+  //    (even ids) — the per-increment ingestion shape. Oracle = brute-force
+  //    odd×even cross join with the same provable length-ratio prune; valid
+  //    because banding collision is a property of the two texts alone, so
+  //    the self-join's verified recall-1 carries over to any corpus split.
+  private val ddIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), Kit.microUnits(col("jaccard")).as("j_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val ddIncrementalSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, x, 5) for x in range(1, length(text) - 3)]) AS gs
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gs AS ga, b.gs AS gb
+      |  FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |    AND len(a.gs) * 5 >= len(b.gs) * 4 AND len(b.gs) * 5 >= len(a.gs) * 4
+      |), j AS (
+      |  SELECT doc_a, doc_b,
+      |    CASE WHEN len(ga) + len(gb) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) END AS jac
+      |  FROM p
+      |)
+      |SELECT doc_a, doc_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
+      |FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
   // ── near-dup clusters: connected components over the verified MinHash
   //    pairs; canonical = min doc id in the component. Oracle = recursive
   //    CTE transitive closure over the same pair set. ───────────────────────
@@ -498,6 +531,7 @@ object LlmQueries {
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
     "dd_minhash_lsh" -> ddMinhash,
+    "dd_incremental" -> ddIncremental,
     "dd_cluster_canonical" -> ddCluster,
     "dd_simhash" -> ddSimhash,
     "dd_embedding_neardup" -> ddEmbedding,
@@ -518,6 +552,7 @@ object LlmQueries {
     "dd_exact_hash" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_incremental" -> ddIncrementalSql,
     "dd_cluster_canonical" -> ddClusterSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embedding_neardup" -> ddEmbeddingSql,

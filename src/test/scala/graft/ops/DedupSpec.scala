@@ -87,6 +87,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute, s"LSH missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
   }
 
+  test("incremental near-dup matches brute-force cross-corpus pairs (recall 1)") {
+    val docs = Tables.documents(spark, sf0001)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val inc = Dedup.incrementalNearDupPairs(fresh, ref, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = fresh.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .crossJoin(ref.select(col("doc_id").as("doc_b"), col("text").as("tb")))
+      .withColumn("j", TextKit.ngramJaccard(col("ta"), col("tb"), 5))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain cross-split near-dups")
+    assert(inc == brute, s"missed ${(brute -- inc).size}, extra ${(inc -- brute).size}")
+    assert(inc.forall { case (a, b) => a % 2 == 1 && b % 2 == 0 })
+  }
+
   test("simhash chunk-blocking is exact for hamming distance <= 3 (pigeonhole)") {
     val docs = Tables.documents(spark, sf0001).limit(200)
     val viaChunks = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
