@@ -76,7 +76,8 @@ object Corpus {
    * needs.
    */
   def vocabStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    df.select(col(idCol).as("__doc"),
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__doc"),
         explode(TextKit.tokens(col(textCol))).as("token"))
       .groupBy(col("__doc"), col("token"))
       .agg(count(lit(1)).as("__tf"))
