@@ -34,8 +34,8 @@ class SimilaritySpec extends SparkSpec {
     val exact = pairs(Similarity.bruteForceTopK(em, queries, k))
     // LSH: tables are a prefix family (table t's hyperplanes are seeded by
     // t), so candidates at nTables+1 are a superset of nTables — recall is
-    // structurally non-decreasing. The pinned gate constant (nBits=4,
-    // nTables=1 -> 0.26) is the deliberately aggressive end of this dial.
+    // structurally non-decreasing. The driver-gated config (nBits=3,
+    // nTables=6 -> 0.84 at sf0.01) sits mid-curve; both ends are swept here.
     val lshCurve = for (nBits <- Seq(2, 4); nTables <- Seq(1, 4, 8)) yield {
       val r = recallAt(pairs(Similarity.lshTopK(em, queries, k, nBits, nTables)), exact)
       info(f"lshTopK  nBits=$nBits nTables=$nTables  recall@$k = $r%.2f")
