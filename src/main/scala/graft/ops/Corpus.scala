@@ -33,6 +33,25 @@ object Corpus {
   }
 
   /**
+   * Finer-grained (1/256) content-hash split for production carves like
+   * 252/2/2 (≈98.4/0.8/0.8%): the first TWO hex chars of md5(text) index
+   * 256 cells; `trainCells` go to train, the next `valCells` to val, the
+   * rest to test. Lexicographic comparison of two lowercase hex chars is
+   * numeric comparison, so the carve is exact. Same leakage-prevention
+   * property as [[splitLabel]]: duplicate texts share a cell.
+   */
+  def splitLabelFine(text: Column, trainCells: Int, valCells: Int): Column = {
+    require(trainCells >= 0 && valCells >= 0 && trainCells + valCells <= 256)
+    // a boundary of 256 would format as the 3-char "100", which breaks the
+    // two-char lexicographic compare — "zz" sorts above every hex pair
+    def hx(n: Int): String = if (n >= 256) "zz" else f"$n%02x"
+    val h = substring(md5(text.cast("binary")), 1, 2)
+    when(h < lit(hx(trainCells)), "train")
+      .when(h < lit(hx(trainCells + valCells)), "val")
+      .otherwise("test")
+  }
+
+  /**
    * Benchmark decontamination: for each corpus document, the number of its
    * distinct character `n`-grams that appear anywhere in the benchmark set
    * (the standard n-gram-overlap contamination test for eval suites).

@@ -28,6 +28,30 @@ class CorpusSpec extends SparkSpec {
     assert(labels.count(_ == "test") == 1)
   }
 
+  test("splitLabelFine: exact cell carve incl. 256-boundary edge") {
+    // corpus big enough that every carve bucket is hit
+    val docs = (0 until 2000).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+    def dist(train: Int, valc: Int): Map[String, Long] =
+      docs.groupBy(Corpus.splitLabelFine(col("text"), train, valc).as("s"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the carve must agree with numeric cell arithmetic on the same hashes
+    val cells = docs.select(
+        conv(substring(md5(col("text").cast("binary")), 1, 2), 16, 10)
+          .cast("int").as("cell"))
+      .collect().map(_.getInt(0))
+    def expected(train: Int, valc: Int): Map[String, Long] =
+      cells.groupBy(c => if (c < train) "train" else if (c < train + valc) "val" else "test")
+        .map { case (k, v) => k -> v.length.toLong }
+    for ((t, v) <- Seq((252, 2), (13 * 16, 2 * 16), (0, 256), (256, 0))) {
+      assert(dist(t, v) == expected(t, v), s"carve ($t,$v) mismatch")
+    }
+    // 16-cell coarse split == fine split with 16x cells (same hash prefix
+    // semantics: first hex char h == cells [16h, 16h+16))
+    val coarse = docs.select(Corpus.splitLabel(col("text")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist(13 * 16, 2 * 16) == coarse)
+  }
+
   test("contaminationCounts finds n-gram overlap and only overlap") {
     val corpus = Seq(
       (1L, "xylophone orchestra quartet jubilee zigzag"),
