@@ -41,7 +41,11 @@ object CorpusPrepApp {
       bands: Int = 16,
       decontamNgram: Int = 8,
       minSharedNgrams: Long = 1L,
-      tokenBudget: Long = 512L)
+      tokenBudget: Long = 512L,
+      // 1/256-cell split carve; 208/32 ≡ the coarse 13/2/1-sixteenths
+      // default (equivalence spec-proven in CorpusSpec)
+      trainCells: Int = 208,
+      valCells: Int = 32)
 
   /** Per-stage outputs, each a complete lazily-composed plan. */
   case class Prepared(
@@ -82,8 +86,9 @@ object CorpusPrepApp {
       .select(col("doc_id"))
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 4. deterministic content-hash split
-    val labeled = clean.withColumn("split", Corpus.splitLabel(col("text")))
+    // 4. deterministic content-hash split (1/256-cell carve)
+    val labeled = clean.withColumn("split",
+      Corpus.splitLabelFine(col("text"), cfg.trainCells, cfg.valCells))
 
     // 5. pack per (split, source) shard
     val chunks = Corpus.packChunks(
