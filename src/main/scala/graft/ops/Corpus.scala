@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /**
  * Corpus-management operators for training-data pipelines: deterministic
- * splitting, benchmark decontamination, and sequence packing — the three
- * steps between "deduplicated documents" and "training shards" that every
- * LLM data pipeline runs at full-corpus scale.
+ * splitting (coarse and 1/256-cell), benchmark decontamination, vocabulary
+ * statistics, and sequence packing — the steps between "deduplicated
+ * documents" and "training shards" that every LLM data pipeline runs at
+ * full-corpus scale (composed end-to-end in
+ * [[graft.apps.CorpusPrepApp]]).
  *
  * Scale posture: splitting is a pure per-row expression (zero shuffle);
  * decontamination broadcasts the benchmark n-gram set (benchmark suites are
