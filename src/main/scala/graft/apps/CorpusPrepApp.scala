@@ -70,7 +70,8 @@ object CorpusPrepApp {
     // 2. near-dup dedup: keep only cluster canonicals (nearDupClusters
     // labels every clustered doc; docs in no cluster are untouched)
     val pairs = Dedup.minhashNearDupPairs(exact, "doc_id", "text",
-      cfg.jaccardThreshold, cfg.numHashes, cfg.shingleLen, cfg.bands)
+      cfg.jaccardThreshold, cfg.numHashes, cfg.shingleLen, cfg.bands,
+      oph = true)
     // anti-join WITHOUT a broadcast hint: the loser set is corpus-dependent
     // (a heavily re-crawled corpus can lose most of its docs here) — AQE
     // broadcasts it at runtime when it is actually small

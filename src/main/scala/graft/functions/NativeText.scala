@@ -23,18 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
  * Jaccard downstream, so operator semantics are unchanged.
  */
 object NativeTextKit {
-  def minhashSig(c: Column, numHashes: Int, shingleLen: Int): Column =
+  def minhashSig(c: Column, numHashes: Int, shingleLen: Int,
+      oph: Boolean = false): Column =
     GraftColumnBridge.column(
-      MinHashSig(GraftColumnBridge.expression(c), numHashes, shingleLen))
+      MinHashSig(GraftColumnBridge.expression(c), numHashes, shingleLen, oph))
 
   /** LSH band-bucket hashes straight from the text — one sketch pass, one
     * long per band. Use this (not 32 × `hash(slice(minhashSig(...)))`):
     * Catalyst's project collapsing inlines the signature into every
     * band-hash expression, recomputing the full sketch per band.
     */
-  def minhashBands(c: Column, numHashes: Int, shingleLen: Int, bands: Int): Column =
+  def minhashBands(c: Column, numHashes: Int, shingleLen: Int, bands: Int,
+      oph: Boolean = false): Column =
     GraftColumnBridge.column(
-      MinHashBands(GraftColumnBridge.expression(c), numHashes, shingleLen, bands))
+      MinHashBands(GraftColumnBridge.expression(c), numHashes, shingleLen, bands, oph))
 
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
@@ -47,19 +49,19 @@ object NativeTextKit {
  * Shingles are NOT deduplicated: min over a multiset equals min over its
  * set, so the dedup would be pure overhead.
  */
-case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
-    extends UnaryExpression {
+case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int,
+    oph: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      MinHashSig.compute(input.asInstanceOf[UTF8String].toString, numHashes, shingleLen))
+    new GenericArrayData(MinHashSig.dispatch(
+      input.asInstanceOf[UTF8String].toString, numHashes, shingleLen, oph))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.MinHashSig.compute($c.toString(), $numHashes, $shingleLen));
+         |  graft.functions.MinHashSig.dispatch($c.toString(), $numHashes, $shingleLen, $oph));
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -68,6 +70,11 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
 
 object MinHashSig {
   private val M = 2147483647L // 2^31-1
+
+  /** Kernel dispatch used by both eval and generated code. */
+  def dispatch(s: String, numHashes: Int, shingleLen: Int, oph: Boolean): Array[Long] =
+    if (oph) computeOph(s, numHashes, shingleLen)
+    else compute(s, numHashes, shingleLen)
 
   /** Deterministic splitmix64 mixer (shared with the HOF kit). */
   private def mix64(x: Long): Long = {
@@ -117,6 +124,64 @@ object MinHashSig {
     }
     sig
   }
+
+  /**
+   * One-permutation-hashing signature (OPH, Li et al. 2012) with
+   * rotation densification (Shrivastava & Li 2014): each shingle is hashed
+   * ONCE, routed to bin `mix64(h) mod k`, and each bin keeps its minimum;
+   * empty bins borrow from the next non-empty bin to the right (cyclic)
+   * with a distance-dependent offset so different borrow distances can't
+   * manufacture equal slots. Per-shingle cost is O(1) instead of O(k) —
+   * at a 100 TB corpus scan this is the difference between the sketch
+   * pass costing one hash per shingle and costing 128.
+   *
+   * Slot-collision probability still tracks Jaccard (the OPH estimator),
+   * so the banding layer is unchanged; the near-dup gates re-verify
+   * recall=1 against brute force empirically (deterministic family).
+   */
+  def computeOph(s: String, numHashes: Int, shingleLen: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = s.length - shingleLen + 1
+    var i = 0
+    while (i < n) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < shingleLen) {
+        h = (h ^ s.charAt(i + j)) * 0x100000001B3L
+        j += 1
+      }
+      val m = mix64(h)
+      val bin = (((m >>> 1) % numHashes).toInt)
+      val v = (m & Long.MaxValue) % M
+      if (v < sig(bin)) sig(bin) = v
+      i += 1
+    }
+    // rotation densification: empty bin i takes the value of the nearest
+    // non-empty bin to its right (cyclic) plus distance*C, keeping the
+    // signature total and deterministic even for very short texts. All-empty
+    // (no shingles) stays a constant signature — matching the dense
+    // kernel's all-M signature semantics for sub-length texts.
+    var anyFilled = false
+    var k = 0
+    while (k < numHashes && !anyFilled) { anyFilled = sig(k) != Long.MaxValue; k += 1 }
+    if (!anyFilled) {
+      java.util.Arrays.fill(sig, M)
+    } else {
+      val C = 0x9E3779B97F4A7C15L & Long.MaxValue
+      val orig = sig.clone() // borrow from ORIGINAL fills, not densified ones
+      k = 0
+      while (k < numHashes) {
+        if (orig(k) == Long.MaxValue) {
+          var d = 1
+          while (orig((k + d) % numHashes) == Long.MaxValue) d += 1
+          sig(k) = (orig((k + d) % numHashes) + d.toLong * C) & Long.MaxValue
+        }
+        k += 1
+      }
+    }
+    sig
+  }
 }
 
 /**
@@ -128,19 +193,19 @@ object MinHashSig {
  * explode shuffle).
  */
 case class MinHashBands(child: Expression, numHashes: Int, shingleLen: Int,
-    bands: Int) extends UnaryExpression {
+    bands: Int, oph: Boolean = false) extends UnaryExpression {
   require(numHashes % bands == 0, "bands must divide numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(MinHashBands.compute(
-      input.asInstanceOf[UTF8String].toString, numHashes, shingleLen, bands))
+      input.asInstanceOf[UTF8String].toString, numHashes, shingleLen, bands, oph))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.MinHashBands.compute($c.toString(), $numHashes, $shingleLen, $bands));
+         |  graft.functions.MinHashBands.compute($c.toString(), $numHashes, $shingleLen, $bands, $oph));
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
@@ -148,8 +213,9 @@ case class MinHashBands(child: Expression, numHashes: Int, shingleLen: Int,
 }
 
 object MinHashBands {
-  def compute(s: String, numHashes: Int, shingleLen: Int, bands: Int): Array[Long] = {
-    val sig = MinHashSig.compute(s, numHashes, shingleLen)
+  def compute(s: String, numHashes: Int, shingleLen: Int, bands: Int,
+      oph: Boolean = false): Array[Long] = {
+    val sig = MinHashSig.dispatch(s, numHashes, shingleLen, oph)
     val rowsPerBand = numHashes / bands
     val out = new Array[Long](bands)
     var b = 0

@@ -104,7 +104,7 @@ object Dedup {
    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 256, shingleLen: Int = 5, bands: Int = 32,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, oph: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // band hashes computed in the sketch pass itself (MinHashBands):
     // banding the signature column with hash(slice(sig,...)) per band makes
@@ -112,7 +112,7 @@ object Dedup {
     val banded = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"),
         posexplode(graft.functions.NativeTextKit.minhashBands(
-          col(textCol), numHashes, shingleLen, bands)).as(Seq("band", "bucket")))
+          col(textCol), numHashes, shingleLen, bands, oph)).as(Seq("band", "bucket")))
     // size-capped bucket membership (window count shares the (band,bucket)
     // partitioning of the join), then a bucket self-join — 2× faster than
     // collect_list + nested-transform pair explosion, and the sketch
@@ -160,9 +160,10 @@ object Dedup {
    */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 256, shingleLen: Int = 5,
-      bands: Int = 32): DataFrame =
+      bands: Int = 32, oph: Boolean = false): DataFrame =
     verifiedJaccardPairs(df,
-      minhashCandidatePairs(df, idCol, textCol, numHashes, shingleLen, bands),
+      minhashCandidatePairs(df, idCol, textCol, numHashes, shingleLen, bands,
+        oph = oph),
       idCol, textCol, shingleLen, threshold)
 
   /**
@@ -232,13 +233,13 @@ object Dedup {
   def incrementalNearDupPairs(fresh: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       numHashes: Int = 128, shingleLen: Int = 5, bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, oph: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = fresh.sparkSession.sparkContext.defaultParallelism
     def banded(df: DataFrame, out: String): DataFrame =
       df.repartition(par).select(col(idCol).as(out),
         posexplode(graft.functions.NativeTextKit.minhashBands(
-          col(textCol), numHashes, shingleLen, bands)).as(Seq("band", "bucket")))
+          col(textCol), numHashes, shingleLen, bands, oph)).as(Seq("band", "bucket")))
     val f = banded(fresh, "doc_a")
     val w = Window.partitionBy(col("band"), col("bucket"))
     val r = banded(reference, "doc_b")

@@ -74,7 +74,7 @@ class DedupSpec extends SparkSpec {
   test("minhash-LSH recall is 1.0 vs brute-force jaccard>=0.8 on testdata") {
     val docs = Tables.documents(spark, sf0001)
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-      threshold = 0.8, numHashes = 128, shingleLen = 5, bands = 16)
+      threshold = 0.8, numHashes = 128, shingleLen = 5, bands = 16, oph = true)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute force: all pairs, exact jaccard
     val d1 = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
@@ -91,7 +91,8 @@ class DedupSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val fresh = docs.filter(col("doc_id") % 2 === 1)
     val ref = docs.filter(col("doc_id") % 2 === 0)
-    val inc = Dedup.incrementalNearDupPairs(fresh, ref, "doc_id", "text", 0.8)
+    val inc = Dedup.incrementalNearDupPairs(fresh, ref, "doc_id", "text", 0.8,
+      oph = true)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = fresh.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       .crossJoin(ref.select(col("doc_id").as("doc_b"), col("text").as("tb")))
