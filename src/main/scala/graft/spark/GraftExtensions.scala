@@ -39,6 +39,12 @@ object GraftExtensions {
       s"$fn: $name must be an integer literal, got $other")
   }
 
+  private def boolArg(e: Expression, name: String, fn: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be a boolean literal, got $other")
+  }
+
   /** The engine's SQL function surface: (name, usage, builder). */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_fingerprint32",
@@ -48,17 +54,27 @@ object GraftExtensions {
       "graft_simhash64(str) - 64-bit SimHash over whitespace tokens",
       { case Seq(c) => SimHash64(c) }: Seq[Expression] => Expression),
     ("graft_minhash_sig",
-      "graft_minhash_sig(str, numHashes, shingleLen) - MinHash signature array",
+      "graft_minhash_sig(str, numHashes, shingleLen[, oph]) - MinHash signature array " +
+        "(oph=true: one-permutation kernel)",
       { case Seq(c, n, l) =>
         MinHashSig(c, intArg(n, "numHashes", "graft_minhash_sig"),
           intArg(l, "shingleLen", "graft_minhash_sig"))
+        case Seq(c, n, l, o) =>
+        MinHashSig(c, intArg(n, "numHashes", "graft_minhash_sig"),
+          intArg(l, "shingleLen", "graft_minhash_sig"),
+          boolArg(o, "oph", "graft_minhash_sig"))
       }: Seq[Expression] => Expression),
     ("graft_minhash_bands",
-      "graft_minhash_bands(str, numHashes, shingleLen, bands) - LSH band bucket keys",
+      "graft_minhash_bands(str, numHashes, shingleLen, bands[, oph]) - LSH band bucket keys",
       { case Seq(c, n, l, b) =>
         MinHashBands(c, intArg(n, "numHashes", "graft_minhash_bands"),
           intArg(l, "shingleLen", "graft_minhash_bands"),
           intArg(b, "bands", "graft_minhash_bands"))
+        case Seq(c, n, l, b, o) =>
+        MinHashBands(c, intArg(n, "numHashes", "graft_minhash_bands"),
+          intArg(l, "shingleLen", "graft_minhash_bands"),
+          intArg(b, "bands", "graft_minhash_bands"),
+          boolArg(o, "oph", "graft_minhash_bands"))
       }: Seq[Expression] => Expression),
     ("graft_binary_features",
       "graft_binary_features(bin, dim) - deterministic feature vector from bytes (decode stub)",

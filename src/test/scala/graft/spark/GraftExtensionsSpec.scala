@@ -37,6 +37,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(again.toSeq == sql1.toSeq)
   }
 
+  test("optional oph argument selects the one-permutation kernel") {
+    val row = spark.sql(
+      """SELECT graft_minhash_sig('the quick brown fox', 32, 3, true) AS o,
+        |       graft_minhash_sig('the quick brown fox', 32, 3) AS d,
+        |       graft_minhash_bands('the quick brown fox', 32, 3, 4, true) AS ob
+        |""".stripMargin).as[(Array[Long], Array[Long], Array[Long])].head()
+    assert(row._1.toSeq ==
+      graft.functions.MinHashSig.computeOph("the quick brown fox", 32, 3).toSeq)
+    assert(row._2.toSeq ==
+      graft.functions.MinHashSig.compute("the quick brown fox", 32, 3).toSeq)
+    assert(row._1.toSeq != row._2.toSeq && row._3.length == 4)
+  }
+
   test("non-literal parameter arguments are rejected") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash_sig(text, doc_id, 3) FROM VALUES ('x', 1) AS t(text, doc_id)").collect()
