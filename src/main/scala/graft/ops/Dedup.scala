@@ -81,10 +81,10 @@ object Dedup {
    * sketch cost either way.
    */
   def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleLen: Int): DataFrame =
+      numHashes: Int, shingleLen: Int, oph: Boolean = false): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"),
-        graft.functions.NativeTextKit.minhashSig(col(textCol), numHashes, shingleLen)
+        graft.functions.NativeTextKit.minhashSig(col(textCol), numHashes, shingleLen, oph)
           .as("sig"))
 
   /**
