@@ -14,16 +14,14 @@ object NativeBinaryKit {
 }
 
 /**
- * DECODE STUB — deterministic fake feature vector from raw media bytes.
- *
- * A real implementation decodes the blob with an image/audio codec and runs
- * an encoder; neither exists in this container, so this expression derives
- * `dim` L2-normalized floats from a positional rolling hash of the bytes.
- * It is deterministic (same blob → same vector), codegen'd, and has the
- * exact signature a real encoder expression would have — swap `compute`'s
- * body for the real decode when codecs are available. Downstream operators
- * (ANN search, near-dup, clustering) exercise the true 100 TB data path
- * either way.
+ * Feature vector from raw media bytes — REAL image decode where the JDK
+ * can (PNG/GIF/BMP/JPEG via `javax.imageio`, see [[ImageCodec]]): decoded
+ * images yield grid-pooled zero-centered luminance features (the aHash
+ * family). Non-image blobs (audio/video — the JDK has no codecs for
+ * those) and undecodable bytes fall back to a deterministic byte-hash
+ * vector with the same dim/unit-norm contract, so the column keeps total
+ * coverage. Both paths are deterministic (same blob → same vector), run
+ * inside the scan projection, and never shuffle decoded pixels.
  */
 case class BinaryFeatures(child: Expression, dim: Int) extends UnaryExpression {
   require(dim > 0, "dim must be positive")
@@ -45,11 +43,21 @@ case class BinaryFeatures(child: Expression, dim: Int) extends UnaryExpression {
 }
 
 object BinaryFeatures {
-  /** Accumulate each byte into a position-mixed bucket, then L2-normalize.
-    * Shared by the column expression and the batched Dataset path so both
-    * produce identical vectors.
+  /** Real-decode-first feature extraction; byte-hash fallback for
+    * non-image/undecodable blobs (and flat images, whose pooled vector
+    * would be zero and break the unit-norm contract). Shared by the column
+    * expression and the batched Dataset path so both produce identical
+    * vectors.
     */
-  def compute(bytes: Array[Byte], dim: Int): Array[Float] = {
+  def compute(bytes: Array[Byte], dim: Int): Array[Float] =
+    ImageCodec.tryDecode(bytes)
+      .flatMap(img => ImageCodec.pooledLuminanceFeatures(img, dim))
+      .getOrElse(byteHashFeatures(bytes, dim))
+
+  /** Deterministic byte-hash fallback: accumulate each byte into a
+    * position-mixed bucket, then L2-normalize.
+    */
+  def byteHashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Double](dim)
     var i = 0
     while (i < bytes.length) {

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
  * the reference's closest shape is its Avro-bytes codec layer,
  * utils/core/AvroUtils.scala:40-62.)
  *
- * The actual media DECODE is stubbed: this container has no image/audio
- * codecs, so [[NativeBinaryKit.binaryFeatures]] derives a deterministic
- * fake feature vector from the bytes. Everything around the stub — the
- * schema, the binary column plumbing, magic-byte dispatch, frame slicing,
- * bounded-batch execution shape — is real and is what matters at 100 TB:
+ * IMAGE decode is REAL (the JDK's `javax.imageio` reads PNG/GIF/BMP/JPEG
+ * with no external library — see [[graft.functions.ImageCodec]]):
+ * [[decodeImage]] emits decoded width/height/pixel-checksum and
+ * [[features]] pools decoded luminance into a unit-norm vector. AUDIO and
+ * VIDEO decode remain codec-less in the JDK, so non-image blobs get a
+ * deterministic byte-hash feature fallback with the same contract. The
+ * surrounding plumbing — schema, binary columns, magic-byte dispatch,
+ * frame slicing, bounded-batch execution — is what matters at 100 TB:
  * media blobs dominate row size, so operators here never shuffle the blob
  * more than once and push metadata-only projections to the scan.
  */
@@ -86,12 +89,20 @@ object Multimodal {
 
   // ── feature extraction (decode STUB + real batch plumbing) ──────────────
 
-  /** Deterministic fake "decoder" feature vector (see
-    * [[graft.functions.BinaryFeatures]]) — stands in for a real image/audio
-    * encoder; swap the expression for a real codec UDF when codecs exist.
+  /** Feature vector from the blob: REAL grid-pooled luminance features for
+    * JDK-decodable images (PNG/GIF/BMP/JPEG), deterministic byte-hash
+    * fallback otherwise (see [[graft.functions.BinaryFeatures]]).
     */
   def features(blob: Column, dim: Int): Column =
     NativeBinaryKit.binaryFeatures(blob, dim)
+
+  /** Decoded image metadata via the JDK codecs
+    * ([[graft.functions.ImageDecodeMeta]]): struct(width, height,
+    * px_checksum), null for non-decodable blobs — the filter-corrupt-blobs
+    * shape.
+    */
+  def decodeImage(blob: Column): Column =
+    graft.functions.NativeImageKit.imageDecodeMeta(blob)
 
   /**
    * Bounded-batch feature extraction over a typed Dataset — the Scala twin

@@ -119,13 +119,76 @@ object MultimodalQueries {
       |  CAST(0 AS BIGINT) AS n_norm_bad, CAST(0 AS BIGINT) AS n_twin_mismatch
       |FROM documents""".stripMargin
 
+  // ── REAL image decode — roundtrip gate over complete encoded PNGs ───────
+  // K tiny PNGs are ENCODED with the JDK at query build (javax.imageio is
+  // part of every JRE — no external codec); the pixel pattern is pure
+  // arithmetic, so width/height/pixel-checksum ground truth is computed
+  // WITHOUT any codec. The gate decodes each blob in-engine
+  // (ImageDecodeMeta) and asserts decode(encode(pattern)) == pattern —
+  // a non-circular roundtrip: one side is the generator's arithmetic, the
+  // other is the real decoder. Also pins the decoded-luminance feature
+  // path's dim/unit-norm contract on genuinely decodable input.
+  private val K = 16
+  private def tplW(i: Int) = 4 + i
+  private def tplH(i: Int) = 3 + (i % 5)
+  private def tplGray(i: Int, x: Int, y: Int) = (x * 7 + y * 13 + i * 29) % 256
+  private lazy val pngTemplates: Seq[Array[Byte]] = (0 until K).map { i =>
+    val img = new java.awt.image.BufferedImage(tplW(i), tplH(i),
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until tplH(i); x <- 0 until tplW(i)) {
+      val g = tplGray(i, x, y)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  private lazy val truthChecksum: Seq[Long] = (0 until K).map { i =>
+    var sum = 0L
+    for (y <- 0 until tplH(i); x <- 0 until tplW(i)) {
+      val g = tplGray(i, x, y)
+      sum += ((x * 31L + y * 17L) ^ ((g << 16) | (g << 8) | g).toLong)
+    }
+    sum
+  }
+  private val mmDecode: Q = (s, dir) => {
+    val tpl = (col("doc_id") % K).cast("int")
+    val df = Tables.documents(s, dir)
+      .withColumn("media", element_at(typedLit(pngTemplates), tpl + 1))
+      .withColumn("m", Multimodal.decodeImage(col("media")))
+      .withColumn("feat", Multimodal.features(col("media"), 16))
+    val sqnormMicro = aggregate(col("feat"), lit(0.0d),
+      (acc, x) => acc + x * x) * 1000000
+    df.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      coalesce(sum(when(col("m").isNull, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_undecodable"),
+      coalesce(sum(when(col("m.width") =!= element_at(
+        typedLit((0 until K).map(tplW)), tpl + 1) ||
+        col("m.height") =!= element_at(
+          typedLit((0 until K).map(tplH)), tpl + 1), 1).otherwise(0)), lit(0))
+        .cast("long").as("n_dim_mismatch"),
+      coalesce(sum(when(col("m.px_checksum") =!= element_at(
+        typedLit(truthChecksum), tpl + 1), 1).otherwise(0)), lit(0))
+        .cast("long").as("n_px_mismatch"),
+      coalesce(sum(when(abs(sqnormMicro - 1000000.0) > 100.0, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_norm_bad"))
+  }
+  private val mmDecodeSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(0 AS BIGINT) AS n_dim_mismatch, CAST(0 AS BIGINT) AS n_px_mismatch,
+      |  CAST(0 AS BIGINT) AS n_norm_bad
+      |FROM documents""".stripMargin
+
   val all: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_frame_sample" -> mmFrames,
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_decode" -> mmDecode)
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frame_sample" -> mmFramesSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_decode" -> mmDecodeSql)
 }

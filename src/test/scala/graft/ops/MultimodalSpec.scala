@@ -65,4 +65,51 @@ class MultimodalSpec extends SparkSpec {
     assert(batched.keySet == exprd.keySet)
     batched.foreach { case (id, f) => assert(f == exprd(id).toSeq) }
   }
+
+  private def makePng(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: real JDK decode roundtrips the generated pixel pattern") {
+    import spark.implicits._
+    val png = makePng(6, 4, (x, y) => x * 11 + y * 23)
+    var truth = 0L
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val g = (x * 11 + y * 23) & 0xFF
+      truth += ((x * 31L + y * 17L) ^ ((g << 16) | (g << 8) | g).toLong)
+    }
+    val row = Seq(Tuple1(png)).toDF("media")
+      .select(Multimodal.decodeImage(col("media")).as("m"))
+      .select("m.width", "m.height", "m.px_checksum").head()
+    assert((row.getInt(0), row.getInt(1), row.getLong(2)) == (6, 4, truth))
+    // garbage bytes decode to null, never throw
+    val bad = Seq(Tuple1(Array.fill[Byte](64)(0x42))).toDF("media")
+      .select(Multimodal.decodeImage(col("media")).as("m")).head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("features: decoded images take the pooled-luminance path, others the fallback") {
+    val png = makePng(16, 16, (x, y) => x * 5 + y * 9) // non-flat gradient
+    val real = graft.functions.BinaryFeatures.compute(png, 16).toSeq
+    val fallback = graft.functions.BinaryFeatures.byteHashFeatures(png, 16).toSeq
+    assert(real != fallback, "decodable image must use the pooled path")
+    assert(math.abs(real.map(v => v.toDouble * v).sum - 1.0) < 1e-5)
+    // flat image: pooled vector would be zero -> falls back, contract holds
+    val flat = makePng(8, 8, (_, _) => 128)
+    val f = graft.functions.BinaryFeatures.compute(flat, 16).toSeq
+    assert(f == graft.functions.BinaryFeatures.byteHashFeatures(flat, 16).toSeq)
+    assert(math.abs(f.map(v => v.toDouble * v).sum - 1.0) < 1e-5)
+    // non-image bytes: identical to the explicit fallback
+    val blob = Array.tabulate[Byte](256)(i => i.toByte)
+    assert(graft.functions.BinaryFeatures.compute(blob, 16).toSeq ==
+      graft.functions.BinaryFeatures.byteHashFeatures(blob, 16).toSeq)
+  }
 }
