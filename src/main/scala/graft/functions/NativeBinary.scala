@@ -14,14 +14,16 @@ object NativeBinaryKit {
 }
 
 /**
- * Feature vector from raw media bytes — REAL image decode where the JDK
- * can (PNG/GIF/BMP/JPEG via `javax.imageio`, see [[ImageCodec]]): decoded
- * images yield grid-pooled zero-centered luminance features (the aHash
- * family). Non-image blobs (audio/video — the JDK has no codecs for
- * those) and undecodable bytes fall back to a deterministic byte-hash
- * vector with the same dim/unit-norm contract, so the column keeps total
- * coverage. Both paths are deterministic (same blob → same vector), run
- * inside the scan projection, and never shuffle decoded pixels.
+ * Feature vector from raw media bytes — REAL decode where the JDK can:
+ * images (PNG/GIF/BMP/JPEG via `javax.imageio`, [[ImageCodec]]) yield
+ * grid-pooled zero-centered luminance features (the aHash family); PCM
+ * audio (WAV/AU/AIFF via `javax.sound.sampled`, [[AudioCodec]]) yields
+ * windowed-energy features. Remaining blobs — video and compressed audio,
+ * genuinely codec-less in the JDK — and undecodable bytes fall back to a
+ * deterministic byte-hash vector with the same dim/unit-norm contract, so
+ * the column keeps total coverage. Every path is deterministic (same blob
+ * → same vector), runs inside the scan projection, and never shuffles
+ * decoded payload.
  */
 case class BinaryFeatures(child: Expression, dim: Int) extends UnaryExpression {
   require(dim > 0, "dim must be positive")
@@ -52,6 +54,8 @@ object BinaryFeatures {
   def compute(bytes: Array[Byte], dim: Int): Array[Float] =
     ImageCodec.tryDecode(bytes)
       .flatMap(img => ImageCodec.pooledLuminanceFeatures(img, dim))
+      .orElse(AudioCodec.tryDecodePcm(bytes)
+        .flatMap { case (_, pcm) => AudioCodec.windowedEnergyFeatures(pcm, dim) })
       .getOrElse(byteHashFeatures(bytes, dim))
 
   /** Deterministic byte-hash fallback: accumulate each byte into a

@@ -104,6 +104,13 @@ object Multimodal {
   def decodeImage(blob: Column): Column =
     graft.functions.NativeImageKit.imageDecodeMeta(blob)
 
+  /** Decoded audio metadata via the JDK PCM readers
+    * ([[graft.functions.AudioDecodeMeta]]): struct(sample_rate, bits,
+    * channels, n_bytes, pcm_checksum), null for non-decodable blobs.
+    */
+  def decodeAudio(blob: Column): Column =
+    graft.functions.NativeAudioKit.audioDecodeMeta(blob)
+
   /**
    * Bounded-batch feature extraction over a typed Dataset — the Scala twin
    * of a `mapInPandas` decode stage: partitions are processed in batches of

@@ -180,15 +180,61 @@ object MultimodalQueries {
       |  CAST(0 AS BIGINT) AS n_norm_bad
       |FROM documents""".stripMargin
 
+  // ── REAL audio decode — roundtrip gate over complete encoded WAVs ───────
+  // Same construction as mm_decode: K tiny 8-bit mono PCM WAVs encoded with
+  // the JDK (javax.sound.sampled) at query build; the sample pattern is
+  // pure arithmetic, so n_bytes / pcm-checksum ground truth needs no codec.
+  private def wavLen(i: Int) = 32 + 8 * i
+  private def wavSample(i: Int, j: Int) = (j * 5 + i * 17) % 256
+  private lazy val wavTemplates: Seq[Array[Byte]] = (0 until K).map { i =>
+    val pcm = Array.tabulate[Byte](wavLen(i))(j => wavSample(i, j).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+  private lazy val wavChecksum: Seq[Long] = (0 until K).map { i =>
+    (0 until wavLen(i)).map(j => (j * 31L) ^ wavSample(i, j).toLong).sum
+  }
+  private val mmAudio: Q = (s, dir) => {
+    val tpl = (col("doc_id") % K).cast("int")
+    val df = Tables.documents(s, dir)
+      .withColumn("media", element_at(typedLit(wavTemplates), tpl + 1))
+      .withColumn("m", Multimodal.decodeAudio(col("media")))
+    df.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      coalesce(sum(when(col("m").isNull, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_undecodable"),
+      coalesce(sum(when(col("m.sample_rate") =!= 8000 ||
+        col("m.bits") =!= 8 || col("m.channels") =!= 1, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_fmt_mismatch"),
+      coalesce(sum(when(col("m.n_bytes") =!= element_at(
+        typedLit((0 until K).map(i => wavLen(i).toLong)), tpl + 1), 1)
+        .otherwise(0)), lit(0)).cast("long").as("n_len_mismatch"),
+      coalesce(sum(when(col("m.pcm_checksum") =!= element_at(
+        typedLit(wavChecksum), tpl + 1), 1).otherwise(0)), lit(0))
+        .cast("long").as("n_pcm_mismatch"))
+  }
+  private val mmAudioSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(0 AS BIGINT) AS n_fmt_mismatch, CAST(0 AS BIGINT) AS n_len_mismatch,
+      |  CAST(0 AS BIGINT) AS n_pcm_mismatch
+      |FROM documents""".stripMargin
+
   val all: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_frame_sample" -> mmFrames,
     "mm_features" -> mmFeatures,
-    "mm_decode" -> mmDecode)
+    "mm_decode" -> mmDecode,
+    "mm_audio" -> mmAudio)
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frame_sample" -> mmFramesSql,
     "mm_features" -> mmFeaturesSql,
-    "mm_decode" -> mmDecodeSql)
+    "mm_decode" -> mmDecodeSql,
+    "mm_audio" -> mmAudioSql)
 }

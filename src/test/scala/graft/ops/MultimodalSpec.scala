@@ -112,4 +112,31 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.BinaryFeatures.compute(blob, 16).toSeq ==
       graft.functions.BinaryFeatures.byteHashFeatures(blob, 16).toSeq)
   }
+
+  test("decodeAudio: real JDK PCM decode roundtrips the generated samples") {
+    import spark.implicits._
+    val pcm = Array.tabulate[Byte](48)(j => ((j * 7 + 3) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val truth = (0 until 48).map(j => (j * 31L) ^ ((j * 7 + 3) % 256).toLong).sum
+    val row = Seq(Tuple1(bos.toByteArray)).toDF("media")
+      .select(Multimodal.decodeAudio(col("media")).as("m"))
+      .select("m.sample_rate", "m.bits", "m.channels", "m.n_bytes", "m.pcm_checksum")
+      .head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getLong(3),
+      row.getLong(4)) == (8000, 8, 1, 48L, truth))
+    // RIFF magic with garbage body decodes to null, never throws
+    val bad = ("RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](32)(7))
+    val r2 = Seq(Tuple1(bad)).toDF("media")
+      .select(Multimodal.decodeAudio(col("media")).as("m")).head()
+    assert(r2.isNullAt(0))
+    // features on a real non-flat WAV take the windowed-energy path
+    val real = graft.functions.BinaryFeatures.compute(bos.toByteArray, 16).toSeq
+    assert(real != graft.functions.BinaryFeatures.byteHashFeatures(bos.toByteArray, 16).toSeq)
+    assert(math.abs(real.map(v => v.toDouble * v).sum - 1.0) < 1e-5)
+  }
 }
