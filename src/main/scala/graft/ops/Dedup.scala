@@ -19,17 +19,23 @@ object Dedup {
 
   /**
    * `distinctByKey` (mediation/MediationService.scala:115,125,219) with a
-   * deterministic winner: the row with the smallest `orderCol` survives.
-   * One shuffle on `keyCols`; map-side partial aggregation applies since the
-   * winner is a min. Prefer this over `dropDuplicates`, whose surviving row
-   * is arrival-order-dependent and irreproducible across cluster runs.
+   * deterministic winner: the row with the smallest `orderCols` survives.
+   * Shaped as a `min_by` AGGREGATE, not a `row_number` window: the window
+   * form sorts every key's rows in one task — a single-task straggler when
+   * one key holds 10⁸ duplicates (a viral doc, the #1 real-world dedup
+   * hazard) — where the aggregate gets map-side partial aggregation (each
+   * input partition reduces a hot key to ONE row before the shuffle) and
+   * AQE skew-split on the final stage. Prefer this over `dropDuplicates`,
+   * whose surviving row is arrival-order-dependent and irreproducible
+   * across cluster runs. Ties on `orderCols` (callers pass a unique
+   * tiebreaker, e.g. event id) are arbitrary — same contract as the
+   * window form.
    */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val all = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(all.map(col): _*), struct(orderCols.map(col): _*)).as("__w"))
+      .select(all.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /**
@@ -337,9 +343,21 @@ object Dedup {
   def simhash64(text: Column): Column = graft.functions.NativeTextKit.simhash64(text)
 
   /** SimHash candidate pairs by 16-bit chunk collision (pigeonhole for
-    * Hamming distance ≤ 3), verified by true Hamming distance ≤ `maxDist`. */
+    * Hamming distance ≤ 3), verified by true Hamming distance ≤ `maxDist`.
+    *
+    * Chunk buckets are size-capped with the same windowed-count pattern as
+    * [[minhashCandidatePairs]]: the bucket key space is only 4 × 65,536, so
+    * at a billion documents EVERY bucket holds ~15k members and the
+    * within-bucket pairing is quadratic — one hot 16-bit chunk value
+    * (boilerplate text hashing to a common pattern) would dominate the
+    * whole job. Buckets over `maxBucketSize` are dropped whole (a chunk
+    * value that hot is boilerplate collision, not near-dup signal);
+    * singleton buckets are pruned in the same pass. The pigeonhole
+    * exactness guarantee holds whenever every bucket fits the cap — the
+    * oracle-gated `dd_simhash` query re-proves it per run at gate SF.
+    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     // explode the chunk index FIRST, then derive the chunk key from the
     // materialized sh attribute — an array of 4 shift expressions over the
     // sketch column would get the sketch inlined (recomputed) per chunk.
@@ -353,8 +371,15 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("chunk"))
     val chunked = sh.withColumn("ckey",
       expr("shiftright(sh, chunk * 16) & 65535"))
-    val l = chunked.select(col("chunk"), col("ckey"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("ckey"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    // size-capped bucket membership: the window count shares the
+    // (chunk, ckey) partitioning of the join, so the cap costs no extra
+    // shuffle, and ReuseExchange serves both join sides from one exchange
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chunk"), col("ckey"))
+    val eligible = chunked.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucketSize)).drop("__n")
+    val l = eligible.select(col("chunk"), col("ckey"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val r = eligible.select(col("chunk"), col("ckey"), col("doc").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

@@ -52,7 +52,11 @@ object Similarity {
    */
   def trainIvfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    // persist the (id, v) projection: the seed top-k plus every Lloyd round
+    // re-reads it — uncached, each round would re-run the full corpus scan
+    // (lloydIters+1 scans of a 100 TB table); cached, the scan pays once
     val c = corpus.select(col(idCol).as("id"), VectorKit.asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = c.orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
       .select("v").collect()
       .map(_.getSeq[Double](0)).zipWithIndex.map { case (v, i) => (i, v.toSeq) }
@@ -74,6 +78,7 @@ object Similarity {
       }
       iter += 1
     }
+    c.unpersist()
     centroids
   }
 

@@ -18,6 +18,30 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", "a"), ("k2", "z")))
   }
 
+  test("exactDedup is a partial-aggregable min_by, not a window sort (skew posture)") {
+    import spark.implicits._
+    val df = Seq(("k1", 1L, "a"), ("k2", 2L, "b")).toDF("k", "ord", "v")
+    val plan = Dedup.exactDedup(df, Seq("k"), Seq("ord")).queryExecution.executedPlan.toString
+    // map-side combine: a partial min_by aggregate reduces a hot key to one
+    // row per input partition BEFORE the shuffle — the window form cannot
+    assert(plan.contains("partial_min_by"), s"expected partial min_by aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window operator:\n$plan")
+  }
+
+  test("exactDedup survives a skewed key (one key = 20% of rows) with the right winner") {
+    import spark.implicits._
+    // 50k rows, key "hot" holds 10k of them — the viral-duplicate shape
+    val n = 50000
+    val df = spark.range(n).select(
+      when(col("id") % 5 === 0, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"),
+      col("id").as("ord"),
+      concat(lit("v"), col("id")).as("v"))
+    val out = Dedup.exactDedup(df, Seq("k"), Seq("ord"))
+    assert(out.count() == (n - n / 5 + 1).toLong) // distinct keys
+    val hot = out.filter(col("k") === "hot").collect()
+    assert(hot.length == 1 && hot(0).getLong(1) == 0L && hot(0).getString(2) == "v0")
+  }
+
   test("dedupMarkers: every input row emitted, 1 SENT + N-1 SENT_OR_DUPLICATED per key " +
     "(the reference's canonical 1+2-duplicate scenario, MediationServiceSpec:45-83)") {
     import spark.implicits._
@@ -115,6 +139,27 @@ class DedupSpec extends SparkSpec {
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaChunks == brute)
+  }
+
+  test("simhash caps hot chunk buckets (planted boilerplate cluster is dropped whole)") {
+    import spark.implicits._
+    // 60 docs with IDENTICAL text → identical simhash → all 4 chunk buckets
+    // hold 60 members each; 2 distinct near-dup docs (1-token edit) stay
+    val boiler = (1L to 60L).map(i => (i, "terms of service apply to all users equally"))
+    val pairTxt = "the quick brown fox jumps over the lazy dog today"
+    val near = Seq((1001L, pairTxt), (1002L, pairTxt)) // dist 0, bucket size 2
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxDist = 3, maxBucketSize = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot buckets dropped whole → zero boilerplate pairs; the small bucket
+    // (2 ≤ cap) still pairs — pair work bounded by cap², not cluster²
+    assert(capped == Set((1001L, 1002L)),
+      s"hot bucket must be dropped whole, small bucket kept: $capped")
+    // with the cap above the cluster size the quadratic cluster pairs fully
+    val uncapped = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxDist = 3, maxBucketSize = 1000).count()
+    assert(uncapped >= 60L * 59 / 2)
   }
 
   test("embedding near-dup: LSH-bucketed pairs are a subset of exact pairs with " +
