@@ -15,6 +15,13 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Streaming query stop() interrupts the microbatch thread; the RocksDB
+    // state-store maintenance task logs the (benign, expected) interrupt as
+    // a multi-page ERROR trace. Real state-store failures still surface as
+    // StreamingQueryExceptions, so silence the logger in tests.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.OFF)
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
