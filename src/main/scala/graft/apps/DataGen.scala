@@ -44,6 +44,44 @@ object DataGen {
       .as[MyEventRecord]
   }
 
+  /**
+   * Skew-stress corpus: `hotFrac` of the `n` documents are EXACT copies of
+   * one viral document (the reference documents this dup-key race as its
+   * main production hazard, mediation/README.md:149-151) and the rest are
+   * deterministic pseudo-random unique texts. The hot cluster is
+   * simultaneously a hot dedup KEY (one md5 holds 20% of rows), a hot
+   * MinHash bucket (identical signatures), and a hot SimHash chunk bucket —
+   * the worst case for every blocked operator at once. Fully deterministic
+   * (seeded by doc id through xxhash64), distributed (spark.range-driven,
+   * so n can be billions).
+   */
+  def skewedDocuments(spark: SparkSession, n: Long,
+      hotFrac: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "anchor bridge cipher dynamo ember flint granite harbor ingot jasper " +
+      "kestrel lattice marble nickel onyx pebble quartz russet slate timber")
+      .split(' ')
+    val viral = "breaking news this exact viral document was reposted " +
+      "verbatim across every mirror and aggregator on the entire internet " +
+      "within a single afternoon of its original publication"
+    val words = typedLit(vocab.toSeq)
+    // unique docs: 24 vocab words chosen by xxhash64(id, position) — enough
+    // material to shingle, vanishingly unlikely to near-dup at 0.8 jaccard
+    val uniqueText = concat_ws(" ",
+      transform(sequence(lit(0), lit(23)),
+        i => element_at(words, (pmod(xxhash64(col("id"), i), lit(vocab.length)) + 1)
+          .cast("int"))))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(xxhash64(col("id")), lit(10000)) < lit((hotFrac * 10000).toLong),
+        lit(viral)).otherwise(uniqueText).as("text"))
+  }
+
+  /** Same row count, no hot cluster — the control corpus for skew benches. */
+  def uniformDocuments(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    skewedDocuments(spark, n, hotFrac = 0.0)
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000L)
     val out = args.lift(1).getOrElse("target/datagen")

@@ -15,4 +15,22 @@ class DataGenSpec extends SparkSpec {
     assert(keys.size > 490) // collisions vanishingly unlikely
     assert(recs.forall(_.event.nhubTimestamp.exists(_ > 0L)))
   }
+
+  test("skewedDocuments: deterministic, ~hotFrac viral copies, shingle-able texts") {
+    import org.apache.spark.sql.functions._
+    val a = DataGen.skewedDocuments(spark, 5000L, hotFrac = 0.2)
+    assert(a.count() == 5000L)
+    // hot cluster ≈ 20% (binomial tolerance), and it is ONE exact text
+    val byText = a.groupBy("text").count()
+    val hot = byText.agg(max("count")).collect()(0).getLong(0)
+    assert(hot > 800 && hot < 1200, s"hot cluster size $hot")
+    // deterministic: same seed-free plan → byte-identical corpus
+    val b = DataGen.skewedDocuments(spark, 5000L, hotFrac = 0.2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // uniform control has no meaningful cluster
+    val u = DataGen.uniformDocuments(spark, 5000L)
+    assert(u.groupBy("text").count().agg(max("count")).collect()(0).getLong(0) <= 2)
+    // texts long enough to 5-gram shingle
+    assert(a.filter(length(col("text")) < 20).count() == 0)
+  }
 }
