@@ -12,17 +12,25 @@ import org.apache.spark.sql.functions._
  * SimHash chunk bucket) against a same-size uniform control. Also times the
  * row_number-window formulation of exact dedup that [[Dedup.exactDedup]]
  * deliberately does NOT use, to quantify the single-task-straggler cost the
- * min_by aggregate avoids.
+ * narrow-min + hash-join-back shape avoids.
  *
  * Usage: SPARK_GRAFT_SKEW_N=200000 sbt "runMain graft.SkewBench"
  * Prints one markdown table row per (corpus, op) and a final JSON line.
  */
 object SkewBench {
 
-  private def time(f: => Long): Double = {
-    val t0 = System.nanoTime()
-    f
-    (System.nanoTime() - t0) / 1e9
+  /** Median of `reps` timed runs (first — warm-up — run discarded): this
+    * box swings ±50% run-to-run under load, so single samples routinely
+    * invert a 2× structural difference.
+    */
+  private def medianTime(reps: Int)(f: => Long): Double = {
+    f // warm codegen + page cache, untimed
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(reps / 2)
   }
 
   /** The window formulation exactDedup replaced — kept here (bench-only) as
@@ -35,7 +43,13 @@ object SkewBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_SKEW_N", "200000").toLong
+    // sketch-bound LSH ops run at nLsh; the exact-dedup pair runs at nExact
+    // (larger — a 40k-row hot-key sort finishes in milliseconds, so the
+    // window straggler only becomes structural when the hot key holds
+    // hundreds of thousands of rows)
+    val nLsh = sys.env.getOrElse("SPARK_GRAFT_SKEW_N", "200000").toLong
+    val nExact = sys.env.getOrElse("SPARK_GRAFT_SKEW_N_EXACT", "2000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,39 +58,48 @@ object SkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // materialize both corpora to parquet so every timed op pays the same
+    // materialize all corpora to parquet so every timed op pays the same
     // scan and none of the generation
-    val skewDir = "target/skewbench/skewed"
-    val unifDir = "target/skewbench/uniform"
-    DataGen.skewedDocuments(spark, n, hotFrac = 0.2)
-      .write.mode("overwrite").parquet(skewDir)
-    DataGen.uniformDocuments(spark, n).write.mode("overwrite").parquet(unifDir)
+    def gen(name: String, df: DataFrame): String = {
+      val dir = s"target/skewbench/$name"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val skewLsh = gen("skewed_lsh", DataGen.skewedDocuments(spark, nLsh, hotFrac = 0.2))
+    val unifLsh = gen("uniform_lsh", DataGen.uniformDocuments(spark, nLsh))
+    val skewEx = gen("skewed_exact", DataGen.skewedDocuments(spark, nExact, hotFrac = 0.2))
+    val unifEx = gen("uniform_exact", DataGen.uniformDocuments(spark, nExact))
 
-    def ops(docs: DataFrame): Seq[(String, () => Long)] = {
+    def exactOps(docs: DataFrame): Seq[(String, () => Long)] = {
       val hashed = docs.withColumn("__h", md5(col("text").cast("binary")))
       Seq(
-        "exact_dedup_min_by" -> (() =>
+        "exact_dedup_engine" -> (() =>
           Dedup.exactDedup(hashed, Seq("__h"), Seq("doc_id")).count()),
         "exact_dedup_window" -> (() =>
-          windowDedup(hashed, "__h", "doc_id").count()),
-        "minhash_candidates_capped" -> (() =>
-          Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-            numHashes = 128, shingleLen = 5, bands = 16, oph = true).count()),
-        "simhash_pairs_capped" -> (() =>
-          Dedup.simhashNearDupPairs(docs, "doc_id", "text").count()))
+          windowDedup(hashed, "__h", "doc_id").count()))
     }
+    def lshOps(docs: DataFrame): Seq[(String, () => Long)] = Seq(
+      "minhash_candidates_capped" -> (() =>
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          numHashes = 128, shingleLen = 5, bands = 16, oph = true).count()),
+      "simhash_pairs_capped" -> (() =>
+        Dedup.simhashNearDupPairs(docs, "doc_id", "text").count()))
 
+    val cases =
+      Seq(("skewed", nExact, exactOps(spark.read.parquet(skewEx))),
+        ("uniform", nExact, exactOps(spark.read.parquet(unifEx))),
+        ("skewed", nLsh, lshOps(spark.read.parquet(skewLsh))),
+        ("uniform", nLsh, lshOps(spark.read.parquet(unifLsh))))
     val results = for {
-      (corpus, dir) <- Seq("skewed" -> skewDir, "uniform" -> unifDir)
-      (op, run) <- ops(spark.read.parquet(dir))
+      (corpus, n, ops) <- cases
+      (op, run) <- ops
     } yield {
-      run() // warm codegen + page cache; timed run below
-      val sec = time(run())
-      println(f"| $corpus%-7s | $op%-26s | $sec%8.2f s |")
+      val sec = medianTime(reps)(run())
+      println(f"| $corpus%-7s | $op%-26s | n=$n%-8d | $sec%8.2f s |")
       (s"${corpus}_$op", sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"skewbench","n":$n,"unit":"sec","queries":$qs}""")
+    println(s"""{"metric":"skewbench","n_lsh":$nLsh,"n_exact":$nExact,"reps":$reps,"unit":"sec","queries":$qs}""")
     spark.stop()
   }
 }

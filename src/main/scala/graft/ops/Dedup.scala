@@ -20,22 +20,38 @@ object Dedup {
   /**
    * `distinctByKey` (mediation/MediationService.scala:115,125,219) with a
    * deterministic winner: the row with the smallest `orderCols` survives.
-   * Shaped as a `min_by` AGGREGATE, not a `row_number` window: the window
-   * form sorts every key's rows in one task — a single-task straggler when
-   * one key holds 10⁸ duplicates (a viral doc, the #1 real-world dedup
-   * hazard) — where the aggregate gets map-side partial aggregation (each
-   * input partition reduces a hot key to ONE row before the shuffle) and
-   * AQE skew-split on the final stage. Prefer this over `dropDuplicates`,
-   * whose surviving row is arrival-order-dependent and irreproducible
-   * across cluster runs. Ties on `orderCols` (callers pass a unique
-   * tiebreaker, e.g. event id) are arbitrary — same contract as the
-   * window form.
+   * `orderCols` must order rows uniquely within a key (every caller ends
+   * with a unique id — event id, doc id); prefer this over
+   * `dropDuplicates`, whose surviving row is arrival-order-dependent and
+   * irreproducible across cluster runs.
+   *
+   * Shape: a NARROW min-order aggregate + hash join-back, chosen over the
+   * two obvious formulations after measuring all three on a 2M-row corpus
+   * with a 20%-hot key (graft.SkewBench):
+   *   - `row_number().over(Window.partitionBy(key))` sorts every key's
+   *     rows in ONE task — a straggler/OOM when one viral key holds 10⁸
+   *     duplicates (the #1 real-world dedup hazard);
+   *   - `min_by(struct(allCols), struct(orderCols))` fixes the straggler
+   *     (map-side partial collapse) but its struct buffer forces a
+   *     non-codegen SortAggregate over FULL-WIDTH rows — 10× slower than
+   *     the window on a mostly-unique corpus;
+   *   - this shape aggregates only (key, orderCols) — the wide columns
+   *     never pass through a sort — and joins the winners back with a
+   *     shuffled hash join (hint survives as long as AQE doesn't override
+   *     it; AQE skew-split applies to the probe side, and the hot key
+   *     still collapses map-side in the partial min).
    */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val all = df.columns.toSeq
-    df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(all.map(col): _*), struct(orderCols.map(col): _*)).as("__w"))
-      .select(all.map(c => col("__w").getField(c).as(c)): _*)
+    val kAlias = keyCols.indices.map(i => s"__k$i")
+    val winners = df.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(orderCols.map(col): _*)).as("__mo"))
+      .select(keyCols.zip(kAlias).map { case (k, a) => col(k).as(a) } :+ col("__mo"): _*)
+    // null-safe equality: a null order field must match itself on the way
+    // back (the window form's asc_nulls_first would have kept such a row)
+    val cond = keyCols.zip(kAlias).map { case (k, a) => col(k) <=> col(a) }
+      .reduce(_ && _) && (struct(orderCols.map(col): _*) <=> col("__mo"))
+    df.join(winners.hint("shuffle_hash"), cond)
+      .select(df.columns.map(col): _*)
   }
 
   /**
@@ -53,6 +69,32 @@ object Dedup {
     df.withColumn(statusName,
       when(row_number().over(w) === 1, lit("SENT"))
         .otherwise(lit("SENT_OR_DUPLICATED")))
+  }
+
+  // ── bucket-size banding (shared by every blocked candidate path) ─────────
+
+  /**
+   * Keep only rows whose `keys`-group size is within [minSize, maxSize] —
+   * the bucket/block cap every blocked candidate generator applies before
+   * its within-bucket pair join.
+   *
+   * Shaped as a partial-aggregable groupBy-count + semi-join, NOT a
+   * `count().over(Window.partitionBy(keys))`: the window form sorts each
+   * bucket's members in one task, so the hottest bucket — the exact thing
+   * the cap exists to drop — would first be materialized and sorted in a
+   * single straggler task (10⁷-member boilerplate bucket = one task doing
+   * all the work, then discarding it). The aggregate collapses a hot
+   * bucket to one count per input partition map-side; the semi-join back
+   * is a hash join on the same key the downstream pair join shuffles on,
+   * and AQE broadcasts the (tiny: one row per surviving bucket) key list
+   * when it fits.
+   */
+  private[graft] def sizeBandedBuckets(df: DataFrame, keys: Seq[String],
+      minSize: Long, maxSize: Long): DataFrame = {
+    val eligible = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(minSize, maxSize))
+      .select(keys.map(col): _*)
+    df.join(eligible, keys, "left_semi")
   }
 
   // ── MinHash + LSH near-dup ───────────────────────────────────────────────
@@ -119,14 +161,10 @@ object Dedup {
       .select(col(idCol).as("doc"),
         posexplode(graft.functions.NativeTextKit.minhashBands(
           col(textCol), numHashes, shingleLen, bands, oph)).as(Seq("band", "bucket")))
-    // size-capped bucket membership (window count shares the (band,bucket)
-    // partitioning of the join), then a bucket self-join — 2× faster than
-    // collect_list + nested-transform pair explosion, and the sketch
-    // shuffle is computed once and re-read by both sides (ReuseExchange)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("bucket"))
-    val eligible = banded.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n").between(2, maxBucketSize)).drop("__n")
+    // size-capped bucket membership ([[sizeBandedBuckets]] — skew-safe
+    // partial-agg count), then a bucket self-join — 2× faster than
+    // collect_list + nested-transform pair explosion
+    val eligible = sizeBandedBuckets(banded, Seq("band", "bucket"), 2L, maxBucketSize)
     val l = eligible.select(col("band"), col("bucket"), col("doc").as("doc_a"))
     val r = eligible.select(col("band"), col("bucket"), col("doc").as("doc_b"))
     l.join(r, Seq("band", "bucket"))
@@ -138,7 +176,7 @@ object Dedup {
   /**
    * Prefix-blocked candidate pairs: documents sharing their first
    * `prefixLen` characters are paired within the block. Blocks are
-   * size-capped with the same windowed-count pattern as
+   * size-capped with the same [[sizeBandedBuckets]] pattern as
    * [[minhashCandidatePairs]] — at 100× scale one hot boilerplate prefix
    * ("Terms of Service…", crawler headers) would otherwise make a single
    * block quadratic; blocks over `maxBlockSize` are dropped whole (same
@@ -147,12 +185,9 @@ object Dedup {
    */
   def prefixBlockedCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 16, maxBlockSize: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ids = df.select(col(idCol).as("doc"),
       substring(col(textCol), 1, prefixLen).as("pfx"))
-    val w = Window.partitionBy(col("pfx"))
-    val eligible = ids.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n").between(2, maxBlockSize)).drop("__n")
+    val eligible = sizeBandedBuckets(ids, Seq("pfx"), 2L, maxBlockSize)
     eligible.select(col("pfx"), col("doc").as("doc_a"))
       .join(eligible.select(col("pfx"), col("doc").as("doc_b")), Seq("pfx"))
       .filter(col("doc_a") < col("doc_b"))
@@ -240,17 +275,14 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double,
       numHashes: Int = 128, shingleLen: Int = 5, bands: Int = 16,
       maxBucketSize: Int = 1000, oph: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val par = fresh.sparkSession.sparkContext.defaultParallelism
     def banded(df: DataFrame, out: String): DataFrame =
       df.repartition(par).select(col(idCol).as(out),
         posexplode(graft.functions.NativeTextKit.minhashBands(
           col(textCol), numHashes, shingleLen, bands, oph)).as(Seq("band", "bucket")))
     val f = banded(fresh, "doc_a")
-    val w = Window.partitionBy(col("band"), col("bucket"))
-    val r = banded(reference, "doc_b")
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val r = sizeBandedBuckets(banded(reference, "doc_b"),
+      Seq("band", "bucket"), 1L, maxBucketSize)
     val cands = f.join(r, Seq("band", "bucket"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -345,8 +377,9 @@ object Dedup {
   /** SimHash candidate pairs by 16-bit chunk collision (pigeonhole for
     * Hamming distance ≤ 3), verified by true Hamming distance ≤ `maxDist`.
     *
-    * Chunk buckets are size-capped with the same windowed-count pattern as
-    * [[minhashCandidatePairs]]: the bucket key space is only 4 × 65,536, so
+    * Chunk buckets are size-capped with the same [[sizeBandedBuckets]]
+    * pattern as [[minhashCandidatePairs]]: the bucket key space is only
+    * 4 × 65,536, so
     * at a billion documents EVERY bucket holds ~15k members and the
     * within-bucket pairing is quadratic — one hot 16-bit chunk value
     * (boilerplate text hashing to a common pattern) would dominate the
@@ -371,13 +404,9 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("chunk"))
     val chunked = sh.withColumn("ckey",
       expr("shiftright(sh, chunk * 16) & 65535"))
-    // size-capped bucket membership: the window count shares the
-    // (chunk, ckey) partitioning of the join, so the cap costs no extra
-    // shuffle, and ReuseExchange serves both join sides from one exchange
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("chunk"), col("ckey"))
-    val eligible = chunked.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n").between(2, maxBucketSize)).drop("__n")
+    // size-capped bucket membership ([[sizeBandedBuckets]] — skew-safe
+    // partial-agg count; singleton buckets pruned in the same pass)
+    val eligible = sizeBandedBuckets(chunked, Seq("chunk", "ckey"), 2L, maxBucketSize)
     val l = eligible.select(col("chunk"), col("ckey"), col("doc").as("doc_a"), col("sh").as("sh_a"))
     val r = eligible.select(col("chunk"), col("ckey"), col("doc").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "ckey"))

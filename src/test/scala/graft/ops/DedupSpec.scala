@@ -18,14 +18,17 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", "a"), ("k2", "z")))
   }
 
-  test("exactDedup is a partial-aggregable min_by, not a window sort (skew posture)") {
+  test("exactDedup is a narrow partial-min + hash join-back, not a window sort (skew posture)") {
     import spark.implicits._
     val df = Seq(("k1", 1L, "a"), ("k2", 2L, "b")).toDF("k", "ord", "v")
     val plan = Dedup.exactDedup(df, Seq("k"), Seq("ord")).queryExecution.executedPlan.toString
-    // map-side combine: a partial min_by aggregate reduces a hot key to one
-    // row per input partition BEFORE the shuffle — the window form cannot
-    assert(plan.contains("partial_min_by"), s"expected partial min_by aggregate:\n$plan")
+    // map-side combine: the partial min over (key, orderCols) reduces a hot
+    // key to one row per input partition BEFORE the shuffle — the window
+    // form cannot; the wide columns come back via a hash join, never a sort
+    assert(plan.contains("partial_min"), s"expected partial min aggregate:\n$plan")
     assert(!plan.contains("Window"), s"expected no window operator:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected hash join-back:\n$plan")
   }
 
   test("exactDedup survives a skewed key (one key = 20% of rows) with the right winner") {
