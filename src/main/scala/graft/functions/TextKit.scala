@@ -21,6 +21,54 @@ object TextKit {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Non-empty trimmed lines of a document ('\n'-delimited); blank and
+    * whitespace-only lines are dropped.
+    */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /**
+   * Intra-document repetition statistics — the Gopher/RefinedWeb-style
+   * quality signals a training-data pipeline filters on (Rae et al. 2021,
+   * Table A1): documents dominated by repeated lines or words are
+   * boilerplate/spam, not prose. Returns a struct of
+   *   - `n_lines`, `dup_line_frac`     (repeated-line fraction),
+   *     `dup_line_char_frac`           (chars in repeat occurrences of a
+   *                                     line / total line chars),
+   *   - `n_words`, `dup_word_frac`     (repeated-word fraction),
+   *     `top_word_frac`                (most frequent word's share).
+   * Empty inputs yield 0 fractions.
+   *
+   * Pure codegen'd expression; the per-word occurrence count is O(W·D) in
+   * (words × distinct words) per document, which is the right trade below
+   * ~10³ words/doc (no shuffle, no explode). For book-length documents use
+   * an explode + groupBy formulation instead — the stats are per-document,
+   * so the aggregate is one hash-shuffle on doc id.
+   */
+  def repetitionStats(text: Column): Column = {
+    val ls = lines(text)
+    val dls = array_distinct(ls)
+    val ws = tokens(text)
+    val dws = array_distinct(ws)
+    def charSum(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val nl = size(ls).cast("double")
+    val nw = size(ws).cast("double")
+    val lchars = charSum(ls).cast("double")
+    struct(
+      size(ls).cast("long").as("n_lines"),
+      when(nl > 0, (nl - size(dls).cast("double")) / nl).otherwise(0.0)
+        .as("dup_line_frac"),
+      when(lchars > 0, (lchars - charSum(dls).cast("double")) / lchars)
+        .otherwise(0.0).as("dup_line_char_frac"),
+      size(ws).cast("long").as("n_words"),
+      when(nw > 0, (nw - size(dws).cast("double")) / nw).otherwise(0.0)
+        .as("dup_word_frac"),
+      when(nw > 0,
+        array_max(transform(dws, w => size(filter(ws, x => x === w))))
+          .cast("double") / nw).otherwise(0.0).as("top_word_frac"))
+  }
+
   /** BPE-ish subword count: word-piece regex — runs of letters, digits, or
     * single non-space symbols (a cheap stand-in for a real BPE vocab; the
     * shape — regex extract-all count — is what a tokenizer-count pipeline

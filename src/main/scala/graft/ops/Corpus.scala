@@ -107,6 +107,32 @@ object Corpus {
   }
 
   /**
+   * Explode+aggregate twin of [[TextKit.repetitionStats]]'s word-level
+   * stats for LONG documents (≳10³ words): the expression form's per-word
+   * occurrence count is O(words × distinct words) per document, where this
+   * shape is occurrence-linear — explode to (doc, word), partial-agg count
+   * per (doc, word), then one per-doc aggregate. Two hash shuffles, both
+   * map-side combined (same shape as [[vocabStats]]); a hot viral word
+   * inside one document collapses in the first partial aggregate.
+   * Output: idCol, n_words, dup_word_frac, top_word_frac. Documents with
+   * zero words produce no row (explode drops them) — left-join and
+   * coalesce to 0 if completeness matters.
+   */
+  def wordRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(TextKit.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_words"),
+        ((sum(col("__tf")) - count(lit(1))).cast("double") /
+          sum(col("__tf")).cast("double")).as("dup_word_frac"),
+        (max(col("__tf")).cast("double") / sum(col("__tf")).cast("double"))
+          .as("top_word_frac"))
+  }
+
+  /**
    * Sequence packing (contiguous greedy): documents are packed in `orderCol`
    * order into chunks of ~`budget` tokens — a document starts a new chunk
    * when the exclusive running token total crosses the next multiple of

@@ -407,6 +407,53 @@ object LlmQueries {
       |SELECT doc_id, CAST(round(quality * 10000, 0) AS BIGINT) AS quality_bps
       |FROM q ORDER BY doc_id""".stripMargin
 
+  // ── intra-document repetition (Gopher-style quality filter signals) ─────
+  // Fractions are ppm-quantized for exact integer comparison; both engines
+  // compute the identical double ratios of small exact integers, so the
+  // rounded values agree bit-for-bit.
+  private val tRepetition: Q = (s, dir) => {
+    val st = TextKit.repetitionStats(col("text"))
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        st.getField("n_lines").as("n_lines"),
+        st.getField("n_words").as("n_words"),
+        round(st.getField("dup_line_frac") * 1e6).cast("long").as("dup_line_ppm"),
+        round(st.getField("dup_line_char_frac") * 1e6).cast("long").as("dup_line_char_ppm"),
+        round(st.getField("dup_word_frac") * 1e6).cast("long").as("dup_word_ppm"),
+        round(st.getField("top_word_frac") * 1e6).cast("long").as("top_word_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  private val tRepetitionSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |                l -> len(l) > 0) AS ls,
+      |    CASE WHEN len(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, ls, ws,
+      |    list_distinct(ls) AS dls, list_distinct(ws) AS dws,
+      |    CAST(len(ls) AS DOUBLE) AS nl, CAST(len(ws) AS DOUBLE) AS nw,
+      |    CAST(list_sum(list_transform(ls, x -> len(x))) AS DOUBLE) AS lchars
+      |  FROM base
+      |)
+      |SELECT doc_id,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(round(CASE WHEN nl > 0 THEN (nl - len(dls)) / nl ELSE 0 END * 1e6, 0)
+      |    AS BIGINT) AS dup_line_ppm,
+      |  CAST(round(CASE WHEN lchars > 0
+      |    THEN (lchars - list_sum(list_transform(dls, x -> len(x)))) / lchars
+      |    ELSE 0 END * 1e6, 0) AS BIGINT) AS dup_line_char_ppm,
+      |  CAST(round(CASE WHEN nw > 0 THEN (nw - len(dws)) / nw ELSE 0 END * 1e6, 0)
+      |    AS BIGINT) AS dup_word_ppm,
+      |  CAST(round(CASE WHEN nw > 0
+      |    THEN CAST(list_max(list_transform(dws,
+      |           w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / nw
+      |    ELSE 0 END * 1e6, 0) AS BIGINT) AS top_word_ppm
+      |FROM d ORDER BY doc_id""".stripMargin
+
   private val tLang: Q = (s, dir) => {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextKit.langId(col("text")).as("lang_pred"))
@@ -547,6 +594,7 @@ object LlmQueries {
     "sim_topk_ivf" -> simIvf,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
+    "t_repetition" -> tRepetition,
     "t_lang_id" -> tLang,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
@@ -568,6 +616,7 @@ object LlmQueries {
     "sim_topk_lsh" -> simLshSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
+    "t_repetition" -> tRepetitionSql,
     "t_lang_id" -> tLangSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,

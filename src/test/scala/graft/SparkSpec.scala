@@ -13,6 +13,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the CI box freezes for tens of seconds under load; with the 10s
+      // defaults the local-mode executor declares the driver dead and
+      // System.exit(56)s the whole suite JVM mid-run
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // Streaming query stop() interrupts the microbatch thread; the RocksDB

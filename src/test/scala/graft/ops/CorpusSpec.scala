@@ -52,6 +52,44 @@ class CorpusSpec extends SparkSpec {
     assert(dist(13 * 16, 2 * 16) == coarse)
   }
 
+  test("repetitionStats: hand-computed line and word repetition fractions") {
+    import spark.implicits._
+    import graft.functions.TextKit
+    // lines (blank dropped): [dup dup, alpha, dup dup, beta beta];
+    // words: [dup,dup,alpha,dup,dup,beta,beta] → 7 words, 3 distinct
+    val text = "dup dup\nalpha\ndup dup\n  \nbeta beta"
+    val r = Seq(text).toDF("text")
+      .select(TextKit.repetitionStats(col("text")).as("r"))
+      .select("r.*").collect()(0)
+    assert(r.getLong(0) == 4L) // n_lines (blank line dropped)
+    assert(r.getDouble(1) == 0.25) // dup_line_frac: 1 repeated of 4
+    // line chars: 7+5+7+9=28 total, distinct 7+5+9=21 → 7/28
+    assert(r.getDouble(2) == 0.25)
+    assert(r.getLong(3) == 7L) // n_words
+    assert(r.getDouble(4) == 4.0 / 7.0) // dup_word_frac: 7 words - 3 distinct
+    assert(r.getDouble(5) == 4.0 / 7.0) // top_word_frac: "dup" ×4
+    // empty text → zero everything
+    val e = Seq("  ").toDF("text")
+      .select(TextKit.repetitionStats(col("text")).as("r"))
+      .select("r.*").collect()(0)
+    assert(e.getLong(0) == 0L && e.getDouble(1) == 0.0 && e.getDouble(2) == 0.0)
+    assert(e.getLong(3) == 0L && e.getDouble(4) == 0.0 && e.getDouble(5) == 0.0)
+  }
+
+  test("wordRepetitionStats (explode twin for long docs) matches the expression form") {
+    import graft.functions.TextKit
+    import graft.sources.Tables
+    import graft.TestSpark.sf0001
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val viaExpr = docs
+      .select(col("doc_id"), TextKit.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.dup_word_frac"), col("r.top_word_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val viaAgg = Corpus.wordRepetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(viaAgg.nonEmpty && viaAgg == viaExpr.filter(_._2._1 > 0))
+  }
+
   test("contaminationCounts finds n-gram overlap and only overlap") {
     val corpus = Seq(
       (1L, "xylophone orchestra quartet jubilee zigzag"),
