@@ -53,6 +53,65 @@ object Corpus {
       .otherwise("test")
   }
 
+  private def hex4(n: Int): String = if (n >= 65536) "zzzz" else f"$n%04x"
+
+  /** Keep-decision for a deterministic content-hash Bernoulli sample:
+    * true iff the document's 16-bit md5 cell (of `salt` + text) falls
+    * below `round(fraction·65536)`. Content-based and engine-portable
+    * (lexicographic compare of fixed-width lowercase hex = numeric
+    * compare), so a sample is reproducible across runs AND duplicate
+    * texts sample identically — a re-crawled copy can never appear in a
+    * sample its byte-identical twin was excluded from. Distinct `salt`s
+    * give independent samples. Granularity 1/65536.
+    */
+  def sampleKeep(text: Column, fraction: Double, salt: String = ""): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val cells = math.round(fraction * 65536).toInt
+    substring(md5(concat(lit(salt), text).cast("binary")), 1, 4) < lit(hex4(cells))
+  }
+
+  /** Filter `df` to a deterministic `fraction` sample (see [[sampleKeep]]).
+    * Pure per-row expression — a free rider on any scan, no shuffle.
+    */
+  def deterministicSample(df: DataFrame, textCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(sampleKeep(col(textCol), fraction, salt))
+
+  /**
+   * Training-mixture sampling: each source is re-weighted by its mixture
+   * weight — the step that turns "deduplicated corpus" into "training
+   * distribution" (code ×2.5, low-quality crawl ×0.1, …). A weight `w`
+   * emits `floor(w)` copies of every document plus one more for the
+   * deterministic `w - floor(w)` content-hash fraction ([[sampleKeep]]),
+   * so expected copies = w exactly, decisions are reproducible, and
+   * duplicate texts replicate identically. Output rows carry a `copy`
+   * index (1..n) so downstream shuffling/packing can spread epochs.
+   *
+   * Pure per-row expression + `explode` (weights are plan-time constants —
+   * the per-source thresholds fold into the codegen'd CASE); documents
+   * whose source draws zero copies exit via an empty-array explode. No
+   * shuffle, no UDF; at 100 TB this runs at scan speed.
+   */
+  def mixtureSample(df: DataFrame, sourceCol: String, textCol: String,
+      weights: Seq[(String, Double)], defaultWeight: Double = 0.0,
+      salt: String = "", copyName: String = "copy"): DataFrame = {
+    require((defaultWeight +: weights.map(_._2)).forall(_ >= 0.0))
+    val h = substring(md5(concat(lit(salt), col(textCol)).cast("binary")), 1, 4)
+    def copiesFor(w: Double): Column = {
+      val fracCells = math.round((w - math.floor(w)) * 65536).toInt
+      lit(math.floor(w).toLong) +
+        when(h < lit(hex4(fracCells)), 1L).otherwise(0L)
+    }
+    val n = weights.foldRight(copiesFor(defaultWeight)) {
+      case ((s, w), acc) => when(col(sourceCol) === s, copiesFor(w)).otherwise(acc)
+    }
+    // sequence(1, 0) would count DOWN ([1, 0]); empty array explodes to
+    // zero rows, which is the drop path
+    df.withColumn(copyName,
+      explode(when(n > 0, sequence(lit(1L), n))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /**
    * Benchmark decontamination: for each corpus document, the number of its
    * distinct character `n`-grams that appear anywhere in the benchmark set

@@ -454,6 +454,35 @@ object LlmQueries {
       |    ELSE 0 END * 1e6, 0) AS BIGINT) AS top_word_ppm
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ── deterministic training-mixture sampling ─────────────────────────────
+  // src0 upsampled ×2.5, src1 downsampled to 0.4, everything else to 0.1;
+  // both engines carve the same md5 16-bit cells, so the sampled multiset
+  // (incl. copy indices) matches exactly.
+  private val tMixture: Q = (s, dir) => {
+    graft.ops.Corpus.mixtureSample(Tables.documents(s, dir), "source", "text",
+        weights = Seq("src0" -> 2.5, "src1" -> 0.4), defaultWeight = 0.1,
+        salt = "s1")
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+  private val tMixtureSql =
+    """WITH j AS (
+      |  SELECT doc_id, source, substring(md5('s1' || text), 1, 4) AS h,
+      |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+      |         ELSE 0.1 END AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(w) AS BIGINT)
+      |      + CASE WHEN h < printf('%04x',
+      |          CAST(round((w - floor(w)) * 65536, 0) AS BIGINT))
+      |        THEN 1 ELSE 0 END AS n_copies
+      |  FROM j
+      |)
+      |SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+      |FROM c, unnest(range(1, n_copies + 1)) AS u(copy)
+      |ORDER BY doc_id, copy""".stripMargin
+
   private val tLang: Q = (s, dir) => {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextKit.langId(col("text")).as("lang_pred"))
@@ -595,6 +624,7 @@ object LlmQueries {
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
+    "t_mixture_sample" -> tMixture,
     "t_lang_id" -> tLang,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
@@ -617,6 +647,7 @@ object LlmQueries {
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,
+    "t_mixture_sample" -> tMixtureSql,
     "t_lang_id" -> tLangSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,

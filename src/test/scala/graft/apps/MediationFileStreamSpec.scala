@@ -31,8 +31,13 @@ class MediationFileStreamSpec extends SparkSpec {
         trigger = Trigger.AvailableNow(),
         enrich = AsyncEnrich.Config(clientId = "fs-spec", backoffMillis = 1L)),
       () => new AsyncEnrich.StubClient(), out, toxic, ckpt)
-    // AvailableNow: both queries process the backlog then stop on their own
-    queries.foreach(_.awaitTermination(60000))
+    // AvailableNow: both queries process the backlog then stop on their own.
+    // awaitTermination(timeout) returns FALSE on expiry without throwing —
+    // assert it, or a slow run falls through to stop(), kills the in-flight
+    // write and the read below finds an empty directory (seen on CI under
+    // host contention).
+    queries.foreach(q => assert(q.awaitTermination(300000),
+      "AvailableNow query failed to drain within 300s"))
     queries.foreach(_.stop())
 
     val results = spark.read.parquet(out).as[SendResult].collect().toSeq

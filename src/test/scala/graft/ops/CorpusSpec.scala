@@ -90,6 +90,58 @@ class CorpusSpec extends SparkSpec {
     assert(viaAgg.nonEmpty && viaAgg == viaExpr.filter(_._2._1 > 0))
   }
 
+  test("deterministicSample: reproducible, content-based, fraction-accurate, salt-independent") {
+    import graft.apps.DataGen
+    val docs = DataGen.uniformDocuments(spark, 10000L)
+    val a = Corpus.deterministicSample(docs, "text", 0.25, salt = "x")
+    val n = a.count()
+    assert(math.abs(n - 2500L) < 200, s"0.25 sample of 10k → $n") // ~3.5σ
+    // reproducible: same plan twice → identical ids
+    val ids1 = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.deterministicSample(docs, "text", 0.25, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // nested property: a 0.1 sample is a subset of the 0.25 sample (same salt)
+    val small = Corpus.deterministicSample(docs, "text", 0.1, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(ids1))
+    // a different salt decorrelates: overlap ≈ 0.25·0.25·10k, not 0.1·10k
+    val other = Corpus.deterministicSample(docs, "text", 0.25, salt = "y")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = (ids1 & other).size
+    assert(overlap > 350 && overlap < 900, s"salted overlap $overlap")
+  }
+
+  test("mixtureSample: expected copies per weight, duplicates replicate identically") {
+    import spark.implicits._
+    val docs = (1L to 3000L).map { i =>
+      val src = if (i % 3 == 0) "up" else if (i % 3 == 1) "down" else "other"
+      (i, src, s"document number $i with some text body")
+    }.toDF("doc_id", "source", "text")
+    val out = Corpus.mixtureSample(docs, "source", "text",
+      weights = Seq("up" -> 2.5, "down" -> 0.4), defaultWeight = 0.0)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 docs per source: up ≈ 2500, down ≈ 400, other dropped entirely
+    assert(math.abs(bySrc("up") - 2500L) < 150, s"up=${bySrc.get("up")}")
+    assert(math.abs(bySrc("down") - 400L) < 120, s"down=${bySrc.get("down")}")
+    assert(!bySrc.contains("other"))
+    // every kept doc's copies are exactly 1..n
+    val badCopies = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), min("copy").as("lo"), max("copy").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n")).count()
+    assert(badCopies == 0L)
+    // byte-identical texts in the same source draw identical copy counts
+    val twin = Seq((1L, "up", "twin text"), (2L, "up", "twin text"))
+      .toDF("doc_id", "source", "text")
+    val tc = Corpus.mixtureSample(twin, "source", "text", Seq("up" -> 1.5))
+      .groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
+    assert(tc.size == 1, s"twins must replicate identically: $tc")
+    // integer weight = exact replication
+    val exact = Corpus.mixtureSample(twin, "source", "text", Seq("up" -> 3.0))
+    assert(exact.count() == 6L)
+  }
+
   test("contaminationCounts finds n-gram overlap and only overlap") {
     val corpus = Seq(
       (1L, "xylophone orchestra quartet jubilee zigzag"),
