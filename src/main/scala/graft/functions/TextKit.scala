@@ -196,4 +196,35 @@ object TextKit {
     * expression — see [[graft.functions.Fingerprint32]]).
     */
   def fingerprint32(text: Column): Column = Fingerprint.fingerprint32(text)
+
+  // ── PII redaction ─────────────────────────────────────────────────────
+  // Patterns are deliberately restricted to constructs with identical
+  // semantics in Java regex and RE2 (character classes, bounded repetition,
+  // \b ASCII word boundaries; no backreferences or lookaround) so the same
+  // pattern runs verbatim in the DuckDB oracle. The IPv4 pattern accepts
+  // out-of-range octets like 999 — standard for scrubbing (over-redaction
+  // of a non-address is harmless; under-redaction is not).
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\+\\d{1,3}[ .-]\\d{3}[ .-]\\d{3}[ .-]\\d{4}"
+
+  /** Count of PII matches of one pattern (taken on the ORIGINAL text —
+    * counts then redaction, never the reverse, so counts are stable
+    * regardless of replacement-token collisions).
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails, then phone numbers, then IPv4 addresses with typed
+    * placeholder tokens. Email runs first (its local part may embed digit
+    * runs a later pass would chew on); phone before IPv4 (dotted phone
+    * separators could otherwise present IPv4-shaped substrings). Pure
+    * chained `regexp_replace` — codegen'd, zero shuffle, scan-speed at
+    * 100 TB like every scrubber must be.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, lit(emailPattern), lit("<EMAIL>"))
+    val p = regexp_replace(e, lit(phonePattern), lit("<PHONE>"))
+    regexp_replace(p, lit(ipv4Pattern), lit("<IP>"))
+  }
 }

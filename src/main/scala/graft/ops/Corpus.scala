@@ -113,6 +113,46 @@ object Corpus {
   }
 
   /**
+   * Cross-document line deduplication (boilerplate removal): drop every
+   * line whose exact text appears in at least `minDocs` distinct documents
+   * — the CCNet/RefinedWeb-style pass that strips navigation chrome,
+   * cookie banners and licence footers which survive document-level dedup
+   * because the documents CONTAINING them differ. Returns one row per
+   * input document: `clean_text` (surviving lines in original order; null
+   * when no line survives), `lines_kept`, `lines_dropped`.
+   *
+   * Scale posture: explode is map-side; line doc-frequency is a
+   * distinct-then-count (both shuffles partially aggregated — the hot key
+   * here is the empty line in billions of documents, and the (line, doc)
+   * distinct collapses it per-map-task before any shuffle); the dup-line
+   * set is tiny relative to the corpus (boilerplate by definition) so the
+   * marker join broadcasts under AQE; reassembly is one hash-shuffle on
+   * doc id with collect_list — bounded by a document's own line count,
+   * never by corpus size. No window functions, no global sort.
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, outCol: String = "clean_text"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every line")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val dup = lines.select(col("line"), col(idCol)).distinct()
+      .groupBy("line").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("line"), lit(true).as("dup"))
+    val marked = lines.join(dup, Seq("line"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(false)))
+    // collect_list skips nulls, so when(!dup, …) keeps survivors only;
+    // array_sort on struct(pos, line) restores document order
+    val kept = array_sort(collect_list(
+      when(!col("dup"), struct(col("pos"), col("line")))))
+    marked.groupBy(idCol).agg(
+      when(size(kept) > 0,
+        array_join(transform(kept, s => s("line")), "\n")).as(outCol),
+      sum(when(!col("dup"), 1L).otherwise(0L)).as("lines_kept"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("lines_dropped"))
+  }
+
+  /**
    * Benchmark decontamination: for each corpus document, the number of its
    * distinct character `n`-grams that appear anywhere in the benchmark set
    * (the standard n-gram-overlap contamination test for eval suites).

@@ -483,6 +483,84 @@ object LlmQueries {
       |FROM c, unnest(range(1, n_copies + 1)) AS u(copy)
       |ORDER BY doc_id, copy""".stripMargin
 
+  // ── cross-document line dedup (boilerplate removal) ─────────────────────
+  // The synthetic documents are single-line, so the query plants the
+  // real-world shape in BOTH engines: a per-source header (~100 docs each)
+  // and a global footer (all docs) around the unique body. minDocs=2 strips
+  // header+footer and keeps every body line.
+  private val ddLineDedup: Q = (s, dir) => {
+    val boilered = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("nav header "), col("source"), lit("\n"),
+        col("text"), lit("\nsite footer (c) 2026")).as("text"))
+    graft.ops.Corpus.dedupLines(boilered, "doc_id", "text", minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+  private val ddLineDedupSql =
+    """WITH d2 AS (
+      |  SELECT doc_id, 'nav header ' || source || chr(10) || text ||
+      |         chr(10) || 'site footer (c) 2026' AS t
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+      |    unnest(string_split(t, chr(10))) AS line
+      |  FROM d2
+      |), freq AS (
+      |  SELECT line, count(DISTINCT doc_id) AS ndocs FROM l GROUP BY line
+      |), m AS (
+      |  SELECT l.doc_id, l.pos, l.line, freq.ndocs >= 2 AS dup
+      |  FROM l JOIN freq USING (line)
+      |)
+      |SELECT doc_id,
+      |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dup)
+      |    AS clean_text,
+      |  CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS lines_kept,
+      |  CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS lines_dropped
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── PII redaction ────────────────────────────────────────────────────────
+  // Synthetic docs carry no PII, so the query plants a deterministic email,
+  // phone and IPv4 per document in BOTH engines, then verifies the scrub
+  // and the pre-redaction counts match byte-for-byte.
+  private val tPiiRedact: Q = (s, dir) => {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        lit(" or +1 415-555-0"),
+        lpad((col("doc_id") % 100).cast("string"), 3, "0"),
+        lit(" node 10.20."), (col("doc_id") % 256).cast("string"),
+        lit(".7 end")).as("text"))
+    planted.select(col("doc_id"),
+        TextKit.piiCount(col("text"), TextKit.emailPattern).as("n_emails"),
+        TextKit.piiCount(col("text"), TextKit.phonePattern).as("n_phones"),
+        TextKit.piiCount(col("text"), TextKit.ipv4Pattern).as("n_ips"),
+        TextKit.redactPii(col("text")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+  private val tPiiRedactSql =
+    """WITH p AS (
+      |  SELECT doc_id, text || ' contact user' || doc_id ||
+      |    '@mail.example.com or +1 415-555-0' ||
+      |    lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') ||
+      |    ' node 10.20.' || (doc_id % 256) || '.7 end' AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\+\d{1,3}[ .-]\d{3}[ .-]\d{3}[ .-]\d{4}')) AS INT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+\d{1,3}[ .-]\d{3}[ .-]\d{3}[ .-]\d{4}', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+      |    AS clean_text
+      |FROM p ORDER BY doc_id""".stripMargin
+
   private val tLang: Q = (s, dir) => {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextKit.langId(col("text")).as("lang_pred"))
@@ -625,6 +703,8 @@ object LlmQueries {
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
     "t_mixture_sample" -> tMixture,
+    "dd_line_dedup" -> ddLineDedup,
+    "t_pii_redact" -> tPiiRedact,
     "t_lang_id" -> tLang,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
@@ -648,6 +728,8 @@ object LlmQueries {
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,
     "t_mixture_sample" -> tMixtureSql,
+    "dd_line_dedup" -> ddLineDedupSql,
+    "t_pii_redact" -> tPiiRedactSql,
     "t_lang_id" -> tLangSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,

@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextKitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextKit.redactPii(col("t"))).collect().head.getString(0)
+
+  private def counts(s: String): (Int, Int, Int) = {
+    val r = Seq(s).toDF("t").select(
+      TextKit.piiCount(col("t"), TextKit.emailPattern),
+      TextKit.piiCount(col("t"), TextKit.phonePattern),
+      TextKit.piiCount(col("t"), TextKit.ipv4Pattern)).collect().head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  test("redactPii scrubs emails, phones, IPv4 with typed tokens") {
+    assert(redact("mail bob.smith+tag@sub.example.co.uk now") == "mail <EMAIL> now")
+    assert(redact("call +1 415-555-0134 or +44 201.555.0177") ==
+      "call <PHONE> or <PHONE>")
+    assert(redact("host 10.20.30.7 and 192.168.1.255") == "host <IP> and <IP>")
+    assert(redact("a@b.io at 10.0.0.1 ring +1 555-555-5555") ==
+      "<EMAIL> at <IP> ring <PHONE>")
+  }
+
+  test("redactPii leaves non-PII intact (version strings, bare numbers)") {
+    assert(redact("v1.2.3 released; 1234 units; pi=3.14") ==
+      "v1.2.3 released; 1234 units; pi=3.14")
+    // 4-octet dotted runs DO match even out-of-range (documented over-redaction)
+    assert(redact("odd 999.1.2.3 token") == "odd <IP> token")
+  }
+
+  test("piiCount counts on the original text, all three kinds") {
+    assert(counts("a@b.io c@d.org +1 222-333-4444 10.0.0.1") == ((2, 1, 1)))
+    assert(counts("nothing here") == ((0, 0, 0)))
+  }
+}

@@ -142,6 +142,33 @@ class CorpusSpec extends SparkSpec {
     assert(exact.count() == 6L)
   }
 
+  test("dedupLines drops cross-document boilerplate, keeps order, handles all-dropped docs") {
+    val docs = Seq(
+      (1L, "shared header\nunique body one\nmore body one\nshared footer"),
+      (2L, "shared header\nunique body two\nshared footer"),
+      (3L, "shared header\nshared footer"), // nothing survives
+      (4L, "standalone doc with its own single line")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((Some("unique body one\nmore body one"), 2L, 2L)))
+    assert(out(2L) == ((Some("unique body two"), 1L, 2L)))
+    assert(out(3L) == ((None, 0L, 2L)), "all-boilerplate doc → null text")
+    assert(out(4L) == ((Some("standalone doc with its own single line"), 1L, 0L)))
+  }
+
+  test("dedupLines: duplicate lines WITHIN one doc don't count as cross-doc") {
+    val docs = Seq(
+      (1L, "echo\necho\necho"), // 3 copies but only 1 document
+      (2L, "other text")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(out.getString(1) == "echo\necho\necho" && out.getLong(3) == 0L,
+      "doc frequency is DISTINCT docs, not occurrences")
+  }
+
   test("contaminationCounts finds n-gram overlap and only overlap") {
     val corpus = Seq(
       (1L, "xylophone orchestra quartet jubilee zigzag"),
