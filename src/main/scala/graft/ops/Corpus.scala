@@ -232,6 +232,130 @@ object Corpus {
   }
 
   /**
+   * Exact substring-span duplication statistics (the ExactSubstr signal of
+   * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better", at word granularity): for every document, how many of its
+   * distinct `k`-word spans also appear in at least `minDocs - 1` OTHER
+   * documents. Line dedup ([[dedupLines]]) only catches boilerplate that is
+   * line-aligned; span stats catch quotations, syndicated passages and
+   * template prose that flow across line breaks. Filter or trim on
+   * `dup_span_ppm` downstream.
+   *
+   * Output: one row per input document — `n_spans` (distinct k-word spans),
+   * `dup_spans`, `dup_span_ppm` (= 10⁶·dup/n, 0 when the document has fewer
+   * than `k` words).
+   *
+   * Scale posture: spans are hashed 64-bit before the shuffle (longs, not
+   * k-word strings); per-doc `array_distinct` runs map-side so the
+   * doc-frequency groupBy sees at most one row per (doc, span) and its
+   * partial aggregate collapses hot spans per map task; the dup-span set is
+   * boilerplate-sized, so the count-back join broadcasts under AQE. The
+   * left join restores <k-word documents that the explode dropped.
+   */
+  def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "k < 2 is word-level — use vocabStats/wordRepetitionStats")
+    require(minDocs >= 2, "minDocs < 2 marks every span duplicated")
+    val toks = TextKit.tokens(col(textCol))
+    val spans = when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - k + 1),
+        i => xxhash64(array_join(slice(toks, i, lit(k)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+    val docSpans = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(spans).as("__s"))
+    val dup = docSpans.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__s"))
+    val dupCounts = docSpans.join(dup, Seq("__s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
+    df.select(col(idCol), size(spans).cast("long").as("n_spans"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(col("n_spans") > 0,
+          round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+            col("n_spans").cast("double") * 1e6).cast("long"))
+          .otherwise(0L).as("dup_span_ppm"))
+  }
+
+  /**
+   * Corpus-trained unigram surprisal scoring — the shape of a CCNet-style
+   * model-based quality filter: train a unigram LM on the corpus itself,
+   * score every document by its total/mean token surprisal, and filter the
+   * tails (very low surprisal = degenerate repetition, very high = junk the
+   * model has never seen). Surprisal is measured in whole bits via exact
+   * integer log2 (`bitlen(N) - bitlen(count)` where `bitlen` = length of
+   * the binary expansion): every intermediate is integer arithmetic, so the
+   * scores are bit-for-bit reproducible across engines and runs — no
+   * floating-point `ln` whose last ulp differs per libm.
+   *
+   * Output: one row per document with ≥1 token — `n_tokens`,
+   * `surprisal_bits` (sum over token occurrences), `mean_centibits`
+   * (= ⌊100·surprisal/n⌋, integer division).
+   *
+   * Scale posture: the vocab build is [[vocabStats]]'s first-shuffle shape
+   * (map-side combined, occurrence-cardinality-bound); the corpus total is
+   * a single scalar broadcast as a literal-free 1-row cross join; scoring
+   * re-joins (doc, token, tf) — one distinct (doc,token) row each, never
+   * one per occurrence — against the vocab on the token hash shuffle, and
+   * AQE broadcasts the vocab side when it fits.
+   */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val docTf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(TextKit.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val vocab = docTf.groupBy(col("__w")).agg(sum(col("__tf")).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__n"))
+    docTf.join(vocab, Seq("__w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * (bitlen(col("__n")) - bitlen(col("__cnt"))))
+          .as("surprisal_bits"))
+      .withColumn("mean_centibits",
+        expr("(surprisal_bits * 100) div n_tokens"))
+  }
+
+  /**
+   * Composite Gopher-style document filter (Rae et al. 2021, Table A1
+   * shape): evaluates the standard keep/drop signals — length bounds,
+   * repeated-line and dominant-word fractions, composite quality score —
+   * and returns per document a `keep` verdict plus a deterministic
+   * `reasons` string (sorted failure codes, comma-joined; empty when kept).
+   * This is the decision step the signal queries (`t_repetition`,
+   * `t_quality_score`) feed in a production pipeline; emitting reasons
+   * rather than just a boolean is what makes filter-rate dashboards and
+   * ablations possible.
+   *
+   * Pure per-row expressions over [[TextKit.repetitionStats]] /
+   * [[TextKit.qualityScore]] — zero shuffle, scan-speed at 100 TB.
+   */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 10L, maxWords: Long = 100000L,
+      maxDupLineFrac: Double = 0.30, maxTopWordFrac: Double = 0.20,
+      minQualityBps: Long = 4000L): DataFrame = {
+    val st = TextKit.repetitionStats(col(textCol))
+    val qualityBps = round(TextKit.qualityScore(col(textCol)) * 1e4).cast("long")
+    val checks = Seq(
+      ("too_short", st.getField("n_words") < minWords),
+      ("too_long", st.getField("n_words") > maxWords),
+      ("rep_line", st.getField("dup_line_frac") > maxDupLineFrac),
+      ("rep_word", st.getField("top_word_frac") > maxTopWordFrac),
+      ("low_quality", qualityBps < minQualityBps))
+    val reasons = array_join(array_sort(filter(
+      array(checks.map { case (code, cond) =>
+        when(cond, lit(code)).otherwise(lit(null).cast("string"))
+      }: _*), r => r.isNotNull)), ",")
+    df.select(col(idCol), (reasons === "").as("keep"), reasons.as("reasons"))
+  }
+
+  /**
    * Sequence packing (contiguous greedy): documents are packed in `orderCol`
    * order into chunks of ~`budget` tokens — a document starts a new chunk
    * when the exclusive running token total crosses the next multiple of

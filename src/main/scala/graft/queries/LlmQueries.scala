@@ -687,6 +687,199 @@ object LlmQueries {
       |FROM d GROUP BY token
       |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin
 
+  // ── URL canonicalization + domain blocklist ─────────────────────────────
+  // Synthetic docs carry no URLs, so the query plants a messy-but-realistic
+  // one per document in BOTH engines (uppercase scheme/host, www, default
+  // port, tracking params, fragment; every 5th doc on a co.uk host) and
+  // verifies the canonical form, the registered domain, and the blocklist
+  // verdict byte-for-byte. The regex pipeline is the same in Java regex and
+  // RE2, so the oracle replays it step for step.
+  private val tUrlKit: Q = (s, dir) => {
+    import graft.functions.UrlKit
+    val hostRaw = when(col("doc_id") % 5 === 0,
+      concat(lit("WWW.Shop."), col("source"), lit(".co.uk")))
+      .otherwise(concat(lit("WWW."), col("source"), lit(".Example-"),
+        (col("doc_id") % 7).cast("string"), lit(".com")))
+    val url = concat(lit("HTTPS://"), hostRaw, lit(":443/p/"),
+      col("doc_id").cast("string"), lit("?utm_source=feed&id="),
+      col("doc_id").cast("string"), lit("&gclid=x11#sec"))
+    val canon = UrlKit.canonicalizeUrl(url)
+    val domain = UrlKit.registeredDomain(UrlKit.hostOf(canon))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), canon.as("canonical"), domain.as("domain"),
+        (domain === "example-3.com").as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+  private val tUrlKitSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://' || CASE WHEN doc_id % 5 = 0
+      |        THEN 'WWW.Shop.' || source || '.co.uk'
+      |        ELSE 'WWW.' || source || '.Example-' || (doc_id % 7) || '.com'
+      |      END || ':443/p/' || doc_id || '?utm_source=feed&id=' || doc_id ||
+      |      '&gclid=x11#sec' AS url
+      |  FROM documents
+      |), s1 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(trim(url), '#.*$', ''), '\?', '?&', 'g'),
+      |      '&(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)=[^&]*',
+      |      '', 'g') AS x
+      |  FROM u
+      |), s2 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(x, '\?&', '?', 'g'), '[?&]$', '') AS x
+      |  FROM s1
+      |), c AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(x, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |      ':(80|443)$', ''), '^www\.', '') AS host,
+      |    regexp_replace(
+      |      regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+      |      '/(\?|$)', '\1') AS rest
+      |  FROM s2
+      |), k AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme = '' OR host = '' THEN NULL
+      |         ELSE scheme || '://' || host || rest END AS canonical,
+      |    regexp_extract(host,
+      |      '([^.]+\.(?:co|com|org|net|gov|ac)\.(?:uk|au|jp|br|in|nz))$', 1)
+      |      AS three,
+      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS two
+      |  FROM c
+      |)
+      |SELECT doc_id, canonical,
+      |  CASE WHEN three <> '' THEN three
+      |       WHEN two <> '' THEN two ELSE NULL END AS domain,
+      |  (CASE WHEN three <> '' THEN three
+      |        WHEN two <> '' THEN two ELSE NULL END) = 'example-3.com'
+      |    AS blocked
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // ── exact substring-span dedup stats ────────────────────────────────────
+  // A shared per-source 11-word preamble is planted in BOTH engines (the
+  // syndicated-template shape), so every document carries cross-document
+  // 5-word spans that are NOT line-aligned; body spans collide naturally.
+  // Spark groups 64-bit hashed spans, the oracle groups the strings —
+  // identical unless xxhash64 collides (P≈10⁻¹³ at this scale).
+  private val ddSpanDedup: Q = (s, dir) => {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("shared promo intro for "), col("source"),
+        lit(" campaign edition alpha beta gamma delta "), col("text")).as("text"))
+    graft.ops.Corpus.spanDedupStats(planted, "doc_id", "text", k = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+  private val ddSpanDedupSql =
+    """WITH d2 AS (
+      |  SELECT doc_id, 'shared promo intro for ' || source ||
+      |    ' campaign edition alpha beta gamma delta ' || text AS t
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, CASE WHEN len(trim(t)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(t), '\s+') END AS ws
+      |  FROM d2
+      |), s AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 5
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 3),
+      |           i -> array_to_string(ws[i:i+4], ' ')))
+      |    ELSE [] END AS spans
+      |  FROM w
+      |), e AS (
+      |  SELECT doc_id, unnest(spans) AS span FROM s
+      |), f AS (
+      |  SELECT span FROM e GROUP BY span HAVING count(*) >= 2
+      |), c AS (
+      |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS dup_spans
+      |  FROM e JOIN f USING (span) GROUP BY e.doc_id
+      |)
+      |SELECT s.doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+      |  coalesce(c.dup_spans, 0) AS dup_spans,
+      |  CASE WHEN len(spans) > 0
+      |    THEN CAST(round(CAST(coalesce(c.dup_spans, 0) AS DOUBLE) /
+      |           CAST(len(spans) AS DOUBLE) * 1e6, 0) AS BIGINT)
+      |    ELSE 0 END AS dup_span_ppm
+      |FROM s LEFT JOIN c USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
+  // ── corpus-trained unigram surprisal (model-based quality score) ────────
+  // Surprisal in whole bits via exact integer log2 (binary-expansion
+  // length), so both engines agree bit-for-bit with no floating-point ln.
+  private val tUnigramLm: Q = (s, dir) => {
+    graft.ops.Corpus.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val tUnigramLmSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+      |), v AS (
+      |  SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY w
+      |), n AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(tf * (length(bin(n.total)) - length(bin(v.cnt)))) AS BIGINT)
+      |    AS surprisal_bits,
+      |  CAST((sum(tf * (length(bin(n.total)) - length(bin(v.cnt)))) * 100)
+      |    // sum(tf) AS BIGINT) AS mean_centibits
+      |FROM tf JOIN v USING (w) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── composite Gopher-style filter verdict ───────────────────────────────
+  // The decision step the signal queries feed: keep/drop plus sorted
+  // failure-reason codes. Thresholds are tuned so the sf corpus exercises
+  // both verdicts and three distinct reason codes.
+  private val tDocFilter: Q = (s, dir) => {
+    graft.ops.Corpus.gopherFilter(Tables.documents(s, dir), "doc_id", "text",
+        minWords = 15L, maxWords = 100000L, maxDupLineFrac = 0.30,
+        maxTopWordFrac = 0.20, minQualityBps = 6000L)
+      .orderBy(col("doc_id"))
+  }
+  private val tDocFilterSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |                l -> len(l) > 0) AS ls,
+      |    CAST(length(text) AS DOUBLE) AS nchars,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS puncts
+      |  FROM documents
+      |), sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CASE WHEN len(ls) > 0
+      |      THEN (CAST(len(ls) AS DOUBLE) - len(list_distinct(ls)))
+      |             / CAST(len(ls) AS DOUBLE)
+      |      ELSE 0 END AS dup_line_frac,
+      |    CASE WHEN len(ws) > 0
+      |      THEN CAST(list_max(list_transform(list_distinct(ws),
+      |             w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+      |             / CAST(len(ws) AS DOUBLE)
+      |      ELSE 0 END AS top_word_frac,
+      |    CAST(round((least(nchars / 200.0, 1.0) * 0.5
+      |      + least(stops / greatest(CAST(len(ws) AS DOUBLE), 1.0), 1.0) * 0.3
+      |      + (1.0 - least(puncts / greatest(CAST(len(ws) AS DOUBLE), 1.0), 1.0)) * 0.2)
+      |      * 10000, 0) AS BIGINT) AS quality_bps
+      |  FROM base
+      |), r AS (
+      |  SELECT doc_id,
+      |    coalesce(array_to_string(list_sort(list_filter([
+      |      CASE WHEN n_words < 15 THEN 'too_short' END,
+      |      CASE WHEN n_words > 100000 THEN 'too_long' END,
+      |      CASE WHEN dup_line_frac > 0.30 THEN 'rep_line' END,
+      |      CASE WHEN top_word_frac > 0.20 THEN 'rep_word' END,
+      |      CASE WHEN quality_bps < 6000 THEN 'low_quality' END],
+      |      x -> x IS NOT NULL)), ','), '') AS reasons
+      |  FROM sig
+      |)
+      |SELECT doc_id, reasons = '' AS keep, reasons
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
@@ -705,6 +898,10 @@ object LlmQueries {
     "t_mixture_sample" -> tMixture,
     "dd_line_dedup" -> ddLineDedup,
     "t_pii_redact" -> tPiiRedact,
+    "t_url_kit" -> tUrlKit,
+    "dd_span_dedup" -> ddSpanDedup,
+    "t_unigram_lm" -> tUnigramLm,
+    "t_doc_filter" -> tDocFilter,
     "t_lang_id" -> tLang,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
@@ -730,6 +927,10 @@ object LlmQueries {
     "t_mixture_sample" -> tMixtureSql,
     "dd_line_dedup" -> ddLineDedupSql,
     "t_pii_redact" -> tPiiRedactSql,
+    "t_url_kit" -> tUrlKitSql,
+    "dd_span_dedup" -> ddSpanDedupSql,
+    "t_unigram_lm" -> tUnigramLmSql,
+    "t_doc_filter" -> tDocFilterSql,
     "t_lang_id" -> tLangSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,

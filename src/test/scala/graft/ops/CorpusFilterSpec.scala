@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-6 corpus operators: span-level dedup stats, the
+  * integer-exact unigram surprisal scorer, and the composite Gopher-style
+  * filter verdict.
+  */
+class CorpusFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spanDedupStats: hand-computed 5→3-word-span sharing, <k docs restored") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // spans: "a b c","b c d","c d e"
+      (2L, "a b c d x"),  // shares "a b c","b c d" with doc 1
+      (3L, "z z z z"),    // 2 windows, 1 distinct span, shared with nobody
+      (4L, "q w")         // < k words: explode drops it; left join restores
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDedupStats(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, 666667L)))
+    assert(out(2L) == ((3L, 2L, 666667L)))
+    assert(out(3L) == ((1L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("spanDedupStats plan: partial aggregation, no window functions") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Corpus.spanDedupStats(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"doc-frequency count must partial-aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window functions expected:\n$plan")
+  }
+
+  test("unigramSurprisal: hand-computed exact integer log2 bits") {
+    // counts: a=2, b=2, c=1; N=5. bitlen(5)=3, bitlen(2)=2, bitlen(1)=1
+    // → surprisal(a)=1, surprisal(b)=1, surprisal(c)=2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 100L)))  // 2·1 + 1·1 = 3 bits over 3 tokens
+    assert(out(2L) == ((2L, 3L, 150L)))  // 1 + 2 = 3 bits over 2 tokens
+  }
+
+  test("unigramSurprisal is reproducible run-to-run (no float, no rand)") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"w${i % 7} w${i % 13} common tail"))
+      .toDF("doc_id", "text")
+    val a = Corpus.unigramSurprisal(docs, "doc_id", "text").collect().toSet
+    val b = Corpus.unigramSurprisal(docs, "doc_id", "text").collect().toSet
+    assert(a == b)
+  }
+
+  test("gopherFilter: verdicts and sorted reason codes") {
+    val good = (Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it") ++
+      (1 to 10).map(i => s"longcontentword$i")).mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc here"),
+      (3L, (Seq.fill(8)("spam") ++ (1 to 12).map(i => s"f$i")).mkString(" ")),
+      (4L, "same line\nsame line\nsame line\nunique one")
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherFilter(docs, "doc_id", "text",
+        minWords = 15L, maxWords = 100000L, maxDupLineFrac = 0.30,
+        maxTopWordFrac = 0.20, minQualityBps = 6000L)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2))))
+      .toMap
+    assert(out(1L)._1, s"doc 1 should be kept, got reasons ${out(1L)._2}")
+    assert(out(1L)._2 == "")
+    assert(out(2L)._2.split(",").contains("too_short"))
+    assert(out(3L)._2.split(",").contains("rep_word"))
+    assert(out(4L)._2.split(",").contains("rep_line"))
+    // reasons are sorted and deterministic
+    for ((_, (_, rs)) <- out if rs.nonEmpty) {
+      val parts = rs.split(",").toSeq
+      assert(parts == parts.sorted, s"reasons not sorted: $rs")
+    }
+  }
+
+  test("gopherFilter is pure expressions: no shuffle in the plan") {
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val plan = Corpus.gopherFilter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
