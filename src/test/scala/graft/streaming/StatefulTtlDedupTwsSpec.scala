@@ -56,34 +56,35 @@ class StatefulTtlDedupTwsSpec extends SparkSpec {
   }
 
   test("native TTL expires state between batches (tws)") {
-    // With a TTL the query runs TimeMode.ProcessingTime, where Spark
-    // re-triggers no-data batches to evaluate TTL — processAllAvailable()
-    // never returns, so this test polls the sink for row counts instead.
-    def awaitRows(name: String, n: Int, timeoutMs: Long = 30000): Unit = {
-      val deadline = System.currentTimeMillis() + timeoutMs
-      while (spark.table(name).count() < n) {
-        assert(System.currentTimeMillis() < deadline,
-          s"timed out waiting for $n rows in $name")
-        Thread.sleep(50)
-      }
-    }
+    // With a TTL the query runs TimeMode.ProcessingTime, where Spark keeps
+    // re-triggering no-data batches — processAllAvailable() never returns,
+    // and stop() kills whichever batch is mid-write (pages of benign
+    // abort-commit noise). TTLConfig expiry is evaluated on the state READ
+    // path, not by those batches, so disabling them here loses nothing and
+    // makes the run deterministic and quiet.
+    val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val r = MockData.notSentDebitQuique
     val out = {
       implicit val sq = spark.sqlContext
-      val prev = spark.conf.getOption(ProviderKey)
+      val prevProv = spark.conf.getOption(ProviderKey)
+      val prevNoData = spark.conf.getOption(NoDataKey)
       spark.conf.set(ProviderKey, RocksDb)
+      spark.conf.set(NoDataKey, "false")
       try {
         val input = MemoryStream[MyEventRecord]
         val query = StatefulTtlDedupTws(input.toDS(), ttlMillis = 300L)
           .writeStream.format("memory").queryName("tws_ttl")
           .outputMode(OutputMode.Append).start()
         try {
-          input.addData(Seq(r)); awaitRows("tws_ttl", 1)
+          input.addData(Seq(r)); query.processAllAvailable()
           Thread.sleep(700) // wall-clock: TTLConfig uses real processing time
-          input.addData(Seq(r)); awaitRows("tws_ttl", 2)
+          input.addData(Seq(r)); query.processAllAvailable()
           spark.table("tws_ttl").as[Marked].collect().toSeq
         } finally query.stop()
-      } finally prev.fold(spark.conf.unset(ProviderKey))(v => spark.conf.set(ProviderKey, v))
+      } finally {
+        prevProv.fold(spark.conf.unset(ProviderKey))(v => spark.conf.set(ProviderKey, v))
+        prevNoData.fold(spark.conf.unset(NoDataKey))(v => spark.conf.set(NoDataKey, v))
+      }
     }
     assert(out.map(_.status) == Seq(Marked.Sent, Marked.Sent))
   }
