@@ -703,11 +703,16 @@ object LlmQueries {
     val url = concat(lit("HTTPS://"), hostRaw, lit(":443/p/"),
       col("doc_id").cast("string"), lit("?utm_source=feed&id="),
       col("doc_id").cast("string"), lit("&gclid=x11#sec"))
-    val canon = UrlKit.canonicalizeUrl(url)
-    val domain = UrlKit.registeredDomain(UrlKit.hostOf(canon))
+    // layered projections: each derived column is materialized once per
+    // row instead of re-embedding the whole upstream regexp chain in every
+    // consumer (CollapseProject keeps the boundary for multiply-referenced
+    // non-cheap aliases) — same result, much smaller codegen unit
     Tables.documents(s, dir)
-      .select(col("doc_id"), canon.as("canonical"), domain.as("domain"),
-        (domain === "example-3.com").as("blocked"))
+      .select(col("doc_id"), UrlKit.canonicalizeUrl(url).as("canonical"))
+      .withColumn("host", UrlKit.hostOf(col("canonical")))
+      .withColumn("domain", UrlKit.registeredDomain(col("host")))
+      .select(col("doc_id"), col("canonical"), col("domain"),
+        (col("domain") === "example-3.com").as("blocked"))
       .orderBy(col("doc_id"))
   }
   private val tUrlKitSql =
