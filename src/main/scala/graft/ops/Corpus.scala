@@ -356,6 +356,58 @@ object Corpus {
   }
 
   /**
+   * BPE-pair statistics — the kernel of byte-pair-encoding tokenizer
+   * training: the corpus-wide frequency of every adjacent character pair
+   * inside whitespace tokens (the counts whose argmax becomes the next
+   * merge rule). Computed the way BPE trainers actually do it: aggregate
+   * the word-frequency dictionary FIRST ([[vocabStats]]'s first-shuffle
+   * shape), then enumerate pairs per DISTINCT token weighted by its count —
+   * pair work is distinct-token-bound, not occurrence-bound, which at
+   * 100 TB is the difference between touching ~10⁶ vocabulary entries and
+   * ~10¹³ token occurrences. Both shuffles are map-side combined.
+   */
+  def bpePairStats(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(TextKit.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val chars = split(col("__tok"), "")
+    val pairs = when(length(col("__tok")) >= 2,
+      transform(sequence(lit(1), length(col("__tok")) - 1),
+        i => concat(element_at(chars, i), lit(" "), element_at(chars, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    vocab.select(explode(pairs).as("pair"), col("__cnt"))
+      .groupBy(col("pair")).agg(sum(col("__cnt")).as("pair_count"))
+  }
+
+  /**
+   * Deterministic per-key quota sampling — the per-domain cap every crawl
+   * pipeline applies so a handful of giant hosts can't dominate the
+   * training mixture: keys with ≤ `quota` documents pass untouched; larger
+   * keys are thinned to an expected `quota` by the content-hash Bernoulli
+   * rule of [[sampleKeep]] with per-key fraction `quota/n`. Statistical
+   * (E[kept] = quota, ±√quota), NOT an exact rank cap — deliberately: an
+   * exact top-N-per-key needs a per-key ordering (sort-window or
+   * collect_list), which is precisely the hot-key single-task straggler a
+   * 10⁸-document domain triggers. This shape is one map-side-combined
+   * count, one AQE-broadcast join of the KB-sized per-key counts, and a
+   * scan-speed filter — no ordering anywhere, and re-runs/duplicate texts
+   * decide identically.
+   */
+  def quotaSample(df: DataFrame, keyCol: String, textCol: String,
+      quota: Long, salt: String = ""): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    // integer `div` on both engines (a double quotient truncated at a
+    // .999… boundary would round the threshold up by one cell)
+    val cells = expr(s"(${quota}L * 65536L) div __n")
+    val h = substring(md5(concat(lit(salt), col(textCol)).cast("binary")), 1, 4)
+    df.join(counts, Seq(keyCol))
+      .filter(col("__n") <= quota || h < lpad(lower(hex(cells)), 4, "0"))
+      .drop("__n")
+  }
+
+  /**
    * Sequence packing (contiguous greedy): documents are packed in `orderCol`
    * order into chunks of ~`budget` tokens — a document starts a new chunk
    * when the exclusive running token total crosses the next multiple of

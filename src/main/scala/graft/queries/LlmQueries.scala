@@ -885,6 +885,50 @@ object LlmQueries {
       |SELECT doc_id, reasons = '' AS keep, reasons
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ── BPE-pair statistics (tokenizer-training kernel) ─────────────────────
+  // Top 50 adjacent-char pairs by corpus frequency; integer-only output,
+  // ties broken by pair text.
+  private val tBpePairs: Q = (s, dir) => {
+    graft.ops.Corpus.bpePairStats(Tables.documents(s, dir), "text")
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(50)
+  }
+  private val tBpePairsSql =
+    """WITH t AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), v AS (
+      |  SELECT tok, count(*) AS c FROM t GROUP BY tok
+      |), p AS (
+      |  SELECT unnest([substring(tok, i, 1) || ' ' || substring(tok, i + 1, 1)
+      |                 for i in range(1, length(tok))]) AS pair, c
+      |  FROM v WHERE length(tok) >= 2
+      |)
+      |SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+      |FROM p GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin
+
+  // ── deterministic per-key quota sampling (domain caps) ──────────────────
+  // source plays the domain role; quota 20 < the ~25 docs/source, so every
+  // key is thinned by the content-hash rule and the kept multiset is
+  // engine-exact (md5 parity + integer-div threshold).
+  private val tDomainQuota: Q = (s, dir) => {
+    graft.ops.Corpus.quotaSample(Tables.documents(s, dir), "source", "text",
+        quota = 20L, salt = "dq")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  private val tDomainQuotaSql =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n FROM documents GROUP BY source
+      |), k AS (
+      |  SELECT doc_id, d.source, n, substring(md5('dq' || text), 1, 4) AS h
+      |  FROM documents d JOIN c USING (source)
+      |)
+      |SELECT doc_id, source FROM k
+      |WHERE n <= 20 OR h < printf('%04x', (20 * 65536) // n)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
@@ -907,6 +951,8 @@ object LlmQueries {
     "dd_span_dedup" -> ddSpanDedup,
     "t_unigram_lm" -> tUnigramLm,
     "t_doc_filter" -> tDocFilter,
+    "t_bpe_pairs" -> tBpePairs,
+    "t_domain_quota" -> tDomainQuota,
     "t_lang_id" -> tLang,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
@@ -936,6 +982,8 @@ object LlmQueries {
     "dd_span_dedup" -> ddSpanDedupSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_doc_filter" -> tDocFilterSql,
+    "t_bpe_pairs" -> tBpePairsSql,
+    "t_domain_quota" -> tDomainQuotaSql,
     "t_lang_id" -> tLangSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,

@@ -81,6 +81,46 @@ class CorpusFilterSpec extends SparkSpec {
     }
   }
 
+  test("bpePairStats: vocab-weighted adjacent-pair counts, hand-computed") {
+    // tokens: "ab" ×3 (two docs), "abc" ×1, "x" ×1 (no pairs)
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab x")).toDF("doc_id", "text")
+    val out = Corpus.bpePairStats(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b" -> 4L, "b c" -> 1L)) // "a b": 3×"ab" + 1×"abc"
+  }
+
+  test("quotaSample: small keys pass, big keys thin deterministically") {
+    val docs = (0 until 300).map { i =>
+      val src = if (i < 250) "big" else "small"
+      (i.toLong, src, s"document body number $i")
+    }.toDF("doc_id", "source", "text")
+    val kept = Corpus.quotaSample(docs, "source", "text", quota = 60L, salt = "t")
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small key (50 ≤ quota): untouched
+    assert(bySrc("small") == 50L)
+    // big key (250 > quota): E[kept] = 60, binomial sd ≈ 6.7 → ±5σ bounds
+    assert(bySrc("big") > 25L && bySrc("big") < 95L,
+      s"expected ~60 kept for 'big', got ${bySrc("big")}")
+    // deterministic: identical run keeps the identical id set
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.quotaSample(docs, "source", "text", quota = 60L, salt = "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // different salt → different (but same-sized-ish) sample
+    val c = Corpus.quotaSample(docs, "source", "text", quota = 60L, salt = "u")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("quotaSample plan: no window, no sort — skew-immune by construction") {
+    val docs = Seq((1L, "s", "t")).toDF("doc_id", "source", "text")
+    val plan = Corpus.quotaSample(docs, "source", "text", quota = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no per-key ordering expected:\n$plan")
+    assert(!plan.contains("Sort"), s"no sort expected:\n$plan")
+  }
+
   test("gopherFilter is pure expressions: no shuffle in the plan") {
     val docs = Seq((1L, "some text")).toDF("doc_id", "text")
     val plan = Corpus.gopherFilter(docs, "doc_id", "text")
