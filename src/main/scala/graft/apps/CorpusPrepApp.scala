@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
  * turn a raw crawled document table into packed training shards. Composes
  * the engine's corpus operators in their production order:
  *
+ *   0. quality gate     — (opt-in) Gopher-style keep verdict: junk dropped
+ *                         at scan speed before anything is paid for it,
+ *   0b. line dedup      — (opt-in) cross-document boilerplate lines
+ *                         stripped and text rewritten, so the dedup stages
+ *                         hash CONTENT, not shared chrome,
  *   1. exact dedup      — one survivor per byte-identical text (md5 hash
  *                         groupBy; min doc id wins, deterministic),
  *   2. near-dup dedup   — MinHash-LSH pairs verified by exact Jaccard,
@@ -17,15 +22,22 @@ import org.apache.spark.sql.functions._
  *                         cluster's canonical (min id) survives,
  *   3. decontamination  — any document sharing ≥ `minSharedNgrams` distinct
  *                         8-grams with the benchmark set is dropped,
+ *   3b. domain quota    — (opt-in) per-source cap by deterministic
+ *                         content-hash thinning (no per-key ordering —
+ *                         hot domains cannot straggle),
  *   4. split            — deterministic content-hash train/val/test
  *                         (duplicate texts can't straddle splits),
  *   5. packing          — per-(split, shard) greedy contiguous chunks of
  *                         ~`tokenBudget` whitespace tokens.
  *
- * Stage order matters at scale: exact dedup first shrinks every later
- * stage's input for free (one hash shuffle); near-dup next so
- * decontamination and packing see each cluster once; splitting before
- * packing so chunks never mix splits.
+ * Stage order matters at scale: filtering and boilerplate removal come
+ * first (the reject fraction is paid at scan speed, and line-deduped text
+ * is what exact/near-dup should hash — two docs differing only in chrome
+ * ARE duplicates); exact dedup then shrinks every later stage's input for
+ * free (one hash shuffle); near-dup next so decontamination and packing
+ * see each cluster once; the quota caps the POST-dedup distribution
+ * (capping pre-dedup would let duplicates eat a domain's budget);
+ * splitting before packing so chunks never mix splits.
  *
  * Every stage is lazily composed into ONE DataFrame program per output —
  * no driver-side materialization beyond what the near-dup CC loop and the
@@ -45,12 +57,16 @@ object CorpusPrepApp {
       // 1/256-cell split carve; 208/32 ≡ the coarse 13/2/1-sixteenths
       // default (equivalence spec-proven in CorpusSpec)
       trainCells: Int = 208,
-      valCells: Int = 32)
+      valCells: Int = 32,
+      // opt-in round-6 stages (None/absent = stage skipped)
+      quality: Option[Corpus.GopherThresholds] = None,
+      lineDedupMinDocs: Option[Int] = None,
+      domainQuota: Option[Long] = None)
 
   /** Per-stage outputs, each a complete lazily-composed plan. */
   case class Prepared(
       deduped: DataFrame, // post exact+near-dup: doc_id, text, source
-      clean: DataFrame, // post decontamination
+      clean: DataFrame, // post decontamination (+ quota when configured)
       labeled: DataFrame, // + split column
       chunks: DataFrame) // (split, source, chunk_id, n_docs, chunk_tokens)
 
@@ -61,8 +77,22 @@ object CorpusPrepApp {
    */
   def prepare(documents: DataFrame, benchmark: DataFrame,
       cfg: Config = Config()): Prepared = {
+    // 0. quality gate: scan-speed keep verdict, before any hash work
+    val gated = cfg.quality.fold(documents)(t =>
+      documents.filter(Corpus.gopherKeep(col("text"), t)))
+
+    // 0b. boilerplate line dedup: rewrite text to its surviving lines so
+    // the dedup stages hash content; docs reduced to nothing are dropped
+    val boiled = cfg.lineDedupMinDocs.fold(gated) { m =>
+      val cleaned = Corpus.dedupLines(gated, "doc_id", "text", m)
+        .filter(col("clean_text").isNotNull)
+        .select(col("doc_id"), col("clean_text"))
+      gated.join(cleaned, Seq("doc_id"))
+        .withColumn("text", col("clean_text")).drop("clean_text")
+    }
+
     // 1. exact dedup: smallest doc_id per byte-identical text survives
-    val exactCanonical = documents
+    val exactCanonical = boiled
       .withColumn("__h", md5(col("text").cast("binary")))
     val exact = Dedup.exactDedup(exactCanonical, Seq("__h"), Seq("doc_id"))
       .drop("__h")
@@ -85,7 +115,11 @@ object CorpusPrepApp {
         "doc_id", "text", cfg.decontamNgram)
       .filter(col("n_shared") >= cfg.minSharedNgrams)
       .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val decontaminated = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 3b. per-source quota: cap the post-dedup distribution
+    val clean = cfg.domainQuota.fold(decontaminated)(q =>
+      Corpus.quotaSample(decontaminated, "source", "text", q, salt = "prep"))
 
     // 4. deterministic content-hash split (1/256-cell carve)
     val labeled = clean.withColumn("split",

@@ -336,22 +336,43 @@ object Corpus {
    * Pure per-row expressions over [[TextKit.repetitionStats]] /
    * [[TextKit.qualityScore]] — zero shuffle, scan-speed at 100 TB.
    */
+  /** Thresholds for [[gopherReasons]]/[[gopherKeep]]/[[gopherFilter]]. */
+  case class GopherThresholds(
+      minWords: Long = 10L, maxWords: Long = 100000L,
+      maxDupLineFrac: Double = 0.30, maxTopWordFrac: Double = 0.20,
+      minQualityBps: Long = 4000L)
+
+  /** Sorted comma-joined failure-reason codes for a text column (empty
+    * string = document passes every check). Pure expression.
+    */
+  def gopherReasons(text: Column, t: GopherThresholds): Column = {
+    val st = TextKit.repetitionStats(text)
+    val qualityBps = round(TextKit.qualityScore(text) * 1e4).cast("long")
+    val checks = Seq(
+      ("too_short", st.getField("n_words") < t.minWords),
+      ("too_long", st.getField("n_words") > t.maxWords),
+      ("rep_line", st.getField("dup_line_frac") > t.maxDupLineFrac),
+      ("rep_word", st.getField("top_word_frac") > t.maxTopWordFrac),
+      ("low_quality", qualityBps < t.minQualityBps))
+    array_join(array_sort(filter(
+      array(checks.map { case (code, cond) =>
+        when(cond, lit(code)).otherwise(lit(null).cast("string"))
+      }: _*), r => r.isNotNull)), ",")
+  }
+
+  /** Boolean keep-verdict twin of [[gopherReasons]] — a bare filter
+    * predicate for pipelines that don't need the reason codes
+    * (e.g. [[graft.streaming.CorpusIngest]]'s admission gate).
+    */
+  def gopherKeep(text: Column, t: GopherThresholds = GopherThresholds()): Column =
+    gopherReasons(text, t) === ""
+
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 10L, maxWords: Long = 100000L,
       maxDupLineFrac: Double = 0.30, maxTopWordFrac: Double = 0.20,
       minQualityBps: Long = 4000L): DataFrame = {
-    val st = TextKit.repetitionStats(col(textCol))
-    val qualityBps = round(TextKit.qualityScore(col(textCol)) * 1e4).cast("long")
-    val checks = Seq(
-      ("too_short", st.getField("n_words") < minWords),
-      ("too_long", st.getField("n_words") > maxWords),
-      ("rep_line", st.getField("dup_line_frac") > maxDupLineFrac),
-      ("rep_word", st.getField("top_word_frac") > maxTopWordFrac),
-      ("low_quality", qualityBps < minQualityBps))
-    val reasons = array_join(array_sort(filter(
-      array(checks.map { case (code, cond) =>
-        when(cond, lit(code)).otherwise(lit(null).cast("string"))
-      }: _*), r => r.isNotNull)), ",")
+    val reasons = gopherReasons(col(textCol), GopherThresholds(
+      minWords, maxWords, maxDupLineFrac, maxTopWordFrac, minQualityBps))
     df.select(col(idCol), (reasons === "").as("keep"), reasons.as("reasons"))
   }
 

@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.StructType
  * the "state" is the accumulated reference corpus on disk:
  *
  *   file stream → foreachBatch:
+ *     0. quality gate (optional)             (Gopher-style keep verdict —
+ *        junk dropped at scan speed before any sketch work is paid)
  *     1. exact self-dedup within the batch   (md5 groupBy, min doc_id wins)
  *     2. near-dup self-dedup within the batch (MinHash-LSH pairs → connected
  *        components → only cluster canonicals survive)
@@ -40,14 +42,20 @@ import org.apache.spark.sql.types.StructType
  */
 object CorpusIngest {
 
-  /** Near-dup admission knobs; defaults match the gated incremental query. */
+  /** Near-dup admission knobs; defaults match the gated incremental query.
+    * `quality` (optional) switches on a stage-0 Gopher-style quality gate
+    * ([[graft.ops.Corpus.gopherKeep]]): junk is dropped BEFORE any sketch
+    * or join work is paid for it — at production scale the crawl's reject
+    * fraction is large, so filtering first is the cheapest stage ordering.
+    */
   case class Config(
       threshold: Double = 0.8,
       numHashes: Int = 128,
       shingleLen: Int = 5,
       bands: Int = 16,
       maxBucketSize: Int = 1000,
-      oph: Boolean = true)
+      oph: Boolean = true,
+      quality: Option[graft.ops.Corpus.GopherThresholds] = None)
 
   /** The corpus as one DataFrame (all admitted batches), or None before any
     * batch has been admitted. The `batch` partition column is internal
@@ -75,8 +83,15 @@ object CorpusIngest {
     */
   def seed(docs: DataFrame, corpusDir: String, idCol: String = "doc_id",
       textCol: String = "text", cfg: Config = Config()): Unit =
-    selfDedup(docs, idCol, textCol, cfg)
+    selfDedup(qualityGate(docs, textCol, cfg), idCol, textCol, cfg)
       .write.mode("overwrite").parquet(s"$corpusDir/batch=-1")
+
+  /** Stage 0 (optional): drop documents failing the quality thresholds —
+    * scan-speed pure expressions, before any sketch work.
+    */
+  def qualityGate(batch: DataFrame, textCol: String, cfg: Config): DataFrame =
+    cfg.quality.fold(batch)(t =>
+      batch.filter(graft.ops.Corpus.gopherKeep(col(textCol), t)))
 
   /** Stages 1–2: one survivor per exact text, then per near-dup cluster. */
   def selfDedup(batch: DataFrame, idCol: String, textCol: String,
@@ -118,7 +133,8 @@ object CorpusIngest {
       idCol: String, textCol: String, cfg: Config): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return 0L
-    val self = selfDedup(batch, idCol, textCol, cfg)
+    val gated = qualityGate(batch, textCol, cfg)
+    val self = selfDedup(gated, idCol, textCol, cfg)
     // a REPLAYED epoch must not see its own prior partial write as corpus —
     // it would reject every doc against itself and overwrite the partition
     // with nothing — so the reference excludes this batch's partition

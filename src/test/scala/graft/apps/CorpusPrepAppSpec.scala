@@ -57,4 +57,41 @@ class CorpusPrepAppSpec extends SparkSpec {
     // chunks never mix splits (shard key embeds the split)
     assert(p.chunks.select("split").distinct().count() <= 3)
   }
+
+  test("opt-in stages: quality gate, line dedup, domain quota compose e2e") {
+    val base = Tables.documents(spark, graft.TestSpark.sf0001)
+    // plant per-source boilerplate chrome and a junk doc per source
+    val chromed = base.select(col("doc_id"), col("source"),
+      concat(lit("nav chrome "), col("source"), lit("\n"),
+        col("text"), lit("\nfooter chrome")).as("text"))
+    val junk = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+        lit("tiny junk").as("text"))
+    val corpus = chromed.unionByName(junk)
+    val bench = base.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val cfg = CorpusPrepApp.Config(
+      minSharedNgrams = 1000000L, // decontam off for this case
+      quality = Some(graft.ops.Corpus.GopherThresholds(
+        minWords = 5L, minQualityBps = 0L, maxTopWordFrac = 1.0)),
+      lineDedupMinDocs = Some(2),
+      domainQuota = Some(15L))
+    val p = CorpusPrepApp.prepare(corpus, bench, cfg)
+
+    val cleanRows = p.clean.select("doc_id", "text", "source").collect()
+    // junk docs never survive the gate
+    assert(cleanRows.forall(_.getLong(0) < 100000L), "junk passed the gate")
+    // boilerplate chrome is stripped before hashing
+    assert(cleanRows.forall(!_.getString(1).contains("nav chrome")))
+    assert(cleanRows.forall(!_.getString(1).contains("footer chrome")))
+    // quota: E[kept]=15 per ~25-doc source; binomial 5σ upper bound < 25
+    val perSource = p.clean.groupBy("source").count()
+      .collect().map(_.getLong(1))
+    assert(perSource.forall(_ <= 25L), s"quota ineffective: ${perSource.max}")
+    assert(perSource.sum < cleanRows.length + 1 && perSource.sum > 0)
+    // deterministic: same config → same clean set
+    val again = CorpusPrepApp.prepare(corpus, bench, cfg)
+      .clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == cleanRows.map(_.getLong(0)).toSet)
+  }
 }

@@ -85,6 +85,27 @@ class CorpusIngestSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("quality gate (stage 0) rejects junk before dedup, in seed and batches") {
+    val root = Files.createTempDirectory("corpus_gate").toString
+    val corpusDir = s"$root/corpus"
+    val cfg = CorpusIngest.Config(
+      quality = Some(graft.ops.Corpus.GopherThresholds(
+        minWords = 10L, minQualityBps = 0L)))
+    // seed: one good doc, one 3-word junk doc → only the good one lands
+    CorpusIngest.seed(docs(1L -> base1, 2L -> "tiny junk doc"), corpusDir, cfg = cfg)
+    val seeded = CorpusIngest.corpus(spark, corpusDir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(seeded == Set(1L), s"seed admitted: $seeded")
+    // batch: junk, a near-dup of the seed, and a novel doc
+    val n = CorpusIngest.admitBatch(
+      docs(10L -> "more tiny junk", 11L -> (base1 + " edited"), 12L -> base4),
+      0L, corpusDir, "doc_id", "text", cfg)
+    assert(n == 1L, s"batch admitted $n")
+    val ids = CorpusIngest.corpus(spark, corpusDir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 12L), s"corpus: $ids")
+  }
+
   test("admitBatch is idempotent under micro-batch replay (same batch id overwrites)") {
     val root = Files.createTempDirectory("corpus_replay").toString
     val corpusDir = s"$root/corpus"
