@@ -53,6 +53,31 @@ object Corpus {
       .otherwise("test")
   }
 
+  /**
+   * Near-dup-aware split assignment — closes the leakage channel
+   * [[splitLabel]] alone cannot: content-hash splitting co-locates EXACT
+   * duplicates, but two near-duplicate documents hash differently and can
+   * straddle train/test. Given the near-dup cluster map (`clusters` =
+   * (idCol, canonical) from [[Dedup.nearDupClusters]]), every document is
+   * assigned the split of its cluster CANONICAL's text (its own text when
+   * unclustered) — so a whole near-dup family lands in one split, always.
+   *
+   * Scale posture: two hash joins on the id key (cluster map is the
+   * near-dup subset — small by definition, AQE broadcasts it; the
+   * canonical-text fetch is id-equi-join against the corpus itself) plus
+   * the scan-speed hash carve. No ordering, no window.
+   */
+  def clusterAwareSplit(df: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame): DataFrame = {
+    val canon = clusters.select(col(idCol).as("__m"), col("canonical"))
+    val withCanon = df.select(col(idCol), col(textCol))
+      .join(canon, col(idCol) === col("__m"), "left")
+      .select(col(idCol), coalesce(col("canonical"), col(idCol)).as("__canon"))
+    val canonText = df.select(col(idCol).as("__canon"), col(textCol).as("__ctext"))
+    withCanon.join(canonText, Seq("__canon"))
+      .select(col(idCol), splitLabel(col("__ctext")).as("split"))
+  }
+
   private def hex4(n: Int): String = if (n >= 65536) "zzzz" else f"$n%04x"
 
   /** Keep-decision for a deterministic content-hash Bernoulli sample:

@@ -929,6 +929,54 @@ object LlmQueries {
       |WHERE n <= 20 OR h < printf('%04x', (20 * 65536) // n)
       |ORDER BY doc_id""".stripMargin
 
+  // ── near-dup-aware split (leakage-proof across near-dup families) ───────
+  // Every document takes the split of its cluster canonical's text; the
+  // oracle replays the recursive-CTE transitive closure and the md5 carve.
+  private val tClusterSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.8, numHashes = 128, shingleLen = 5, bands = 16, oph = true)
+    graft.ops.Corpus.clusterAwareSplit(docs, "doc_id", "text",
+        Dedup.nearDupClusters(pairs))
+      .orderBy(col("doc_id"))
+  }
+  private val tClusterSplitSql =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, x, 5) for x in range(1, length(text) - 3)]) AS gs
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gs AS ga, b.gs AS gb
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |    AND len(a.gs) * 5 >= len(b.gs) * 4 AND len(b.gs) * 5 >= len(a.gs) * 4
+      |), j AS (
+      |  SELECT doc_a, doc_b,
+      |    CASE WHEN len(ga) + len(gb) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      |      (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE)) END AS jac
+      |  FROM p
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM j WHERE jac >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |), cc(node, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b
+      |), cmap AS (
+      |  SELECT node, min(label) AS canonical FROM cc GROUP BY node
+      |), canon AS (
+      |  SELECT d.doc_id, coalesce(cmap.canonical, d.doc_id) AS cid
+      |  FROM documents d LEFT JOIN cmap ON d.doc_id = cmap.node
+      |)
+      |SELECT canon.doc_id,
+      |  CASE WHEN substring(md5(t.text), 1, 1) < 'd' THEN 'train'
+      |       WHEN substring(md5(t.text), 1, 1) < 'f' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM canon JOIN documents t ON t.doc_id = canon.cid
+      |ORDER BY canon.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
@@ -953,6 +1001,7 @@ object LlmQueries {
     "t_doc_filter" -> tDocFilter,
     "t_bpe_pairs" -> tBpePairs,
     "t_domain_quota" -> tDomainQuota,
+    "t_cluster_split" -> tClusterSplit,
     "t_lang_id" -> tLang,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
@@ -984,6 +1033,7 @@ object LlmQueries {
     "t_doc_filter" -> tDocFilterSql,
     "t_bpe_pairs" -> tBpePairsSql,
     "t_domain_quota" -> tDomainQuotaSql,
+    "t_cluster_split" -> tClusterSplitSql,
     "t_lang_id" -> tLangSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,

@@ -121,6 +121,24 @@ class CorpusFilterSpec extends SparkSpec {
     assert(!plan.contains("Sort"), s"no sort expected:\n$plan")
   }
 
+  test("clusterAwareSplit: a near-dup family never straddles splits") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // near-dup of 1
+      (3L, "completely unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical")
+    val out = Corpus.clusterAwareSplit(docs, "doc_id", "text", clusters)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // whole family takes the canonical's split — regardless of their own
+    // (different) hashes
+    assert(out(1L) == out(2L), s"family straddles splits: $out")
+    val own = docs.select(col("doc_id"), Corpus.splitLabel(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == own(1L), "canonical keeps its own split")
+    assert(out(3L) == own(3L), "unclustered doc keeps its own split")
+  }
+
   test("gopherFilter is pure expressions: no shuffle in the plan") {
     val docs = Seq((1L, "some text")).toDF("doc_id", "text")
     val plan = Corpus.gopherFilter(docs, "doc_id", "text")
