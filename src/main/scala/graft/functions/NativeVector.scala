@@ -25,6 +25,16 @@ object NativeVectorKit {
 
   def rhpBucket(v: Column, nBits: Int, table: Int = 0): Column =
     GraftColumnBridge.column(RhpBucket(GraftColumnBridge.expression(v), nBits, table))
+
+  /** PQ code assignment: `codebooks` is (subspace → code → sub-vector). */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), codebooks))
+
+  /** Asymmetric-distance cosine between a raw query vector and a PQ code
+    * array (≈ cosine(query, reconstruction)). */
+  def pqAdcCosine(query: Column, codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(PqAdcCosine(GraftColumnBridge.expression(query),
+      GraftColumnBridge.expression(codes), codebooks))
 }
 
 /** Cosine similarity of two numeric arrays (double accumulation, index
@@ -129,5 +139,152 @@ object RhpBucket {
       b += 1
     }
     out
+  }
+}
+
+/**
+ * Product-quantization code assignment: the vector is split into
+ * `codebooks.length` contiguous subspaces and each sub-vector is replaced by
+ * the index of its nearest (squared-L2) codebook entry — first-lowest index
+ * on ties, so the assignment is deterministic given the (1e-6-rounded)
+ * codebook. Output: array<int> of length M — at M=8, ksub=16 that is 8
+ * small ints (packable to 4 bytes) standing in for 256 bytes of float32,
+ * the compression that lets a 100 TB embedding corpus's search index live
+ * in cluster memory.
+ *
+ * The codebook is a few KB of expression metadata (same literal-model
+ * stance as the IVF coarse quantizer, ops/Similarity.scala); codegen
+ * references it as a flat double[] via `addReferenceObj`, keeping the
+ * per-row work a tight primitive loop inside whole-stage codegen.
+ */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val flat: Array[Double] = PqOps.flatten(codebooks)
+  private def m: Int = codebooks.length
+  private def k: Int = codebooks.head.length
+  private def sub: Int = codebooks.head.head.length
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqOps.encode(input.asInstanceOf[ArrayData], flat, m, k, sub, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqFlatCodebook", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqOps.encode($c, $cb, $m, $k, $sub, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/**
+ * Asymmetric distance computation (ADC) as a cosine: cosine(query,
+ * reconstruction(codes)) evaluated WITHOUT materializing the reconstructed
+ * array — dot and reconstruction norm accumulate per subspace straight off
+ * the flat codebook. This is the scan-side scorer of [[graft.ops.Similarity.ivfPqTopK]]:
+ * the probe join touches only (id, cell, codes), never the raw vectors.
+ */
+case class PqAdcCosine(left: Expression, right: Expression,
+    codebooks: Seq[Seq[Seq[Double]]]) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val flat: Array[Double] = PqOps.flatten(codebooks)
+  private def k: Int = codebooks.head.length
+  private def sub: Int = codebooks.head.head.length
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    PqOps.adcCosine(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      flat, k, sub, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqFlatCodebook", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PqOps.adcCosine($q, $c, $cb, $k, $sub, $isFloat);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqOps {
+  /** (subspace → code → sub-vector) → flat row-major double[] (m·k·sub). */
+  def flatten(codebooks: Seq[Seq[Seq[Double]]]): Array[Double] = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val sub = codebooks.head.head.length
+    require(codebooks.forall(cb => cb.length == k && cb.forall(_.length == sub)),
+      "ragged PQ codebook")
+    val out = new Array[Double](m * k * sub)
+    var i = 0
+    for (cb <- codebooks; entry <- cb; x <- entry) { out(i) = x; i += 1 }
+    out
+  }
+
+  def encode(v: ArrayData, flat: Array[Double], m: Int, k: Int, sub: Int,
+      isFloat: Boolean): ArrayData = {
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        var d = 0.0
+        var i = 0
+        val base = (s * k + j) * sub
+        val voff = s * sub
+        while (i < sub) {
+          val x = if (isFloat) v.getFloat(voff + i).toDouble else v.getDouble(voff + i)
+          val diff = x - flat(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j } // strict < keeps first-lowest tie
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  def adcCosine(q: ArrayData, codes: ArrayData, flat: Array[Double],
+      k: Int, sub: Int, isFloat: Boolean): Double = {
+    val m = codes.numElements()
+    var dot = 0.0
+    var nr = 0.0
+    var nq = 0.0
+    var s = 0
+    while (s < m) {
+      val base = (s * k + codes.getInt(s)) * sub
+      val voff = s * sub
+      var i = 0
+      while (i < sub) {
+        val x = if (isFloat) q.getFloat(voff + i).toDouble else q.getDouble(voff + i)
+        val c = flat(base + i)
+        dot += x * c
+        nq += x * x
+        nr += c * c
+        i += 1
+      }
+      s += 1
+    }
+    if (nq == 0.0 || nr == 0.0) 0.0
+    else dot / (math.sqrt(nq) * math.sqrt(nr))
   }
 }

@@ -145,6 +145,114 @@ object Similarity {
   }
 
   /**
+   * Train product-quantization codebooks: the embedding is split into
+   * `numSubspaces` contiguous subspaces and each subspace gets its own
+   * `codebookSize`-entry squared-L2 k-means codebook — deterministic
+   * hash-sampled seed (salted by subspace index) + `lloydIters` Lloyd
+   * rounds, the same recipe as [[trainIvfCentroids]]. Assignment during
+   * training reuses the NATIVE encoder ([[graft.functions.PqEncode]]) on a
+   * single-subspace model, so train-time and index-time argmin (incl. tie
+   * order) are the same code path. Means are rounded to 1e-6 so
+   * distributed-sum ordering can't move a cell boundary between runs.
+   *
+   * At 100 TB: train on a sample (pass a sampled DataFrame — the codebook
+   * is a model, not a scan product); the returned model is M·k·sub doubles,
+   * a few KB shipped to executors as expression metadata.
+   */
+  def trainPqCodebooks(corpus: DataFrame, numSubspaces: Int, codebookSize: Int,
+      lloydIters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Seq[Double]]] = {
+    val c = corpus.select(col(idCol).as("id"), VectorKit.asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % numSubspaces == 0,
+      s"numSubspaces=$numSubspaces must divide dim=$dim")
+    val sub = dim / numSubspaces
+    val out = (0 until numSubspaces).map { m =>
+      val sv = c.select(col("id"), slice(col("v"), m * sub + 1, sub).as("sv"))
+      val seed = sv.orderBy(xxhash64(col("id"), lit(m)), col("id"))
+        .limit(codebookSize)
+        .select("sv").collect().map(_.getSeq[Double](0).toSeq).toSeq
+      var cents: Seq[Seq[Double]] = seed
+      var iter = 0
+      while (iter < lloydIters) {
+        val assigned = sv.withColumn("cell",
+          graft.functions.NativeVectorKit.pqEncode(col("sv"), Seq(cents)).getItem(0))
+        val means = assigned
+          .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          old.indices.map { d =>
+            means.get((j, d)).map(x => math.rint(x * 1e6) / 1e6).getOrElse(old(d))
+          }
+        }
+        iter += 1
+      }
+      cents
+    }
+    c.unpersist()
+    out
+  }
+
+  /**
+   * IVF-PQ approximate top-k — the memory-bound 100 TB layout: the probe
+   * join scans a COMPRESSED index of (id, cell, M PQ codes) — ~M bytes per
+   * vector instead of 4·dim — scores candidates with asymmetric-distance
+   * cosine ([[graft.functions.PqAdcCosine]], query raw × codebook entries,
+   * no reconstruction materialized), keeps the top-`shortlist` per query,
+   * and re-scores ONLY that shortlist against the raw vectors (exact
+   * cosine), so reported scores are exact and PQ error can only cost
+   * recall, never corrupt a score.
+   *
+   * Plan shape: index build = one corpus scan (cell + codes are literal-
+   * model expressions inside the scan); probe join is broadcast (queries ×
+   * nProbe); the ADC shortlist window partitions by query_id; the rerank
+   * fetch broadcasts the (queries × shortlist)-row shortlist against the
+   * corpus scan — at 100 TB that is the standard "ANN index in RAM, raw
+   * vectors fetched for rerank" split, expressed as two scans and zero
+   * wide shuffles.
+   *
+   * With nProbe = nCentroids and shortlist ≥ corpus size this degenerates
+   * to the exact search (asserted in SimilaritySpec).
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, numSubspaces: Int = 8,
+      codebookSize: Int = 16, shortlist: Int = 50, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    require(shortlist >= k, "shortlist must cover k")
+    val coarse = trainIvfCentroids(corpus, nCentroids, lloydIters, idCol, vecCol)
+    val pq = trainPqCodebooks(corpus, numSubspaces, codebookSize, lloydIters,
+      idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // the compressed index: the ONLY thing the probe join ever touches
+    val index = c.select(col("neighbor_id"),
+      nearestCentroid(col("cv"), coarse).as("centroid_id"),
+      graft.functions.NativeVectorKit.pqEncode(col("cv"), pq).as("codes"))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(probeCells(col("qv"), coarse, nProbe)).as("centroid_id"))
+    val adc = index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.functions.NativeVectorKit.pqAdcCosine(col("qv"), col("codes"), pq))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = adc.withColumn("__ra", row_number().over(wAdc))
+      .filter(col("__ra") <= shortlist)
+      .select("query_id", "neighbor_id", "qv")
+    // exact rerank: raw vectors fetched only for the shortlist
+    val rescored = c.join(broadcast(short), Seq("neighbor_id"))
+      .withColumn("cos", VectorKit.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__rk").as("rank"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: corpus and queries are both bucketed by
    * [[VectorKit.rhpBucket]]; candidates = same-bucket rows; exact cosine +
    * top-k within candidates. Recall is tunable via `nBits` (fewer bits →

@@ -245,8 +245,37 @@ object ExtensionQueries {
       |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ── sliding (hopping) window: 1 h length, 15 min slide ──────────────────
+  // Each event lands in exactly windowLen/slide = 4 windows; Spark's
+  // `window(col, len, slide)` explodes that assignment inside the scan
+  // (no join), and the aggregation shuffles once on (window, event_type) —
+  // at 100 TB the 4× row amplification happens map-side and collapses in
+  // the partial aggregate. The oracle replays the alignment arithmetic
+  // (starts are slide-aligned: ((ts//slide) - i)·slide for i in 0..3).
+  private val w2Sliding: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("et", timestamp_millis(Kit.nanosToMillis("ts")))
+      .groupBy(window(col("et"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Kit.cents(sum(col("value"))).as("value_c"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("value_c"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+  private val w2SlidingSql =
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 1000000 AS ts_ms, event_type, value FROM events
+      |), w AS (
+      |  SELECT ((ts_ms // 900000) - i) * 900000 AS window_start_ms,
+      |    event_type, value
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+      |)
+      |SELECT window_start_ms, event_type, count(*) AS n,
+      |  CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_c
+      |FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
+    "w2_sliding_window" -> w2Sliding,
     "x_cube" -> xCube,
     "x_pivot" -> xPivot,
     "x_percentile" -> xPercentile,
@@ -259,6 +288,7 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
+    "w2_sliding_window" -> w2SlidingSql,
     "x_cube" -> xCubeSql,
     "x_pivot" -> xPivotSql,
     "x_percentile" -> xPercentileSql,

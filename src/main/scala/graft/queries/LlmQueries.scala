@@ -371,6 +371,65 @@ object LlmQueries {
       |  CAST(0 AS BIGINT) AS score_mismatch
       |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
+  private val simIvfPq: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    // the memory-bound layout: same coarse dial as sim_topk_ivf
+    // (nCentroids=16, nProbe=4) but the probe join scans PQ codes (8
+    // subspaces × 16 codes = 8 nibbles/vector vs 256 B of float32), ADC
+    // shortlist 50 per query re-scored with exact cosine — score_mismatch=0
+    // asserts the rerank, recall_micro pins the end-to-end determinism
+    // (0.65 = 96% of the 0.68 nProbe=4 IVF ceiling, reranking 10% of the
+    // corpus; the gap IS the PQ quantization cost, measured)
+    recallSummary(s, dir,
+      Similarity.ivfPqTopK(em, queries, k = 5, nCentroids = 16, nProbe = 4,
+        numSubspaces = 8, codebookSize = 16, shortlist = 50))
+  }
+  private val simIvfPqSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 5 AS BIGINT) AS n_exact,
+      |  CAST(650000 AS BIGINT) AS recall_micro,
+      |  CAST(0 AS BIGINT) AS score_mismatch
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
+
+  // ── int8 embedding quantization (symmetric, per-vector scale) ───────────
+  // The storage-side companion of PQ: 4× compression with max-abs scaling,
+  // fully deterministic (floor(x+0.5) rounding, no RNG) so the codes and
+  // the max reconstruction error hash-match the DuckDB replay bit-for-bit.
+  private val simInt8: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val v = VectorKit.asDouble(col("embedding"))
+    val sc0 = array_max(transform(v, x => abs(x)))
+    val sc = when(sc0 === 0.0, lit(1.0)).otherwise(sc0)
+    val codes = transform(v, x => floor(x * lit(127.0) / sc + lit(0.5)).cast("int"))
+    val err = array_max(zip_with(v, codes, (x, c) => abs(x - c * sc / lit(127.0))))
+    em.select(col("vec_id"),
+        floor(sc * 1000000.0 + 0.5).cast("long").as("scale_micro"),
+        array_join(codes, ",").as("codes_csv"),
+        floor(err * 1000000.0 + 0.5).cast("long").as("err_micro"))
+      .orderBy(col("vec_id"))
+  }
+  private val simInt8Sql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, e,
+      |    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+      |         ELSE list_max(list_transform(e, x -> abs(x))) END AS sc
+      |  FROM v
+      |), c AS (
+      |  SELECT vec_id, e, sc,
+      |    list_transform(e, x -> CAST(floor(x * 127 / sc + 0.5) AS INT)) AS codes
+      |  FROM s
+      |)
+      |SELECT vec_id,
+      |  CAST(floor(sc * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+      |  array_to_string(codes, ',') AS codes_csv,
+      |  CAST(floor(list_max(list_transform(range(1, 65),
+      |    i -> abs(e[i] - codes[i] * sc / 127))) * 1000000 + 0.5) AS BIGINT)
+      |    AS err_micro
+      |FROM c ORDER BY vec_id""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────────
   private val tTokens: Q = (s, dir) => {
     Tables.documents(s, dir)
@@ -989,6 +1048,8 @@ object LlmQueries {
     "sim_topk_bruteforce" -> simTopK,
     "sim_topk_lsh" -> simLsh,
     "sim_topk_ivf" -> simIvf,
+    "sim_topk_ivfpq" -> simIvfPq,
+    "sim_int8_quant" -> simInt8,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1021,6 +1082,8 @@ object LlmQueries {
     "sim_topk_bruteforce" -> simTopKSql,
     "sim_topk_ivf" -> simIvfSql,
     "sim_topk_lsh" -> simLshSql,
+    "sim_topk_ivfpq" -> simIvfPqSql,
+    "sim_int8_quant" -> simInt8Sql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,
