@@ -50,13 +50,21 @@ object Similarity {
    * 1e-6 so distributed-sum ordering can't leak nondeterminism into cell
    * boundaries.
    */
+  /** The (id, double-vector) projection every trainer iterates over. */
+  private def trainProjection(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), VectorKit.asDouble(col(vecCol)).as("v"))
+
   def trainIvfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      shared: Option[DataFrame] = None): Seq[(Int, Seq[Double])] = {
     // persist the (id, v) projection: the seed top-k plus every Lloyd round
     // re-reads it — uncached, each round would re-run the full corpus scan
-    // (lloydIters+1 scans of a 100 TB table); cached, the scan pays once
-    val c = corpus.select(col(idCol).as("id"), VectorKit.asDouble(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (lloydIters+1 scans of a 100 TB table); cached, the scan pays once.
+    // `shared` lets a caller training several models (ivfPqTopK: coarse +
+    // PQ) pay that one materialization once across all of them.
+    val c = shared.getOrElse(trainProjection(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val seed = c.orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
       .select("v").collect()
       .map(_.getSeq[Double](0)).zipWithIndex.map { case (v, i) => (i, v.toSeq) }
@@ -78,7 +86,7 @@ object Similarity {
       }
       iter += 1
     }
-    c.unpersist()
+    if (shared.isEmpty) c.unpersist()
     centroids
   }
 
@@ -147,52 +155,63 @@ object Similarity {
   /**
    * Train product-quantization codebooks: the embedding is split into
    * `numSubspaces` contiguous subspaces and each subspace gets its own
-   * `codebookSize`-entry squared-L2 k-means codebook — deterministic
-   * hash-sampled seed (salted by subspace index) + `lloydIters` Lloyd
-   * rounds, the same recipe as [[trainIvfCentroids]]. Assignment during
-   * training reuses the NATIVE encoder ([[graft.functions.PqEncode]]) on a
-   * single-subspace model, so train-time and index-time argmin (incl. tie
-   * order) are the same code path. Means are rounded to 1e-6 so
+   * `codebookSize`-entry squared-L2 k-means codebook. Seed = the
+   * `codebookSize` corpus vectors with the smallest `xxhash64(id)` (one
+   * distributed top-k; each subspace takes its slice of the SAME sampled
+   * vectors — the canonical PQ training sample), refined by `lloydIters`
+   * Lloyd rounds. Assignment during training reuses the NATIVE encoder
+   * ([[graft.functions.PqEncode]]) on the full multi-subspace model — the
+   * exact argmin code path (incl. first-lowest tie order) index time uses —
+   * and ALL subspaces train in each round's single aggregation: one job
+   * per round, not one per (subspace, round). Means are rounded to 1e-6 so
    * distributed-sum ordering can't move a cell boundary between runs.
    *
    * At 100 TB: train on a sample (pass a sampled DataFrame — the codebook
-   * is a model, not a scan product); the returned model is M·k·sub doubles,
-   * a few KB shipped to executors as expression metadata.
+   * is a model, not a scan product); the whole training run is 1 top-k +
+   * `lloydIters` aggregation passes over the cached projection, and the
+   * returned model is M·k·sub doubles, a few KB shipped to executors as
+   * expression metadata.
    */
   def trainPqCodebooks(corpus: DataFrame, numSubspaces: Int, codebookSize: Int,
-      lloydIters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding")
-      : Seq[Seq[Seq[Double]]] = {
-    val c = corpus.select(col(idCol).as("id"), VectorKit.asDouble(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = c.select(size(col("v"))).head().getInt(0)
+      lloydIters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
+      shared: Option[DataFrame] = None): Seq[Seq[Seq[Double]]] = {
+    val c = shared.getOrElse(trainProjection(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // seed sample: one distributed top-k; dim falls out of the same rows
+    val seedRows = c.orderBy(xxhash64(col("id")), col("id")).limit(codebookSize)
+      .select("v").collect().map(_.getSeq[Double](0))
+    val dim = seedRows.head.length
     require(dim % numSubspaces == 0,
       s"numSubspaces=$numSubspaces must divide dim=$dim")
     val sub = dim / numSubspaces
-    val out = (0 until numSubspaces).map { m =>
-      val sv = c.select(col("id"), slice(col("v"), m * sub + 1, sub).as("sv"))
-      val seed = sv.orderBy(xxhash64(col("id"), lit(m)), col("id"))
-        .limit(codebookSize)
-        .select("sv").collect().map(_.getSeq[Double](0).toSeq).toSeq
-      var cents: Seq[Seq[Double]] = seed
-      var iter = 0
-      while (iter < lloydIters) {
-        val assigned = sv.withColumn("cell",
-          graft.functions.NativeVectorKit.pqEncode(col("sv"), Seq(cents)).getItem(0))
-        val means = assigned
-          .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-          .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-        cents = cents.zipWithIndex.map { case (old, j) =>
+    var cents: Seq[Seq[Seq[Double]]] = (0 until numSubspaces).map(m =>
+      seedRows.toSeq.map(v => v.slice(m * sub, m * sub + sub).toSeq))
+    var iter = 0
+    while (iter < lloydIters) {
+      // all subspaces in ONE pass: the native encoder emits every
+      // subspace's cell in a single per-row call; exploding the vector
+      // once gives (subspace, cell, dim-in-subspace) means in one
+      // map-side-combined aggregation
+      val means = c
+        .select(posexplode(col("v")).as(Seq("gpos", "x")),
+          graft.functions.NativeVectorKit.pqEncode(col("v"), cents).as("codes"))
+        .select(floor(col("gpos") / lit(sub)).cast("int").as("m"),
+          pmod(col("gpos"), lit(sub)).as("pos"), col("x"),
+          element_at(col("codes"), (col("gpos") / lit(sub)).cast("int") + 1).as("cell"))
+        .groupBy("m", "cell", "pos").agg(avg(col("x")).as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+      cents = cents.zipWithIndex.map { case (cb, m) =>
+        cb.zipWithIndex.map { case (old, j) =>
           old.indices.map { d =>
-            means.get((j, d)).map(x => math.rint(x * 1e6) / 1e6).getOrElse(old(d))
+            means.get((m, j, d)).map(x => math.rint(x * 1e6) / 1e6).getOrElse(old(d))
           }
         }
-        iter += 1
       }
-      cents
+      iter += 1
     }
-    c.unpersist()
-    out
+    if (shared.isEmpty) c.unpersist()
+    cents
   }
 
   /**
@@ -222,9 +241,16 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     require(shortlist >= k, "shortlist must cover k")
-    val coarse = trainIvfCentroids(corpus, nCentroids, lloydIters, idCol, vecCol)
+    // one cached projection feeds BOTH trainers (coarse + PQ): the corpus
+    // scan and the array-of-float→double conversion pay once for the whole
+    // training phase
+    val proj = trainProjection(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = trainIvfCentroids(corpus, nCentroids, lloydIters, idCol, vecCol,
+      shared = Some(proj))
     val pq = trainPqCodebooks(corpus, numSubspaces, codebookSize, lloydIters,
-      idCol, vecCol)
+      idCol, vecCol, shared = Some(proj))
+    proj.unpersist()
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // the compressed index: the ONLY thing the probe join ever touches

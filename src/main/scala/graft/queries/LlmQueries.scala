@@ -379,7 +379,7 @@ object LlmQueries {
     // subspaces × 16 codes = 8 nibbles/vector vs 256 B of float32), ADC
     // shortlist 50 per query re-scored with exact cosine — score_mismatch=0
     // asserts the rerank, recall_micro pins the end-to-end determinism
-    // (0.65 = 96% of the 0.68 nProbe=4 IVF ceiling, reranking 10% of the
+    // (0.61 ≈ 90% of the 0.68 nProbe=4 IVF ceiling, reranking 10% of the
     // corpus; the gap IS the PQ quantization cost, measured)
     recallSummary(s, dir,
       Similarity.ivfPqTopK(em, queries, k = 5, nCentroids = 16, nProbe = 4,
@@ -388,7 +388,7 @@ object LlmQueries {
   private val simIvfPqSql =
     """SELECT CAST(count(*) AS BIGINT) AS n_queries,
       |  CAST(count(*) * 5 AS BIGINT) AS n_exact,
-      |  CAST(650000 AS BIGINT) AS recall_micro,
+      |  CAST(610000 AS BIGINT) AS recall_micro,
       |  CAST(0 AS BIGINT) AS score_mismatch
       |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
