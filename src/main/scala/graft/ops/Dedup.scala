@@ -417,6 +417,65 @@ object Dedup {
       .distinct()
   }
 
+  // ── SemDeDup: semantic dedup via embedding clustering ────────────────────
+
+  /**
+   * SemDeDup-style near-dup pairs (Abbas et al. 2023, "SemDeDup: Data-
+   * efficient learning at web-scale through semantic deduplication"): the
+   * embedding space is k-means-clustered (cosine argmax over a
+   * [[Similarity.trainIvfCentroids]] model — the same deterministic
+   * literal-model expression the IVF index uses), and exact cosine runs
+   * ONLY within a cluster. Semantic duplicates sit close in embedding
+   * space, so they share a cluster with high probability — and an
+   * exactly-scaled copy shares it with probability 1 (cosine is
+   * scale-invariant, so its argmax cell is identical; the oracle-gated
+   * query builds on that).
+   *
+   * At 100 TB the cluster is the blocking unit: `nCentroids` dials the
+   * expected cluster size (n/k), the pair join shuffles once on cell id,
+   * and `maxClusterSize` ([[sizeBandedBuckets]] — skew-safe partial-agg
+   * count) bounds the within-cluster quadratic against a degenerate
+   * centroid attracting the whole corpus. Unlike the RHP-LSH path there is
+   * exactly one cell per document — no multi-table collision, so no
+   * `distinct` pass before the verify.
+   */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int, lloydIters: Int = 2,
+      maxClusterSize: Int = 100000): DataFrame = {
+    val cents = Similarity.trainIvfCentroids(df, nCentroids, lloydIters,
+      idCol, vecCol)
+    val cells = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), VectorKit.asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"),
+        Similarity.nearestCentroid(col("v"), cents).as("cell"))
+    val eligible = sizeBandedBuckets(cells, Seq("cell"), 2L, maxClusterSize)
+    val l = eligible.select(col("cell"), col("id").as("vec_a"), col("v").as("va"))
+    val r = eligible.select(col("cell"), col("id").as("vec_b"), col("v").as("vb"))
+    l.join(r, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorKit.cosine(col("va"), col("vb")))
+      .filter(TextKit.noPushdown(col("cos") >= threshold))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /**
+   * SemDeDup keep-set: drops every document that has a SMALLER-id
+   * within-cluster neighbor at cosine ≥ `threshold` (whether or not that
+   * neighbor is itself kept) — a deterministic, join-shaped admission rule
+   * (one anti-join on the pair set; no iterative clustering needed to
+   * decide survival, unlike [[nearDupClusters]] canonicals). In a dup
+   * CLIQUE — the planted/semantic-copy case — this keeps exactly the
+   * minimum id.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int, lloydIters: Int = 2,
+      maxClusterSize: Int = 100000): DataFrame = {
+    val dropped = semanticNearDupPairs(df, idCol, vecCol, threshold,
+      nCentroids, lloydIters, maxClusterSize)
+      .select(col("vec_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ── Embedding cosine near-dup ────────────────────────────────────────────
 
   /**

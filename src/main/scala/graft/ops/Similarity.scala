@@ -92,8 +92,10 @@ object Similarity {
 
   /** Argmax-cosine cell id over a literal centroid model — a pure, codegen'd
     * expression (no join, no shuffle, no window): ties take the lowest id.
+    * `private[ops]` so the SemDeDup blocker ([[Dedup.semanticNearDupPairs]])
+    * assigns clusters with the exact same expression the IVF index uses.
     */
-  private def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+  private[ops] def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
     val scores = array(centroids.sortBy(_._1).map { case (_, cv) =>
       VectorKit.cosine(v, typedLit(cv)) }: _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")

@@ -392,6 +392,27 @@ object LlmQueries {
       |  CAST(0 AS BIGINT) AS score_mismatch
       |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
+  // ── SemDeDup: semantic dedup via embedding k-means clustering ───────────
+  // End-to-end gate with a DATA-DERIVED oracle: dedup of (corpus ∪ ×2-scaled
+  // copies at id+1e6) must return EXACTLY the original corpus — a scaled
+  // copy has identical cosine geometry, so it lands in its original's
+  // k-means cell with probability 1 and scores cos=1 ≥ 0.9 against it
+  // (dropped: the copy is always the larger id), while no natural pair
+  // reaches 0.9 (proved by dd_embedding_threshold's exact all-pairs
+  // baseline on the same data). The oracle needs no pinned constants and
+  // no k-means replay: it is SELECT vec_id FROM embeddings.
+  private val ddSemantic: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val copies = em.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = em.select(col("vec_id"), col("embedding")).unionByName(copies)
+    Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9, nCentroids = 16)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+  private val ddSemanticSql =
+    "SELECT vec_id FROM embeddings ORDER BY vec_id"
+
   // ── int8 embedding quantization (symmetric, per-vector scale) ───────────
   // The storage-side companion of PQ: 4× compression with max-abs scaling,
   // fully deterministic (floor(x+0.5) rounding, no RNG) so the codes and
@@ -1050,6 +1071,7 @@ object LlmQueries {
     "sim_topk_ivf" -> simIvf,
     "sim_topk_ivfpq" -> simIvfPq,
     "sim_int8_quant" -> simInt8,
+    "dd_semantic_dedup" -> ddSemantic,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1084,6 +1106,7 @@ object LlmQueries {
     "sim_topk_lsh" -> simLshSql,
     "sim_topk_ivfpq" -> simIvfPqSql,
     "sim_int8_quant" -> simInt8Sql,
+    "dd_semantic_dedup" -> ddSemanticSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,

@@ -191,4 +191,37 @@ class DedupSpec extends SparkSpec {
     // cos = 1 ± 1ulp (√S·√S re-rounds); micro-quantization is exact
     assert(pairs.forall(r => math.rint(r.getDouble(2) * 1e6) == 1000000.0))
   }
+
+  test("SemDeDup: scaled copies share their original's k-means cell (recall = 1) " +
+    "and semanticDedup keeps exactly the original corpus") {
+    val em = Tables.embeddings(spark, sf0001)
+    val copies = em.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = em.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val n = em.count()
+    val pairs = Dedup.semanticNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 8)
+      .select("vec_a", "vec_b", "cos").collect()
+    // cosine is scale-invariant ⇒ the copy's argmax cell is its original's
+    // cell ⇒ every planted pair is within-cluster; nothing else reaches 0.9
+    assert(pairs.length == n)
+    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+    val kept = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val originals = em.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == originals)
+  }
+
+  test("SemDeDup caps a degenerate hot cluster (over-cap cell dropped whole)") {
+    val em = Tables.embeddings(spark, sf0001)
+    val copies = em.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = em.select(col("vec_id"), col("embedding")).unionByName(copies)
+    // nCentroids=1 puts the whole corpus in one cell; a cap below the corpus
+    // size must drop it whole — zero pairs instead of an all-pairs join
+    val capped = Dedup.semanticNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 1, maxClusterSize = 10)
+    assert(capped.count() == 0)
+  }
 }
