@@ -40,6 +40,83 @@ object NativeTextKit {
 
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+
+  /** BPE-encode a single word with a trained merge table (rank order). */
+  def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(BpeEncodeWord(GraftColumnBridge.expression(c), merges))
+}
+
+/**
+ * BPE word encoder: splits the word into code-POINT symbols (Java's
+ * zero-width regex split — what `split(w, "")` compiles to — advances by
+ * code point, so both sides of the gated equivalence see identical initial
+ * symbolization, surrogate pairs included) and applies each merge
+ * of a TRAINED table in rank order as one left-to-right non-overlapping
+ * pass — exactly [[graft.ops.Corpus.bpeMergePass]]'s fold semantics, so
+ * the declarative and native paths are symbol-for-symbol interchangeable
+ * (the `t_bpe_train` gate asserts it). The merge table rides along as flat
+ * expression metadata (`addReferenceObj`) like the PQ codebooks: a trained
+ * tokenizer is a model of a few hundred KB, shipped once per executor, and
+ * the per-row work is a tight loop inside whole-stage codegen — this is
+ * the encoder a 100 TB token-counting or packing pass runs inside the scan.
+ */
+case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  @transient private lazy val flat: Array[String] =
+    merges.flatMap(m => Seq(m._1, m._2)).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeOps.encodeWord(input.asInstanceOf[UTF8String].toString, flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeOps.encodeWord($c.toString(), $tbl);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWord =
+    copy(child = newChild)
+}
+
+object BpeOps {
+  /** Rank-ordered merge passes over the word's code-unit symbols; each pass
+    * is greedy leftmost non-overlapping ("aaaa" + (a,a) → [aa, aa]). */
+  def encodeWord(word: String, flat: Array[String]): ArrayData = {
+    var syms = new Array[String](word.codePointCount(0, word.length))
+    var i = 0
+    var off = 0
+    while (off < word.length) {
+      val cp = word.codePointAt(off)
+      syms(i) = new String(Character.toChars(cp))
+      off += Character.charCount(cp)
+      i += 1
+    }
+    var m = 0
+    while (m < flat.length && syms.length > 1) {
+      val l = flat(m); val r = flat(m + 1)
+      val out = new Array[String](syms.length)
+      var n = 0
+      var j = 0
+      while (j < syms.length) {
+        if (n > 0 && out(n - 1).equals(l) && syms(j).equals(r)) {
+          out(n - 1) = l + r
+        } else {
+          out(n) = syms(j); n += 1
+        }
+        j += 1
+      }
+      syms = java.util.Arrays.copyOf(out, n)
+      m += 2
+    }
+    val res = new Array[Any](syms.length)
+    var k = 0
+    while (k < syms.length) { res(k) = UTF8String.fromString(syms(k)); k += 1 }
+    new GenericArrayData(res)
+  }
 }
 
 /**

@@ -426,6 +426,85 @@ object Corpus {
       .groupBy(col("pair")).agg(sum(col("__cnt")).as("pair_count"))
   }
 
+  /** Adjacent symbol pairs of a symbol array, as (l, r) structs — the
+    * pair-census building block of BPE training. */
+  private def adjSymbolPairs(sym: Column): Column =
+    when(size(sym) >= 2, transform(sequence(lit(1), size(sym) - 1),
+      i => struct(element_at(sym, i).as("l"), element_at(sym, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** One left-to-right non-overlapping merge pass of the pair (l, r) over a
+    * symbol array, as a pure Catalyst fold (`aggregate` HOF): append each
+    * symbol unless it is `r` and the accumulator ends in `l`, in which case
+    * the tail is replaced by the merged symbol. "aaaa" merging (a,a) gives
+    * [aa, aa] — the classic greedy-leftmost semantics. */
+  private[ops] def bpeMergePass(sym: Column, l: String, r: String): Column =
+    // try_element_at: ANSI mode has no conjunct short-circuit, so a plain
+    // element_at(acc, -1) would throw on the empty accumulator
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Apply a trained merge table (rank order) as chained fold passes — the
+    * declarative twin of [[graft.functions.NativeTextKit.bpeEncodeWord]];
+    * the gated query asserts the two paths agree symbol-for-symbol. */
+  def applyBpeMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (c, (l, r)) => bpeMergePass(c, l, r) }
+
+  /**
+   * Distributed BPE tokenizer training (Sennrich et al. 2016): `nMerges`
+   * rounds of (count adjacent symbol pairs weighted by word frequency →
+   * pick the most frequent pair, ties lexicographic → merge it everywhere).
+   * Returns the merge table in rank order with the weighted count each
+   * merge had when chosen. Stops early when no pair occurs twice.
+   *
+   * Scale posture: the ONE corpus-scale pass is the word-frequency
+   * aggregation (map-side combined, shuffle on word); every training round
+   * then runs on the cached WORD DICTIONARY — vocab-bound (≤ ~10⁷ rows for
+   * web text), independent of corpus row count, so 100 TB and 100 GB train
+   * at the same per-round cost. Each round = one map-side-combined pair
+   * aggregation + a `TakeOrdered(1)` argmax collect (one row to the
+   * driver) + a fold-expression merge re-cache; the previous round's cache
+   * is dropped once the successor materializes. Weighting is by DISTINCT-
+   * word frequency from [[TextKit.tokens]] — identical conventions to
+   * [[bpePairStats]], whose output is exactly this trainer's round-1
+   * census.
+   */
+  def trainBpeMerges(df: DataFrame, textCol: String, nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    var dict = df.repartition(par)
+      .select(explode(TextKit.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        filter(split(col("w"), ""), s => length(s) > 0).as("sym"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val top = dict
+        .select(col("f"), explode(adjSymbolPairs(col("sym"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, c))
+        val next = dict.select(col("w"), col("f"),
+          bpeMergePass(col("sym"), l, r).as("sym")).persist()
+        next.count() // materialize before dropping the parent cache
+        dict.unpersist()
+        dict = next
+      }
+    }
+    dict.unpersist()
+    merges.toSeq
+  }
+
   /**
    * Deterministic per-key quota sampling — the per-domain cap every crawl
    * pipeline applies so a handful of giant hosts can't dominate the

@@ -973,6 +973,52 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── full BPE tokenizer training (iterative merge selection) ─────────────
+  // 12 distributed training rounds on the documents corpus, gated three
+  // ways in one row: n_words and the ROUND-1 argmax (pair + weighted count)
+  // are data-derived and SQL-replayed (round 1 of the trainer IS
+  // t_bpe_pairs' census top-1, tie-break aligned); encode_mismatch=0
+  // asserts the two independent merge-application paths — the chained
+  // Catalyst `aggregate`-fold and the imperative native encoder — agree
+  // symbol-for-symbol on EVERY distinct word of the corpus.
+  private val tBpeTrain: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.Corpus.trainBpeMerges(docs, "text", nMerges = 12)
+    val table = merges.map { case (l, r, _) => (l, r) }
+    val dict = docs
+      .select(explode(TextKit.tokens(col("text"))).as("w")).distinct()
+    val sym0 = filter(split(col("w"), ""), s0 => length(s0) > 0)
+    val eq = graft.ops.Corpus.applyBpeMerges(sym0, table) ===
+      graft.functions.NativeTextKit.bpeEncodeWord(col("w"), table)
+    dict.agg(
+      count(lit(1)).as("n_words"),
+      sum(when(eq, 0L).otherwise(1L)).as("encode_mismatch"))
+      .select(col("n_words"),
+        lit(merges.head._1 + " " + merges.head._2).as("first_pair"),
+        lit(merges.head._3).as("first_count"),
+        lit(merges.length.toLong).as("n_merges"),
+        col("encode_mismatch"))
+  }
+  private val tBpeTrainSql =
+    """WITH t AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), v AS (
+      |  SELECT tok, count(*) AS c FROM t GROUP BY tok
+      |), p AS (
+      |  SELECT unnest([substring(tok, i, 1) || ' ' || substring(tok, i + 1, 1)
+      |                 for i in range(1, length(tok))]) AS pair, c
+      |  FROM v WHERE length(tok) >= 2
+      |), top1 AS (
+      |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM p
+      |  GROUP BY pair ORDER BY sum(c) DESC, pair LIMIT 1
+      |)
+      |SELECT (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM t) AS n_words,
+      |  (SELECT pair FROM top1) AS first_pair,
+      |  (SELECT pc FROM top1) AS first_count,
+      |  CAST(12 AS BIGINT) AS n_merges,
+      |  CAST(0 AS BIGINT) AS encode_mismatch""".stripMargin
+
   private val tBpePairsSql =
     """WITH t AS (
       |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -1072,6 +1118,7 @@ object LlmQueries {
     "sim_topk_ivfpq" -> simIvfPq,
     "sim_int8_quant" -> simInt8,
     "dd_semantic_dedup" -> ddSemantic,
+    "t_bpe_train" -> tBpeTrain,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1107,6 +1154,7 @@ object LlmQueries {
     "sim_topk_ivfpq" -> simIvfPqSql,
     "sim_int8_quant" -> simInt8Sql,
     "dd_semantic_dedup" -> ddSemanticSql,
+    "t_bpe_train" -> tBpeTrainSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,

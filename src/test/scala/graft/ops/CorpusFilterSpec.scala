@@ -145,4 +145,49 @@ class CorpusFilterSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("trainBpeMerges: hand-computed merge sequence on a tiny corpus") {
+    // vocab: low ×5, lower ×2, newest ×6, widest ×3 (word occurrences)
+    val docs = Seq(
+      "low low low low low", "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Corpus.trainBpeMerges(docs, "text", nMerges = 4)
+    // round 1 pair counts: (e,s)=6+3=9, (s,t)=9 tie → lexicographic
+    // (e,s) < (s,t) ⇒ first merge = (e,s) at 9
+    assert(merges.head._1 == "e" && merges.head._2 == "s" && merges.head._3 == 9L)
+    // round 2: (es,t) = 9 (newest 6 + widest 3), unique max
+    assert(merges(1)._1 == "es" && merges(1)._2 == "t" && merges(1)._3 == 9L)
+    // round 3: (l,o) = (o,w) = 7 tie → (l,o); round 4: (lo,w) = 7
+    assert(merges(2) == (("l", "o", 7L)))
+    assert(merges(3) == (("lo", "w", 7L)))
+  }
+
+  test("bpeMergePass fold ≡ native encoder, incl. the overlapping-run edge") {
+    val words = Seq("aaaa", "banana", "low", "lowest", "ababab", "x", "")
+      .toDF("w")
+    val table = Seq(("a", "a"), ("a", "b"), ("ab", "ab"), ("l", "o"), ("lo", "w"))
+    val sym0 = filter(split(col("w"), ""), s => length(s) > 0)
+    val rows = words.select(
+      Corpus.applyBpeMerges(sym0, table).as("fold"),
+      graft.functions.NativeTextKit.bpeEncodeWord(col("w"), table).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fold=${r.getSeq[String](0)} native=${r.getSeq[String](1)}")
+    }
+    // the greedy-leftmost contract, by hand: aaaa + (a,a) → [aa,aa]
+    val aaaa = words.filter(col("w") === "aaaa")
+      .select(graft.functions.NativeTextKit.bpeEncodeWord(col("w"),
+        Seq(("a", "a"))).as("t")).collect().head.getSeq[String](0)
+    assert(aaaa == Seq("aa", "aa"))
+  }
+
+  test("trainBpeMerges is reproducible run-to-run (deterministic tie-breaks)") {
+    val docs = Seq((1L, "ab ab ba baba abba"), (2L, "ba ab bb aa abab")).toDF("doc_id", "text")
+    val a = Corpus.trainBpeMerges(docs, "text", nMerges = 3)
+    val b = Corpus.trainBpeMerges(docs, "text", nMerges = 3)
+    assert(a == b)
+  }
 }
