@@ -273,9 +273,66 @@ object ExtensionQueries {
       |  CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_c
       |FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin
 
+  // ── rolling time-range window: per-user trailing-1h count/sum ───────────
+  // RANGE BETWEEN frame (peers by timestamp VALUE, not row position) — the
+  // "trailing window per entity" shape rate-limiters and feature pipelines
+  // run. Partitioned by user_id: no global ordering anywhere, so the 100 TB
+  // plan is one hash shuffle on user and per-user in-partition sorts —
+  // duplicate-timestamp peers share a frame identically in both engines,
+  // keeping the output deterministic without a unique-key tiebreak.
+  private val w3Rolling: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).withColumn("ts_ms", Kit.nanosToMillis("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    e.select(col("event_id"), col("user_id"), col("ts_ms"),
+        count(lit(1)).over(w).as("n_1h"),
+        Kit.cents(sum(col("value")).over(w)).as("sum_1h_c"))
+      .orderBy(col("event_id"))
+  }
+  private val w3RollingSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_ms,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(round(sum(value) OVER w * 100, 0) AS BIGINT) AS sum_1h_c
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+      |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ── JSONL wire roundtrip (the LLM-corpus interchange format) ────────────
+  // Same gate shape as i2_avro_roundtrip: encode to the wire format and
+  // decode back IN-PLAN (`to_json`/`from_json` — codegen'd Jackson, exact
+  // double round-trip via shortest-representation), oracle replays the
+  // projection from the original rows. Exercises the codec itself, not
+  // file IO; the file-level JSONL read/write rides the same codec.
+  private val i3JsonlRoundtrip: Q = (s, dir) => {
+    val wireDdl = "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        to_json(struct(col("user_id"), col("event_type"), col("value"),
+          col("props"))).as("wire"))
+      .select(col("event_id"),
+        from_json(col("wire"),
+          org.apache.spark.sql.types.StructType.fromDDL(wireDdl)).as("rec"))
+      .select(col("event_id"), col("rec.user_id").as("user_id"),
+        col("rec.event_type").as("event_type"),
+        Kit.cents(col("rec.value")).as("value_c"), col("rec.props").as("props"))
+      .orderBy(col("event_id"))
+  }
+  private val i3JsonlRoundtripSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
+    "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
     "w2_sliding_window" -> w2Sliding,
+    "w3_rolling_window" -> w3Rolling,
     "x_cube" -> xCube,
     "x_pivot" -> xPivot,
     "x_percentile" -> xPercentile,
@@ -288,7 +345,9 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
+    "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
     "w2_sliding_window" -> w2SlidingSql,
+    "w3_rolling_window" -> w3RollingSql,
     "x_cube" -> xCubeSql,
     "x_pivot" -> xPivotSql,
     "x_percentile" -> xPercentileSql,
