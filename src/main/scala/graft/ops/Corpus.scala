@@ -475,13 +475,21 @@ object Corpus {
       : Seq[(String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be positive")
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // the evolving dict carries ONLY (f, sym): the word string never feeds a
+    // round, and single-char words can never contribute a pair — both would
+    // just inflate every round's cache
     var dict = df.repartition(par)
       .select(explode(TextKit.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .select(col("w"), col("f"),
+      .filter(length(col("w")) >= 2)
+      .select(col("f"),
         filter(split(col("w"), ""), s => length(s) > 0).as("sym"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // ONE action per round: the argmax materializes the round's cache, so
+    // the parent cache is dropped one round late (after its child is safely
+    // materialized) instead of paying a dedicated count() materialization
+    var prev: Option[DataFrame] = None
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
       val top = dict
@@ -490,18 +498,20 @@ object Corpus {
         .agg(sum(col("f")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, c))
-        val next = dict.select(col("w"), col("f"),
+        val next = dict.select(col("f"),
           bpeMergePass(col("sym"), l, r).as("sym")).persist()
-        next.count() // materialize before dropping the parent cache
-        dict.unpersist()
+        prev = Some(dict)
         dict = next
       }
     }
     dict.unpersist()
+    prev.foreach(_.unpersist())
     merges.toSeq
   }
 
