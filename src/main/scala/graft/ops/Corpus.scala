@@ -426,6 +426,55 @@ object Corpus {
       .groupBy(col("pair")).agg(sum(col("__cnt")).as("pair_count"))
   }
 
+  /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score each document by how
+   * many fewer bits its tokens cost under a TARGET corpus' unigram model
+   * than under the full corpus' — the data-selection signal that upweights
+   * in-domain documents. Same EXACT integer-bits formulation as
+   * [[unigramSurprisal]] (binary-expansion log2: engine-portable
+   * bit-for-bit, no floating-point ln):
+   *   Δbits(w) = bits_corpus(w) − bits_target(w),  bits(w) = len(bin(N)) −
+   *   len(bin(max(cnt, 1)))   (the max is add-one-floor smoothing for
+   * target-OOV words). Output per doc: token count, Σ tf·Δbits, and the
+   * per-token ×100 integer-div mean (`mean_centidelta` > 0 ⇔ the document
+   * reads more like the target corpus than the average document — the
+   * resampling keep-signal).
+   *
+   * Scale posture: two vocab aggregations and one per-doc aggregation, all
+   * map-side combined and hash-shuffled on (word) / (doc); the vocab joins
+   * are corpus-vocabulary-sized (AQE broadcasts the target side when it
+   * fits), and nothing is ordered or windowed anywhere.
+   */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column): DataFrame = {
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val docTf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(textCol),
+        targetFilter.cast("boolean").as("__tgt"))
+      .select(col(idCol), col("__tgt"),
+        explode(TextKit.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__tgt"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val vocab = docTf.groupBy(col("__w")).agg(
+      sum(col("__tf")).as("__cnt"),
+      sum(when(col("__tgt"), col("__tf")).otherwise(0L)).as("__tcnt"))
+    val totals = vocab.agg(sum(col("__cnt")).as("__n"),
+      sum(col("__tcnt")).as("__tn"))
+    docTf.join(vocab, Seq("__w"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") *
+          ((bitlen(col("__n")) - bitlen(col("__cnt"))) -
+            (bitlen(col("__tn")) - bitlen(greatest(col("__tcnt"), lit(1L))))))
+          .as("delta_bits"))
+      .withColumn("mean_centidelta",
+        expr("(delta_bits * 100) div n_tokens"))
+  }
+
   /** Adjacent symbol pairs of a symbol array, as (l, r) structs — the
     * pair-census building block of BPE training. */
   private def adjSymbolPairs(sym: Column): Column =

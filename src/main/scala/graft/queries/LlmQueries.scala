@@ -973,6 +973,40 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── DSIR-style importance weighting (target = English sub-corpus) ───────
+  // Gate compares (doc_id, n_tokens, delta_bits) — pure integer sums with
+  // exact bin()-length log2 on both engines. mean_centidelta is excluded:
+  // delta_bits goes negative for out-of-target docs and Spark `div`
+  // truncates toward zero where DuckDB `//` floors.
+  private val tImportance: Q = (s, dir) => {
+    graft.ops.Corpus.importanceWeights(Tables.documents(s, dir), "doc_id",
+        "text", col("lang") === "en")
+      .select(col("doc_id"), col("n_tokens"), col("delta_bits"))
+      .orderBy(col("doc_id"))
+  }
+  private val tImportanceSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), tf AS (
+      |  SELECT doc_id, tgt, w, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY 1, 2, 3
+      |), v AS (
+      |  SELECT w, CAST(sum(tf) AS BIGINT) AS cnt,
+      |    CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS tcnt
+      |  FROM tf GROUP BY w
+      |), n AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |    CAST(sum(tcnt) AS BIGINT) AS ttotal FROM v
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(tf * ((length(bin(n.total)) - length(bin(v.cnt))) -
+      |    (length(bin(n.ttotal)) - length(bin(greatest(v.tcnt, 1))))))
+      |    AS BIGINT) AS delta_bits
+      |FROM tf JOIN v USING (w) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── full BPE tokenizer training (iterative merge selection) ─────────────
   // 12 distributed training rounds on the documents corpus, gated three
   // ways in one row: n_words and the ROUND-1 argmax (pair + weighted count)
@@ -1119,6 +1153,7 @@ object LlmQueries {
     "sim_int8_quant" -> simInt8,
     "dd_semantic_dedup" -> ddSemantic,
     "t_bpe_train" -> tBpeTrain,
+    "t_importance_weight" -> tImportance,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1155,6 +1190,7 @@ object LlmQueries {
     "sim_int8_quant" -> simInt8Sql,
     "dd_semantic_dedup" -> ddSemanticSql,
     "t_bpe_train" -> tBpeTrainSql,
+    "t_importance_weight" -> tImportanceSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,

@@ -146,6 +146,40 @@ class CorpusFilterSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("importanceWeights: hand-computed integer-bits delta, OOV smoothing") {
+    // corpus: d1 (target) "x x y", d2 "x z". Totals: N=5 (x:3, y:1, z:1);
+    // target: TN=3 (x:2, y:1, z:0 → smoothed to 1).
+    // bits(w) = len(bin(N)) - len(bin(cnt)); len(bin(5))=3, len(bin(3))=2.
+    // corpus bits: x=3-2=1, y=3-1=2, z=3-1=2
+    // target bits: x=2-2=0, y=2-1=1, z(smoothed 1)=2-1=1
+    // Δ: x=1, y=1, z=1 ⇒ d1 = 2·1+1·1 = 3 (3 tokens); d2 = 1+1 = 2 (2 tokens)
+    val docs = Seq((1L, "x x y", "en"), (2L, "x z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 3L)))
+    assert(out(2L) == ((2L, 2L)))
+  }
+
+  test("importanceWeights: target-heavy doc scores above out-of-target doc") {
+    // integer bits discriminate when the corpus/target RATIOS differ in
+    // binary magnitude: N=22 (5 bits) vs TN=6 (3 bits) ⇒ target-exclusive
+    // words carry Δ=+2, the 12× "der" carries Δ=2+1-4=-1
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha gamma", "en"),
+      (3L, "der der der der der der der der", "de"),
+      (4L, "der der der der hund hund hund hund", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // mean_centidelta: in-target docs must outrank every out-of-target doc
+    assert(Seq(1L, 2L).map(out).min > Seq(3L, 4L).map(out).max,
+      s"importance ordering violated: $out")
+  }
+
   test("trainBpeMerges: hand-computed merge sequence on a tiny corpus") {
     // vocab: low ×5, lower ×2, newest ×6, widest ×3 (word occurrences)
     val docs = Seq(
