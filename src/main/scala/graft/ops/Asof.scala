@@ -25,34 +25,65 @@ import org.apache.spark.sql.functions._
  */
 object Asof {
 
-  def joinBackward(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTime: String, rightTime: String): DataFrame = {
+  /** Tagged union of both sides on a common (key, __t, __is_l) spine; left
+    * rows carry null right values and vice versa. `leftTag` fixes which
+    * side sorts first at timestamp ties (the side with the SMALLER tag). */
+  private def merged(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, leftTag: Int)
+      : (DataFrame, Seq[String], Seq[String]) = {
     val rightVals = right.columns.filter(c => c != keyCol && c != rightTime).toSeq
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"right value columns ${rightVals.mkString(",")} must not clash with left columns")
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
-
-    // union by explicit select lists: left rows carry null right values,
-    // right rows carry null left values
     val l = left.select(
-      (col(keyCol) +: col(leftTime).as("__t") +: lit(1).as("__is_l") +:
+      (col(keyCol) +: col(leftTime).as("__t") +: lit(leftTag).as("__is_l") +:
         leftCols.filter(_ != keyCol).map(col)) ++
         rightVals.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
     val r = right.select(
-      (col(keyCol) +: col(rightTime).as("__t") +: lit(0).as("__is_l") +:
+      (col(keyCol) +: col(rightTime).as("__t") +: lit(1 - leftTag).as("__is_l") +:
         leftCols.filter(_ != keyCol).map(c => lit(null).cast(leftTypes(c)).as(c))) ++
         rightVals.map(col): _*)
+    (l.unionByName(r), leftCols, rightVals)
+  }
 
+  def joinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    // left tag 1: right (0) sorts before left at ties, so rightTime ==
+    // leftTime matches (inclusive backward, as in DuckDB/kdb)
+    val (u, leftCols, rightVals) =
+      merged(left, right, keyCol, leftTime, rightTime, leftTag = 1)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__t"), col("__is_l")) // right (0) before left (1) at ties
+      .orderBy(col("__t"), col("__is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val filled = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+    val filled = rightVals.foldLeft(u) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     filled.filter(col("__is_l") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+  }
+
+  /**
+   * Forward AS-OF: for every left row, the single right row with the same
+   * key and the SMALLEST `rightTime >= leftTime` (inclusive) — the shape
+   * that answers "the next reading after this event". Mirror of
+   * [[joinBackward]]: left tag 0 puts left BEFORE the tied right row, and
+   * the right values are carried backward with `first(ignoreNulls)` over
+   * the current-row-to-unbounded-FOLLOWING frame. Same single
+   * shuffle + per-key sort, no pair explosion.
+   */
+  def joinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val (u, leftCols, rightVals) =
+      merged(left, right, keyCol, leftTime, rightTime, leftTag = 0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__is_l"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = rightVals.foldLeft(u) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_l") === 0)
       .select(leftCols.map(col) ++ rightVals.map(col): _*)
   }
 }

@@ -277,6 +277,32 @@ object RelationalQueries {
 
   // ── as-of join: each event matched to the user's most recent order at or
   //    before the event, via the single-pass window-merge operator ─────────
+  // forward twin of x_asof_join: "the next order at or after this event";
+  // DuckDB's ASOF takes the direction from the inequality (<=) directly
+  private val xAsofForward: Q = (s, dir) => {
+    import graft.ops.Asof
+    val l = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), Kit.nanosToMillis("ts").as("ts_ms"))
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"),
+        expr("unix_millis(cast(o_orderdate as timestamp))").as("order_ms"))
+      .agg(Kit.cents(max(col("o_totalprice"))).as("next_price_c"))
+    Asof.joinForward(l, r, "user_id", "ts_ms", "order_ms")
+      .select(col("event_id"), col("user_id"), col("next_price_c"))
+      .orderBy(col("event_id"))
+  }
+  private val xAsofForwardSql =
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ms,
+      |    CAST(round(max(o_totalprice) * 100, 0) AS BIGINT) AS next_price_c
+      |  FROM orders GROUP BY 1, 2
+      |), l AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+      |)
+      |SELECT l.event_id, l.user_id, r.next_price_c
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.order_ms
+      |ORDER BY event_id""".stripMargin
+
   private val xAsofJoin: Q = (s, dir) => {
     import graft.ops.Asof
     val l = Tables.events(s, dir)
@@ -340,6 +366,7 @@ object RelationalQueries {
     "q1_agg" -> q1Agg,
     "x_range_join" -> xRangeJoin,
     "x_asof_join" -> xAsofJoin,
+    "x_asof_forward" -> xAsofForward,
     "x_salted_join" -> xSaltedJoin,
     "s4_union_scan" -> s4Union,
     "p1_key_extraction" -> p1Key,
@@ -359,6 +386,7 @@ object RelationalQueries {
     "q1_agg" -> q1AggSql,
     "x_range_join" -> xRangeJoinSql,
     "x_asof_join" -> xAsofJoinSql,
+    "x_asof_forward" -> xAsofForwardSql,
     "x_salted_join" -> xSaltedJoinSql,
     "s4_union_scan" -> s4UnionSql,
     "p1_key_extraction" -> p1KeySql,

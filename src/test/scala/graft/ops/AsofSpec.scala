@@ -27,6 +27,40 @@ class AsofSpec extends SparkSpec {
     assert(out.count() == 1000)
   }
 
+  test("forward as-of: smallest right time >= left time, inclusive ties, null when none") {
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (1L, 2L, "d"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 3L, 100), (1L, 10L, 200), (2L, 99L, 300), (2L, 5L, 400))
+      .toDF("k", "rt", "rv")
+    val got = Asof.joinForward(left, right, "k", "t", "rt")
+      .as[(Long, Long, String, Option[Int])].collect().toSet
+    assert(got == Set(
+      (1L, 2L, "d", Some(100)),  // next at rt=3
+      (1L, 5L, "b", Some(200)),  // next at rt=10
+      (1L, 10L, "a", Some(200)), // tie rt=10 matches (inclusive)
+      (2L, 7L, "c", Some(300)))) // rt=5 is in the past; next is 99
+  }
+
+  test("forward ≡ backward under time negation (duality cross-check)") {
+    import org.apache.spark.sql.functions._
+    val left = (1 to 400).map(i => ((i % 7).toLong, (i * 13 % 101).toLong, i))
+      .toDF("k", "t", "lv")
+    val right = (1 to 200).map(i => ((i % 7).toLong, (i * 29 % 97).toLong, i))
+      .toDF("k", "rt", "rv")
+    // dedupe right per (k, rt): the contract requires uniqueness for
+    // determinism, and negation must compare like against like
+    val r1 = right.groupBy("k", "rt").agg(max("rv").as("rv"))
+    val fwd = Asof.joinForward(left, r1, "k", "t", "rt")
+      .select("k", "t", "lv", "rv")
+      .as[(Long, Long, Int, Option[Int])].collect().toSet
+    val bwdNeg = Asof.joinBackward(
+      left.withColumn("t", -col("t")),
+      r1.withColumn("rt", -col("rt")), "k", "t", "rt")
+      .select(col("k"), -col("t"), col("lv"), col("rv"))
+      .as[(Long, Long, Int, Option[Int])].collect().toSet
+    assert(fwd == bwdNeg)
+  }
+
   test("clashing value-column names are rejected") {
     val df = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {
