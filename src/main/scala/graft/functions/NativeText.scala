@@ -44,6 +44,54 @@ object NativeTextKit {
   /** BPE-encode a single word with a trained merge table (rank order). */
   def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(BpeEncodeWord(GraftColumnBridge.expression(c), merges))
+
+  /** Canonical text normalization: Unicode NFC + whitespace collapse + trim,
+    * optional ROOT-locale casefold. */
+  def normalizeText(c: Column, casefold: Boolean = false): Column =
+    GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(c), casefold))
+}
+
+/**
+ * Canonical text normalization — the preprocessing step in front of every
+ * hash-keyed dedup/split/sampling operator: Unicode NFC (composed form, so
+ * "e + combining acute" and "é" hash identically), whitespace runs
+ * collapsed to single spaces, ends trimmed, and optionally a ROOT-locale
+ * casefold. Spark ships no Unicode-normalization function; this is a
+ * codegen'd static call (`java.text.Normalizer` + a compiled regex), NOT a
+ * UDF — at 100 TB it rides inside the scan's codegen stage like the rest
+ * of the text kit. Casefold is OFF in the gated query (engine lowercase
+ * tables differ across locales/ICU versions; the NFC + whitespace contract
+ * is the cross-engine-stable core).
+ */
+case class NormalizeText(child: Expression, casefold: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeOps.normalize(input.asInstanceOf[UTF8String].toString, casefold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeOps.normalize($c.toString(), $casefold);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeOps {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def normalize(s: String, casefold: Boolean): UTF8String = {
+    var n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    if (casefold) n = n.toLowerCase(java.util.Locale.ROOT)
+    // collapse BEFORE trim: after collapse every edge run is a single
+    // ASCII space, which Java trim and SQL trim strip identically (Java
+    // trim alone also eats \n/\t that SQL trim would keep)
+    n = ws.matcher(n).replaceAll(" ")
+    n = n.trim
+    UTF8String.fromString(n)
+  }
 }
 
 /**

@@ -973,6 +973,30 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── canonical text normalization (NFC + whitespace) ─────────────────────
+  // The dedup-key canonicalization step; casefold off (engine lowercase
+  // tables drift across ICU versions — NFC + whitespace is the stable
+  // cross-engine contract, and the spec covers casefold + combining marks).
+  private val tNormalize: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.NativeTextKit.normalizeText(col("text")).as("norm"),
+        (length(col("text")) - length(
+          graft.functions.NativeTextKit.normalizeText(col("text"))))
+          .cast("long").as("shrunk_chars"))
+      .orderBy(col("doc_id"))
+  }
+  private val tNormalizeSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm,
+      |    text
+      |  FROM documents
+      |)
+      |SELECT doc_id, norm,
+      |  CAST(length(text) - length(norm) AS BIGINT) AS shrunk_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // ── DSIR-style importance weighting (target = English sub-corpus) ───────
   // Gate compares (doc_id, n_tokens, delta_bits) — pure integer sums with
   // exact bin()-length log2 on both engines. mean_centidelta is excluded:
@@ -1154,6 +1178,7 @@ object LlmQueries {
     "dd_semantic_dedup" -> ddSemantic,
     "t_bpe_train" -> tBpeTrain,
     "t_importance_weight" -> tImportance,
+    "t_normalize" -> tNormalize,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1191,6 +1216,7 @@ object LlmQueries {
     "dd_semantic_dedup" -> ddSemanticSql,
     "t_bpe_train" -> tBpeTrainSql,
     "t_importance_weight" -> tImportanceSql,
+    "t_normalize" -> tNormalizeSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,

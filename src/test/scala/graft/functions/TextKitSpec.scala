@@ -37,4 +37,28 @@ class TextKitSpec extends SparkSpec {
     assert(counts("a@b.io c@d.org +1 222-333-4444 10.0.0.1") == ((2, 1, 1)))
     assert(counts("nothing here") == ((0, 0, 0)))
   }
+
+  private def norm(s: String, casefold: Boolean = false): String =
+    Seq(s).toDF("t")
+      .select(NativeTextKit.normalizeText(col("t"), casefold))
+      .collect().head.getString(0)
+
+  test("normalizeText: NFC composes combining marks; dedup keys converge") {
+    val decomposed = "Cafe\u0301" // e + COMBINING ACUTE ACCENT
+    val composed = "Caf\u00e9"    // precomposed \u00e9
+    assert(decomposed != composed)  // different code points
+    assert(norm(decomposed) == norm(composed)) // same canonical form
+    assert(norm(decomposed) == composed)
+  }
+
+  test("normalizeText: whitespace runs collapse, ends trim, NBSP preserved") {
+    assert(norm("  a\t\tb\n\nc  ") == "a b c")
+    assert(norm("a\u00a0b") == "a\u00a0b") // NBSP is not \s in Java or RE2
+    assert(norm("\n\t ") == "")
+  }
+
+  test("normalizeText: ROOT-locale casefold only when asked") {
+    assert(norm("MiXeD CaSe") == "MiXeD CaSe")
+    assert(norm("MiXeD CaSe", casefold = true) == "mixed case")
+  }
 }
