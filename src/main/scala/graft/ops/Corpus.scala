@@ -427,6 +427,42 @@ object Corpus {
   }
 
   /**
+   * Corpus-trained BIGRAM surprisal — the conditional-probability upgrade
+   * of [[unigramSurprisal]] (CCNet scores with a 5-gram KenLM; the bigram
+   * is the same signal one join deeper): per adjacent token pair,
+   * bits(w2|w1) = len(bin(ctx(w1))) − len(bin(cnt(w1,w2))) with
+   * ctx(w1) = Σ_w2 cnt(w1,w2), summed per document (exact integer log2 —
+   * engine-portable bit-for-bit, and nonnegative, so the ×100 integer-div
+   * mean is safe cross-engine). Self-trained on the scored corpus, so
+   * every scored pair exists in the model — no backoff path.
+   *
+   * Scale posture: one corpus-scale pair-explode aggregation (map-side
+   * combined, shuffled on (doc, w1, w2)); the bigram and context models
+   * derive from IT (their exchanges reuse its shuffle output, verified
+   * pattern as [[importanceWeights]]); final per-doc agg shuffles on doc.
+   */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val docTf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        explode(adjSymbolPairs(TextKit.tokens(col(textCol)))).as("__p"))
+      .groupBy(col(idCol), col("__p.l").as("__w1"), col("__p.r").as("__w2"))
+      .agg(count(lit(1)).as("__tf"))
+    val bigrams = docTf.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__tf")).as("__cnt"))
+    val ctx = bigrams.groupBy(col("__w1")).agg(sum(col("__cnt")).as("__ctx"))
+    docTf.join(bigrams, Seq("__w1", "__w2")).join(ctx, Seq("__w1"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_pairs"),
+        sum(col("__tf") * (bitlen(col("__ctx")) - bitlen(col("__cnt"))))
+          .as("bigram_bits"))
+      .withColumn("mean_centibits",
+        expr("(bigram_bits * 100) div n_pairs"))
+  }
+
+  /**
    * DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): score each document by how
    * many fewer bits its tokens cost under a TARGET corpus' unigram model

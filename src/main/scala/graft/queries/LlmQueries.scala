@@ -973,6 +973,35 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── bigram LM surprisal (conditional bits, self-trained) ────────────────
+  private val tBigramLm: Q = (s, dir) => {
+    graft.ops.Corpus.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val tBigramLmSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), p AS (
+      |  SELECT doc_id,
+      |    unnest([{'w1': tk[i], 'w2': tk[i + 1]} for i in range(1, len(tk))]) AS pr
+      |  FROM d WHERE len(tk) >= 2
+      |), tf AS (
+      |  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2, CAST(count(*) AS BIGINT) AS tf
+      |  FROM p GROUP BY 1, 2, 3
+      |), bg AS (
+      |  SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1, 2
+      |), cx AS (
+      |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM bg GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_pairs,
+      |  CAST(sum(tf * (length(bin(cx.ctx)) - length(bin(bg.cnt)))) AS BIGINT)
+      |    AS bigram_bits,
+      |  CAST((sum(tf * (length(bin(cx.ctx)) - length(bin(bg.cnt)))) * 100)
+      |    // sum(tf) AS BIGINT) AS mean_centibits
+      |FROM tf JOIN bg USING (w1, w2) JOIN cx USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── canonical text normalization (NFC + whitespace) ─────────────────────
   // The dedup-key canonicalization step; casefold off (engine lowercase
   // tables drift across ICU versions — NFC + whitespace is the stable
@@ -1179,6 +1208,7 @@ object LlmQueries {
     "t_bpe_train" -> tBpeTrain,
     "t_importance_weight" -> tImportance,
     "t_normalize" -> tNormalize,
+    "t_bigram_lm" -> tBigramLm,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1217,6 +1247,7 @@ object LlmQueries {
     "t_bpe_train" -> tBpeTrainSql,
     "t_importance_weight" -> tImportanceSql,
     "t_normalize" -> tNormalizeSql,
+    "t_bigram_lm" -> tBigramLmSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,

@@ -180,6 +180,26 @@ class CorpusFilterSpec extends SparkSpec {
       s"importance ordering violated: $out")
   }
 
+  test("bigramSurprisal: hand-computed conditional bits") {
+    // d1 "a b a b c": pairs (a,b)×2 (b,a) (b,c); d2 "a b b": (a,b) (b,b)
+    // bigrams: (a,b)=3 (b,a)=1 (b,c)=1 (b,b)=1; ctx: a=3, b=3
+    // bits: (a,b)=len(bin 3)-len(bin 3)=0; (b,a)=(b,c)=(b,b)=2-1=1
+    // d1: 0·2+1+1=2 bits / 4 pairs → mean 50; d2: 0+1=1 / 2 → 50
+    val docs = Seq((1L, "a b a b c"), (2L, "a b b")).toDF("doc_id", "text")
+    val out = Corpus.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 50L)))
+    assert(out(2L) == ((2L, 1L, 50L)))
+  }
+
+  test("bigramSurprisal: single-token and empty docs drop out (no pairs)") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
+    val ids = Corpus.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L))
+  }
+
   test("trainBpeMerges: hand-computed merge sequence on a tiny corpus") {
     // vocab: low ×5, lower ×2, newest ×6, widest ×3 (word occurrences)
     val docs = Seq(
