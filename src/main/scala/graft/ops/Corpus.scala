@@ -427,6 +427,34 @@ object Corpus {
   }
 
   /**
+   * Overlapping token-window chunking — the embedding/RAG preparation step
+   * that turns documents into bounded-length, stride-overlapped passages.
+   * Chunk starts are 0, stride, 2·stride, … with stride = chunkTokens −
+   * overlapTokens, while start < n − overlap (so every chunk contributes at
+   * least one new token; a doc shorter than the overlap yields exactly its
+   * single whole-doc chunk). Pure per-row expressions — tokenize, generate
+   * starts, slice, rejoin — zero shuffle, a free rider on any text scan at
+   * 100 TB; the ~chunk/stride× row amplification happens map-side.
+   */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = TextKit.tokens(col(textCol))
+    val n = size(toks)
+    val starts = sequence(lit(0),
+      greatest(n - overlapTokens - 1, lit(0)), lit(stride))
+    df.filter(n > 0)
+      .select(col(idCol), explode(starts).as("__s"), toks.as("__tk"))
+      .select(col(idCol), (col("__s") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__tk"), col("__s") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__tk"), col("__s") + 1, lit(chunkTokens))).cast("long")
+          .as("n_tokens"))
+  }
+
+  /**
    * Corpus-trained BIGRAM surprisal — the conditional-probability upgrade
    * of [[unigramSurprisal]] (CCNet scores with a 5-gram KenLM; the bigram
    * is the same signal one join deeper): per adjacent token pair,

@@ -973,6 +973,25 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── overlapping token-window chunking (embedding/RAG prep) ──────────────
+  private val tChunk: Q = (s, dir) => {
+    graft.ops.Corpus.chunkText(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+  private val tChunkSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), c AS (
+      |  SELECT doc_id, unnest(range(0, greatest(len(tk) - 16, 1), 48)) AS s, tk
+      |  FROM d
+      |)
+      |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+      |  array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text,
+      |  CAST(len(list_slice(tk, s + 1, s + 64)) AS BIGINT) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ── bigram LM surprisal (conditional bits, self-trained) ────────────────
   private val tBigramLm: Q = (s, dir) => {
     graft.ops.Corpus.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
@@ -1209,6 +1228,7 @@ object LlmQueries {
     "t_importance_weight" -> tImportance,
     "t_normalize" -> tNormalize,
     "t_bigram_lm" -> tBigramLm,
+    "t_chunk_windows" -> tChunk,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1248,6 +1268,7 @@ object LlmQueries {
     "t_importance_weight" -> tImportanceSql,
     "t_normalize" -> tNormalizeSql,
     "t_bigram_lm" -> tBigramLmSql,
+    "t_chunk_windows" -> tChunkSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,

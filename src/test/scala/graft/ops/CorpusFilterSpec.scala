@@ -180,6 +180,24 @@ class CorpusFilterSpec extends SparkSpec {
       s"importance ordering violated: $out")
   }
 
+  test("chunkText: hand-computed windows, stride overlap, full token coverage") {
+    // 10 tokens, chunk=5, overlap=2 (stride 3): starts 0,3,6 →
+    // [w1..w5], [w4..w8], [w7..w10]
+    val docs = Seq((1L, (1 to 10).map("w" + _).mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.chunkText(docs, "doc_id", "text", 5, 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "w1 w2 w3 w4 w5", 5L),
+      (1L, 1L, "w4 w5 w6 w7 w8", 5L),
+      (1L, 2L, "w7 w8 w9 w10", 4L),
+      (2L, 0L, "a b", 2L))) // short doc → single whole-doc chunk; empty dropped
+    // every token appears in some chunk (coverage invariant)
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map("w" + _).toSet)
+  }
+
   test("bigramSurprisal: hand-computed conditional bits") {
     // d1 "a b a b c": pairs (a,b)×2 (b,a) (b,c); d2 "a b b": (a,b) (b,b)
     // bigrams: (a,b)=3 (b,a)=1 (b,c)=1 (b,b)=1; ctx: a=3, b=3
