@@ -80,6 +80,13 @@ object GraftExtensions {
       "graft_binary_features(bin, dim) - deterministic feature vector from bytes (decode stub)",
       { case Seq(c, d) =>
         BinaryFeatures(c, intArg(d, "dim", "graft_binary_features"))
+      }: Seq[Expression] => Expression),
+    ("graft_normalize",
+      "graft_normalize(str[, casefold]) - Unicode NFC + whitespace collapse + trim",
+      { case Seq(c) => graft.functions.NormalizeText(c, casefold = false)
+        case Seq(c, f) =>
+          graft.functions.NormalizeText(c,
+            boolArg(f, "casefold", "graft_normalize"))
       }: Seq[Expression] => Expression))
 
   /** Register into a live session's function registry (tests, notebooks —

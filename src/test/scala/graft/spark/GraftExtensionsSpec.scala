@@ -50,6 +50,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row._1.toSeq != row._2.toSeq && row._3.length == 4)
   }
 
+  test("graft_normalize in SQL: NFC + whitespace, optional casefold literal") {
+    val r = spark.sql(
+      "SELECT graft_normalize('  A\tB  '), graft_normalize('  A\tB  ', true)")
+      .collect().head
+    assert(r.getString(0) == "A B")
+    assert(r.getString(1) == "a b")
+  }
+
   test("non-literal parameter arguments are rejected") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash_sig(text, doc_id, 3) FROM VALUES ('x', 1) AS t(text, doc_id)").collect()
