@@ -427,6 +427,40 @@ object Corpus {
   }
 
   /**
+   * Corpus-relative quantile gating: keep the documents whose integer
+   * score is at or above the corpus q-quantile (inverted-CDF discrete
+   * quantile: the smallest score whose cumulative count reaches
+   * ceil(q·n)) — "drop the worst 40% by quality" without anyone choosing
+   * an absolute threshold.
+   *
+   * The scale trick: the quantile is computed over the score HISTOGRAM,
+   * not the corpus — an integer score (e.g. basis points) has a
+   * domain-bounded histogram (≤ 10001 rows for bps), so the one global
+   * ordering in the plan is over a KB-sized relation regardless of corpus
+   * size, and the corpus itself is touched by exactly (a) the
+   * map-side-combined histogram count and (b) a scan-speed filter against
+   * the broadcast 1-row threshold. No driver collect, no corpus sort, no
+   * interpolated percentile (discrete = exact integer parity across
+   * engines).
+   */
+  def quantileGate(df: DataFrame, scoreCol: Column, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, "q must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.withColumn("__gate_s", scoreCol)
+    val hist = scored.groupBy(col("__gate_s")).agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("__gate_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("__c")).as("__n"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .filter(col("__cum") >= ceil(col("__n") * q))
+      .agg(min(col("__gate_s")).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("__gate_s") >= col("__thr"))
+      .drop("__gate_s", "__thr")
+  }
+
+  /**
    * Overlapping token-window chunking — the embedding/RAG preparation step
    * that turns documents into bounded-length, stride-overlapped passages.
    * Chunk starts are 0, stride, 2·stride, … with stride = chunkTokens −

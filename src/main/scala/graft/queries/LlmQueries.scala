@@ -973,6 +973,40 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── corpus-relative quality gate (keep top 60% by quality score) ────────
+  private val tQualityGate: Q = (s, dir) => {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), Kit.bps(TextKit.qualityScore(col("text"))).as("quality_bps"))
+    graft.ops.Corpus.quantileGate(scored, col("quality_bps"), q = 0.4)
+      .orderBy(col("doc_id"))
+  }
+  private val tQualityGateSql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS nchars,
+      |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS toks,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS puncts
+      |  FROM documents
+      |), q2 AS (
+      |  SELECT doc_id,
+      |    CAST(round((least(nchars / 200.0, 1.0) * 0.5
+      |      + least(stops / toks, 1.0) * 0.3
+      |      + (1.0 - least(puncts / toks, 1.0)) * 0.2) * 10000, 0) AS BIGINT)
+      |      AS quality_bps
+      |  FROM f
+      |), h AS (
+      |  SELECT quality_bps AS s, count(*) AS c FROM q2 GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n FROM h
+      |), cum AS (
+      |  SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM h
+      |), thr AS (
+      |  SELECT min(s) AS thr FROM cum, t WHERE cum >= ceil(n * 0.4)
+      |)
+      |SELECT doc_id, quality_bps FROM q2, thr
+      |WHERE quality_bps >= thr ORDER BY doc_id""".stripMargin
+
   // ── overlapping token-window chunking (embedding/RAG prep) ──────────────
   private val tChunk: Q = (s, dir) => {
     graft.ops.Corpus.chunkText(Tables.documents(s, dir), "doc_id", "text",
@@ -1229,6 +1263,7 @@ object LlmQueries {
     "t_normalize" -> tNormalize,
     "t_bigram_lm" -> tBigramLm,
     "t_chunk_windows" -> tChunk,
+    "t_quality_gate" -> tQualityGate,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1269,6 +1304,7 @@ object LlmQueries {
     "t_normalize" -> tNormalizeSql,
     "t_bigram_lm" -> tBigramLmSql,
     "t_chunk_windows" -> tChunkSql,
+    "t_quality_gate" -> tQualityGateSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,

@@ -180,6 +180,25 @@ class CorpusFilterSpec extends SparkSpec {
       s"importance ordering violated: $out")
   }
 
+  test("quantileGate: inverted-CDF discrete threshold, ties kept together") {
+    // scores 10,20,20,30,40 (n=5), q=0.4 → ceil(2.0)=2 → threshold = the
+    // smallest score with cum count >= 2 = 20; kept: both 20s, 30, 40
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L), (5L, 40L))
+      .toDF("id", "score")
+    val kept = Corpus.quantileGate(docs, col("score"), q = 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L, 5L))
+    // q just above a tie boundary: ceil(5*0.41)=3 → cum(20)=3 ≥ 3 → same
+    // threshold (ties never straddle the gate)
+    val kept2 = Corpus.quantileGate(docs, col("score"), q = 0.41)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L, 3L, 4L, 5L))
+    // q past the tie block: ceil(5*0.7)=4 → threshold 30
+    val kept3 = Corpus.quantileGate(docs, col("score"), q = 0.7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept3 == Set(4L, 5L))
+  }
+
   test("chunkText: hand-computed windows, stride overlap, full token coverage") {
     // 10 tokens, chunk=5, overlap=2 (stride 3): starts 0,3,6 →
     // [w1..w5], [w4..w8], [w7..w10]
