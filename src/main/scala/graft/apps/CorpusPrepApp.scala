@@ -61,7 +61,13 @@ object CorpusPrepApp {
       // opt-in round-6 stages (None/absent = stage skipped)
       quality: Option[Corpus.GopherThresholds] = None,
       lineDedupMinDocs: Option[Int] = None,
-      domainQuota: Option[Long] = None)
+      domainQuota: Option[Long] = None,
+      // canonicalize text (NFC + whitespace) before any hashing stage, so
+      // byte-variant encodings of the same content dedup together
+      normalize: Boolean = false,
+      // corpus-RELATIVE quality floor: drop the worst q fraction by
+      // quality score (complements the absolute Gopher thresholds)
+      qualityQuantile: Option[Double] = None)
 
   /** Per-stage outputs, each a complete lazily-composed plan. */
   case class Prepared(
@@ -77,9 +83,23 @@ object CorpusPrepApp {
    */
   def prepare(documents: DataFrame, benchmark: DataFrame,
       cfg: Config = Config()): Prepared = {
+    // -1. canonicalization: every later stage (quality, line/exact/near
+    // dedup, split) hashes or compares text — normalize FIRST so NFC
+    // variants and whitespace-formatting twins are the same document
+    val canon =
+      if (!cfg.normalize) documents
+      else documents.withColumn("text",
+        graft.functions.NativeTextKit.normalizeText(col("text")))
+
     // 0. quality gate: scan-speed keep verdict, before any hash work
-    val gated = cfg.quality.fold(documents)(t =>
-      documents.filter(Corpus.gopherKeep(col("text"), t)))
+    val absGated = cfg.quality.fold(canon)(t =>
+      canon.filter(Corpus.gopherKeep(col("text"), t)))
+
+    // 0a. corpus-relative floor: keep docs at/above the corpus q-quantile
+    // of the quality score (histogram-quantile — no corpus sort)
+    val gated = cfg.qualityQuantile.fold(absGated)(q =>
+      Corpus.quantileGate(absGated,
+        graft.functions.Kit.bps(TextKit.qualityScore(col("text"))), q))
 
     // 0b. boilerplate line dedup: rewrite text to its surviving lines so
     // the dedup stages hash content; docs reduced to nothing are dropped

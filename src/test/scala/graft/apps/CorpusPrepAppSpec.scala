@@ -94,4 +94,43 @@ class CorpusPrepAppSpec extends SparkSpec {
       .clean.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == cleanRows.map(_.getLong(0)).toSet)
   }
+
+  test("opt-in stages: normalization unifies NFC/whitespace twins; quantile floor trims") {
+    val base = Tables.documents(spark, graft.TestSpark.sf0001)
+      .select("doc_id", "source", "text").filter(col("doc_id") < 100)
+    // plant a whitespace-and-NFC variant of every doc: without
+    // normalization these are distinct texts; with it they are exact dups
+    val variants = base.select((col("doc_id") + 100000).as("doc_id"),
+      col("source"),
+      concat(lit("  "), regexp_replace(col("text"), lit(" "), lit("\t")),
+        lit(" \n")).as("text"))
+    val corpus = base.unionByName(variants)
+    val bench = base.limit(0)
+    val cfg = CorpusPrepApp.Config(minSharedNgrams = 1000000L,
+      normalize = true)
+    val p = CorpusPrepApp.prepare(corpus, bench, cfg)
+    // invariant: the planted twins add NOTHING — the corpus-with-variants
+    // pipeline output equals the base-only pipeline output (each twin
+    // exact-dedups onto its original post-normalize; natural near-dups
+    // among the originals drop identically in both runs)
+    val kept = p.deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseKept = CorpusPrepApp.prepare(base, bench, cfg)
+      .deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == baseKept,
+      s"normalization failed to unify twins: ${kept.size} vs ${baseKept.size}")
+    assert(kept.forall(_ < 100000L), "a variant survived its original")
+
+    // quantile floor: top 60% by quality survive, count matches the gate op
+    val cfg2 = CorpusPrepApp.Config(minSharedNgrams = 1000000L,
+      qualityQuantile = Some(0.4))
+    val p2 = CorpusPrepApp.prepare(base, bench, cfg2)
+    val direct = graft.ops.Corpus.quantileGate(base,
+      graft.functions.Kit.bps(graft.functions.TextKit.qualityScore(col("text"))),
+      0.4).select("doc_id").collect().map(_.getLong(0)).toSet
+    // pipeline's post-gate survivors ⊆ direct gate output (later stages
+    // only remove); every direct-gate REJECT is also absent
+    val survivors = p2.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(direct))
+    assert(survivors.nonEmpty)
+  }
 }

@@ -51,6 +51,22 @@ class LayoutSpec extends SparkSpec {
       s"pruning read ${scan.metrics("numFiles").value} files")
   }
 
+  test("schema evolution: a later batch's new column merges; old rows read null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout5").toString
+    // batch 1: (doc_id, text); batch 2 adds a lang column (the crawl
+    // pipeline grew a field) — the union scan must surface both
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "batch"))
+    val byId = merged.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("en")))
+  }
+
   test("compact: small-files layout collapses back to one file per partition") {
     val in = java.nio.file.Files.createTempDirectory("layout4in").toString
     val out = java.nio.file.Files.createTempDirectory("layout4out").toString
