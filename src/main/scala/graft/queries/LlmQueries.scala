@@ -973,6 +973,63 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── corpus health monitoring (the pipeline-ops dashboard queries) ───────
+  // One row per (source, lang): doc/token/char counts and mean quality —
+  // the partition-level health table a production ingest job publishes
+  // after every batch. Pure two-level aggregation, map-side combined.
+  private val tCorpusStats: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextKit.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        Kit.bps(avg(TextKit.qualityScore(col("text")))).as("mean_quality_bps"))
+      .orderBy(col("source"), col("lang"))
+  }
+  private val tCorpusStatsSql =
+    """WITH f AS (
+      |  SELECT source, lang, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+      |    CAST(length(text) AS DOUBLE) AS nchars,
+      |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS qtoks,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS puncts
+      |  FROM documents
+      |)
+      |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(round(avg(least(nchars / 200.0, 1.0) * 0.5
+      |    + least(stops / qtoks, 1.0) * 0.3
+      |    + (1.0 - least(puncts / qtoks, 1.0)) * 0.2) * 10000, 0) AS BIGINT)
+      |    AS mean_quality_bps
+      |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  // Embedding drift monitoring: per-dimension mean and L2 statistics —
+  // the check that catches an upstream encoder change before it poisons
+  // every ANN index built on the corpus. posexplode + groupBy(dim):
+  // one shuffle on (dim), map-side combined, dim-bounded output.
+  private val simEmbeddingStats: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    em.select(posexplode(VectorKit.asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        Kit.microUnits(avg(col("x"))).as("mean_micro"),
+        Kit.microUnits(avg(col("x") * col("x"))).as("meansq_micro"))
+      .orderBy(col("dim"))
+  }
+  private val simEmbeddingStatsSql =
+    """WITH v AS (
+      |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |    generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings
+      |)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(avg(x) * 1000000, 0) AS BIGINT) AS mean_micro,
+      |  CAST(round(avg(x * x) * 1000000, 0) AS BIGINT) AS meansq_micro
+      |FROM v GROUP BY dim ORDER BY dim""".stripMargin
+
   // ── corpus-relative quality gate (keep top 60% by quality score) ────────
   private val tQualityGate: Q = (s, dir) => {
     val scored = Tables.documents(s, dir)
@@ -1264,6 +1321,8 @@ object LlmQueries {
     "t_bigram_lm" -> tBigramLm,
     "t_chunk_windows" -> tChunk,
     "t_quality_gate" -> tQualityGate,
+    "t_corpus_stats" -> tCorpusStats,
+    "sim_embedding_stats" -> simEmbeddingStats,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
@@ -1305,6 +1364,8 @@ object LlmQueries {
     "t_bigram_lm" -> tBigramLmSql,
     "t_chunk_windows" -> tChunkSql,
     "t_quality_gate" -> tQualityGateSql,
+    "t_corpus_stats" -> tCorpusStatsSql,
+    "sim_embedding_stats" -> simEmbeddingStatsSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,
