@@ -35,6 +35,11 @@ object NativeVectorKit {
   def pqAdcCosine(query: Column, codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     GraftColumnBridge.column(PqAdcCosine(GraftColumnBridge.expression(query),
       GraftColumnBridge.expression(codes), codebooks))
+
+  /** Feature-hashed text embedding (hashing trick): unit-norm `dim`-vector
+    * from whitespace tokens. */
+  def hashEmbed(text: Column, dim: Int): Column =
+    GraftColumnBridge.column(HashEmbed(GraftColumnBridge.expression(text), dim))
 }
 
 /** Cosine similarity of two numeric arrays (double accumulation, index
@@ -286,5 +291,73 @@ object PqOps {
     }
     if (nq == 0.0 || nr == 0.0) 0.0
     else dot / (math.sqrt(nq) * math.sqrt(nr))
+  }
+}
+
+/**
+ * Feature-hashed text embedding (Weinberger et al. 2009, "Feature Hashing
+ * for Large Scale Multitask Learning"): each whitespace token hashes to a
+ * dimension index (and a sign bit, keeping the estimator unbiased), the
+ * signed counts accumulate, and the vector is L2-normalized. Deterministic,
+ * model-free, and computed in one pass inside codegen — the embedding that
+ * unlocks the engine's ENTIRE vector stack (RHP-LSH near-dup, SemDeDup
+ * clustering, IVF/IVF-PQ ANN) on corpora that ship no embedding column: at
+ * 100 TB it rides the same text scan as the sketches, no model service in
+ * the loop. Token hash = the splitmix64-finalized FNV used across the text
+ * kit; empty/whitespace-only text → the zero vector (callers treat it as
+ * cosine 0 to everything, matching [[CosineSim]]'s zero-norm contract).
+ */
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 2, "dim must be at least 2")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashEmbedOps.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashEmbedOps.compute($c.toString(), $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+object HashEmbedOps {
+  private def mix64(x0: Long): Long = {
+    var z = x0 * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(s: String, dim: Int): ArrayData = {
+    val acc = new Array[Double](dim)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L // FNV offset basis
+        while (i < n && !Character.isWhitespace(s.charAt(i))) {
+          h = (h ^ s.charAt(i)) * 0x100000001B3L
+          i += 1
+        }
+        val m = mix64(h)
+        // low bits pick the dimension, bit 63 the sign (independent bits)
+        val idx = ((m & Long.MaxValue) % dim).toInt
+        acc(idx) += (if (m < 0) -1.0 else 1.0)
+      }
+    }
+    var norm = 0.0
+    var d = 0
+    while (d < dim) { norm += acc(d) * acc(d); d += 1 }
+    if (norm > 0.0) {
+      val inv = 1.0 / math.sqrt(norm)
+      d = 0
+      while (d < dim) { acc(d) *= inv; d += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
   }
 }

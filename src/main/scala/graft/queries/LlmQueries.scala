@@ -973,6 +973,35 @@ object LlmQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(50)
   }
+  // ── feature-hashed text embedding (hashing trick) ───────────────────────
+  // Assertion-row gate: n_docs and n_empty are data-derived SQL; the
+  // engine-checked invariants are (a) every nonempty doc's vector is
+  // unit-norm (empty → zero vector), (b) the embedding is exactly
+  // bag-of-words — reversing token order yields the identical vector.
+  private val tHashEmbed: Q = (s, dir) => {
+    val dim = 64
+    val v = graft.functions.NativeVectorKit.hashEmbed(col("text"), dim)
+    val vRev = graft.functions.NativeVectorKit.hashEmbed(
+      array_join(reverse(TextKit.tokens(col("text"))), " "), dim)
+    val norm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    val emb = Tables.documents(s, dir).select(col("text"),
+      v.as("v"), vRev.as("vr"), norm2.as("n2"))
+    emb.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("n_empty"),
+      sum(when(abs(col("n2") - 1.0) < 1e-9 || col("n2") === 0.0, 0L)
+        .otherwise(1L)).as("norm_violations"),
+      sum(when(col("v") === col("vr"), 0L).otherwise(1L))
+        .as("permutation_mismatch"))
+  }
+  private val tHashEmbedSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_empty,
+      |  CAST(0 AS BIGINT) AS norm_violations,
+      |  CAST(0 AS BIGINT) AS permutation_mismatch
+      |FROM documents""".stripMargin
+
   // ── corpus health monitoring (the pipeline-ops dashboard queries) ───────
   // One row per (source, lang): doc/token/char counts and mean quality —
   // the partition-level health table a production ingest job publishes
@@ -1322,6 +1351,7 @@ object LlmQueries {
     "t_chunk_windows" -> tChunk,
     "t_quality_gate" -> tQualityGate,
     "t_corpus_stats" -> tCorpusStats,
+    "t_hash_embed" -> tHashEmbed,
     "sim_embedding_stats" -> simEmbeddingStats,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
@@ -1365,6 +1395,7 @@ object LlmQueries {
     "t_chunk_windows" -> tChunkSql,
     "t_quality_gate" -> tQualityGateSql,
     "t_corpus_stats" -> tCorpusStatsSql,
+    "t_hash_embed" -> tHashEmbedSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,

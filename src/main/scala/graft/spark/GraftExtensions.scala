@@ -87,6 +87,11 @@ object GraftExtensions {
         case Seq(c, f) =>
           graft.functions.NormalizeText(c,
             boolArg(f, "casefold", "graft_normalize"))
+      }: Seq[Expression] => Expression),
+    ("graft_hash_embed",
+      "graft_hash_embed(str, dim) - unit-norm feature-hashed bag-of-words embedding",
+      { case Seq(c, d) =>
+        graft.functions.HashEmbed(c, intArg(d, "dim", "graft_hash_embed"))
       }: Seq[Expression] => Expression))
 
   /** Register into a live session's function registry (tests, notebooks —
