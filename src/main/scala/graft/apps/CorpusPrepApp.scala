@@ -67,7 +67,13 @@ object CorpusPrepApp {
       normalize: Boolean = false,
       // corpus-RELATIVE quality floor: drop the worst q fraction by
       // quality score (complements the absolute Gopher thresholds)
-      qualityQuantile: Option[Double] = None)
+      qualityQuantile: Option[Double] = None,
+      // SemDeDup stage on feature-hashed text embeddings:
+      // (cosineThreshold, embedDim) — catches paraphrase-level semantic
+      // duplicates the token-level MinHash stage cannot. semanticCentroids
+      // dials expected cluster size (n / k) on real corpora.
+      semantic: Option[(Double, Int)] = None,
+      semanticCentroids: Int = 8)
 
   /** Per-stage outputs, each a complete lazily-composed plan. */
   case class Prepared(
@@ -128,7 +134,20 @@ object CorpusPrepApp {
     val losers = Dedup.nearDupClusters(pairs)
       .filter(col("doc_id") =!= col("canonical"))
       .select(col("doc_id"))
-    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    // 2b. semantic dedup (opt-in): k-means-blocked cosine near-dups on
+    // feature-hashed embeddings — text-only corpora need no embedding
+    // table ([[graft.functions.HashEmbed]] rides the scan). nCentroids
+    // sizes clusters at ~1k docs each; the smaller-id survivor rule keeps
+    // determinism aligned with the exact/near-dup stages.
+    val deduped = cfg.semantic.fold(nearDeduped) { case (thr, dim) =>
+      val withVec = nearDeduped.withColumn("__vec",
+        graft.functions.NativeVectorKit.hashEmbed(col("text"), dim))
+      Dedup.semanticDedup(withVec, "doc_id", "__vec", thr,
+          nCentroids = cfg.semanticCentroids)
+        .drop("__vec")
+    }
 
     // 3. decontamination: drop docs overlapping the benchmark set
     val contaminated = Corpus.contaminationCounts(deduped, benchmark,

@@ -133,4 +133,26 @@ class CorpusPrepAppSpec extends SparkSpec {
     assert(survivors.subsetOf(direct))
     assert(survivors.nonEmpty)
   }
+
+  test("opt-in semantic stage: hash-embedded SemDeDup catches a reshuffled twin") {
+    val base = Tables.documents(spark, graft.TestSpark.sf0001)
+      .select("doc_id", "source", "text").filter(col("doc_id") < 100)
+    // plant a token-PERMUTED twin of every doc: bag-of-words identical
+    // (hashEmbed cosine = 1) but token order differs — exact dedup misses
+    // it and MinHash shingles (k=5 char grams of reordered text) mostly
+    // miss it; the semantic stage must drop every twin
+    val twins = base.select((col("doc_id") + 100000).as("doc_id"),
+      col("source"),
+      array_join(reverse(graft.functions.TextKit.tokens(col("text"))), " ")
+        .as("text"))
+    val corpus = base.unionByName(twins)
+    val cfg = CorpusPrepApp.Config(minSharedNgrams = 1000000L,
+      semantic = Some((0.999, 64)))
+    val p = CorpusPrepApp.prepare(corpus, base.limit(0), cfg)
+    val kept = p.deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.forall(_ < 100000L),
+      s"semantic stage missed ${kept.count(_ >= 100000L)} permuted twins")
+    // and the originals that aren't twins of each other survive
+    assert(kept.nonEmpty)
+  }
 }
