@@ -328,9 +328,46 @@ object ExtensionQueries {
       |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ── event-time disorder stats: the watermark-sizing input ───────────────
+  // Per user: events arriving (by event_id order) with an event time behind
+  // the running max are "late". This is the measurement that justifies a
+  // watermark/allowed-lateness choice — the reference pins lateness to zero
+  // by fiat; this query is how you validate that against real arrivals.
+  // Windows are per-user (hash shuffle + per-user sort, no global order).
+  private val w4OrderStats: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), Kit.nanosToMillis("ts").as("ts_ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("__late",
+        when(col("ts_ms") < max(col("ts_ms")).over(w), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__late")).as("n_late"),
+        max(col("ts_ms")).as("max_ts_ms"))
+      .withColumn("late_permille", expr("(n_late * 1000) div n_events"))
+      .orderBy(col("user_id"))
+  }
+  private val w4OrderStatsSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+      |), l AS (
+      |  SELECT user_id, ts_ms,
+      |    CASE WHEN ts_ms < max(ts_ms) OVER (PARTITION BY user_id
+      |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS late
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(late) AS BIGINT) AS n_late,
+      |  CAST(max(ts_ms) AS BIGINT) AS max_ts_ms,
+      |  CAST((sum(late) * 1000) // count(*) AS BIGINT) AS late_permille
+      |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
+    "w4_order_stats" -> w4OrderStats,
     "w2_sliding_window" -> w2Sliding,
     "w3_rolling_window" -> w3Rolling,
     "x_cube" -> xCube,
@@ -346,6 +383,7 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
+    "w4_order_stats" -> w4OrderStatsSql,
     "w2_sliding_window" -> w2SlidingSql,
     "w3_rolling_window" -> w3RollingSql,
     "x_cube" -> xCubeSql,
