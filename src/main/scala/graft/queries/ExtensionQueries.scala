@@ -328,6 +328,29 @@ object ExtensionQueries {
       |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ── CSV wire roundtrip (the third interchange codec: Avro, JSONL, CSV) ──
+  // Quoting matters: props contains commas/quotes, so the roundtrip
+  // exercises RFC-4180 escaping, not just happy-path joins.
+  private val i4CsvRoundtrip: Q = (s, dir) => {
+    val wireDdl = "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    val opts = Map("header" -> "false")
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        to_csv(struct(col("user_id"), col("event_type"), col("value"),
+          col("props"))).as("wire"))
+      .select(col("event_id"),
+        from_csv(col("wire"),
+          org.apache.spark.sql.types.StructType.fromDDL(wireDdl), opts).as("rec"))
+      .select(col("event_id"), col("rec.user_id").as("user_id"),
+        col("rec.event_type").as("event_type"),
+        Kit.cents(col("rec.value")).as("value_c"), col("rec.props").as("props"))
+      .orderBy(col("event_id"))
+  }
+  private val i4CsvRoundtripSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ── event-time disorder stats: the watermark-sizing input ───────────────
   // Per user: events arriving (by event_id order) with an event time behind
   // the running max are "late". This is the measurement that justifies a
@@ -367,6 +390,7 @@ object ExtensionQueries {
   val all: Map[String, Q] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
+    "i4_csv_roundtrip" -> i4CsvRoundtrip,
     "w4_order_stats" -> w4OrderStats,
     "w2_sliding_window" -> w2Sliding,
     "w3_rolling_window" -> w3Rolling,
@@ -383,6 +407,7 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
+    "i4_csv_roundtrip" -> i4CsvRoundtripSql,
     "w4_order_stats" -> w4OrderStatsSql,
     "w2_sliding_window" -> w2SlidingSql,
     "w3_rolling_window" -> w3RollingSql,
