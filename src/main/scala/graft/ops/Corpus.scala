@@ -306,6 +306,72 @@ object Corpus {
   }
 
   /**
+   * Exact substring-span REMOVAL — the rewrite half of the ExactSubstr
+   * dedup of Lee et al. 2022 (whose census is [[spanDedupStats]]): every
+   * `k`-word span whose exact text occurs at least `minCount` times across
+   * the corpus keeps its globally-first occurrence (smallest (doc, start))
+   * and every OTHER occurrence has its k word positions deleted from its
+   * document. A word position covered by any such non-first duplicated-span
+   * occurrence is dropped even if some other span's first occurrence also
+   * covers it — the deterministic resolution of overlapping spans. Output:
+   * one row per input document — `clean_text` (surviving words in original
+   * order, null when none survive), `words_kept`, `words_dropped`.
+   *
+   * Scale posture: span occurrences are hashed 64-bit before any shuffle
+   * (longs, not k-word strings); the first-occurrence winner is a
+   * `min(struct(doc, pos))` aggregate over a NARROW (long, int) struct —
+   * partial-agg capable, so a boilerplate span occurring 10⁸ times
+   * collapses per map task instead of sorting in one reducer; the
+   * duplicated-occurrence set is boilerplate-sized, so its join back to
+   * occurrences broadcasts under AQE; coverage expansion is a k× explode of
+   * DROPPED occurrences only, collapsed by a (doc, pos) distinct with
+   * partial aggregation; reassembly is one hash-shuffle on doc id, bounded
+   * by a document's own word count. No global ordering anywhere.
+   */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Int = 2, outCol: String = "clean_text"): DataFrame = {
+    require(k >= 2, "k < 2 removes single words — use dedupLines or filters")
+    require(minCount >= 2, "minCount < 2 would delete every span's text")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = TextKit.tokens(col(textCol))
+    // 0-based word positions; documents with no token contribute no rows
+    // and are restored by the final left join
+    val words = df.repartition(par)
+      .select(col(idCol), posexplode(toks).as(Seq("__p", "__w")))
+    val spanHashes = transform(sequence(lit(1), size(col("__tk")) - k + 1),
+      i => xxhash64(array_join(slice(col("__tk"), i, lit(k)), " ")))
+    val occ = df.repartition(par)
+      .select(col(idCol), toks.as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col(idCol), posexplode(spanHashes).as(Seq("__p", "__s")))
+    val firsts = occ.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("__p"))).as("__f"))
+      .filter(col("__n") >= minCount)
+      .select(col("__s"), col("__f"))
+    val dupOcc = occ.join(firsts, Seq("__s"))
+      .filter(!(col(idCol) === col("__f").getField(idCol) &&
+        col("__p") === col("__f").getField("__p")))
+    val covered = dupOcc
+      .select(col(idCol), explode(sequence(col("__p"), col("__p") + (k - 1)))
+        .as("__p"))
+      .distinct()
+      .withColumn("__c", lit(true))
+    val marked = words.join(covered, Seq(idCol, "__p"), "left")
+    val kept = array_sort(collect_list(
+      when(col("__c").isNull, struct(col("__p"), col("__w")))))
+    val rebuilt = marked.groupBy(col(idCol)).agg(
+      when(size(kept) > 0,
+        array_join(transform(kept, s => s("__w")), " ")).as(outCol),
+      sum(when(col("__c").isNull, 1L).otherwise(0L)).as("words_kept"),
+      sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("words_dropped"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col(outCol),
+        coalesce(col("words_kept"), lit(0L)).as("words_kept"),
+        coalesce(col("words_dropped"), lit(0L)).as("words_dropped"))
+  }
+
+  /**
    * Corpus-trained unigram surprisal scoring — the shape of a CCNet-style
    * model-based quality filter: train a unigram LM on the corpus itself,
    * score every document by its total/mean token surprisal, and filter the
@@ -345,6 +411,47 @@ object Corpus {
           .as("surprisal_bits"))
       .withColumn("mean_centibits",
         expr("(surprisal_bits * 100) div n_tokens"))
+  }
+
+  /**
+   * TF-IDF keyword extraction — per document, the `topK` tokens ranked by
+   * tf·idf, the standard lexical summarization/tagging pass (and the
+   * classical sparse-retrieval twin of the dense ANN surface). IDF uses the
+   * same EXACT integer-bits log2 as [[unigramSurprisal]]
+   * (`bitlen(D) − bitlen(doc_freq)` with D = documents containing ≥1
+   * token), so scores are integers and bit-for-bit reproducible across
+   * engines. Ties rank lexicographically by token — a total order, since a
+   * token appears once per document. Output: (idCol, rank 1..topK, token,
+   * tf, score), fewer rows when a document has fewer distinct tokens.
+   *
+   * Scale posture: the (doc, token) and token aggregations are
+   * [[vocabStats]]'s map-side-combined shapes; D is a 1-row aggregate
+   * broadcast by cross join; the scoring join shuffles one row per
+   * DISTINCT (doc, token); the only window partitions by document and is
+   * bounded by a document's own vocabulary — never by corpus size.
+   */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val docTf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(TextKit.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = docTf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val nDocs = docTf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__nd"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    docTf.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"), col("tf"),
+        (col("tf") * (bitlen(col("__nd")) - bitlen(col("__df")))).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("score"))
   }
 
   /**

@@ -34,6 +34,101 @@ object ExtensionQueries {
       |QUALIFY rnk <= 3
       |ORDER BY o_custkey, rnk""".stripMargin
 
+  // ── Z-order (Morton) clustering value ───────────────────────────────────
+  // The bit-exact interleave behind Layout.writeZOrdered: low 16 bits of
+  // each key spread by the magic-number shift/mask chain. The oracle replays
+  // the identical chain with DuckDB's bitwise operators; bucketed aggregates
+  // (count/sum/min/max per high-6-bit Z-prefix) pin every row's value.
+  private val xZorder: Q = (s, dir) => {
+    val z = graft.sources.Layout.zValue2(
+      col("l_orderkey").mod(lit(65536)), col("l_partkey").mod(lit(65536)))
+    Tables.lineitem(s, dir)
+      .select(z.as("z"))
+      .groupBy(shiftright(col("z"), 26).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("bucket"))
+  }
+  private val xZorderSql =
+    """WITH k AS (
+      |  SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y FROM lineitem
+      |), s2 AS (
+      |  SELECT ((x | (x << 8)) & 16711935) AS x1,
+      |         ((y | (y << 8)) & 16711935) AS y1 FROM k
+      |), s3 AS (
+      |  SELECT ((x1 | (x1 << 4)) & 252645135) AS x2,
+      |         ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s2
+      |), s4 AS (
+      |  SELECT ((x2 | (x2 << 2)) & 858993459) AS x3,
+      |         ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s3
+      |), s5 AS (
+      |  SELECT ((x3 | (x3 << 1)) & 1431655765) AS x4,
+      |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s4
+      |), z AS (
+      |  SELECT (x4 | (y4 << 1)) AS z FROM s5
+      |)
+      |SELECT z >> 26 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(z) AS BIGINT) AS sum_z, CAST(min(z) AS BIGINT) AS min_z,
+      |  CAST(max(z) AS BIGINT) AS max_z
+      |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ── analytic offsets: lag/lead/ntile + per-user inter-event gaps ────────
+  // The remaining analytic-window family members (x_rank covers ranking):
+  // offset functions and quartile bucketing over a per-user event timeline.
+  // Ordering is (ts_ms, event_id) — unique, so every function is
+  // deterministic in both engines.
+  private val xLeadLag: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        Kit.nanosToMillis("ts").as("ts_ms"))
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("gap_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  private val xLeadLagSql =
+    """SELECT user_id, event_id,
+      |  lag(event_id) OVER w AS prev_id,
+      |  lead(event_id) OVER w AS next_id,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  ts_ms - lag(ts_ms) OVER w AS gap_ms
+      |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ── grouping sets: the general form cube/rollup specialize ──────────────
+  // gid derives from the NULL pattern (base columns are non-null), which is
+  // engine-portable where grouping_id() bit conventions are not.
+  private val xGroupingSets: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_xgs")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        coalesce(l_linestatus, 'ALL') AS linestatus,
+        CASE WHEN l_returnflag IS NULL THEN 3
+             WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+        count(*) AS n,
+        sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_c
+      FROM lineitem_xgs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, returnflag, linestatus
+    """)
+  }
+  private val xGroupingSetsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  CASE WHEN l_returnflag IS NULL THEN 3
+      |       WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
   // ── rollup: grouped counts with subtotal rows ───────────────────────────
   private val xRollup: Q = (s, dir) => {
     Tables.orders(s, dir)
@@ -400,6 +495,9 @@ object ExtensionQueries {
     "x_rank_window" -> xRank,
     "x_rollup" -> xRollup,
     "x_set_ops" -> xSetOps,
+    "x_zorder" -> xZorder,
+    "x_lead_lag" -> xLeadLag,
+    "x_grouping_sets" -> xGroupingSets,
     "u4_multiformat_ts" -> u4MultiTs,
     "u5_u8_time_kit" -> u5u8TimeKit,
     "w8_session_window" -> w8Session)
@@ -417,6 +515,9 @@ object ExtensionQueries {
     "x_rank_window" -> xRankSql,
     "x_rollup" -> xRollupSql,
     "x_set_ops" -> xSetOpsSql,
+    "x_zorder" -> xZorderSql,
+    "x_lead_lag" -> xLeadLagSql,
+    "x_grouping_sets" -> xGroupingSetsSql,
     "u4_multiformat_ts" -> u4MultiTsSql,
     "u5_u8_time_kit" -> u5u8TimeKitSql,
     "w8_session_window" -> w8SessionSql)

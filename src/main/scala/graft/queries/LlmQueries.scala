@@ -887,6 +887,66 @@ object LlmQueries {
       |    ELSE 0 END AS dup_span_ppm
       |FROM s LEFT JOIN c USING (doc_id) ORDER BY s.doc_id""".stripMargin
 
+  // ── exact substring-span REMOVAL (ExactSubstr rewrite) ──────────────────
+  // Same planted syndicated preamble as dd_span_dedup, so every document
+  // carries duplicated 5-word spans whose non-first occurrences must be cut.
+  // Spark keys spans by xxhash64, the oracle by the span string; the oracle
+  // replays first-occurrence protection with a (doc, pos) row_number window
+  // — identical semantics to the engine's min(struct(doc, pos)) winner.
+  private val ddSpanRemoval: Q = (s, dir) => {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("shared promo intro for "), col("source"),
+        lit(" campaign edition alpha beta gamma delta "), col("text")).as("text"))
+    graft.ops.Corpus.removeDupSpans(planted, "doc_id", "text", k = 5, minCount = 2)
+      // fully-cut documents surface null text from the operator; the gate
+      // coalesces to '' (words_kept=0 still pins the distinction) because
+      // the driver compare treats null string cells as missing
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("words_kept"), col("words_dropped"))
+      .orderBy(col("doc_id"))
+  }
+  private val ddSpanRemovalSql =
+    """WITH d2 AS (
+      |  SELECT doc_id, 'shared promo intro for ' || source ||
+      |    ' campaign edition alpha beta gamma delta ' || text AS t
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, CASE WHEN len(trim(t)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(t), '\s+') END AS ws
+      |  FROM d2
+      |), occ AS (
+      |  SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+4], ' ') AS span
+      |  FROM w, unnest(CASE WHEN len(ws) >= 5 THEN range(1, len(ws) - 3)
+      |                 ELSE [] END) AS u(i)
+      |), mk AS (
+      |  SELECT doc_id, p,
+      |    count(*) OVER (PARTITION BY span) AS n,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, p) AS rn
+      |  FROM occ
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pp AS p
+      |  FROM mk, unnest(range(p, p + 5)) AS c(pp)
+      |  WHERE n >= 2 AND rn > 1
+      |), wpos AS (
+      |  SELECT doc_id, i - 1 AS p, ws[i] AS wd
+      |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+      |), kept AS (
+      |  SELECT wpos.doc_id, wpos.p, wpos.wd, cov.p IS NOT NULL AS c
+      |  FROM wpos LEFT JOIN cov ON wpos.doc_id = cov.doc_id AND wpos.p = cov.p
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN count(*) FILTER (WHERE NOT c) > 0
+      |      THEN array_to_string(list(wd ORDER BY p) FILTER (WHERE NOT c), ' ')
+      |      END AS clean_text,
+      |    CAST(count(*) FILTER (WHERE NOT c) AS BIGINT) AS words_kept,
+      |    CAST(count(*) FILTER (WHERE c) AS BIGINT) AS words_dropped
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d2.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+      |  coalesce(agg.words_kept, 0) AS words_kept,
+      |  coalesce(agg.words_dropped, 0) AS words_dropped
+      |FROM d2 LEFT JOIN agg USING (doc_id) ORDER BY d2.doc_id""".stripMargin
+
   // ── corpus-trained unigram surprisal (model-based quality score) ────────
   // Surprisal in whole bits via exact integer log2 (binary-expansion
   // length), so both engines agree bit-for-bit with no floating-point ln.
@@ -912,6 +972,39 @@ object LlmQueries {
       |    // sum(tf) AS BIGINT) AS mean_centibits
       |FROM tf JOIN v USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── TF-IDF keyword extraction ───────────────────────────────────────────
+  // Exact integer-bits IDF (same binary-expansion log2 as t_unigram_lm), so
+  // both engines rank identical integer scores; ties break on the token
+  // string — a total order per document.
+  private val tTfidf: Q = (s, dir) => {
+    graft.ops.Corpus.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text",
+        topK = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+  private val tTfidfSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY w
+      |), d AS (
+      |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf
+      |), sc AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf,
+      |    CAST(tf.tf * (length(bin(d.nd)) - length(bin(dfq.dfc))) AS BIGINT)
+      |      AS score
+      |  FROM tf JOIN dfq USING (w) CROSS JOIN d
+      |), r AS (
+      |  SELECT doc_id, w, tf, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w)
+      |      AS rank
+      |  FROM sc
+      |)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS token, tf, score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   // ── composite Gopher-style filter verdict ───────────────────────────────
   // The decision step the signal queries feed: keep/drop plus sorted
@@ -1361,6 +1454,8 @@ object LlmQueries {
     "t_pii_redact" -> tPiiRedact,
     "t_url_kit" -> tUrlKit,
     "dd_span_dedup" -> ddSpanDedup,
+    "dd_span_removal" -> ddSpanRemoval,
+    "t_tfidf" -> tTfidf,
     "t_unigram_lm" -> tUnigramLm,
     "t_doc_filter" -> tDocFilter,
     "t_bpe_pairs" -> tBpePairs,
@@ -1405,6 +1500,8 @@ object LlmQueries {
     "t_pii_redact" -> tPiiRedactSql,
     "t_url_kit" -> tUrlKitSql,
     "dd_span_dedup" -> ddSpanDedupSql,
+    "dd_span_removal" -> ddSpanRemovalSql,
+    "t_tfidf" -> tTfidfSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_doc_filter" -> tDocFilterSql,
     "t_bpe_pairs" -> tBpePairsSql,

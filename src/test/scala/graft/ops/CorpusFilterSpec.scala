@@ -35,6 +35,61 @@ class CorpusFilterSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window functions expected:\n$plan")
   }
 
+  test("removeDupSpans: hand-computed first-occurrence protection") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // holds the global first "a b c" (doc 1, p 0)
+      (2L, "z a b c q"),        // its "a b c" at p 1 is non-first → cut p 1-3
+      (3L, "m n"),              // < k words: no spans, text passes through
+      (4L, "")                  // no tokens: restored with null text
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((Some("a b c d e"), 5L, 0L)))
+    assert(out(2L) == ((Some("z q"), 2L, 3L)))
+    assert(out(3L) == ((Some("m n"), 2L, 0L)))
+    assert(out(4L) == ((None, 0L, 0L)))
+  }
+
+  test("removeDupSpans: within-document repetition and overlap resolution") {
+    // spans ×2 each: "r s t"(p0,p3), "s t r"(p1,p4), "t r s"(p2,p5); the
+    // non-first occurrences cover positions 3..7 even though 3 and 4 also
+    // sit inside FIRST occurrences — covered-by-any-non-first wins
+    val docs = Seq((5L, "r s t r s t r s")).toDF("doc_id", "text")
+    val out = Corpus.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("r s t", 3L, 5L)))
+  }
+
+  test("removeDupSpans plan: partial aggregation, no window functions") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Corpus.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"span stats must partial-aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window functions expected:\n$plan")
+  }
+
+  test("tfidfKeywords: hand-computed integer-bits scores and tie-breaks") {
+    // D=3 docs → bitlen(3)=2. idf = bitlen(3) − bitlen(df): df=3 → 0,
+    // df=2 → 0 (bitlen(2)=2), df=1 → 1
+    val docs = Seq(
+      (1L, "a a b c"),  // scores: a 2·0=0, b 0, c 1 → c, then lex tie a
+      (2L, "a b"),      // all scores 0 → pure lexicographic: a, b
+      (3L, "a d d")     // scores: a 0, d 2·1=2
+    ).toDF("doc_id", "text")
+    val out = Corpus.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out((1L, 1L)) == (("c", 1L, 1L)))
+    assert(out((1L, 2L)) == (("a", 2L, 0L)))
+    assert(out((2L, 1L)) == (("a", 1L, 0L)))
+    assert(out((2L, 2L)) == (("b", 1L, 0L)))
+    assert(out((3L, 1L)) == (("d", 2L, 2L)))
+    assert(out((3L, 2L)) == (("a", 1L, 0L)))
+  }
+
   test("unigramSurprisal: hand-computed exact integer log2 bits") {
     // counts: a=2, b=2, c=1; N=5. bitlen(5)=3, bitlen(2)=2, bitlen(1)=1
     // → surprisal(a)=1, surprisal(b)=1, surprisal(c)=2

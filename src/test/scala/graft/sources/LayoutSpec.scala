@@ -67,6 +67,47 @@ class LayoutSpec extends SparkSpec {
     assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("en")))
   }
 
+  test("zValue2: bit interleave is exact on hand-computed points") {
+    import spark.implicits._
+    // z(1,0)=1·4⁰? no — x bits land at even positions: z(1,0)=1, z(0,1)=2,
+    // z(3,5) = x bits {0,1} → 1+4=5; y bits {0,2} → 2+32=34; z=39
+    val out = Seq((1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 39L, 4294967295L))
+  }
+
+  test("writeZOrdered: box predicate prunes row groups vs unclustered layout") {
+    import spark.implicits._
+    // a 256×256 grid; the box [0,31]² is 1/64 of the data and occupies ONE
+    // contiguous Z-range (z < 2^10), so a Z-range-partitioned layout should
+    // satisfy it from ~1 of 16 files' row groups
+    val grid = spark.range(0, 65536L).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("layoutZ").toString
+    val rrDir = java.nio.file.Files.createTempDirectory("layoutRR").toString
+    Layout.writeZOrdered(grid, zDir, "x", "y", numFiles = 16)
+    grid.repartition(16).write.mode("overwrite").parquet(rrDir)
+
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col("x") <= 31 && col("y") <= 31)
+      assert(df.collect().length == 1024)
+      scanOf(df).metrics("numOutputRows").value
+    }
+    val zRows = scannedRows(zDir)
+    val rrRows = scannedRows(rrDir)
+    // round-robin files all span the full x/y range: nothing prunes and the
+    // scan surfaces every row; the Z-clustered layout's row-group min/max
+    // satisfy the box from a small fraction of the table
+    assert(rrRows == 65536L, s"expected no pruning on round-robin, got $rrRows")
+    // repartitionByRange samples its bounds, so the box may straddle a
+    // couple of files — but it must never touch more than a quarter of them
+    assert(zRows * 4 <= rrRows,
+      s"Z-order layout should prune most row groups, got $zRows of $rrRows")
+  }
+
   test("compact: small-files layout collapses back to one file per partition") {
     val in = java.nio.file.Files.createTempDirectory("layout4in").toString
     val out = java.nio.file.Files.createTempDirectory("layout4out").toString
