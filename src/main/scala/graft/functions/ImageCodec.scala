@@ -103,6 +103,60 @@ object ImageCodec {
     Some(out)
   }
 
+  /**
+   * 64-bit difference hash (dHash) of a decoded image: box-averaged
+   * luminance over a 9×8 grid, bit (row·8 + col) set iff the right cell's
+   * average is strictly brighter than the left's. All arithmetic is
+   * integer — luminance is 299·R + 587·G + 114·B and the cell comparison is
+   * cross-multiplied (sumA·cntB > sumB·cntA) instead of divided — so the
+   * hash is bit-for-bit deterministic. Being a pure gradient sign pattern,
+   * it is provably invariant under any uniform (unclamped) brightness
+   * shift and under lossless re-encoding (PNG↔BMP↔GIF of the same
+   * pixels) — the property the perceptual near-dup gate is built on.
+   */
+  def dHash64(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sum = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(8, x * 9 / w)
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        sum(cy)(cx) += lum
+        cnt(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        // right-vs-left average compare without division (exact): empty
+        // cells (tiny images) contribute 0·0 and the bit stays clear
+        if (sum(cy)(cx + 1) * cnt(cy)(cx) > sum(cy)(cx) * cnt(cy)(cx + 1))
+          bits |= (1L << (cy * 8 + cx))
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Eval hook for [[ImageDHash]]: boxed hash, or null when undecodable. */
+  def dHashBoxed(bytes: Array[Byte]): java.lang.Long =
+    tryDecode(bytes) match {
+      case Some(img) => java.lang.Long.valueOf(dHash64(img))
+      case None => null
+    }
+
   /** Eval hook for [[ImageDecodeMeta]]: (width, height, checksum) row or
     * null.
     */
@@ -126,6 +180,12 @@ object NativeImageKit {
     */
   def imageDecodeMeta(c: Column): Column =
     GraftColumnBridge.column(ImageDecodeMeta(GraftColumnBridge.expression(c)))
+
+  /** Perceptual 64-bit dHash of an image blob, null for non-decodable
+    * blobs ([[ImageCodec.dHash64]]).
+    */
+  def imageDHash(c: Column): Column =
+    GraftColumnBridge.column(ImageDHash(GraftColumnBridge.expression(c)))
 }
 
 /**
@@ -152,5 +212,32 @@ case class ImageDecodeMeta(child: Expression) extends UnaryExpression {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ImageDecodeMeta =
+    copy(child = newChild)
+}
+
+/**
+ * Catalyst expression: decode an image blob (JDK codecs) and emit its
+ * 64-bit perceptual difference hash ([[ImageCodec.dHash64]]). Null for
+ * non-decodable input. Runs inside the scan projection — only the 8-byte
+ * hash ever leaves the operator, never decoded pixels.
+ */
+case class ImageDHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.dHashBoxed(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("dhashBoxed")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Long $boxed = graft.functions.ImageCodec.dHashBoxed($c);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDHash =
     copy(child = newChild)
 }

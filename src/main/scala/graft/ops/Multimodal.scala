@@ -111,6 +111,55 @@ object Multimodal {
   def decodeAudio(blob: Column): Column =
     graft.functions.NativeAudioKit.audioDecodeMeta(blob)
 
+  /** 64-bit perceptual difference hash of an image blob (decoded with the
+    * JDK codecs; [[graft.functions.ImageCodec.dHash64]]): a gradient-sign
+    * fingerprint invariant under uniform brightness shift and lossless
+    * re-encoding. Null for non-decodable blobs.
+    */
+  def imageDHash(blob: Column): Column =
+    graft.functions.NativeImageKit.imageDHash(blob)
+
+  /**
+   * Perceptual image near-duplicate pairs: dHash each blob once in the
+   * scan, then find id pairs whose hashes differ in at most `maxDist` of
+   * 64 bits — the image twin of the SimHash text path, sharing its
+   * pigeonhole blocking: the hash splits into four 16-bit chunks, and two
+   * hashes within Hamming distance ≤ 3 MUST agree on at least one chunk,
+   * so candidates are exact-match joins per (chunk, value) bucket and
+   * recall is 1 by construction for `maxDist` ≤ 3. Buckets are size-capped
+   * with the same skew-safe partial-agg counter as the text sketches (a
+   * solid-color thumbnail is the hot-bucket hazard here — dHash 0 for
+   * every flat image). Output: (img_a, img_b, dist), `img_a < img_b`.
+   *
+   * Scale posture: one decode per blob inside the scan projection (8-byte
+   * hashes shuffle, pixels never do), 4× chunk explode, per-bucket
+   * equi-join with cap, `bit_count(xor)` verify, distinct on the id pair.
+   */
+  def imageNearDupPairs(df: DataFrame, idCol: String, blobCol: String,
+      maxDist: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-chunk pigeonhole blocking guarantees recall only for maxDist <= 3")
+    val hashed = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("img"), imageDHash(col(blobCol)).as("ph"))
+      .filter(col("ph").isNotNull)
+      .select(col("img"), col("ph"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ckey", expr("shiftright(ph, chunk * 16) & 65535"))
+    val eligible = Dedup.sizeBandedBuckets(hashed, Seq("chunk", "ckey"),
+      2L, maxBucketSize)
+    val l = eligible.select(col("chunk"), col("ckey"),
+      col("img").as("img_a"), col("ph").as("ph_a"))
+    val r = eligible.select(col("chunk"), col("ckey"),
+      col("img").as("img_b"), col("ph").as("ph_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("img_a") < col("img_b"))
+      .withColumn("dist", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("img_a", "img_b", "dist")
+      .distinct()
+  }
+
   /**
    * Bounded-batch feature extraction over a typed Dataset — the Scala twin
    * of a `mapInPandas` decode stage: partitions are processed in batches of

@@ -180,6 +180,67 @@ object MultimodalQueries {
       |  CAST(0 AS BIGINT) AS n_norm_bad
       |FROM documents""".stripMargin
 
+  // ── perceptual image near-dup (dHash) — invariance + pair-recall gate ───
+  // KP pixel patterns, each shipped as THREE blobs: PNG, BMP re-encode of
+  // the same pixels, and a PNG with every gray value shifted +20. dHash is
+  // a gradient-sign pattern, so all three PROVABLY share one hash (lossless
+  // re-encode preserves pixels; a uniform unclamped shift preserves every
+  // cell comparison — the pattern stays < 200 so nothing clamps). The gate
+  // asserts: zero undecodable, exactly one hash per pattern, KP hashes
+  // corpus-wide, and the pair op finds exactly Σ C(n_t, 2) same-pattern
+  // pairs with zero cross-pattern pairs — pair recall is 1 by pigeonhole
+  // (identical hashes agree on every chunk), so the expected count is pure
+  // counting arithmetic the oracle replays from doc_id residues.
+  private val KP = 8
+  private def phGray(i: Int, x: Int, y: Int) = (x * 7 + y * 13 + i * 37) % 200
+  private lazy val phashTemplates: Seq[Array[Byte]] = (0 until KP).flatMap { i =>
+    def img(shift: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = phGray(i, x, y) + shift
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    Seq(enc(img(0), "png"), enc(img(0), "bmp"), enc(img(20), "png"))
+  }
+  private val mmImageNearDup: Q = (s, dir) => {
+    val idx = ((col("doc_id") % KP) * 3 + col("doc_id") % 3 + 1).cast("int")
+    val media = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("media", element_at(typedLit(phashTemplates), idx))
+    val hashed = media.withColumn("ph", Multimodal.imageDHash(col("media")))
+    val stats = hashed.agg(
+      count(lit(1)).cast("long").as("n_images"),
+      coalesce(sum(when(col("ph").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_undecodable"),
+      countDistinct(col("ph")).as("n_distinct_hashes"))
+    val tplStats = hashed.groupBy((col("doc_id") % KP).as("t"))
+      .agg(countDistinct(col("ph")).as("nd"))
+      .agg(max(col("nd")).as("max_within_tpl_distinct"))
+    val pairs = Multimodal.imageNearDupPairs(media, "doc_id", "media",
+      maxDist = 2)
+    val pairStats = pairs.agg(
+      coalesce(count(lit(1)), lit(0L)).cast("long").as("n_pairs"),
+      coalesce(sum(when(col("img_a") % KP =!= col("img_b") % KP, 1L)
+        .otherwise(0L)), lit(0L)).as("n_cross_pairs"))
+    stats.crossJoin(tplStats).crossJoin(pairStats)
+  }
+  private val mmImageNearDupSql =
+    """WITH g AS (SELECT doc_id % 8 AS t FROM documents),
+      |c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY t)
+      |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_images,
+      |  CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST((SELECT count(DISTINCT t) FROM g) AS BIGINT) AS n_distinct_hashes,
+      |  CAST(1 AS BIGINT) AS max_within_tpl_distinct,
+      |  CAST((SELECT sum(n * (n - 1) // 2) FROM c) AS BIGINT) AS n_pairs,
+      |  CAST(0 AS BIGINT) AS n_cross_pairs""".stripMargin
+
   // ── REAL audio decode — roundtrip gate over complete encoded WAVs ───────
   // Same construction as mm_decode: K tiny 8-bit mono PCM WAVs encoded with
   // the JDK (javax.sound.sampled) at query build; the sample pattern is
@@ -229,12 +290,14 @@ object MultimodalQueries {
     "mm_frame_sample" -> mmFrames,
     "mm_features" -> mmFeatures,
     "mm_decode" -> mmDecode,
-    "mm_audio" -> mmAudio)
+    "mm_audio" -> mmAudio,
+    "mm_image_neardup" -> mmImageNearDup)
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frame_sample" -> mmFramesSql,
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,
-    "mm_audio" -> mmAudioSql)
+    "mm_audio" -> mmAudioSql,
+    "mm_image_neardup" -> mmImageNearDupSql)
 }

@@ -113,6 +113,53 @@ class MultimodalSpec extends SparkSpec {
       graft.functions.BinaryFeatures.byteHashFeatures(blob, 16).toSeq)
   }
 
+  private def makeImg(w: Int, h: Int, fmt: String, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("imageDHash: invariant under lossless re-encode and brightness shift") {
+    import spark.implicits._
+    def pat(x: Int, y: Int) = (x * 7 + y * 13) % 200
+    val blobs = Seq(
+      (1L, makeImg(16, 16, "png", pat)),
+      (2L, makeImg(16, 16, "bmp", pat)),                   // same pixels
+      (3L, makeImg(16, 16, "png", (x, y) => pat(x, y) + 20)), // uniform shift
+      (4L, makeImg(16, 16, "png", (x, y) => (x * 29 + y * 5) % 200)), // different
+      (5L, Array.fill[Byte](64)(0x42))                     // undecodable
+    ).toDF("id", "media")
+    val out = blobs.select(col("id"), Multimodal.imageDHash(col("media")).as("ph"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined)
+    assert(out(1L) == out(2L), "PNG and BMP of identical pixels must hash equal")
+    assert(out(1L) == out(3L), "uniform unclamped brightness shift must not change dHash")
+    assert(out(1L) != out(4L), "a different gradient pattern must hash differently")
+    assert(out(5L).isEmpty, "undecodable blobs must be null, not throw")
+  }
+
+  test("imageNearDupPairs: finds exactly the planted cross-format copy pair") {
+    import spark.implicits._
+    def pat(x: Int, y: Int) = (x * 7 + y * 13) % 200
+    val imgs = Seq(
+      (10L, makeImg(16, 16, "png", pat)),
+      (11L, makeImg(16, 16, "bmp", pat)),                  // near-dup of 10
+      (20L, makeImg(16, 16, "png", (x, y) => (x * 29 + y * 5) % 200)),
+      (30L, Array.fill[Byte](64)(0x42))                    // null hash drops out
+    ).toDF("id", "media")
+    val pairs = Multimodal.imageNearDupPairs(imgs, "id", "media", maxDist = 2)
+      .selectExpr("img_a", "img_b", "cast(dist as long) dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((10L, 11L, 0L)))
+  }
+
   test("decodeAudio: real JDK PCM decode roundtrips the generated samples") {
     import spark.implicits._
     val pcm = Array.tabulate[Byte](48)(j => ((j * 7 + 3) % 256).toByte)
