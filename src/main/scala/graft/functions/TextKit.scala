@@ -227,4 +227,28 @@ object TextKit {
     val p = regexp_replace(e, lit(phonePattern), lit("<PHONE>"))
     regexp_replace(p, lit(ipv4Pattern), lit("<IP>"))
   }
+
+  /**
+   * HTML → text extraction (the WET-style step that turns crawled markup
+   * into the plain text every downstream text operator consumes): drop
+   * `<script>`/`<style>` blocks wholesale (their CONTENT is code, not
+   * prose), drop comments, strip remaining tags, decode the five standard
+   * named entities plus `&#39;`, and collapse whitespace. Every pattern is
+   * RE2-portable (no backreferences — script and style are separate
+   * passes, the price of staying portable) and the entity chain decodes
+   * `&amp;` LAST, so `&amp;lt;` correctly yields the literal `&lt;`.
+   * Pure chained regexp/replace expressions — codegen'd, zero shuffle,
+   * scan-speed at 100 TB, where this runs on every crawled byte.
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    val amp = replace(named, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
 }

@@ -973,6 +973,48 @@ object LlmQueries {
       |FROM tf JOIN v USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── HTML → text extraction ──────────────────────────────────────────────
+  // Documents are wrapped in a realistic HTML shell (script with markup
+  // chars inside, style, comments, the standard entities incl. the
+  // decode-once &amp;lt; trap) and stripped in-engine; the oracle replays
+  // the identical RE2-portable regexp/replace chain in DuckDB.
+  private val tHtmlExtract: Q = (s, dir) => {
+    val html = concat(
+      lit("<html><head><title>Doc</title><style>p { color: red; }</style>"),
+      lit("<SCRIPT type=\"text/javascript\">if (a < 2 && b > 1) { x = \"<div>\"; }</SCRIPT></head>"),
+      lit("<body><!-- header\nblock --><h1>"), col("source"), lit("</h1>"),
+      lit("<p>First &amp; second &lt;tag&gt; &amp;lt;literal&amp;gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p><div>"),
+      col("text"), lit("</div></body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextKit.stripHtml(html).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+  private val tHtmlExtractSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc</title><style>p { color: red; }</style>' ||
+      |    '<SCRIPT type="text/javascript">if (a < 2 && b > 1) { x = "<div>"; }</SCRIPT></head>' ||
+      |    '<body><!-- header' || chr(10) || 'block --><h1>' || source || '</h1>' ||
+      |    '<p>First &amp; second &lt;tag&gt; &amp;lt;literal&amp;gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p><div>' ||
+      |    text || '</div></body></html>' AS x
+      |  FROM documents
+      |), s1 AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(x,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '(?s)<[^>]*>', ' ', 'g') AS x
+      |  FROM h
+      |), s2 AS (
+      |  SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |    '&nbsp;', ' '), '&amp;', '&') AS x
+      |  FROM s1
+      |)
+      |SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean_text
+      |FROM s2 ORDER BY doc_id""".stripMargin
+
   // ── TF-IDF keyword extraction ───────────────────────────────────────────
   // Exact integer-bits IDF (same binary-expansion log2 as t_unigram_lm), so
   // both engines rank identical integer scores; ties break on the token
@@ -1456,6 +1498,7 @@ object LlmQueries {
     "dd_span_dedup" -> ddSpanDedup,
     "dd_span_removal" -> ddSpanRemoval,
     "t_tfidf" -> tTfidf,
+    "t_html_extract" -> tHtmlExtract,
     "t_unigram_lm" -> tUnigramLm,
     "t_doc_filter" -> tDocFilter,
     "t_bpe_pairs" -> tBpePairs,
@@ -1502,6 +1545,7 @@ object LlmQueries {
     "dd_span_dedup" -> ddSpanDedupSql,
     "dd_span_removal" -> ddSpanRemovalSql,
     "t_tfidf" -> tTfidfSql,
+    "t_html_extract" -> tHtmlExtractSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_doc_filter" -> tDocFilterSql,
     "t_bpe_pairs" -> tBpePairsSql,

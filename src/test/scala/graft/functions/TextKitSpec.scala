@@ -61,4 +61,28 @@ class TextKitSpec extends SparkSpec {
     assert(norm("MiXeD CaSe") == "MiXeD CaSe")
     assert(norm("MiXeD CaSe", casefold = true) == "mixed case")
   }
+
+  private def strip(s: String): String =
+    Seq(s).toDF("t").select(TextKit.stripHtml(col("t"))).collect().head.getString(0)
+
+  test("stripHtml: script/style content dropped wholesale, tags stripped") {
+    assert(strip("<p>keep</p><script>if (a < 2 && b > 1) { x = \"<div>\"; }</script>done")
+      == "keep done")
+    assert(strip("<STYLE>p { color: red; }</STYLE>text") == "text")
+    // case-insensitive, attribute-bearing, multiline blocks
+    assert(strip("<Script type=\"x\">\nvar a;\n</scRipt>ok") == "ok")
+    assert(strip("a<!-- note\nspanning lines -->b") == "a b")
+  }
+
+  test("stripHtml: entities decode once, &amp; last") {
+    assert(strip("First &amp; second &lt;tag&gt;") == "First & second <tag>")
+    // &amp;lt; is the ESCAPED literal "&lt;" — must not double-decode to "<"
+    assert(strip("&amp;lt;x&amp;gt;") == "&lt;x&gt;")
+    assert(strip("&quot;q&quot; &#39;s&#39; a&nbsp;b") == "\"q\" 's' a b")
+  }
+
+  test("stripHtml: whitespace from removed markup collapses") {
+    assert(strip("<html>\n  <body>\n    <h1>Title</h1>\n    <p>Body text</p>\n  </body>\n</html>")
+      == "Title Body text")
+  }
 }
