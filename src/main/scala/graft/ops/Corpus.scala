@@ -770,6 +770,39 @@ object Corpus {
   }
 
   /**
+   * Apply a trained BPE merge table to a whole corpus — the terminal
+   * tokenization pass that turns "documents" into "token budgets" (what
+   * [[packChunks]] packs and every data-mixture accountant reports).
+   * Returns one row per document with ≥1 token: `n_words`,
+   * `n_bpe_tokens` (total encoded symbol count under `merges`).
+   *
+   * Scale posture: the same vocab-bound trick as [[trainBpeMerges]] —
+   * encoding runs ONCE per distinct word (the native
+   * [[graft.functions.NativeTextKit.bpeEncodeWord]] encoder over the
+   * distinct vocabulary, ≤ ~10⁷ rows for web text), then joins back to the
+   * (doc, word, tf) aggregate, so per-occurrence work is a multiply, not a
+   * re-encode. At 100 TB that is the difference between encoding 10⁶
+   * vocabulary entries and 10¹³ token occurrences. Both aggregations are
+   * map-side combined; AQE broadcasts the encoded vocab when it fits.
+   */
+  def bpeEncodeDocs(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docTf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(TextKit.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val vocab = docTf.select(col("__w")).distinct()
+      .select(col("__w"),
+        size(graft.functions.NativeTextKit.bpeEncodeWord(col("__w"), merges))
+          .cast("long").as("__ns"))
+    docTf.join(vocab, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_words"),
+        sum(col("__tf") * col("__ns")).as("n_bpe_tokens"))
+  }
+
+  /**
    * Deterministic per-key quota sampling — the per-domain cap every crawl
    * pipeline applies so a handful of giant hosts can't dominate the
    * training mixture: keys with ≤ `quota` documents pass untouched; larger

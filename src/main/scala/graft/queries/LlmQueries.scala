@@ -1380,6 +1380,45 @@ object LlmQueries {
       |  CAST(12 AS BIGINT) AS n_merges,
       |  CAST(0 AS BIGINT) AS encode_mismatch""".stripMargin
 
+  // ── whole-corpus BPE encoding (trained merges applied per document) ─────
+  // Trains 6 merges, encodes the corpus (vocab-bound: one native encode per
+  // DISTINCT word, multiplied back through the (doc, word, tf) aggregate),
+  // and gates on theorem-backed invariants the oracle replays as counting
+  // arithmetic: total word count (SQL-replayed), native ≡ fold encoder
+  // agreement over the full vocabulary, and per-word length conservation
+  // (BPE merges only concatenate, so encoded symbol lengths must sum to
+  // the word length — any drift in either encoder breaks it).
+  private val tBpeEncode: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.Corpus.trainBpeMerges(docs, "text", nMerges = 6)
+      .map { case (l, r, _) => (l, r) }
+    val enc = graft.ops.Corpus.bpeEncodeDocs(docs, "doc_id", "text", merges)
+    val dict = docs
+      .select(explode(TextKit.tokens(col("text"))).as("w")).distinct()
+    val sym0 = filter(split(col("w"), ""), s0 => length(s0) > 0)
+    val nat = graft.functions.NativeTextKit.bpeEncodeWord(col("w"), merges)
+    val lenOk = aggregate(nat, lit(0L), (a, x) => a + length(x)) ===
+      length(col("w")).cast("long")
+    val vStats = dict.agg(
+      sum(when(nat === graft.ops.Corpus.applyBpeMerges(sym0, merges), 0L)
+        .otherwise(1L)).as("encode_mismatch"),
+      sum(when(lenOk, 0L).otherwise(1L)).as("len_violation"))
+    val dStats = enc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("total_words"))
+    dStats.crossJoin(vStats)
+  }
+  private val tBpeEncodeSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |)
+      |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS total_words,
+      |  CAST(0 AS BIGINT) AS encode_mismatch,
+      |  CAST(0 AS BIGINT) AS len_violation
+      |FROM t""".stripMargin
+
   private val tBpePairsSql =
     """WITH t AS (
       |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -1480,6 +1519,7 @@ object LlmQueries {
     "sim_int8_quant" -> simInt8,
     "dd_semantic_dedup" -> ddSemantic,
     "t_bpe_train" -> tBpeTrain,
+    "t_bpe_encode" -> tBpeEncode,
     "t_importance_weight" -> tImportance,
     "t_normalize" -> tNormalize,
     "t_bigram_lm" -> tBigramLm,
@@ -1527,6 +1567,7 @@ object LlmQueries {
     "sim_int8_quant" -> simInt8Sql,
     "dd_semantic_dedup" -> ddSemanticSql,
     "t_bpe_train" -> tBpeTrainSql,
+    "t_bpe_encode" -> tBpeEncodeSql,
     "t_importance_weight" -> tImportanceSql,
     "t_normalize" -> tNormalizeSql,
     "t_bigram_lm" -> tBigramLmSql,

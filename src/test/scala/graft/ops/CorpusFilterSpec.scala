@@ -70,6 +70,19 @@ class CorpusFilterSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window functions expected:\n$plan")
   }
 
+  test("bpeEncodeDocs: hand-computed token budgets under a fixed merge table") {
+    // merges: (a,b) then (ab,c) → "abc"→[abc], "ab"→[ab], "ba"→[b,a]
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc ab abc"),  // 3 words → 1 + 1 + 1 = 3 symbols
+      (2L, "ba abc x"),    // 3 words → 2 + 1 + 1 = 4 symbols
+      (3L, "")             // no tokens: no row
+    ).toDF("doc_id", "text")
+    val out = Corpus.bpeEncodeDocs(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((3L, 3L)), 2L -> ((3L, 4L))))
+  }
+
   test("tfidfKeywords: hand-computed integer-bits scores and tie-breaks") {
     // D=3 docs → bitlen(3)=2. idf = bitlen(3) − bitlen(df): df=3 → 0,
     // df=2 → 0 (bitlen(2)=2), df=1 → 1
