@@ -830,6 +830,37 @@ object Corpus {
   }
 
   /**
+   * Deterministic global shuffle key — the "shuffle the corpus before
+   * training" step, made reproducible: ordering by `md5(salt || text)`
+   * is a pseudo-random permutation that is (a) identical across runs and
+   * engines, (b) content-based, so re-crawled duplicates land adjacently
+   * (easy to spot-check) while unrelated documents interleave uniformly,
+   * and (c) re-rollable by changing `salt` (a new epoch = a new
+   * permutation, no RNG state anywhere). Lowercase-hex strings compare
+   * identically in every engine. Pure expression, zero shuffle.
+   */
+  def shuffleKey(text: Column, salt: String = ""): Column =
+    md5(concat(lit(salt), text).cast("binary"))
+
+  /**
+   * Write the corpus in deterministic-shuffled order into `nFiles`
+   * range-partitioned files: route by range over [[shuffleKey]] and sort
+   * within partitions — each output file owns a contiguous key range, so
+   * the concatenation of files IS the permutation, with no global sort
+   * and no window anywhere (the 100 TB shape; the `t_shard_order` gate
+   * materializes the same permutation with an explicit per-shard
+   * row_number at test scale to pin it cross-engine).
+   */
+  def writeShuffled(df: DataFrame, dir: String, textCol: String,
+      nFiles: Int, salt: String = ""): Unit = {
+    df.withColumn("__sk", shuffleKey(col(textCol), salt))
+      .repartitionByRange(nFiles, col("__sk"))
+      .sortWithinPartitions(col("__sk"))
+      .drop("__sk")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /**
    * Sequence packing (contiguous greedy): documents are packed in `orderCol`
    * order into chunks of ~`budget` tokens — a document starts a new chunk
    * when the exclusive running token total crosses the next multiple of

@@ -101,6 +101,45 @@ object ExtensionQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ── funnel: signup → first subsequent purchase per user ─────────────────
+  // The behavioral-analytics staple: per signed-up user, the first signup
+  // time, the first purchase AT OR AFTER it, and the conversion gap. Two
+  // min-aggregations and one join — no window, no ordering; at scale the
+  // signup side is users-sized and AQE broadcasts it.
+  private val xFunnel: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        Kit.nanosToMillis("ts").as("ts_ms"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("signup_ms"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts_ms") >= col("signup_ms"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("purchase_ms"))
+    signup.join(purch, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ms"), col("purchase_ms"),
+        col("purchase_ms").isNotNull.as("converted"),
+        (col("purchase_ms") - col("signup_ms")).as("gap_ms"))
+      .orderBy(col("user_id"))
+  }
+  private val xFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, min(ts_ms) AS signup_ms FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts_ms) AS purchase_ms
+      |  FROM e JOIN s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_ms >= s.signup_ms
+      |  GROUP BY e.user_id
+      |)
+      |SELECT s.user_id, s.signup_ms, p.purchase_ms,
+      |  p.purchase_ms IS NOT NULL AS converted,
+      |  p.purchase_ms - s.signup_ms AS gap_ms
+      |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin
+
   // ── grouping sets: the general form cube/rollup specialize ──────────────
   // gid derives from the NULL pattern (base columns are non-null), which is
   // engine-portable where grouping_id() bit conventions are not.
@@ -496,6 +535,7 @@ object ExtensionQueries {
     "x_rollup" -> xRollup,
     "x_set_ops" -> xSetOps,
     "x_zorder" -> xZorder,
+    "x_funnel" -> xFunnel,
     "x_lead_lag" -> xLeadLag,
     "x_grouping_sets" -> xGroupingSets,
     "u4_multiformat_ts" -> u4MultiTs,
@@ -516,6 +556,7 @@ object ExtensionQueries {
     "x_rollup" -> xRollupSql,
     "x_set_ops" -> xSetOpsSql,
     "x_zorder" -> xZorderSql,
+    "x_funnel" -> xFunnelSql,
     "x_lead_lag" -> xLeadLagSql,
     "x_grouping_sets" -> xGroupingSetsSql,
     "u4_multiformat_ts" -> u4MultiTsSql,

@@ -973,6 +973,39 @@ object LlmQueries {
       |FROM tf JOIN v USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── deterministic global shuffle (training-shard order) ─────────────────
+  // The content-hash permutation behind Corpus.writeShuffled, materialized
+  // at test scale: shard = first hex nibble of the shuffle key (16 shards),
+  // pos = rank within the shard by (key, doc_id). Lowercase-hex string
+  // order is ASCII order in both engines, so the permutation replays
+  // exactly.
+  private val tShardOrder: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sk = graft.ops.Corpus.shuffleKey(col("text"), "epoch1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__sk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), sk.as("__sk"))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("__sk"), 1, 1)) - 1)
+          .cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+  private val tShardOrderSql =
+    """WITH k AS (
+      |  SELECT doc_id, md5('epoch1' || text) AS sk FROM documents
+      |), s AS (
+      |  SELECT doc_id, sk,
+      |    CAST(strpos('0123456789abcdef', substring(sk, 1, 1)) - 1 AS BIGINT)
+      |      AS shard
+      |  FROM k
+      |)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+      |    AS BIGINT) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   // ── HTML → text extraction ──────────────────────────────────────────────
   // Documents are wrapped in a realistic HTML shell (script with markup
   // chars inside, style, comments, the standard entities incl. the
@@ -1539,6 +1572,7 @@ object LlmQueries {
     "dd_span_removal" -> ddSpanRemoval,
     "t_tfidf" -> tTfidf,
     "t_html_extract" -> tHtmlExtract,
+    "t_shard_order" -> tShardOrder,
     "t_unigram_lm" -> tUnigramLm,
     "t_doc_filter" -> tDocFilter,
     "t_bpe_pairs" -> tBpePairs,
@@ -1587,6 +1621,7 @@ object LlmQueries {
     "dd_span_removal" -> ddSpanRemovalSql,
     "t_tfidf" -> tTfidfSql,
     "t_html_extract" -> tHtmlExtractSql,
+    "t_shard_order" -> tShardOrderSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_doc_filter" -> tDocFilterSql,
     "t_bpe_pairs" -> tBpePairsSql,

@@ -263,4 +263,34 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"global window detected:\n$plan")
   }
+
+  test("writeShuffled: file concatenation is the deterministic hash permutation") {
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val dir1 = java.nio.file.Files.createTempDirectory("shuf1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("shuf2").toString
+    val dir3 = java.nio.file.Files.createTempDirectory("shuf3").toString
+    Corpus.writeShuffled(docs, dir1, "text", nFiles = 4, salt = "e1")
+    Corpus.writeShuffled(docs, dir2, "text", nFiles = 4, salt = "e1")
+    Corpus.writeShuffled(docs, dir3, "text", nFiles = 4, salt = "e2")
+
+    // read files in name order, concatenating their row order
+    def permutation(dir: String): Seq[Long] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString).sorted
+      files.flatMap(f =>
+        spark.read.parquet(f).select("doc_id").collect().map(_.getLong(0))).toSeq
+    }
+    val p1 = permutation(dir1)
+    assert(p1.sorted == (0L until 500L))       // a permutation of the corpus
+    assert(p1 != (0L until 500L).toSeq)        // ...that actually shuffles
+    assert(p1 == permutation(dir2))            // identical across runs
+    assert(p1 != permutation(dir3))            // a new salt re-rolls it
+    // and it equals the global sort by the shuffle key
+    val expected = docs
+      .withColumn("k", Corpus.shuffleKey(col("text"), "e1"))
+      .orderBy(col("k")).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(p1 == expected)
+  }
 }
