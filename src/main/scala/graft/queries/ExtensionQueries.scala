@@ -140,6 +140,97 @@ object ExtensionQueries {
       |  p.purchase_ms - s.signup_ms AS gap_ms
       |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin
 
+  // ── data-quality constraint report ──────────────────────────────────────
+  // Five column constraints in ONE scan (violation predicates folded into
+  // a single aggregate row, stack-unpivoted) plus a composite-key
+  // uniqueness check; the discount cap is deliberately tight so the report
+  // exercises the failing path too. The oracle recomputes every count.
+  private val xQualityReport: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val checks = Seq(
+      "accepted(l_returnflag)" -> !col("l_returnflag").isin("A", "N", "R"),
+      "max(l_discount,0.05)" -> (col("l_discount") > 0.05),
+      "not_null(l_orderkey)" -> col("l_orderkey").isNull,
+      "positive(l_extendedprice)" -> (col("l_extendedprice") <= 0),
+      "range(l_quantity,1,50)" -> !col("l_quantity").between(1, 50))
+    graft.ops.Quality.report(li, checks,
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))
+      .orderBy(col("constraint"))
+  }
+  private val xQualityReportSql =
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      |c AS (
+      |  SELECT 'accepted(l_returnflag)' AS constraint,
+      |    CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+      |      AS BIGINT) AS violations FROM lineitem
+      |  UNION ALL
+      |  SELECT 'max(l_discount,0.05)',
+      |    CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'not_null(l_orderkey)',
+      |    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'positive(l_extendedprice)',
+      |    CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'range(l_quantity,1,50)',
+      |    CAST(count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50)
+      |      AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'unique(l_orderkey,l_linenumber)',
+      |    CAST((SELECT count(*) FROM lineitem) -
+      |      (SELECT count(*) FROM
+      |        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+      |      AS BIGINT)
+      |)
+      |SELECT c.constraint, c.violations, t.n AS total,
+      |  c.violations = 0 AS passed
+      |FROM c CROSS JOIN t ORDER BY c.constraint""".stripMargin
+
+  // ── SCD2 interval construction from a change-event log ──────────────────
+  // Consecutive same-type runs per user collapse into validity intervals
+  // (valid_to = next run's start, null while current) — the warehouse
+  // "value as of T" target built from an append-only log. Unique
+  // (ts, event_id) ordering makes every run boundary deterministic.
+  private val xScd2: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Kit.nanosToMillis("ts").as("ts_ms"))
+    graft.ops.Quality.scd2Intervals(e, "user_id", "ts_ms", "event_id",
+        "event_type")
+      .orderBy(col("user_id"), col("valid_from_ms"))
+  }
+  private val xScd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000000 AS ts_ms
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), s AS (
+      |  SELECT user_id, event_type, ts_ms,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM r
+      |), g AS (
+      |  SELECT user_id, run, min(event_type) AS value,
+      |    min(ts_ms) AS valid_from_ms, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM s GROUP BY user_id, run
+      |)
+      |SELECT user_id, value, valid_from_ms,
+      |  lead(valid_from_ms) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from_ms) AS valid_to_ms,
+      |  n_events
+      |FROM g ORDER BY user_id, valid_from_ms""".stripMargin
+
   // ── grouping sets: the general form cube/rollup specialize ──────────────
   // gid derives from the NULL pattern (base columns are non-null), which is
   // engine-portable where grouping_id() bit conventions are not.
@@ -536,6 +627,8 @@ object ExtensionQueries {
     "x_set_ops" -> xSetOps,
     "x_zorder" -> xZorder,
     "x_funnel" -> xFunnel,
+    "x_quality_report" -> xQualityReport,
+    "x_scd2" -> xScd2,
     "x_lead_lag" -> xLeadLag,
     "x_grouping_sets" -> xGroupingSets,
     "u4_multiformat_ts" -> u4MultiTs,
@@ -557,6 +650,8 @@ object ExtensionQueries {
     "x_set_ops" -> xSetOpsSql,
     "x_zorder" -> xZorderSql,
     "x_funnel" -> xFunnelSql,
+    "x_quality_report" -> xQualityReportSql,
+    "x_scd2" -> xScd2Sql,
     "x_lead_lag" -> xLeadLagSql,
     "x_grouping_sets" -> xGroupingSetsSql,
     "u4_multiformat_ts" -> u4MultiTsSql,
