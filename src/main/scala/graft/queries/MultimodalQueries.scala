@@ -241,6 +241,44 @@ object MultimodalQueries {
       |  CAST((SELECT sum(n * (n - 1) // 2) FROM c) AS BIGINT) AS n_pairs,
       |  CAST(0 AS BIGINT) AS n_cross_pairs""".stripMargin
 
+  // ── perceptual dedup end-to-end: dHash pairs → connected components ─────
+  // Composes imageNearDupPairs with the shared CC clusterer on a 1-in-10
+  // doc subset (keeps the within-template pair set small at every SF).
+  // Ground truth is pure counting arithmetic: each pattern with ≥2 members
+  // forms exactly one cluster whose canonical is its min doc_id; patterns
+  // with 1 member produce no pair, hence no cluster.
+  private val mmImageClusters: Q = (s, dir) => {
+    val idx = ((col("doc_id") % KP) * 3 + col("doc_id") % 3 + 1).cast("int")
+    val media = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("media", element_at(typedLit(phashTemplates), idx))
+    val pairs = Multimodal.imageNearDupPairs(media, "doc_id", "media",
+        maxDist = 2)
+      .select(col("img_a").as("doc_a"), col("img_b").as("doc_b"))
+    val clusters = graft.ops.Dedup.nearDupClusters(pairs)
+    val mins = media.select(col("doc_id"), (col("doc_id") % KP).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("mn"))
+    val sizes = clusters.groupBy(col("canonical")).agg(count(lit(1)).as("sz"))
+    clusters.withColumn("t", col("doc_id") % KP)
+      .join(mins, Seq("t"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        countDistinct(col("canonical")).as("n_clusters"),
+        coalesce(sum(when(col("canonical") =!= col("mn"), 1L).otherwise(0L)),
+          lit(0L)).as("canon_mismatch"))
+      .crossJoin(sizes.agg(max(col("sz")).as("max_cluster")))
+  }
+  private val mmImageClustersSql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 8 AS t FROM documents WHERE doc_id % 10 = 0
+      |), c AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY t
+      |), e AS (SELECT * FROM c WHERE n >= 2)
+      |SELECT CAST((SELECT sum(n) FROM e) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_clusters,
+      |  CAST(0 AS BIGINT) AS canon_mismatch,
+      |  CAST((SELECT max(n) FROM e) AS BIGINT) AS max_cluster""".stripMargin
+
   // ── REAL audio decode — roundtrip gate over complete encoded WAVs ───────
   // Same construction as mm_decode: K tiny 8-bit mono PCM WAVs encoded with
   // the JDK (javax.sound.sampled) at query build; the sample pattern is
@@ -291,7 +329,8 @@ object MultimodalQueries {
     "mm_features" -> mmFeatures,
     "mm_decode" -> mmDecode,
     "mm_audio" -> mmAudio,
-    "mm_image_neardup" -> mmImageNearDup)
+    "mm_image_neardup" -> mmImageNearDup,
+    "mm_image_clusters" -> mmImageClusters)
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
@@ -299,5 +338,6 @@ object MultimodalQueries {
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,
     "mm_audio" -> mmAudioSql,
-    "mm_image_neardup" -> mmImageNearDupSql)
+    "mm_image_neardup" -> mmImageNearDupSql,
+    "mm_image_clusters" -> mmImageClustersSql)
 }
