@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
  * turn a raw crawled document table into packed training shards. Composes
  * the engine's corpus operators in their production order:
  *
+ *   -2. HTML extraction — (opt-in) WET-style markup stripping, so raw
+ *                         crawl pages and plain-text twins unify,
  *   0. quality gate     — (opt-in) Gopher-style keep verdict: junk dropped
  *                         at scan speed before anything is paid for it,
  *   0b. line dedup      — (opt-in) cross-document boilerplate lines
@@ -62,6 +64,9 @@ object CorpusPrepApp {
       quality: Option[Corpus.GopherThresholds] = None,
       lineDedupMinDocs: Option[Int] = None,
       domainQuota: Option[Long] = None,
+      // raw crawled HTML in the text column: strip markup first (WET-style
+      // extraction), so every later stage sees prose, not tags
+      htmlInput: Boolean = false,
       // canonicalize text (NFC + whitespace) before any hashing stage, so
       // byte-variant encodings of the same content dedup together
       normalize: Boolean = false,
@@ -89,12 +94,19 @@ object CorpusPrepApp {
    */
   def prepare(documents: DataFrame, benchmark: DataFrame,
       cfg: Config = Config()): Prepared = {
+    // -2. HTML extraction: crawled markup → prose at scan speed, so a page
+    // and its plain-text twin become the same document for every stage
+    // below (dedup hashes content, not chrome)
+    val extracted =
+      if (!cfg.htmlInput) documents
+      else documents.withColumn("text", TextKit.stripHtml(col("text")))
+
     // -1. canonicalization: every later stage (quality, line/exact/near
     // dedup, split) hashes or compares text — normalize FIRST so NFC
     // variants and whitespace-formatting twins are the same document
     val canon =
-      if (!cfg.normalize) documents
-      else documents.withColumn("text",
+      if (!cfg.normalize) extracted
+      else extracted.withColumn("text",
         graft.functions.NativeTextKit.normalizeText(col("text")))
 
     // 0. quality gate: scan-speed keep verdict, before any hash work

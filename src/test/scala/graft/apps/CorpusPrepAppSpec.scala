@@ -134,6 +134,29 @@ class CorpusPrepAppSpec extends SparkSpec {
     assert(survivors.nonEmpty)
   }
 
+  test("opt-in HTML stage: a crawled-markup twin unifies with its plain original") {
+    val base = Tables.documents(spark, graft.TestSpark.sf0001)
+      .select("doc_id", "source", "text").filter(col("doc_id") < 100)
+    // plant an HTML-wrapped copy of every doc — same prose, full markup
+    // shell (tags add whitespace, so normalize must run too)
+    val pages = base.select((col("doc_id") + 100000).as("doc_id"),
+      col("source"),
+      concat(lit("<html><head><style>p{x:y}</style></head><body><p>"),
+        col("text"), lit("</p><!-- footer --></body></html>")).as("text"))
+    val corpus = base.unionByName(pages)
+    val bench = base.limit(0)
+    val cfg = CorpusPrepApp.Config(minSharedNgrams = 1000000L,
+      htmlInput = true, normalize = true)
+    val p = CorpusPrepApp.prepare(corpus, bench, cfg)
+    val kept = p.deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseKept = CorpusPrepApp.prepare(base, bench,
+        CorpusPrepApp.Config(minSharedNgrams = 1000000L, normalize = true))
+      .deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == baseKept,
+      s"HTML twins failed to unify: ${kept.size} vs ${baseKept.size}")
+    assert(kept.forall(_ < 100000L), "an HTML page survived its plain original")
+  }
+
   test("opt-in semantic stage: hash-embedded SemDeDup catches a reshuffled twin") {
     val base = Tables.documents(spark, graft.TestSpark.sf0001)
       .select("doc_id", "source", "text").filter(col("doc_id") < 100)
