@@ -65,6 +65,50 @@ object Quality {
     }
 
   /**
+   * Robust outlier statistics per group: discrete median and MAD (median
+   * absolute deviation) over an INTEGER value column, plus the count of
+   * rows beyond `k`·MAD — the outlier detector that, unlike mean/stddev,
+   * a few extreme values cannot drag. Discrete (inverted-CDF) medians:
+   * the smallest value whose cumulative count reaches ⌈n/2⌉ — exact
+   * integer parity across engines, no interpolation.
+   *
+   * Scale posture: the [[Corpus.quantileGate]] trick, per group — both
+   * medians compute over (group, value) HISTOGRAMS, so the only orderings
+   * in the plan are windows over histogram rows (value-domain-bounded, KBs
+   * per group at any corpus size); the raw data is touched by two
+   * map-side-combined counts and one scan-speed flagging join.
+   */
+  def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def discreteMedian(vals: DataFrame, vCol: String, out: String): DataFrame = {
+      val hist = vals.groupBy(col(groupCol), col(vCol))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+      val tot = hist.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+      // integer div: ⌈n/2⌉ = (n+1) div 2 on both engines (a double
+      // quotient would shift the threshold at odd counts)
+      cum.join(tot, Seq(groupCol))
+        .filter(col("__cum") >= expr("(__n + 1) div 2"))
+        .groupBy(col(groupCol)).agg(min(col(vCol)).as(out))
+    }
+    val v = df.select(col(groupCol), col(valueCol).as("__v"))
+    val med = discreteMedian(v, "__v", "median")
+    val dev = v.join(med, Seq(groupCol))
+      .withColumn("__d", abs(col("__v") - col("median")))
+    val mad = discreteMedian(dev.select(col(groupCol), col("__d")), "__d", "mad")
+    dev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__d") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /**
    * SCD2 interval construction — collapse a change-event stream into
    * slowly-changing-dimension rows: per key, consecutive runs of the same
    * `valueCol` become one row with `valid_from_ms` (first event),

@@ -191,6 +191,52 @@ object ExtensionQueries {
       |  c.violations = 0 AS passed
       |FROM c CROSS JOIN t ORDER BY c.constraint""".stripMargin
 
+  // ── robust outliers: discrete median + MAD per event type ───────────────
+  // Inverted-CDF medians over (group, value) histograms — exact integer
+  // parity, no interpolation, no raw-data sort; the oracle replays the
+  // identical ⌈n/2⌉ threshold arithmetic.
+  private val xMad: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), Kit.cents(col("value")).as("v"))
+    graft.ops.Quality.madOutlierStats(e, "event_type", "v", k = 5)
+      .orderBy(col("event_type"))
+  }
+  private val xMadSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+      |  FROM events
+      |), h AS (
+      |  SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h
+      |), med AS (
+      |  SELECT event_type, min(v) AS median FROM cum
+      |  WHERE cc >= (n + 1) // 2 GROUP BY event_type
+      |), d AS (
+      |  SELECT e.event_type, abs(e.v - m.median) AS dv, m.median
+      |  FROM e JOIN med m USING (event_type)
+      |), h2 AS (
+      |  SELECT event_type, dv, count(*) AS c FROM d GROUP BY 1, 2
+      |), cum2 AS (
+      |  SELECT event_type, dv, sum(c) OVER (PARTITION BY event_type
+      |    ORDER BY dv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h2
+      |), mad AS (
+      |  SELECT event_type, min(dv) AS mad FROM cum2
+      |  WHERE cc >= (n + 1) // 2 GROUP BY event_type
+      |)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(d.median) AS BIGINT) AS median,
+      |  CAST(min(mad.mad) AS BIGINT) AS mad,
+      |  CAST(count(*) FILTER (WHERE d.dv > mad.mad * 5) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   // ── SCD2 interval construction from a change-event log ──────────────────
   // Consecutive same-type runs per user collapse into validity intervals
   // (valid_to = next run's start, null while current) — the warehouse
@@ -629,6 +675,7 @@ object ExtensionQueries {
     "x_funnel" -> xFunnel,
     "x_quality_report" -> xQualityReport,
     "x_scd2" -> xScd2,
+    "x_mad" -> xMad,
     "x_lead_lag" -> xLeadLag,
     "x_grouping_sets" -> xGroupingSets,
     "u4_multiformat_ts" -> u4MultiTs,
@@ -652,6 +699,7 @@ object ExtensionQueries {
     "x_funnel" -> xFunnelSql,
     "x_quality_report" -> xQualityReportSql,
     "x_scd2" -> xScd2Sql,
+    "x_mad" -> xMadSql,
     "x_lead_lag" -> xLeadLagSql,
     "x_grouping_sets" -> xGroupingSetsSql,
     "u4_multiformat_ts" -> u4MultiTsSql,

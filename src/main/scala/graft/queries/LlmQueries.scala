@@ -973,6 +973,39 @@ object LlmQueries {
       |FROM tf JOIN v USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── crawl-frontier dedup on canonical URLs ──────────────────────────────
+  // Four messy variants per URL group (case/www/port, fragment, tracking
+  // params, trailing slash) must collapse to ONE canonical each; dedup
+  // keeps the min doc_id. The oracle states the canonical analytically —
+  // hash equality on the curl column re-proves the whole canonicalization
+  // chain, and the group arithmetic pins the dedup.
+  private val ddUrlDedup: Q = (s, dir) => {
+    import graft.functions.UrlKit
+    val g = (col("doc_id") % 100).cast("string")
+    val v = col("doc_id") % 4
+    val url = when(v === 0, concat(lit("https://docs.example.com/a/"), g))
+      .when(v === 1, concat(lit("HTTPS://WWW.Docs.Example.COM:443/a/"), g,
+        lit("#frag")))
+      .when(v === 2, concat(lit("https://docs.example.com/a/"), g,
+        lit("?utm_source=x&gclid=y")))
+      .otherwise(concat(lit("https://www.docs.example.com/a/"), g, lit("/")))
+    val withC = Tables.documents(s, dir)
+      .select(col("doc_id"), UrlKit.canonicalizeUrl(url).as("curl"))
+    val winners = graft.ops.Dedup.exactDedup(withC, Seq("curl"), Seq("doc_id"))
+    val counts = withC.groupBy(col("curl")).agg(count(lit(1)).as("n_dups"))
+    winners.join(counts, Seq("curl"))
+      .select(col("curl"), col("doc_id").as("keeper"), col("n_dups"))
+      .orderBy(col("curl"))
+  }
+  private val ddUrlDedupSql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    'https://docs.example.com/a/' || (doc_id % 100) AS curl
+      |  FROM documents
+      |)
+      |SELECT curl, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dups
+      |FROM c GROUP BY curl ORDER BY curl""".stripMargin
+
   // ── deterministic global shuffle (training-shard order) ─────────────────
   // The content-hash permutation behind Corpus.writeShuffled, materialized
   // at test scale: shard = first hex nibble of the shuffle key (16 shards),
@@ -1573,6 +1606,7 @@ object LlmQueries {
     "t_tfidf" -> tTfidf,
     "t_html_extract" -> tHtmlExtract,
     "t_shard_order" -> tShardOrder,
+    "dd_url_dedup" -> ddUrlDedup,
     "t_unigram_lm" -> tUnigramLm,
     "t_doc_filter" -> tDocFilter,
     "t_bpe_pairs" -> tBpePairs,
@@ -1622,6 +1656,7 @@ object LlmQueries {
     "t_tfidf" -> tTfidfSql,
     "t_html_extract" -> tHtmlExtractSql,
     "t_shard_order" -> tShardOrderSql,
+    "dd_url_dedup" -> ddUrlDedupSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_doc_filter" -> tDocFilterSql,
     "t_bpe_pairs" -> tBpePairsSql,
