@@ -417,6 +417,74 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Containment near-dup pairs (Broder containment C(a→b) =
+   * |S(a)∩S(b)| / |S(a)| over hashed char shingles): detects EXCERPTS —
+   * a quote, abstract or syndicated fragment mostly contained in a larger
+   * document — which symmetric Jaccard misses (a 40-word excerpt of a
+   * 100-word doc has J ≈ 0.4 but C = 1.0). Output: directional
+   * (doc_a = contained, doc_b = container, containment_ppm =
+   * ⌊10⁶·C⌋, a ≠ b) for every pair with C ≥ `threshold`.
+   *
+   * Candidate generation is the set-containment-join standard: an inverted
+   * index joined against each document's RARE-SHINGLE PREFIX. Order every
+   * document's shingles by global document frequency (rarest first; ties
+   * on the hash) and take the first ⌊(1−t)·|S|⌋+1 — if C(a→b) ≥ t then
+   * fewer than that many of a's shingles are missing from b, so at least
+   * one PREFIX shingle of a is in b (the prefix-filter theorem ⇒ recall 1
+   * while postings are uncapped). The prefix is rare by construction, so
+   * its postings are the SHORT ones; `maxPostingSize` additionally caps
+   * pathological postings (boilerplate shingles in a 100 TB corpus) at a
+   * documented recall trade. Verify is candidates-only exact containment —
+   * the [[verifiedJaccardPairs]] shape.
+   *
+   * Scale posture: doc-frequency is one map-side-combined count; the only
+   * window partitions by document (doc-shingle-bounded); the index join
+   * shuffles (shingle → postings) with the cap; verify semi-joins only
+   * candidate docs' sets.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleLen: Int = 5,
+      maxPostingSize: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val grams = df.repartition(par)
+      .select(col(idCol).as("doc"),
+        TextKit.ngramHashSet(col(textCol), shingleLen).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val posts = grams.select(col("doc"), explode(col("gs")).as("g"),
+      size(col("gs")).as("__sz"))
+    val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val ranked = posts.join(dfreq, Seq("g"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("__df"), col("g"))))
+    val prefix = ranked
+      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("__sz")) + 1)
+      .select(col("g"), col("doc").as("doc_a"))
+    val index = sizeBandedBuckets(
+      posts.select(col("g"), col("doc").as("doc_b")), Seq("g"),
+      1L, maxPostingSize)
+    val cands = prefix.join(index, Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    def side(idName: String, gName: String): DataFrame = {
+      val ids = cands.select(col(idName).as("doc")).distinct()
+      grams.join(broadcast(ids), Seq("doc"), "left_semi")
+        .select(col("doc").as(idName), col("gs").as(gName))
+    }
+    cands
+      .join(side("doc_a", "ga"), "doc_a")
+      .join(side("doc_b", "gb"), "doc_b")
+      .withColumn("containment_ppm",
+        expr("(size(array_intersect(ga, gb)) * 1000000L) div size(ga)"))
+      .filter(TextKit.noPushdown(
+        col("containment_ppm") >= math.floor(threshold * 1e6).toLong))
+      .select(col("doc_a"), col("doc_b"), col("containment_ppm"))
+  }
+
   // ── SemDeDup: semantic dedup via embedding clustering ────────────────────
 
   /**

@@ -973,6 +973,46 @@ object LlmQueries {
       |FROM tf JOIN v USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── containment near-dup (excerpt detection) ────────────────────────────
+  // Every 10th doc with ≥25 words gets a planted EXCERPT (its first 20
+  // words — texts are single-spaced, so the excerpt is a literal prefix
+  // substring and char-shingle containment is exactly 1.0, while Jaccard
+  // is far below the symmetric threshold). With uncapped postings the
+  // prefix-filter theorem makes recall on C=1 pairs exact, so
+  // planted_found ≡ n_planted is a theorem-backed gate the oracle replays
+  // as counting arithmetic.
+  private val ddContainment: Q = (s, dir) => {
+    val toks = TextKit.tokens(col("text"))
+    val base = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(size(toks) >= 25)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, 1, 20), " ").as("text"))
+    val corpus = base.unionByName(planted)
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+      threshold = 0.9, shingleLen = 5, maxPostingSize = Int.MaxValue)
+    val expect = planted.select(col("doc_id").as("pa"),
+      (col("doc_id") - 1000000L).as("pb"))
+    val found = pairs.join(expect,
+      col("doc_a") === col("pa") && col("doc_b") === col("pb") &&
+        col("containment_ppm") === 1000000L)
+    base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(found.agg(count(lit(1)).as("planted_found")))
+      .withColumn("missing", col("n_planted") - col("planted_found"))
+  }
+  private val ddContainmentSql =
+    """WITH b AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |), p AS (
+      |  SELECT doc_id FROM b
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 25
+      |)
+      |SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_base,
+      |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_planted,
+      |  CAST((SELECT count(*) FROM p) AS BIGINT) AS planted_found,
+      |  CAST(0 AS BIGINT) AS missing""".stripMargin
+
   // ── crawl-frontier dedup on canonical URLs ──────────────────────────────
   // Four messy variants per URL group (case/www/port, fragment, tracking
   // params, trailing slash) must collapse to ONE canonical each; dedup
@@ -1607,6 +1647,7 @@ object LlmQueries {
     "t_html_extract" -> tHtmlExtract,
     "t_shard_order" -> tShardOrder,
     "dd_url_dedup" -> ddUrlDedup,
+    "dd_containment" -> ddContainment,
     "t_unigram_lm" -> tUnigramLm,
     "t_doc_filter" -> tDocFilter,
     "t_bpe_pairs" -> tBpePairs,
@@ -1657,6 +1698,7 @@ object LlmQueries {
     "t_html_extract" -> tHtmlExtractSql,
     "t_shard_order" -> tShardOrderSql,
     "dd_url_dedup" -> ddUrlDedupSql,
+    "dd_containment" -> ddContainmentSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_doc_filter" -> tDocFilterSql,
     "t_bpe_pairs" -> tBpePairsSql,

@@ -224,4 +224,34 @@ class DedupSpec extends SparkSpec {
       threshold = 0.9, nCentroids = 1, maxClusterSize = 10)
     assert(capped.count() == 0)
   }
+
+  test("containmentPairs: hand-computed directional containment with threshold") {
+    import spark.implicits._
+    // 5-char shingles: doc 2 is a prefix of doc 1 → C(2→1)=1; doc 1's set
+    // is 6 shingles of which 3 are doc 2's → C(1→2)=0.5; doc 3 disjoint
+    val docs = Seq(
+      (1L, "abcdefghij"),
+      (2L, "abcdefg"),
+      (3L, "zzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(strict.toSeq == Seq((2L, 1L, 1000000L)))
+    val loose = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((2L, 1L, 1000000L), (1L, 2L, 500000L)))
+  }
+
+  test("containmentPairs: posting cap drops a hot shingle's bucket whole") {
+    import spark.implicits._
+    // 21 docs all sharing every shingle (identical text): every posting has
+    // size 21 > cap 20 → no candidates survive the cap
+    val docs = (1 to 21).map(i => (i.toLong, "aaaaabbbbb")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxPostingSize = 20)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxPostingSize = 1000)
+    assert(uncapped.count() == 21L * 20L) // all ordered pairs, C = 1
+  }
 }

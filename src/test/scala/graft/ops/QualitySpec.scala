@@ -43,6 +43,20 @@ class QualitySpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) == ((3L, 6L, false)))
   }
 
+  test("madOutlierStats: hand-computed discrete medians and outlier flags") {
+    // group A values: 1,2,3,4,100 → n=5, ⌈5/2⌉=3 → median=3;
+    // deviations 2,1,0,1,97 → sorted 0,1,1,2,97 → MAD=1;
+    // outliers: |v-3| > 5·1 → only 100. Group B: constant → MAD 0,
+    // every deviation 0 → no outliers (0 > 0 is false).
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L), ("A", 100L),
+      ("B", 7L), ("B", 7L), ("B", 7L)).toDF("g", "v")
+    val out = Quality.madOutlierStats(df, "g", "v", k = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") == ((5L, 3L, 1L, 1L)))
+    assert(out("B") == ((3L, 7L, 0L, 0L)))
+  }
+
   test("scd2Intervals: hand-computed runs, open current interval") {
     val e = Seq(
       // user 1: A A B A — runs [A x2], [B x1], [A x1 current]
