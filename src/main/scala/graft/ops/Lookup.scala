@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /**
  * Broadcast lookup joins — the reference's side-input join family
@@ -51,6 +54,58 @@ object Lookup {
       strictUnique: Boolean = false): (DataFrame, DataFrame) = {
     val hist = if (strictUnique) assertUniqueKeys(historical, keyCol) else historical
     val keys = broadcast(hist.select(col(keyCol)).distinct())
+    val novel = fresh.join(keys, Seq(keyCol), "left_anti")
+    val dups = fresh.join(keys, Seq(keyCol), "left_semi")
+    (novel, dups)
+  }
+
+  /** Bloom-filter sketch over `xxhash64(keyCol)` as a 1-row binary aggregate
+    * Column — Spark's own runtime-filter kernel (`BloomFilterAggregate`),
+    * exposed for explicit use where the optimizer's automatic injection
+    * doesn't reach (it never fires for anti joins). NOTE: Spark silently
+    * clamps the sketch to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` (4M) / `.maxNumBits` (64M bits = 8 MB); raise those confs
+    * when a fresh batch carries more distinct keys. */
+  private def bloomAgg(keyCol: String, expectedKeys: Long, fpp: Double): Column = {
+    val bits = BloomFilter.optimalNumOfBits(expectedKeys, fpp)
+    GraftColumnBridge.column(new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(col(keyCol))),
+      Literal(expectedKeys), Literal(bits)).toAggregateExpression())
+  }
+
+  /** Historical keys that MIGHT appear in `fresh`: the bloom rides into the
+    * historical scan as a scalar subquery, so non-candidate rows die in the
+    * codegen'd scan filter BEFORE any shuffle. Package-private so the spec
+    * can assert prune width and zero false negatives. */
+  private[graft] def bloomPruneKeys(fresh: DataFrame, historical: DataFrame,
+      keyCol: String, expectedFreshKeys: Long, fpp: Double): DataFrame = {
+    val bloom = fresh.agg(bloomAgg(keyCol, expectedFreshKeys, fpp).as("__bf"))
+    historical.select(col(keyCol))
+      .filter(GraftColumnBridge.column(BloomFilterMightContain(
+        GraftColumnBridge.expression(bloom.scalar()),
+        GraftColumnBridge.expression(xxhash64(col(keyCol))))))
+      .distinct()
+  }
+
+  /**
+   * D2 at the 100 TB-historical regime — [[semiAntiSplit]] broadcasts the
+   * historical side and so requires it small; this variant handles a huge
+   * historical corpus by building a bloom over the FRESH batch's keys
+   * (small: a day's crawl) and pruning historical at its scan, so the
+   * shuffle join only ever sees historical rows that might match. Dropping
+   * a historical row whose key is in no fresh row can never change an
+   * anti/semi result against `fresh`, and blooms have no false negatives,
+   * so the split is EXACT regardless of `fpp` — false positives only widen
+   * the pruned set (by ~fpp·|historical|), never the answer.
+   *
+   * This is the runtime-filter pattern Spark's optimizer applies to inner/
+   * semi shuffle joins (`InjectRuntimeFilter`), made explicit because the
+   * optimizer never injects it for the LEFT ANTI half of a dedup split.
+   */
+  def bloomSemiAntiSplit(fresh: DataFrame, historical: DataFrame,
+      keyCol: String, expectedFreshKeys: Long,
+      fpp: Double = 0.01): (DataFrame, DataFrame) = {
+    val keys = bloomPruneKeys(fresh, historical, keyCol, expectedFreshKeys, fpp)
     val novel = fresh.join(keys, Seq(keyCol), "left_anti")
     val dups = fresh.join(keys, Seq(keyCol), "left_semi")
     (novel, dups)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{Kit, TextKit, VectorKit}
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Lookup, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1013,6 +1013,29 @@ object LlmQueries {
       |  CAST((SELECT count(*) FROM p) AS BIGINT) AS planted_found,
       |  CAST(0 AS BIGINT) AS missing""".stripMargin
 
+  // ── bloom-pruned incremental anti-join (huge-historical dedup) ──────────
+  // The D2 split where the HISTORICAL corpus is the 100 TB side: a bloom
+  // over the fresh batch's keys prunes historical at its scan before the
+  // shuffle join. False positives only widen the pruned candidate set —
+  // never the answer — so the oracle is the plain exact anti/semi join.
+  private val ddBloomAntijoin: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    val fresh = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val (novel, dups) = Lookup.bloomSemiAntiSplit(fresh, hist, "doc_id",
+      expectedFreshKeys = 100000L, fpp = 0.01)
+    novel.select(col("doc_id"), lit("novel").as("route"))
+      .unionByName(dups.select(col("doc_id"), lit("dup").as("route")))
+      .orderBy("doc_id")
+  }
+  private val ddBloomAntijoinSql =
+    """WITH h AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+      |     f AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+      |SELECT f.doc_id,
+      |  CASE WHEN h.doc_id IS NULL THEN 'novel' ELSE 'dup' END AS route
+      |FROM f LEFT JOIN h ON f.doc_id = h.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   // ── crawl-frontier dedup on canonical URLs ──────────────────────────────
   // Four messy variants per URL group (case/www/port, fragment, tracking
   // params, trailing slash) must collapse to ONE canonical each; dedup
@@ -1648,6 +1671,7 @@ object LlmQueries {
     "t_shard_order" -> tShardOrder,
     "dd_url_dedup" -> ddUrlDedup,
     "dd_containment" -> ddContainment,
+    "dd_bloom_antijoin" -> ddBloomAntijoin,
     "t_unigram_lm" -> tUnigramLm,
     "t_doc_filter" -> tDocFilter,
     "t_bpe_pairs" -> tBpePairs,
@@ -1699,6 +1723,7 @@ object LlmQueries {
     "t_shard_order" -> tShardOrderSql,
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_containment" -> ddContainmentSql,
+    "dd_bloom_antijoin" -> ddBloomAntijoinSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_doc_filter" -> tDocFilterSql,
     "t_bpe_pairs" -> tBpePairsSql,

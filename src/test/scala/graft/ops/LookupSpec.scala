@@ -64,6 +64,41 @@ class LookupSpec extends SparkSpec {
     assert(dups.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
   }
 
+  test("bloomSemiAntiSplit matches the exact split (no false negatives by " +
+    "construction, fp only widens the pruned set)") {
+    import spark.implicits._
+    val fresh = (0L until 1000L).toDF("k")
+    // historical with duplicate rows per key, overlapping fresh on 500..999
+    val hist = ((500L until 1500L) ++ (500L until 1500L)).toDF("k")
+    val (novel, dups) = Lookup.bloomSemiAntiSplit(fresh, hist, "k",
+      expectedFreshKeys = 1000L)
+    assert(novel.collect().map(_.getLong(0)).sorted.toSeq == (0L until 500L))
+    assert(dups.collect().map(_.getLong(0)).sorted.toSeq == (500L until 1000L))
+  }
+
+  test("bloomPruneKeys shrinks a huge historical side to ~the fresh keys " +
+    "and keeps every true intersection key") {
+    import spark.implicits._
+    val fresh = (0L until 100L).toDF("k")
+    val hist = (0L until 10000L).toDF("k")
+    val pruned = Lookup.bloomPruneKeys(fresh, hist, "k",
+      expectedFreshKeys = 100L, fpp = 0.01).collect().map(_.getLong(0)).toSet
+    // all 100 true members present (blooms have no false negatives) ...
+    assert((0L until 100L).forall(pruned.contains))
+    // ... and fp keeps the candidate set near |fresh|, not |historical|
+    assert(pruned.size < 400, s"bloom barely pruned: ${pruned.size} of 10000")
+  }
+
+  test("bloomSemiAntiSplit plan: the bloom rides the historical scan as a " +
+    "might_contain subquery filter") {
+    import spark.implicits._
+    val fresh = (0L until 10L).toDF("k")
+    val hist = (0L until 100L).toDF("k")
+    val (novel, _) = Lookup.bloomSemiAntiSplit(fresh, hist, "k", 10L)
+    val plan = novel.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prune in plan:\n$plan")
+  }
+
   test("semiAntiSplit plan broadcasts the historical side (scale contract)") {
     import spark.implicits._
     val fresh = Seq(1L, 2L).toDF("k")
