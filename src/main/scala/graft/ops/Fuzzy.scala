@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Edit-distance (Levenshtein) similarity join — entity resolution between a
+ * dirty table and a clean master (typo'd product/customer names vs the
+ * catalog), the record-linkage step every training-data metadata pipeline
+ * eventually needs.
+ *
+ * Candidate generation is SYMMETRIC DELETION (the SymSpell scheme): every
+ * string emits the hash of each variant reachable by deleting up to
+ * `maxDist` characters (including itself). If ed(s,t) ≤ k, deleting the
+ * ≤ k edited positions from each side yields a common variant, so two
+ * strings within distance k ALWAYS share a signature — recall is exactly 1.
+ * A shared signature only bounds ed ≤ 2k, so candidates are verified with
+ * Spark's exact `levenshtein(l, r, threshold)` kernel (codegen'd banded DP
+ * that exits early past the threshold).
+ *
+ * Scale posture: signatures are xxhash64 longs, never variant strings, so
+ * the explode is (|s|·k)-wide but 8-bytes-a-row cheap; the candidate
+ * shuffle keys on the signature with [[Dedup.sizeBandedBuckets]] capping
+ * any hot signature (empty/boilerplate names); strings re-attach by id
+ * equi-join AFTER the distinct candidate pairs, so no string ever rides
+ * the signature shuffle (the ids-first pattern shared with the Jaccard
+ * paths).
+ */
+object Fuzzy {
+
+  /** Hashes of all deletion variants of `s` within `maxDist` deletions
+    * (including `s` itself), distinct. maxDist ∈ {1, 2}. */
+  private[graft] def deletionSigHashes(s: Column, maxDist: Int): Column = {
+    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
+    val n = length(s)
+    // delete position i (1-based): s[1,i) ++ s(i,n]
+    val del1 = transform(sequence(lit(1), n),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, n)))
+    // delete positions i < j: s[1,i) ++ s(i,j) ++ s(j,n]
+    val del2 = flatten(transform(sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => concat(s.substr(lit(1), i - 1), s.substr(i + 1, j - i - 1),
+          s.substr(j + 1, n)))))
+    // sequence(1, 0) would step BACKWARDS, so guard short strings: length 0
+    // has only itself; length 1 has itself + the empty string; del2 needs
+    // length ≥ 2.
+    val variants =
+      when(n === 0, array(s))
+        .when(n === 1, array(s, lit("")))
+        .otherwise(if (maxDist == 1) concat(array(s), del1)
+          else concat(array(s), del1, del2))
+    transform(array_distinct(variants), v => xxhash64(v))
+  }
+
+  /**
+   * All (left, right) pairs with Levenshtein distance ≤ `maxDist`, exact —
+   * output columns (id_l, id_r, dist). For a self near-dup join pass the
+   * same DataFrame twice and keep `id_l < id_r` afterwards.
+   *
+   * Distance depends only on the strings, so the signature/verify pipeline
+   * runs over DISTINCT strings and the verified string pairs fan back out
+   * to id pairs by two hash joins at the end. This makes the expensive part
+   * immune to duplication: a catalog where one name appears 10⁸ times costs
+   * one distinct-string row in the signature join (its 10⁸×10⁸ output pairs
+   * exist either way — they ARE the answer — but no signature work scales
+   * with them). Strings ride the candidate shuffle, which is fine at the
+   * short-string sizes edit distance is for (names, titles, codes); for
+   * document-length text use the Jaccard/MinHash family instead.
+   *
+   * Signatures over `maxBucketSize` DISTINCT-string members on either side
+   * are dropped whole (a signature shared by that many distinct strings is
+   * boilerplate-shaped; the cap bounds the per-signature pairing that would
+   * otherwise go quadratic at 100 TB — recall trade documented here, exact
+   * duplicates unaffected by construction).
+   */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftStr: String, rightId: String, rightStr: String,
+      maxDist: Int = 1, maxBucketSize: Int = 1000): DataFrame = {
+    val ls = left.select(col(leftId).as("id_l"), col(leftStr).as("__sl"))
+    val rs = right.select(col(rightId).as("id_r"), col(rightStr).as("__sr"))
+    def sigSide(ids: DataFrame, strCol: String) =
+      Dedup.sizeBandedBuckets(
+        ids.select(col(strCol)).distinct()
+          .select(col(strCol),
+            explode(deletionSigHashes(col(strCol), maxDist)).as("sig")),
+        Seq("sig"), 1L, maxBucketSize)
+    val candStr = sigSide(ls, "__sl").join(sigSide(rs, "__sr"), "sig")
+      .select("__sl", "__sr").distinct()
+      // 3-arg levenshtein: banded DP that returns -1 past the threshold —
+      // O(k·min(|s|,|t|)) instead of O(|s|·|t|) per candidate
+      .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("dist") >= 0)
+    candStr.join(ls, "__sl").join(rs, "__sr")
+      .select(col("id_l"), col("id_r"), col("dist"))
+  }
+}

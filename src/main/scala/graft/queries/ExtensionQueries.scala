@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.Kit
+import graft.ops.Fuzzy
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -658,6 +659,34 @@ object ExtensionQueries {
       |  CAST((sum(late) * 1000) // count(*) AS BIGINT) AS late_permille
       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ── fuzzy (edit-distance) entity-resolution join ────────────────────────
+  // A dirty catalog (every p_name with its 8th char deleted) matched back
+  // to the clean part table at Levenshtein distance ≤ 1 via symmetric-
+  // deletion blocking (recall 1 by the SymSpell theorem) + exact verify.
+  // DuckDB has the same levenshtein kernel, so the oracle is the literal
+  // distance join with an exact length-band prune.
+  private val xFuzzyJoin: Q = (s, dir) => {
+    val clean = Tables.part(s, dir)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val dirty = clean.select((col("id") + 1000000L).as("id"),
+      concat(col("name").substr(lit(1), lit(7)),
+        col("name").substr(lit(9), length(col("name")))).as("name"))
+    Fuzzy.editDistanceJoin(dirty, clean, "id", "name", "id", "name",
+      maxDist = 1, maxBucketSize = Int.MaxValue)
+      .select(col("id_l").as("dirty_id"), col("id_r").as("clean_id"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("dirty_id", "clean_id")
+  }
+  private val xFuzzyJoinSql =
+    """WITH clean AS (SELECT p_partkey AS id, p_name AS name FROM part),
+      |dirty AS (SELECT p_partkey + 1000000 AS id,
+      |  substr(p_name, 1, 7) || substr(p_name, 9) AS name FROM part)
+      |SELECT d.id AS dirty_id, c.id AS clean_id,
+      |  CAST(levenshtein(d.name, c.name) AS BIGINT) AS dist
+      |FROM dirty d JOIN clean c ON abs(length(d.name) - length(c.name)) <= 1
+      |  AND levenshtein(d.name, c.name) <= 1
+      |ORDER BY dirty_id, clean_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -676,6 +705,7 @@ object ExtensionQueries {
     "x_quality_report" -> xQualityReport,
     "x_scd2" -> xScd2,
     "x_mad" -> xMad,
+    "x_fuzzy_join" -> xFuzzyJoin,
     "x_lead_lag" -> xLeadLag,
     "x_grouping_sets" -> xGroupingSets,
     "u4_multiformat_ts" -> u4MultiTs,
@@ -700,6 +730,7 @@ object ExtensionQueries {
     "x_quality_report" -> xQualityReportSql,
     "x_scd2" -> xScd2Sql,
     "x_mad" -> xMadSql,
+    "x_fuzzy_join" -> xFuzzyJoinSql,
     "x_lead_lag" -> xLeadLagSql,
     "x_grouping_sets" -> xGroupingSetsSql,
     "u4_multiformat_ts" -> u4MultiTsSql,
