@@ -1299,6 +1299,31 @@ object LlmQueries {
       |    AS mean_quality_bps
       |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // Sketch-based distinct monitoring: per-source unique-content counts via
+  // HLL++ (approx_count_distinct) — at 100 TB the exact distinct is a full
+  // shuffle of the key universe while the sketch is KBs per group and
+  // mergeable across partitions/days. HLL implementations differ across
+  // engines, so the gate is the assertion-row pattern: the exact count
+  // (oracle-replayable) plus an in-engine bound check that the
+  // deterministic HLL estimate landed within 3×rsd (floored at ±10 for
+  // tiny groups); the oracle replays the bound as a literal.
+  private val tApproxDistinct: Q = (s, dir) => {
+    val fp = md5(col("text").cast("binary"))
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(fp).as("n_exact"),
+        approx_count_distinct(fp, rsd = 0.05).as("__n_approx"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact")).cast("double") <=
+          greatest(col("n_exact").cast("double") * 0.15, lit(10.0)))
+          .as("within_bound"))
+      .orderBy(col("source"))
+  }
+  private val tApproxDistinctSql =
+    """SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+      |  true AS within_bound
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // Embedding drift monitoring: per-dimension mean and L2 statistics —
   // the check that catches an upstream encoder change before it poisons
   // every ANN index built on the corpus. posexplode + groupBy(dim):
@@ -1655,6 +1680,7 @@ object LlmQueries {
     "t_chunk_windows" -> tChunk,
     "t_quality_gate" -> tQualityGate,
     "t_corpus_stats" -> tCorpusStats,
+    "t_approx_distinct" -> tApproxDistinct,
     "t_hash_embed" -> tHashEmbed,
     "sim_embedding_stats" -> simEmbeddingStats,
     "t_token_count" -> tTokens,
@@ -1707,6 +1733,7 @@ object LlmQueries {
     "t_chunk_windows" -> tChunkSql,
     "t_quality_gate" -> tQualityGateSql,
     "t_corpus_stats" -> tCorpusStatsSql,
+    "t_approx_distinct" -> tApproxDistinctSql,
     "t_hash_embed" -> tHashEmbedSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "t_token_count" -> tTokensSql,
