@@ -55,7 +55,11 @@ object CorpusIngest {
       bands: Int = 16,
       maxBucketSize: Int = 1000,
       oph: Boolean = true,
-      quality: Option[graft.ops.Corpus.GopherThresholds] = None)
+      quality: Option[graft.ops.Corpus.GopherThresholds] = None,
+      // sizing for the stage-3 bloom over the batch's content hashes (see
+      // Lookup.bloomSemiAntiSplit — batches beyond Spark's 4M-item clamp
+      // need the runtime.bloomFilter confs raised)
+      expectedBatchDocs: Long = 1000000L)
 
   /** The corpus as one DataFrame (all admitted batches), or None before any
     * batch has been admitted. The `batch` partition column is internal
@@ -111,14 +115,20 @@ object CorpusIngest {
   /** Stages 3–4: drop batch docs that exact- or near-duplicate the corpus.
     * Both anti-join keys come from banded/hashed joins — the corpus is
     * never scanned all-pairs.
+    *
+    * The exact half is [[graft.ops.Lookup.bloomSemiAntiSplit]]: a bloom
+    * over the BATCH's content hashes prunes the reference at its scan, so
+    * the per-batch shuffle is batch-sized — the naive
+    * `reference.hashes.distinct()` anti-join would re-shuffle the whole
+    * accumulated corpus on every micro-batch.
     */
   def crossDedup(fresh: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, cfg: Config): DataFrame = {
     val freshHashed = fresh.withColumn("__h", md5(col(textCol).cast("binary")))
-    val refHashes = reference
-      .select(md5(col(textCol).cast("binary")).as("__h")).distinct()
-    val novelExact = freshHashed.join(refHashes, Seq("__h"), "left_anti")
-      .drop("__h")
+    val refHashed = reference.select(md5(col(textCol).cast("binary")).as("__h"))
+    val (novelExact0, _) = graft.ops.Lookup.bloomSemiAntiSplit(
+      freshHashed, refHashed, "__h", cfg.expectedBatchDocs)
+    val novelExact = novelExact0.drop("__h")
     val nearDupIds = Dedup.incrementalNearDupPairs(novelExact, reference,
         idCol, textCol, cfg.threshold, cfg.numHashes, cfg.shingleLen,
         cfg.bands, cfg.maxBucketSize, cfg.oph)

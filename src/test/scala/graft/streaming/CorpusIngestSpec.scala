@@ -85,6 +85,18 @@ class CorpusIngestSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("crossDedup stage 3 prunes the reference with a bloom of the batch's " +
+    "hashes (no per-batch corpus-wide distinct shuffle)") {
+    val fresh = docs(1L -> base1, 2L -> base4)
+    val ref = docs(10L -> base1, 11L -> base2, 12L -> base3)
+    val out = CorpusIngest.crossDedup(fresh, ref, "doc_id", "text",
+      CorpusIngest.Config())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prune in plan:\n$plan")
+    // exact cross-dup (base1) dies in stage 3; base4 is novel and survives
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("quality gate (stage 0) rejects junk before dedup, in seed and batches") {
     val root = Files.createTempDirectory("corpus_gate").toString
     val corpusDir = s"$root/corpus"
