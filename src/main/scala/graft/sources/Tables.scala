@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /**
  * Source layer: testdata table loaders + multi-path union scan
@@ -32,7 +34,19 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** `events.ts` is normalized to an epoch-NANOS long whatever the physical
+    * parquet type (TIMESTAMP(NANOS) read as long behind the legacy flag, or
+    * TIMESTAMP(MICROS) read as NTZ/LTZ) — epoch-nanos longs are exact,
+    * engine-portable arithmetic (`Kit.nanosToMillis`), and naive-as-UTC
+    * matches DuckDB's `epoch_ns` since every graft session pins UTC. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
