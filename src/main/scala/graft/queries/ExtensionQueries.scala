@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Kit
-import graft.ops.Fuzzy
+import graft.ops.{Cdc, Fuzzy, Graph}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -687,7 +687,102 @@ object ExtensionQueries {
       |  AND levenshtein(d.name, c.name) <= 1
       |ORDER BY dirty_id, clean_id""".stripMargin
 
+  // ── CDC changelog apply (lakehouse MERGE) ───────────────────────────────
+  // A base snapshot plus a two-epoch changelog derived deterministically
+  // from orders: epoch-1 updates/deletes over keys ≡0 (mod 3), epoch-2
+  // updates/deletes over even keys. Exercises insert (keys absent from the
+  // snapshot), update, delete, latest-wins override (both epochs touch
+  // keys ≡0 mod 6), and resurrection (epoch-1 D overridden by epoch-2 U).
+  // The oracle replays latest-wins with a QUALIFY row_number.
+  private val xCdcApply: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+      Kit.cents(col("o_totalprice")).as("price_c"),
+      col("o_orderstatus").as("status"))
+    val snapshot = o.filter(col("id") % 4 =!= 1)
+    val epoch1 = o.filter(col("id") % 3 === 0).select(
+      col("id"), lit(1L).as("seq"),
+      when(col("id") % 5 === 0, "D").otherwise("U").as("op"),
+      col("cust"), (col("price_c") + 111L).as("price_c"), col("status"))
+    val epoch2 = o.filter(col("id") % 2 === 0).select(
+      col("id"), lit(2L).as("seq"),
+      when(col("id") % 7 === 0, "D").otherwise("U").as("op"),
+      col("cust"), (col("price_c") + 222L).as("price_c"),
+      lit("X").as("status"))
+    Cdc.applyChangelog(snapshot, epoch1.unionByName(epoch2),
+        Seq("id"), Seq("seq"))
+      .orderBy("id")
+  }
+  private val xCdcApplySql =
+    """WITH o AS (
+      |  SELECT o_orderkey AS id, o_custkey AS cust,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders
+      |), snapshot AS (SELECT * FROM o WHERE id % 4 <> 1),
+      |changes AS (
+      |  SELECT id, 1 AS seq, CASE WHEN id % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    cust, price_c + 111 AS price_c, status FROM o WHERE id % 3 = 0
+      |  UNION ALL
+      |  SELECT id, 2 AS seq, CASE WHEN id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    cust, price_c + 222 AS price_c, 'X' AS status FROM o WHERE id % 2 = 0
+      |), latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY seq DESC) = 1
+      |)
+      |SELECT s.id, s.cust, s.price_c, s.status FROM snapshot s
+      |  ANTI JOIN latest l ON s.id = l.id
+      |UNION ALL
+      |SELECT id, cust, price_c, status FROM latest WHERE op <> 'D'
+      |ORDER BY id""".stripMargin
+
+  // ── integer-arithmetic PageRank (domain-authority ranking) ──────────────
+  // A two-layer graph from the star schema: supplier → customer edges for
+  // every distinct shipping relationship, customer → nation residence
+  // edges (namespaced +1M / +2M so the id spaces cannot collide). Three
+  // power-iteration rounds in exact fixed-point integer arithmetic — the
+  // oracle replays each round as an unrolled CTE with DuckDB's integer
+  // division, bit-for-bit.
+  private val xPagerank: Q = (s, dir) => {
+    val ship = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"))
+    val residence = Tables.customer(s, dir).select(
+      (col("c_custkey") + 1000000L).as("src"),
+      (col("c_nationkey") + 2000000L).as("dst"))
+    Graph.pageRank(ship.unionByName(residence).distinct(), "src", "dst",
+        iters = 3)
+      .orderBy("node")
+  }
+  private val xPagerankSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (SELECT n.node,
+         |  CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+         |FROM nodes n LEFT JOIN (
+         |  SELECT ed.dst, sum(r.rank // ed.deg) AS s
+         |  FROM ed JOIN $prev r ON ed.src = r.node GROUP BY ed.dst) c
+         |ON n.node = c.dst)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  UNION
+       |  SELECT c_custkey + 1000000, c_nationkey + 2000000 FROM customer
+       |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "x_cdc_apply" -> xCdcApply,
+    "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
     "i4_csv_roundtrip" -> i4CsvRoundtrip,
@@ -713,6 +808,8 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_cdc_apply" -> xCdcApplySql,
+    "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
     "i4_csv_roundtrip" -> i4CsvRoundtripSql,

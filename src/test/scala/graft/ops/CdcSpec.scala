@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot = Seq(
+    (1L, "alice", 100L),
+    (2L, "bob", 200L),
+    (3L, "carol", 300L),
+    (4L, "dave", 400L)
+  ).toDF("id", "name", "balance")
+
+  test("applyChangelog: insert, update, delete, latest-wins, resurrection") {
+    val changes = Seq(
+      // plain update
+      (1L, 1L, "U", "alice2", 150L),
+      // latest-wins: seq 2 overrides seq 1
+      (2L, 1L, "U", "bob-stale", 201L),
+      (2L, 2L, "U", "bob-new", 250L),
+      // delete
+      (3L, 1L, "D", "", 0L),
+      // resurrection: delete overridden by a later insert
+      (4L, 1L, "D", "", 0L),
+      (4L, 2L, "I", "dave2", 999L),
+      // insert of a key absent from the snapshot
+      (5L, 1L, "I", "eve", 500L),
+      // delete of a key absent from the snapshot: no-op
+      (6L, 1L, "D", "", 0L)
+    ).toDF("id", "seq", "op", "name", "balance")
+
+    val out = Cdc.applyChangelog(snapshot, changes, Seq("id"), Seq("seq"))
+      .orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alice2", 150L),
+      (2L, "bob-new", 250L),
+      (4L, "dave2", 999L),
+      (5L, "eve", 500L)))
+  }
+
+  test("applyChangelog: empty changelog is the identity") {
+    val changes = Seq.empty[(Long, Long, String, String, Long)]
+      .toDF("id", "seq", "op", "name", "balance")
+    val out = Cdc.applyChangelog(snapshot, changes, Seq("id"), Seq("seq"))
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "alice", 100L), (2L, "bob", 200L),
+      (3L, "carol", 300L), (4L, "dave", 400L)))
+  }
+
+  test("applyChangelog plan: winner is a partial-agg + hash join, no window") {
+    val changes = Seq((1L, 1L, "U", "a", 1L))
+      .toDF("id", "seq", "op", "name", "balance")
+    val plan = Cdc.applyChangelog(snapshot, changes, Seq("id"), Seq("seq"))
+      .queryExecution.executedPlan.toString
+    // a hot key (10^8 updates in one changelog) must collapse map-side:
+    // partial max over narrow (key, seq) rows, hash joins, no window —
+    // the exactDedup skew posture (full-width rows never pass a sort)
+    assert(plan.contains("partial_max"), s"expected partial max aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected hash joins:\n$plan")
+  }
+}
