@@ -75,7 +75,23 @@ object Fuzzy {
    */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftStr: String, rightId: String, rightStr: String,
-      maxDist: Int = 1, maxBucketSize: Int = 1000): DataFrame = {
+      maxDist: Int = 1, maxBucketSize: Int = 1000): DataFrame =
+    symDelJoin(left, right, leftId, leftStr, rightId, rightStr,
+      maxDist, maxBucketSize,
+      // 3-arg levenshtein: banded DP that returns -1 past the threshold —
+      // O(k·min(|s|,|t|)) instead of O(|s|·|t|) per candidate
+      (l, r) => levenshtein(l, r, maxDist) >= 0,
+      (l, r) => Seq(levenshtein(l, r, maxDist).as("dist")))
+
+  /** Shared candidate machinery: verified-distinct string pairs from the
+    * symmetric-deletion signatures, fanned back out to id pairs. `score`
+    * maps the (left, right) string columns to extra output columns.
+    */
+  private def symDelJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftStr: String, rightId: String, rightStr: String,
+      maxDist: Int, maxBucketSize: Int,
+      verify: (Column, Column) => Column,
+      score: (Column, Column) => Seq[Column]): DataFrame = {
     val ls = left.select(col(leftId).as("id_l"), col(leftStr).as("__sl"))
     val rs = right.select(col(rightId).as("id_r"), col(rightStr).as("__sr"))
     def sigSide(ids: DataFrame, strCol: String) =
@@ -86,11 +102,46 @@ object Fuzzy {
         Seq("sig"), 1L, maxBucketSize)
     val candStr = sigSide(ls, "__sl").join(sigSide(rs, "__sr"), "sig")
       .select("__sl", "__sr").distinct()
-      // 3-arg levenshtein: banded DP that returns -1 past the threshold —
-      // O(k·min(|s|,|t|)) instead of O(|s|·|t|) per candidate
-      .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
-      .filter(col("dist") >= 0)
+      .filter(verify(col("__sl"), col("__sr")))
     candStr.join(ls, "__sl").join(rs, "__sr")
-      .select(col("id_l"), col("id_r"), col("dist"))
+      .select(col("id_l") +: col("id_r") +: score(col("__sl"), col("__sr")): _*)
   }
+
+  /**
+   * Entity-resolution join ranked by Jaro-Winkler: candidates are the exact
+   * Levenshtein ≤ `maxDist` pairs (symmetric-deletion recall = 1), scored
+   * with the native [[graft.functions.JaroWinkler]] expression and kept at
+   * `minSim` or above — the standard two-stage linkage shape (bounded-edit
+   * candidate generation, JW ranking). Output (id_l, id_r, jw). JW itself
+   * admits no complete blocking scheme (a high score does not bound any
+   * signature distance), so the edit-distance envelope IS the recall
+   * contract, and it is what makes the operator scale: candidate volume is
+   * bounded by the deletion-signature buckets, never |L|×|R|.
+   */
+  def jaroWinklerJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftStr: String, rightId: String, rightStr: String,
+      minSim: Double, maxDist: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame =
+    symDelJoin(left, right, leftId, leftStr, rightId, rightStr,
+      maxDist, maxBucketSize,
+      (l, r) => levenshtein(l, r, maxDist) >= 0 &&
+        graft.functions.NativeFuzzyKit.jaroWinkler(l, r) >= minSim,
+      (l, r) => Seq(graft.functions.NativeFuzzyKit.jaroWinkler(l, r).as("jw")))
+
+  /**
+   * All (left, right) pairs with unrestricted Damerau-Levenshtein distance
+   * ≤ `maxDist` — the typo metric where a swapped-char error ("hte") costs
+   * 1. DL(s,t) ≤ k implies Levenshtein ≤ 2k (a transposition is two plain
+   * edits), so deletion signatures at 2k keep recall exactly 1; candidates
+   * are verified with the native [[graft.functions.DamerauLevenshtein]].
+   * Output (id_l, id_r, dl). maxDist = 1 (signatures at 2).
+   */
+  def damerauJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftStr: String, rightId: String, rightStr: String,
+      maxBucketSize: Int = 1000): DataFrame =
+    symDelJoin(left, right, leftId, leftStr, rightId, rightStr,
+      maxDist = 2, maxBucketSize,
+      (l, r) => graft.functions.NativeFuzzyKit.damerauLevenshtein(l, r) <= 1,
+      (l, r) => Seq(graft.functions.NativeFuzzyKit.damerauLevenshtein(l, r)
+        .cast("long").as("dl")))
 }

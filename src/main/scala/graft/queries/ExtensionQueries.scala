@@ -687,6 +687,78 @@ object ExtensionQueries {
       |  AND levenshtein(d.name, c.name) <= 1
       |ORDER BY dirty_id, clean_id""".stripMargin
 
+  // ── Jaro-Winkler entity-resolution join ─────────────────────────────────
+  // Dirty part names = char 8 dropped AND chars 10/11 swapped (two distinct
+  // error modes, ed ≤ 2 total) linked back to the clean catalog; candidates
+  // are the exact lev ≤ 2 envelope (symmetric deletion, recall 1), ranked
+  // by the native Jaro-Winkler and kept at ≥ 0.9. The oracle replays the
+  // identical envelope + score with DuckDB's own levenshtein /
+  // jaro_winkler_similarity (fuzz-verified bit-parity, NativeFuzzySpec);
+  // the double score is micro-quantized on both sides.
+  private val xJaroWinkler: Q = (s, dir) => {
+    val clean = Tables.part(s, dir)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val dirty = clean.select((col("id") + 1000000L).as("id"),
+      concat(col("name").substr(lit(1), lit(7)),
+        col("name").substr(lit(9), lit(1)),
+        col("name").substr(lit(11), lit(1)),
+        col("name").substr(lit(10), lit(1)),
+        col("name").substr(lit(12), length(col("name")))).as("name"))
+    Fuzzy.jaroWinklerJoin(dirty, clean, "id", "name", "id", "name",
+        minSim = 0.9, maxDist = 2, maxBucketSize = Int.MaxValue)
+      .select(col("id_l").as("dirty_id"), col("id_r").as("clean_id"),
+        round(col("jw") * 1e6, 0).cast("long").as("jw_q"))
+      .orderBy("dirty_id", "clean_id")
+  }
+  private val xJaroWinklerSql =
+    """WITH clean AS (SELECT p_partkey AS id, p_name AS name FROM part),
+      |dirty AS (
+      |  SELECT id + 1000000 AS id,
+      |    substr(name, 1, 7) || substr(name, 9, 1) || substr(name, 11, 1)
+      |      || substr(name, 10, 1) || substr(name, 12) AS name
+      |  FROM clean
+      |)
+      |SELECT d.id AS dirty_id, c.id AS clean_id,
+      |  CAST(round(jaro_winkler_similarity(d.name, c.name) * 1000000, 0)
+      |    AS BIGINT) AS jw_q
+      |FROM dirty d JOIN clean c
+      |  ON levenshtein(d.name, c.name) <= 2
+      |  AND jaro_winkler_similarity(d.name, c.name) >= 0.9
+      |ORDER BY dirty_id, clean_id""".stripMargin
+
+  // ── Damerau-Levenshtein typo join ───────────────────────────────────────
+  // Dirty names = chars 8/9 swapped — the classic fat-finger transposition
+  // plain Levenshtein scores 2 but Damerau scores 1. Candidates via
+  // deletion signatures at 2 (DL ≤ 1 ⟹ lev ≤ 2, recall 1), verified by
+  // the native unrestricted-DL expression; oracle = DuckDB's
+  // damerau_levenshtein on the cross join.
+  private val xDamerauLev: Q = (s, dir) => {
+    val clean = Tables.part(s, dir)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val dirty = clean.select((col("id") + 1000000L).as("id"),
+      concat(col("name").substr(lit(1), lit(7)),
+        col("name").substr(lit(9), lit(1)),
+        col("name").substr(lit(8), lit(1)),
+        col("name").substr(lit(10), length(col("name")))).as("name"))
+    Fuzzy.damerauJoin(dirty, clean, "id", "name", "id", "name",
+        maxBucketSize = Int.MaxValue)
+      .select(col("id_l").as("dirty_id"), col("id_r").as("clean_id"),
+        col("dl"))
+      .orderBy("dirty_id", "clean_id")
+  }
+  private val xDamerauLevSql =
+    """WITH clean AS (SELECT p_partkey AS id, p_name AS name FROM part),
+      |dirty AS (
+      |  SELECT id + 1000000 AS id,
+      |    substr(name, 1, 7) || substr(name, 9, 1) || substr(name, 8, 1)
+      |      || substr(name, 10) AS name
+      |  FROM clean
+      |)
+      |SELECT d.id AS dirty_id, c.id AS clean_id,
+      |  CAST(damerau_levenshtein(d.name, c.name) AS BIGINT) AS dl
+      |FROM dirty d JOIN clean c ON damerau_levenshtein(d.name, c.name) <= 1
+      |ORDER BY dirty_id, clean_id""".stripMargin
+
   // ── CDC changelog apply (lakehouse MERGE) ───────────────────────────────
   // A base snapshot plus a two-epoch changelog derived deterministically
   // from orders: epoch-1 updates/deletes over keys ≡0 (mod 3), epoch-2
@@ -781,6 +853,8 @@ object ExtensionQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "x_jaro_winkler" -> xJaroWinkler,
+    "x_damerau_lev" -> xDamerauLev,
     "x_cdc_apply" -> xCdcApply,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
@@ -808,6 +882,8 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_jaro_winkler" -> xJaroWinklerSql,
+    "x_damerau_lev" -> xDamerauLevSql,
     "x_cdc_apply" -> xCdcApplySql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,

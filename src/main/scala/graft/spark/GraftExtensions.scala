@@ -88,6 +88,14 @@ object GraftExtensions {
           graft.functions.NormalizeText(c,
             boolArg(f, "casefold", "graft_normalize"))
       }: Seq[Expression] => Expression),
+    ("graft_jaro_winkler",
+      "graft_jaro_winkler(l, r) - Jaro-Winkler similarity in [0,1] (DuckDB-parity)",
+      { case Seq(l, r) => graft.functions.JaroWinkler(l, r)
+      }: Seq[Expression] => Expression),
+    ("graft_damerau_levenshtein",
+      "graft_damerau_levenshtein(l, r) - unrestricted Damerau-Levenshtein distance",
+      { case Seq(l, r) => graft.functions.DamerauLevenshtein(l, r)
+      }: Seq[Expression] => Expression),
     ("graft_hash_embed",
       "graft_hash_embed(str, dim) - unit-norm feature-hashed bag-of-words embedding",
       { case Seq(c, d) =>

@@ -94,6 +94,37 @@ class FuzzySpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1), (2L, 3L, 1)))
   }
 
+  test("jaroWinklerJoin: scores ed<=2 candidates, drops below-threshold") {
+    import spark.implicits._
+    val clean = Seq((1L, "martha"), (2L, "orange")).toDF("id", "s")
+    val dirty = Seq(
+      (10L, "marhta"),  // jw 0.9611 vs martha → kept
+      (11L, "martha"),  // jw 1.0 → kept
+      (12L, "oragne"),  // swap vs orange: jw ≥ 0.9 → kept
+      (13L, "xyzzyx")   // no candidate at ed<=2
+    ).toDF("id", "s")
+    val got = Fuzzy.jaroWinklerJoin(dirty, clean, "id", "s", "id", "s",
+      minSim = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(t => (t._1, t._2)) == Set((10L, 1L), (11L, 1L), (12L, 2L)))
+    assert(got.forall(_._3 >= 0.9))
+    assert(got.find(_._1 == 10L).get._3 == 0.9611111111111111)
+  }
+
+  test("damerauJoin: adjacent swap is distance 1 and caught (lev would be 2)") {
+    import spark.implicits._
+    val clean = Seq((1L, "trial")).toDF("id", "s")
+    val dirty = Seq(
+      (10L, "trail"),  // adjacent swap mid → dl 1 (lev 2)
+      (11L, "trial"),  // dl 0
+      (12L, "trila"),  // adjacent swap at end → dl 1
+      (13L, "lairt")   // reversal → dl > 1
+    ).toDF("id", "s")
+    val got = Fuzzy.damerauJoin(dirty, clean, "id", "s", "id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 1L, 1L), (11L, 1L, 0L), (12L, 1L, 1L)))
+  }
+
   /** Reference Levenshtein (full DP) for the brute-force cross-check. */
   private def levRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
