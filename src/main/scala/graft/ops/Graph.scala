@@ -63,4 +63,89 @@ object Graph {
     nodes.unpersist()
     out
   }
+
+  /**
+   * Per-node triangle counts on an undirected graph given as an edge list
+   * (either orientation, duplicates/self-loops tolerated). Returns
+   * (node, tri_cnt) for nodes in at least one triangle.
+   *
+   * Scale posture: the standard DEGREE ORIENTATION — each undirected edge
+   * is directed from its lower-(degree, id) endpoint to the higher, making
+   * the out-degree of every node O(√|E|) (a hub of degree d keeps only
+   * neighbors of degree ≥ d, and there can be at most 2|E|/d of those).
+   * Wedges are then built by joining oriented edges head-to-tail and closed
+   * by a semi-ish join against the oriented edge set — so the wedge volume
+   * is Σ outdeg² = O(|E|^1.5), the best known bound, instead of the
+   * Σ deg² of a naive orientation (quadratic in the hub degree: one viral
+   * node of degree 10⁶ is 10¹² naive wedges but ~|E| oriented ones).
+   * Three hash shuffles total (degree agg, wedge join, closing join).
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).filter(col("a") =!= col("b"))
+    // canonical undirected edge (min, max), deduplicated
+    val und = raw.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): strictly ordered, so each triangle becomes
+    // exactly one (u→v, v→w, u→w) pattern
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.select(col("u").as("v"), col("v").as("w")).as("e2"), "v")
+    val tris = wedges.join(oriented.select(col("u"), col("v").as("w")),
+      Seq("u", "w")) // (u,v,w) with all three oriented edges present
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /**
+   * Multi-source BFS: minimum hop distance from any seed, up to `maxHops`,
+   * over a DIRECTED edge list. Returns (node, dist) for reached nodes
+   * (seeds at 0). The crawl-frontier shape: "everything within k link hops
+   * of the trusted seed set".
+   *
+   * Scale posture: per round, the FRONTIER (nodes first reached last
+   * round — not the full reached set) hash-joins the edge list, then an
+   * anti-join against reached keeps only newly discovered nodes, so total
+   * work is O(edges-touched), the textbook distributed BFS. Both sides of
+   * every join are keyed single shuffles; the reached set is re-cached per
+   * round and the loop stops early when a frontier comes back empty.
+   */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, srcCol: String,
+      dstCol: String, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cache()
+    // per-round eager localCheckpoint keeps lineage depth CONSTANT (the
+    // cache-and-unpersist alternative recomputes the whole prefix when a
+    // parent is dropped before its lazy child materializes)
+    var reached = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint(eager = true)
+    var frontier = reached
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("dist"))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        frontier = next
+        reached = reached.unionByName(next).localCheckpoint(eager = true)
+      }
+    }
+    e.unpersist()
+    reached
+  }
 }

@@ -852,7 +852,80 @@ object ExtensionQueries {
        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  // ── per-node triangle counting (degree-oriented) ────────────────────────
+  // Co-occurrence graph folded onto 997 residue-class nodes from lineitem's
+  // (orderkey, partkey) pairs — dense enough at sf0.01 for thousands of
+  // triangles. The oracle counts each triangle once via canonical a<b<c
+  // edges and a 3-way self-join, then unpivots corners; the operator's
+  // degree orientation must produce identical per-node counts.
+  private val xTriangles: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir).select(
+      (col("l_orderkey") % 997).as("src"), (col("l_partkey") % 997).as("dst"))
+    Graph.triangleCounts(e, "src", "dst").orderBy("node")
+  }
+  private val xTrianglesSql =
+    """WITH raw AS (
+      |  SELECT l_orderkey % 997 AS a, l_partkey % 997 AS b FROM lineitem
+      |  WHERE l_orderkey % 997 <> l_partkey % 997
+      |), e AS (
+      |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw
+      |), t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |)
+      |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+      |FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |GROUP BY node ORDER BY node""".stripMargin
+
+  // ── multi-source BFS hop distance (crawl frontier) ──────────────────────
+  // Three-layer reachability: seed suppliers → customers they shipped to →
+  // the customers' nations → regions (namespaced id spaces), minimum hop
+  // distance within 3 hops. Oracle = recursive CTE with UNION dedup and a
+  // final min() per node.
+  private val xBfs: Q = (s, dir) => {
+    val ship = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"))
+    val residence = Tables.customer(s, dir).select(
+      (col("c_custkey") + 1000000L).as("src"),
+      (col("c_nationkey") + 2000000L).as("dst"))
+    val location = Tables.nation(s, dir).select(
+      (col("n_nationkey") + 2000000L).as("src"),
+      (col("n_regionkey") + 3000000L).as("dst"))
+    val seeds = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey").as("id"))
+    Graph.bfsHops(ship.unionByName(residence).unionByName(location).distinct(),
+        seeds, "src", "dst", "id", maxHops = 3)
+      .orderBy("node")
+  }
+  private val xBfsSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  UNION
+      |  SELECT c_custkey + 1000000, c_nationkey + 2000000 FROM customer
+      |  UNION
+      |  SELECT n_nationkey + 2000000, n_regionkey + 3000000 FROM nation
+      |), seeds AS (
+      |  SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 0
+      |), reach(node, dist) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, r.dist + 1 FROM reach r
+      |  JOIN e ON e.src = r.node WHERE r.dist < 3
+      |)
+      |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_triangles" -> xTriangles,
+    "x_bfs" -> xBfs,
     "x_jaro_winkler" -> xJaroWinkler,
     "x_damerau_lev" -> xDamerauLev,
     "x_cdc_apply" -> xCdcApply,
@@ -882,6 +955,8 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_triangles" -> xTrianglesSql,
+    "x_bfs" -> xBfsSql,
     "x_jaro_winkler" -> xJaroWinklerSql,
     "x_damerau_lev" -> xDamerauLevSql,
     "x_cdc_apply" -> xCdcApplySql,

@@ -32,6 +32,47 @@ class GraphSpec extends SparkSpec {
     assert(r2(2L) == 150000L + 85L * (150000L / 2) / 100)
   }
 
+  test("triangleCounts: hand-built graph — one triangle + a pendant edge") {
+    // triangle {1,2,3}, pendant 3-4: nodes 1,2,3 in 1 triangle each
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: K4 has 3 triangles per node; duplicate/reversed/" +
+      "self edges don't inflate") {
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L; if a != b
+    } yield (a, b) // both orientations of every K4 edge
+    val edges = (k4 ++ Seq((1L, 1L), (1L, 2L), (2L, 1L))).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("bfsHops: min hop distance, multi-seed, maxHops cutoff, no revisit") {
+    // chain 1→2→3→4→5 plus shortcut 1→4; seeds {1}: d(4) = 2 via shortcut?
+    // no — shortcut IS 1→4 so d(4)=1, d(5)=2; 2 and 3 at 1 and 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds, "src", "dst", "id", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // two seeds: distances take the min over sources
+    val got2 = Graph.bfsHops(edges, Seq(1L, 3L).toDF("id"), "src", "dst",
+      "id", maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("bfsHops: early-exit on an exhausted frontier (cycle) terminates") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq(1L).toDF("id"), "src", "dst", "id",
+      maxHops = 100).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("pageRank is deterministic across runs and repartitionings") {
     val edges = (1L to 200L).map(i => (i % 17, i % 13)).toDF("src", "dst")
       .distinct()
