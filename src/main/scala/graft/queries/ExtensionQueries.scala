@@ -852,6 +852,51 @@ object ExtensionQueries {
        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  // ── XML wire roundtrip (to_xml → from_xml) ──────────────────────────────
+  // Same shape as the Avro/JSONL/CSV roundtrips: encode the payload struct
+  // to an XML fragment in-plan, decode with the explicit schema, reproject.
+  // Exercises XML escaping (props carries JSON with quotes/braces) both
+  // ways; the float column is cents-quantized like every roundtrip so the
+  // gate checks values, not formatter trivia.
+  private val i5XmlRoundtrip: Q = (s, dir) => {
+    val wireDdl = "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        to_xml(struct(col("user_id"), col("event_type"), col("value"),
+          col("props"))).as("wire"))
+      .select(col("event_id"),
+        from_xml(col("wire"),
+          org.apache.spark.sql.types.StructType.fromDDL(wireDdl)).as("rec"))
+      .select(col("event_id"), col("rec.user_id").as("user_id"),
+        col("rec.event_type").as("event_type"),
+        Kit.cents(col("rec.value")).as("value_c"), col("rec.props").as("props"))
+      .orderBy(col("event_id"))
+  }
+  private val i5XmlRoundtripSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ── ORC file roundtrip ──────────────────────────────────────────────────
+  // The columnar-interchange sink/source the reference's file layer maps
+  // to when the peer system is Hive/Trino-shaped: write the projected
+  // table to ORC, read it back, verify values against the parquet-derived
+  // oracle. (Unlike the in-plan codecs this exercises the actual file
+  // format datasource both directions.)
+  private val i6OrcRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      .resolve("events_orc").toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Kit.cents(col("value")).as("value_c"), col("props"))
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy(col("event_id"))
+  }
+  private val i6OrcRoundtripSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ── per-node triangle counting (degree-oriented) ────────────────────────
   // Co-occurrence graph folded onto 997 residue-class nodes from lineitem's
   // (orderkey, partkey) pairs — dense enough at sf0.01 for thousands of
@@ -924,6 +969,8 @@ object ExtensionQueries {
       |FROM reach GROUP BY node ORDER BY node""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "i5_xml_roundtrip" -> i5XmlRoundtrip,
+    "i6_orc_roundtrip" -> i6OrcRoundtrip,
     "x_triangles" -> xTriangles,
     "x_bfs" -> xBfs,
     "x_jaro_winkler" -> xJaroWinkler,
@@ -955,6 +1002,8 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "i5_xml_roundtrip" -> i5XmlRoundtripSql,
+    "i6_orc_roundtrip" -> i6OrcRoundtripSql,
     "x_triangles" -> xTrianglesSql,
     "x_bfs" -> xBfsSql,
     "x_jaro_winkler" -> xJaroWinklerSql,
