@@ -312,4 +312,41 @@ object Similarity {
       .filter(col("__rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("__rk").as("rank"))
   }
+
+  /**
+   * Deterministic negative sampling for contrastive training: `k`
+   * pseudo-random partners per anchor, reproducible across runs, engines,
+   * and parallelism — the mined-negatives table every embedding-training
+   * pipeline materializes next to its positives. Ids must be DENSE
+   * `0 until total` (the testdata shape; densify once with zipWithIndex
+   * otherwise): partner(anchor, j) = (anchor·2654435761 + j·40503 + seed)
+   * mod total, shifted off the anchor itself by +1 — pure integer
+   * arithmetic, so the "random" pairing is replayable in any SQL engine
+   * (no RNG state, no order dependence; same portability contract as
+   * [[Graph.pageRank]]).
+   *
+   * Scale posture: one explode (k rows per anchor) and one hash join back
+   * to the corpus on the computed partner id. No shuffle depends on k·n
+   * beyond that join; anchors with 10⁸ rows cost 10⁸·k join rows — the
+   * output size, which is the floor. (Overflow: anchor·2654435761 needs
+   * anchor < ~3.5·10⁹ under ANSI long arithmetic; densified ids satisfy
+   * this far past 100 TB corpus sizes.)
+   */
+  def contrastiveNegatives(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, total: Long, k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1 && total >= 2)
+    val cand = anchors.select(col(idCol).cast("long").as("anchor"))
+      .select(col("anchor"), explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__p", pmod(
+        col("anchor") * lit(2654435761L) + col("j") * lit(40503L) + lit(seed),
+        lit(total)))
+      .withColumn("partner",
+        when(col("__p") === col("anchor"), pmod(col("__p") + 1L, lit(total)))
+          .otherwise(col("__p")))
+      .drop("__p")
+    // existence join against the CORPUS (dense ids make it total, but a
+    // filtered corpus still yields only real partners)
+    cand.join(corpus.select(col(idCol).cast("long").as("partner")), "partner")
+      .select(col("anchor"), col("j"), col("partner"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Kit
-import graft.ops.{Cdc, Fuzzy, Graph}
+import graft.ops.{Cdc, Fuzzy, Graph, RangeJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -852,6 +852,47 @@ object ExtensionQueries {
        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  // ── interval OVERLAP join (attribution window intersection) ─────────────
+  // Per user, every view's 6 h activity window against every purchase's
+  // 8 h window; overlapping pairs once each with the overlap width. The
+  // operator meets each pair in possibly several time buckets and keeps
+  // only the bucket holding max(starts) — the oracle is the plain
+  // quadratic predicate join, so any duplicate or dropped pair
+  // hash-mismatches.
+  private val xIntervalJoin: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), Kit.nanosToMillis("ts").as("ts_ms"))
+    val a = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts_ms").as("a_start"), (col("ts_ms") + 21600000L).as("a_end"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"), col("user_id"),
+        col("ts_ms").as("b_start"), (col("ts_ms") + 28800000L).as("b_end"))
+    RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", bucketMs = 21600000L)
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_ms"))
+      .orderBy("a_id", "b_id")
+  }
+  private val xIntervalJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000000 AS ts_ms
+      |  FROM events
+      |), a AS (
+      |  SELECT event_id AS a_id, user_id, ts_ms AS a_start,
+      |    ts_ms + 21600000 AS a_end FROM e WHERE event_type = 'view'
+      |), b AS (
+      |  SELECT event_id AS b_id, user_id, ts_ms AS b_start,
+      |    ts_ms + 28800000 AS b_end FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT a_id, b_id,
+      |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_ms
+      |FROM a JOIN b USING (user_id)
+      |WHERE a_start < b_end AND b_start < a_end
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ── XML wire roundtrip (to_xml → from_xml) ──────────────────────────────
   // Same shape as the Avro/JSONL/CSV roundtrips: encode the payload struct
   // to an XML fragment in-plan, decode with the explicit schema, reproject.
@@ -971,6 +1012,7 @@ object ExtensionQueries {
   val all: Map[String, Q] = Map(
     "i5_xml_roundtrip" -> i5XmlRoundtrip,
     "i6_orc_roundtrip" -> i6OrcRoundtrip,
+    "x_interval_join" -> xIntervalJoin,
     "x_triangles" -> xTriangles,
     "x_bfs" -> xBfs,
     "x_jaro_winkler" -> xJaroWinkler,
@@ -1004,6 +1046,7 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     "i5_xml_roundtrip" -> i5XmlRoundtripSql,
     "i6_orc_roundtrip" -> i6OrcRoundtripSql,
+    "x_interval_join" -> xIntervalJoinSql,
     "x_triangles" -> xTrianglesSql,
     "x_bfs" -> xBfsSql,
     "x_jaro_winkler" -> xJaroWinklerSql,

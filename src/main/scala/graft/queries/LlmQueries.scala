@@ -451,6 +451,51 @@ object LlmQueries {
       |    AS err_micro
       |FROM c ORDER BY vec_id""".stripMargin
 
+  // ── deterministic contrastive negative sampling ─────────────────────────
+  // 3 reproducible pseudo-random negatives per anchor (every 10th vector),
+  // partner = integer-mix(anchor, j) mod corpus-size — pure modular
+  // arithmetic, so the oracle replays the identical pairing in SQL; scored
+  // with the sequential-order native cosine and micro-quantized.
+  private val simNegatives: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val total = em.count()
+    val anchors = em.filter(col("vec_id") % 10 === 0)
+    Similarity.contrastiveNegatives(anchors, em, "vec_id", total, k = 3)
+      .join(em.select(col("vec_id").as("anchor"), col("embedding").as("__va")),
+        "anchor")
+      .join(em.select(col("vec_id").as("partner"), col("embedding").as("__vb")),
+        "partner")
+      .select(col("anchor"), col("j"), col("partner"),
+        Kit.microUnits(VectorKit.cosine(col("__va"), col("__vb")))
+          .as("cos_micro"))
+      .orderBy("anchor", "j")
+  }
+  private val simNegativesSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), n AS (SELECT count(*) AS total FROM v),
+      |cand AS (
+      |  SELECT a.vec_id AS anchor, j.j,
+      |    (a.vec_id * 2654435761 + j.j * 40503) % (SELECT total FROM n) AS p0
+      |  FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+      |  WHERE a.vec_id % 10 = 0
+      |), pairs AS (
+      |  SELECT anchor, j,
+      |    CASE WHEN p0 = anchor THEN (p0 + 1) % (SELECT total FROM n)
+      |         ELSE p0 END AS partner
+      |  FROM cand
+      |)
+      |SELECT p.anchor, p.j, p.partner,
+      |  CAST(round(
+      |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) /
+      |      (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) * 1000000, 0)
+      |    AS BIGINT) AS cos_micro
+      |FROM pairs p
+      |JOIN v a ON a.vec_id = p.anchor
+      |JOIN v b ON b.vec_id = p.partner
+      |ORDER BY anchor, j""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────────
   private val tTokens: Q = (s, dir) => {
     Tables.documents(s, dir)
@@ -1671,6 +1716,7 @@ object LlmQueries {
     "sim_topk_ivf" -> simIvf,
     "sim_topk_ivfpq" -> simIvfPq,
     "sim_int8_quant" -> simInt8,
+    "sim_negatives" -> simNegatives,
     "dd_semantic_dedup" -> ddSemantic,
     "t_bpe_train" -> tBpeTrain,
     "t_bpe_encode" -> tBpeEncode,
@@ -1724,6 +1770,7 @@ object LlmQueries {
     "sim_topk_lsh" -> simLshSql,
     "sim_topk_ivfpq" -> simIvfPqSql,
     "sim_int8_quant" -> simInt8Sql,
+    "sim_negatives" -> simNegativesSql,
     "dd_semantic_dedup" -> ddSemanticSql,
     "t_bpe_train" -> tBpeTrainSql,
     "t_bpe_encode" -> tBpeEncodeSql,

@@ -159,4 +159,20 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(cos - truth((q, nb))) < 1e-12)
     }
   }
+
+  test("contrastiveNegatives: exactly k per anchor, never self, in-range, " +
+      "deterministic across runs and parallelism") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i => (i, s"doc$i")).toDF("vec_id", "p")
+    val anchors = corpus.filter($"vec_id" % 4 === 0)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.contrastiveNegatives(anchors, c, "vec_id", total = 40L,
+        k = 5, seed = 7L)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    val out = run(corpus)
+    assert(out.size == 10 * 5)
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted == (1L to 5L)))
+    assert(out.forall { case (a, _, p) => p != a && p >= 0 && p < 40 })
+    assert(out == run(corpus.repartition(13)))
+  }
 }
