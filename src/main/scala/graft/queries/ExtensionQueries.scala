@@ -893,6 +893,36 @@ object ExtensionQueries {
       |WHERE a_start < b_end AND b_start < a_end
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ── semi-structured JSON extraction + aggregation ───────────────────────
+  // The events payload column is a JSON string; extract a typed field two
+  // ways in one plan — path extraction (get_json_object) and schema'd
+  // parse (from_json) — assert they agree in-plan (raise_error on any
+  // disagreement row would fail the query), and aggregate per event type.
+  private val xJsonExtract: Q = (s, dir) => {
+    val parsed = Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k_schema"))
+      .select(col("event_type"),
+        when(col("k_path") <=> col("k_schema"), col("k_path"))
+          .otherwise(raise_error(lit("json decode disagreement"))).as("k"))
+    parsed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+  private val xJsonExtractSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS min_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ── XML wire roundtrip (to_xml → from_xml) ──────────────────────────────
   // Same shape as the Avro/JSONL/CSV roundtrips: encode the payload struct
   // to an XML fragment in-plan, decode with the explicit schema, reproject.
@@ -1013,6 +1043,7 @@ object ExtensionQueries {
     "i5_xml_roundtrip" -> i5XmlRoundtrip,
     "i6_orc_roundtrip" -> i6OrcRoundtrip,
     "x_interval_join" -> xIntervalJoin,
+    "x_json_extract" -> xJsonExtract,
     "x_triangles" -> xTriangles,
     "x_bfs" -> xBfs,
     "x_jaro_winkler" -> xJaroWinkler,
@@ -1047,6 +1078,7 @@ object ExtensionQueries {
     "i5_xml_roundtrip" -> i5XmlRoundtripSql,
     "i6_orc_roundtrip" -> i6OrcRoundtripSql,
     "x_interval_join" -> xIntervalJoinSql,
+    "x_json_extract" -> xJsonExtractSql,
     "x_triangles" -> xTrianglesSql,
     "x_bfs" -> xBfsSql,
     "x_jaro_winkler" -> xJaroWinklerSql,
