@@ -496,6 +496,65 @@ object LlmQueries {
       |JOIN v b ON b.vec_id = p.partner
       |ORDER BY anchor, j""".stripMargin
 
+  // ── corpus diversity: sampled pairwise similarity per source ────────────
+  // Inter-document diversity (the self-BLEU-style health metric — a source
+  // whose documents all resemble each other is template spam): mean
+  // pairwise 3-gram Jaccard over DETERMINISTIC sampled pairs
+  // ([[Similarity.contrastiveNegatives]] as the sampler), per source. Each
+  // pair's score is micro-quantized BEFORE summation so the aggregate is
+  // an integer sum — associative, hence identical in any engine at any
+  // parallelism (a double mean would be order-dependent).
+  private val tDiversity: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val total = d.count()
+    val anchors = d.filter(col("doc_id") % 2 === 0)
+    Similarity.contrastiveNegatives(anchors, d, "doc_id", total, k = 2,
+        seed = 11L)
+      .join(d.select(col("doc_id").as("anchor"), col("source"),
+        TextKit.ngramHashSet(col("text"), 3).as("__ga")), "anchor")
+      .join(d.select(col("doc_id").as("partner"),
+        TextKit.ngramHashSet(col("text"), 3).as("__gb")), "partner")
+      .select(col("source"),
+        Kit.microUnits(TextKit.jaccardFromSets(col("__ga"), col("__gb")))
+          .as("__jm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__jm")).as("sum_j_micro"))
+      .orderBy(col("source"))
+  }
+  private val tDiversitySql =
+    """WITH d AS (SELECT doc_id, text, source FROM documents),
+      |n AS (SELECT count(*) AS total FROM d),
+      |cand AS (
+      |  SELECT a.doc_id AS anchor, j.j,
+      |    (a.doc_id * 2654435761 + j.j * 40503 + 11)
+      |      % (SELECT total FROM n) AS p0
+      |  FROM d a CROSS JOIN (SELECT unnest([1, 2]) AS j) j
+      |  WHERE a.doc_id % 2 = 0
+      |), pairs AS (
+      |  SELECT anchor, j,
+      |    CASE WHEN p0 = anchor THEN (p0 + 1) % (SELECT total FROM n)
+      |         ELSE p0 END AS partner
+      |  FROM cand
+      |), g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct([substring(text, x, 3)
+      |      for x in range(1, length(text) - 1)]) AS gs
+      |  FROM d
+      |), scored AS (
+      |  SELECT ga.source,
+      |    CASE WHEN len(ga.gs) + len(gb.gs) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+      |           (CAST(len(ga.gs) + len(gb.gs) AS DOUBLE)
+      |             - len(list_intersect(ga.gs, gb.gs))) END AS jac
+      |  FROM pairs p
+      |  JOIN g ga ON ga.doc_id = p.anchor
+      |  JOIN g gb ON gb.doc_id = p.partner
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CAST(round(jac * 1000000, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_j_micro
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────────
   private val tTokens: Q = (s, dir) => {
     Tables.documents(s, dir)
@@ -1717,6 +1776,7 @@ object LlmQueries {
     "sim_topk_ivfpq" -> simIvfPq,
     "sim_int8_quant" -> simInt8,
     "sim_negatives" -> simNegatives,
+    "t_diversity" -> tDiversity,
     "dd_semantic_dedup" -> ddSemantic,
     "t_bpe_train" -> tBpeTrain,
     "t_bpe_encode" -> tBpeEncode,
@@ -1771,6 +1831,7 @@ object LlmQueries {
     "sim_topk_ivfpq" -> simIvfPqSql,
     "sim_int8_quant" -> simInt8Sql,
     "sim_negatives" -> simNegativesSql,
+    "t_diversity" -> tDiversitySql,
     "dd_semantic_dedup" -> ddSemanticSql,
     "t_bpe_train" -> tBpeTrainSql,
     "t_bpe_encode" -> tBpeEncodeSql,
