@@ -86,4 +86,39 @@ object Asof {
     filled.filter(col("__is_l") === 0)
       .select(leftCols.map(col) ++ rightVals.map(col): _*)
   }
+
+  /**
+   * Time-series interpolation at grid points: for every `grid` row, the
+   * linear interpolation of `obs`'s `valCol` between the bracketing
+   * observations per key — the resample/align step in front of any
+   * time-series feature pipeline. Composed from [[joinBackward]] +
+   * [[joinForward]] (two single-shuffle as-of passes, no pair explosion):
+   * exact hits return the observation itself, one-sided gaps extend the
+   * nearest value flat, keys with no observations yield null.
+   *
+   * Observations must be unique per (key, time) — pre-aggregate ties
+   * (e.g. max per timestamp) or the carried value is undefined; the
+   * interpolation arithmetic is `pv + (nv - pv) · (t - pt) / (nt - pt)`
+   * with double division, written identically in the SQL oracle.
+   * Output: grid columns + (prev_t, next_t, value).
+   */
+  def interpolateAt(grid: DataFrame, obs: DataFrame, keyCol: String,
+      gridTime: String, obsTime: String, valCol: String): DataFrame = {
+    val prev = joinBackward(grid,
+      obs.select(col(keyCol), col(obsTime).as("__bt"),
+        col(obsTime).as("prev_t"), col(valCol).as("__pv")),
+      keyCol, gridTime, "__bt")
+    val both = joinForward(prev,
+      obs.select(col(keyCol), col(obsTime).as("__ft"),
+        col(obsTime).as("next_t"), col(valCol).as("__nv")),
+      keyCol, gridTime, "__ft")
+    both.withColumn("value",
+        when(col("prev_t").isNull, col("__nv"))
+          .when(col("next_t").isNull, col("__pv"))
+          .when(col("next_t") === col("prev_t"), col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col(gridTime) - col("prev_t")).cast("double") /
+              (col("next_t") - col("prev_t")).cast("double"))))
+      .drop("__pv", "__nv")
+  }
 }

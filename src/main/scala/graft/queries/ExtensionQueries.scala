@@ -893,6 +893,62 @@ object ExtensionQueries {
       |WHERE a_start < b_end AND b_start < a_end
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ── time-series interpolation at grid points ────────────────────────────
+  // Per user, the click-value series resampled at five fixed weekly grid
+  // timestamps: linear interpolation between the bracketing observations,
+  // flat one-sided fills, null when the user never clicked. Observations
+  // are pre-aggregated to one per (user, ts) (max value, deterministic);
+  // the oracle recomputes prev/next via min/max-filtered joins and the
+  // IDENTICAL double arithmetic, micro-quantized.
+  private val xInterpolate: Q = (s, dir) => {
+    val gridTs = Seq(1704500000000L, 1705000000000L, 1705500000000L,
+      1706000000000L, 1706500000000L)
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), Kit.nanosToMillis("ts").as("ot"), col("value"))
+      .groupBy(col("user_id"), col("ot")).agg(max(col("value")).as("v"))
+    val grid = Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), explode(lit(gridTs.toArray)).as("gt"))
+    graft.ops.Asof.interpolateAt(grid, e, "user_id", "gt", "ot", "v")
+      .select(col("user_id"), col("gt"), col("prev_t"), col("next_t"),
+        Kit.microUnits(col("value")).as("value_micro"))
+      .orderBy("user_id", "gt")
+  }
+  private val xInterpolateSql =
+    """WITH obs AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000 AS ot, max(value) AS v
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ot
+      |), grid AS (
+      |  SELECT DISTINCT user_id, g.gt
+      |  FROM events CROSS JOIN (SELECT unnest([1704500000000, 1705000000000,
+      |    1705500000000, 1706000000000, 1706500000000]) AS gt) g
+      |), prev AS (
+      |  SELECT g.user_id, g.gt, max(o.ot) AS prev_t
+      |  FROM grid g LEFT JOIN obs o
+      |    ON o.user_id = g.user_id AND o.ot <= g.gt
+      |  GROUP BY g.user_id, g.gt
+      |), nxt AS (
+      |  SELECT g.user_id, g.gt, min(o.ot) AS next_t
+      |  FROM grid g LEFT JOIN obs o
+      |    ON o.user_id = g.user_id AND o.ot >= g.gt
+      |  GROUP BY g.user_id, g.gt
+      |), j AS (
+      |  SELECT p.user_id, p.gt, p.prev_t, n.next_t, pv.v AS pv, nv.v AS nv
+      |  FROM prev p
+      |  JOIN nxt n ON n.user_id = p.user_id AND n.gt = p.gt
+      |  LEFT JOIN obs pv ON pv.user_id = p.user_id AND pv.ot = p.prev_t
+      |  LEFT JOIN obs nv ON nv.user_id = p.user_id AND nv.ot = n.next_t
+      |)
+      |SELECT user_id, gt, prev_t, next_t,
+      |  CAST(round(CASE
+      |    WHEN prev_t IS NULL THEN nv
+      |    WHEN next_t IS NULL THEN pv
+      |    WHEN next_t = prev_t THEN pv
+      |    ELSE pv + (nv - pv) * (CAST(gt - prev_t AS DOUBLE)
+      |      / CAST(next_t - prev_t AS DOUBLE))
+      |  END * 1000000, 0) AS BIGINT) AS value_micro
+      |FROM j ORDER BY user_id, gt""".stripMargin
+
   // ── semi-structured JSON extraction + aggregation ───────────────────────
   // The events payload column is a JSON string; extract a typed field two
   // ways in one plan — path extraction (get_json_object) and schema'd
@@ -1044,6 +1100,7 @@ object ExtensionQueries {
     "i6_orc_roundtrip" -> i6OrcRoundtrip,
     "x_interval_join" -> xIntervalJoin,
     "x_json_extract" -> xJsonExtract,
+    "x_interpolate" -> xInterpolate,
     "x_triangles" -> xTriangles,
     "x_bfs" -> xBfs,
     "x_jaro_winkler" -> xJaroWinkler,
@@ -1079,6 +1136,7 @@ object ExtensionQueries {
     "i6_orc_roundtrip" -> i6OrcRoundtripSql,
     "x_interval_join" -> xIntervalJoinSql,
     "x_json_extract" -> xJsonExtractSql,
+    "x_interpolate" -> xInterpolateSql,
     "x_triangles" -> xTrianglesSql,
     "x_bfs" -> xBfsSql,
     "x_jaro_winkler" -> xJaroWinklerSql,

@@ -67,4 +67,36 @@ class AsofSpec extends SparkSpec {
       Asof.joinBackward(df, df.withColumnRenamed("t", "rt"), "k", "t", "rt")
     }
   }
+
+  test("interpolateAt: midpoint, exact hit, flat one-sided fills, no-obs null") {
+    import spark.implicits._
+    // key 1: obs (100 → 10.0), (200 → 30.0); key 2: single obs; key 3: none
+    val obs = Seq((1L, 100L, 10.0), (1L, 200L, 30.0), (2L, 500L, 7.0))
+      .toDF("k", "ot", "v")
+    val grid = Seq((1L, 150L), (1L, 100L), (1L, 50L), (1L, 250L),
+      (2L, 400L), (2L, 600L), (3L, 100L)).toDF("k", "gt")
+    val got = Asof.interpolateAt(grid, obs, "k", "gt", "ot", "v")
+      .select("k", "gt", "value")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 150L)) == Some(20.0)) // midpoint of 10 and 30
+    assert(got((1L, 100L)) == Some(10.0)) // exact hit
+    assert(got((1L, 50L)) == Some(10.0))  // before first obs → flat forward
+    assert(got((1L, 250L)) == Some(30.0)) // after last obs → flat backward
+    assert(got((2L, 400L)) == Some(7.0))
+    assert(got((2L, 600L)) == Some(7.0))
+    assert(got((3L, 100L)) == None)       // no observations at all
+  }
+
+  test("interpolateAt: quarter-point weights and bracketing timestamps") {
+    import spark.implicits._
+    val obs = Seq((1L, 0L, 0.0), (1L, 400L, 100.0)).toDF("k", "ot", "v")
+    val grid = Seq((1L, 100L), (1L, 300L)).toDF("k", "gt")
+    val got = Asof.interpolateAt(grid, obs, "k", "gt", "ot", "v")
+      .select("k", "gt", "prev_t", "next_t", "value")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got(100L) == ((Some(0L), Some(400L), Some(25.0))))
+    assert(got(300L) == ((Some(0L), Some(400L), Some(75.0))))
+  }
 }
