@@ -1024,6 +1024,82 @@ object ExtensionQueries {
       |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ── schema evolution on read (mergeSchema) ──────────────────────────────
+  // The lakehouse reality that files written before a column existed must
+  // stay readable: an old-schema batch (no `value_c`) and a new-schema
+  // batch land in one dataset dir; `mergeSchema` unions the schemas and
+  // back-fills nulls. Oracle = the equivalent UNION with a NULL column.
+  private val i7SchemaEvolution: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo")
+      .resolve("events_evo").toString
+    val e = Tables.events(s, dir)
+    e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.parquet(s"$tmp/old")
+    e.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Kit.cents(col("value")).as("value_c"))
+      .write.parquet(s"$tmp/new")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/old", s"$tmp/new")
+      .orderBy(col("event_id"))
+  }
+  private val i7SchemaEvolutionSql =
+    """SELECT event_id, user_id, event_type, CAST(NULL AS BIGINT) AS value_c
+      |FROM events WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 100, 0) AS BIGINT)
+      |FROM events WHERE event_id % 2 <> 0
+      |ORDER BY event_id""".stripMargin
+
+  // ── nested higher-order-function processing ─────────────────────────────
+  // Per user: the click-value series packed into ONE sorted array-of-struct
+  // row, consecutive deltas via zip_with over shifted slices, each delta
+  // micro-quantized BEFORE the in-array integer sums (associative → engine-
+  // portable), then scalars out. Exercises the nested-type kit
+  // (collect_list / sort_array / slice / zip_with / filter / aggregate)
+  // that columnar-only engines lack.
+  private val xNestedHof: Q = (s, dir) => {
+    val packed = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), Kit.nanosToMillis("ts").as("ts_ms"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_ms"), col("event_id"), col("value")))).as("series"))
+    packed
+      .select(col("user_id"), col("series"))
+      .withColumn("deltas", zip_with(
+        slice(col("series"), lit(2), size(col("series")) - 1),
+        slice(col("series"), lit(1), size(col("series")) - 1),
+        (a, b) => Kit.microUnits(a.getField("value") - b.getField("value"))))
+      .select(col("user_id"), size(col("series")).cast("long").as("n_clicks"),
+        aggregate(filter(col("deltas"), d => d > 0L), lit(0L),
+          (acc, d) => acc + d).as("sum_pos_delta_micro"),
+        coalesce(aggregate(col("deltas"), lit(0L),
+          (acc, d) => greatest(acc, abs(d))), lit(0L))
+          .as("max_abs_delta_micro"))
+      .orderBy(col("user_id"))
+  }
+  private val xNestedHofSql =
+    """WITH packed AS (
+      |  SELECT user_id,
+      |    list(value ORDER BY epoch_ns(ts) // 1000000, event_id) AS vs
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id
+      |), d AS (
+      |  SELECT user_id, len(vs) AS n_clicks,
+      |    [CAST(round((vs[i + 1] - vs[i]) * 1000000, 0) AS BIGINT)
+      |     for i in range(1, len(vs))] AS deltas
+      |  FROM packed
+      |)
+      |SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks,
+      |  CAST(coalesce(list_sum([x for x in deltas if x > 0]), 0) AS BIGINT)
+      |    AS sum_pos_delta_micro,
+      |  CAST(coalesce(list_max([abs(x) for x in deltas]), 0) AS BIGINT)
+      |    AS max_abs_delta_micro
+      |FROM d ORDER BY user_id""".stripMargin
+
   // ── per-node triangle counting (degree-oriented) ────────────────────────
   // Co-occurrence graph folded onto 997 residue-class nodes from lineitem's
   // (orderkey, partkey) pairs — dense enough at sf0.01 for thousands of
@@ -1098,6 +1174,8 @@ object ExtensionQueries {
   val all: Map[String, Q] = Map(
     "i5_xml_roundtrip" -> i5XmlRoundtrip,
     "i6_orc_roundtrip" -> i6OrcRoundtrip,
+    "i7_schema_evolution" -> i7SchemaEvolution,
+    "x_nested_hof" -> xNestedHof,
     "x_interval_join" -> xIntervalJoin,
     "x_json_extract" -> xJsonExtract,
     "x_interpolate" -> xInterpolate,
@@ -1134,6 +1212,8 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     "i5_xml_roundtrip" -> i5XmlRoundtripSql,
     "i6_orc_roundtrip" -> i6OrcRoundtripSql,
+    "i7_schema_evolution" -> i7SchemaEvolutionSql,
+    "x_nested_hof" -> xNestedHofSql,
     "x_interval_join" -> xIntervalJoinSql,
     "x_json_extract" -> xJsonExtractSql,
     "x_interpolate" -> xInterpolateSql,
