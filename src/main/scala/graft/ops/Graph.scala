@@ -90,6 +90,8 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient by (degree, id): strictly ordered, so each triangle becomes
     // exactly one (u→v, v→w, u→w) pattern
+    // cached: feeds THREE joins (both wedge legs + the closing probe) —
+    // uncached, the distinct+degree+orientation pipeline re-executes per use
     val oriented = und
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
@@ -98,12 +100,17 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .cache()
     val wedges = oriented.as("e1")
       .join(oriented.select(col("u").as("v"), col("v").as("w")).as("e2"), "v")
     val tris = wedges.join(oriented.select(col("u"), col("v").as("w")),
       Seq("u", "w")) // (u,v,w) with all three oriented edges present
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+    val out = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      .localCheckpoint(eager = true)
+    oriented.unpersist()
+    out
   }
 
   /**
@@ -147,5 +154,39 @@ object Graph {
     }
     e.unpersist()
     reached
+  }
+
+  /**
+   * Bounded weighted shortest paths (Bellman-Ford, `rounds` relaxation
+   * rounds) from a seed set over a directed edge list with INTEGER
+   * non-negative weights — min cost within ≤ `rounds` hops. Integer
+   * min/plus is associative/commutative, so results are bit-for-bit
+   * deterministic and engine-replayable (same contract as [[pageRank]]).
+   *
+   * Scale posture: per round, one hash join of the CURRENT distance
+   * vector against the cached edge list and one map-side-combined min by
+   * destination — the whole vector relaxes each round (Bellman-Ford),
+   * which unlike [[bfsHops]]' frontier trick is required once weights can
+   * improve an already-reached node. Lineage stays constant via per-round
+   * eager localCheckpoint. Returns (node, dist).
+   */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w")).cache()
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist()
+    dist
   }
 }

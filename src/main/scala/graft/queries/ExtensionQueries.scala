@@ -1101,20 +1101,21 @@ object ExtensionQueries {
       |FROM d ORDER BY user_id""".stripMargin
 
   // ── per-node triangle counting (degree-oriented) ────────────────────────
-  // Co-occurrence graph folded onto 997 residue-class nodes from lineitem's
-  // (orderkey, partkey) pairs — dense enough at sf0.01 for thousands of
-  // triangles. The oracle counts each triangle once via canonical a<b<c
+  // Co-occurrence graph folded onto 9973 residue-class nodes from lineitem's
+  // (orderkey, partkey) pairs — sparse enough that the graph does NOT densify toward a
+  // clique as SF grows (avg degree stays bounded), dense enough for
+  // thousands of triangles. The oracle counts each triangle once via canonical a<b<c
   // edges and a 3-way self-join, then unpivots corners; the operator's
   // degree orientation must produce identical per-node counts.
   private val xTriangles: Q = (s, dir) => {
     val e = Tables.lineitem(s, dir).select(
-      (col("l_orderkey") % 997).as("src"), (col("l_partkey") % 997).as("dst"))
+      (col("l_orderkey") % 9973).as("src"), (col("l_partkey") % 9973).as("dst"))
     Graph.triangleCounts(e, "src", "dst").orderBy("node")
   }
   private val xTrianglesSql =
     """WITH raw AS (
-      |  SELECT l_orderkey % 997 AS a, l_partkey % 997 AS b FROM lineitem
-      |  WHERE l_orderkey % 997 <> l_partkey % 997
+      |  SELECT l_orderkey % 9973 AS a, l_partkey % 9973 AS b FROM lineitem
+      |  WHERE l_orderkey % 9973 <> l_partkey % 9973
       |), e AS (
       |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw
       |), t AS (
@@ -1171,7 +1172,65 @@ object ExtensionQueries {
       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
       |FROM reach GROUP BY node ORDER BY node""".stripMargin
 
+  // ── bounded weighted shortest paths (Bellman-Ford rounds) ───────────────
+  // Same layered graph as x_bfs plus direct supplier→nation edges, with
+  // integer costs chosen so the cheap 2-hop route beats the direct edge
+  // for some nodes and loses for others; 3 relaxation rounds, oracle =
+  // the identical rounds unrolled as min-union CTEs.
+  private val xShortestPath: Q = (s, dir) => {
+    val ship = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"), lit(4L).as("w"))
+    val residence = Tables.customer(s, dir).select(
+      (col("c_custkey") + 1000000L).as("src"),
+      (col("c_nationkey") + 2000000L).as("dst"), lit(2L).as("w"))
+    val location = Tables.nation(s, dir).select(
+      (col("n_nationkey") + 2000000L).as("src"),
+      (col("n_regionkey") + 3000000L).as("dst"), lit(1L).as("w"))
+    val direct = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("src"),
+      (col("s_nationkey") + 2000000L).as("dst"), lit(3L).as("w"))
+    val seeds = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey").as("id"))
+    Graph.shortestPaths(
+        ship.unionByName(residence).unionByName(location).unionByName(direct)
+          .distinct(),
+        seeds, "src", "dst", "w", "id", rounds = 3)
+      .orderBy("node")
+  }
+  private val xShortestPathSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT node, min(d) AS dist FROM (
+         |    SELECT node, dist AS d FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst, r.dist + e.w FROM $prev r JOIN e ON e.src = r.node
+         |  ) GROUP BY node)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst, 4 AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  UNION
+       |  SELECT c_custkey + 1000000, c_nationkey + 2000000, 2 FROM customer
+       |  UNION
+       |  SELECT n_nationkey + 2000000, n_regionkey + 3000000, 1 FROM nation
+       |  UNION
+       |  SELECT s_suppkey, s_nationkey + 2000000, 3 FROM supplier
+       |), r0 AS (
+       |  SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS dist FROM supplier
+       |  WHERE s_suppkey % 10 = 0
+       |),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "x_shortest_path" -> xShortestPath,
     "i5_xml_roundtrip" -> i5XmlRoundtrip,
     "i6_orc_roundtrip" -> i6OrcRoundtrip,
     "i7_schema_evolution" -> i7SchemaEvolution,
@@ -1210,6 +1269,7 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_shortest_path" -> xShortestPathSql,
     "i5_xml_roundtrip" -> i5XmlRoundtripSql,
     "i6_orc_roundtrip" -> i6OrcRoundtripSql,
     "i7_schema_evolution" -> i7SchemaEvolutionSql,

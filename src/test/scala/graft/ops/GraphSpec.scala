@@ -73,6 +73,24 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("shortestPaths: weighted relaxation beats hop-count path, bounded " +
+      "by rounds, min over multiple seeds") {
+    // 1→2→3 costs 1+1=2; direct 1→3 costs 5: two rounds prefer the long-hop
+    // cheap path; one round can only see the direct edge.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.shortestPaths(edges, Seq(1L).toDF("id"), "src", "dst",
+      "w", "id", rounds = 1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    val r2 = Graph.shortestPaths(edges, Seq(1L).toDF("id"), "src", "dst",
+      "w", "id", rounds = 2).as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // second seed at 3: its zero wins over any path cost
+    val r3 = Graph.shortestPaths(edges, Seq(1L, 3L).toDF("id"), "src", "dst",
+      "w", "id", rounds = 2).as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("pageRank is deterministic across runs and repartitionings") {
     val edges = (1L to 200L).map(i => (i % 17, i % 13)).toDF("src", "dst")
       .distinct()
