@@ -449,10 +449,14 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
     import org.apache.spark.sql.expressions.Window
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // cached: the sketch pass feeds the posting build AND both verify
+    // sides — uncached it re-runs per consumer (the corpus scan is the
+    // dominant term at 100 TB)
     val grams = df.repartition(par)
       .select(col(idCol).as("doc"),
         TextKit.ngramHashSet(col(textCol), shingleLen).as("gs"))
       .filter(size(col("gs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posts = grams.select(col("doc"), explode(col("gs")).as("g"),
       size(col("gs")).as("__sz"))
     val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("__df"))
@@ -475,7 +479,7 @@ object Dedup {
       grams.join(broadcast(ids), Seq("doc"), "left_semi")
         .select(col("doc").as(idName), col("gs").as(gName))
     }
-    cands
+    val out = cands
       .join(side("doc_a", "ga"), "doc_a")
       .join(side("doc_b", "gb"), "doc_b")
       .withColumn("containment_ppm",
@@ -483,6 +487,9 @@ object Dedup {
       .filter(TextKit.noPushdown(
         col("containment_ppm") >= math.floor(threshold * 1e6).toLong))
       .select(col("doc_a"), col("doc_b"), col("containment_ppm"))
+      .localCheckpoint(eager = true)
+    grams.unpersist()
+    out
   }
 
   // ── SemDeDup: semantic dedup via embedding clustering ────────────────────
