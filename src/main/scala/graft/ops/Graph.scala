@@ -189,4 +189,51 @@ object Graph {
     e.unpersist()
     dist
   }
+
+  /**
+   * k-core: the maximal subgraph where every node has degree ≥ k
+   * (undirected; either orientation accepted, self-loops dropped) — the
+   * standard "dense cohesive region" extractor (spam-farm detection, seed
+   * selection). Iterative peeling: drop all nodes with degree < k,
+   * recompute degrees on the induced subgraph, repeat. The fixed point is
+   * unique (peeling order cannot change it), so the result is
+   * deterministic and replayable by ANY round count ≥ the stabilization
+   * round — the oracle can unroll a fixed number of rounds while the
+   * engine exits early on an unchanged node count. Returns (node, deg)
+   * within the core.
+   *
+   * Scale posture: per round, one map-side-combined degree count and two
+   * semi-joins to induce the subgraph; per-round eager localCheckpoint
+   * keeps lineage constant (the peel depth is data-bounded but each round
+   * is one shuffle round-trip, same as the CC loop).
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).filter(col("a") =!= col("b"))
+    var e = raw.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+      .localCheckpoint(eager = true)
+    var done = false
+    var rounds = 0
+    var lastCount = -1L
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      val kept = keep.count()
+      if (kept == lastCount) done = true
+      else {
+        lastCount = kept
+        e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .localCheckpoint(eager = true)
+      }
+    }
+    e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
 }

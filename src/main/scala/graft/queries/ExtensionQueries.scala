@@ -1229,7 +1229,43 @@ object ExtensionQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ── k-core extraction (iterative peel) ──────────────────────────────────
+  // The 10-core of the residue-class graph: converges in 4 peel rounds at
+  // sf0.01; the engine exits early on a stable node count while the
+  // oracle unrolls 6 MATERIALIZED rounds (the fixed point is unique, so
+  // extra rounds are identity — without MATERIALIZED, DuckDB's CTE
+  // inlining re-evaluates the chain exponentially).
+  private val xKcore: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir).select(
+      (col("l_orderkey") % 9973).as("src"), (col("l_partkey") % 9973).as("dst"))
+    Graph.kCore(e, "src", "dst", k = 10).orderBy("n")
+      .select(col("n").as("node"), col("deg"))
+  }
+  private val xKcoreSql = {
+    val rounds = (1 to 6).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (
+         |  SELECT n FROM (SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY n HAVING count(*) >= 10
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN k$i x ON e.a = x.n JOIN k$i y ON e.b = y.n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT l_orderkey % 9973 AS a, l_partkey % 9973 AS b FROM lineitem
+       |  WHERE l_orderkey % 9973 <> l_partkey % 9973
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw
+       |),
+       |$rounds
+       |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM (SELECT a AS n FROM e6 UNION ALL SELECT b FROM e6)
+       |GROUP BY n HAVING count(*) >= 10 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "x_kcore" -> xKcore,
     "x_shortest_path" -> xShortestPath,
     "i5_xml_roundtrip" -> i5XmlRoundtrip,
     "i6_orc_roundtrip" -> i6OrcRoundtrip,
@@ -1269,6 +1305,7 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_kcore" -> xKcoreSql,
     "x_shortest_path" -> xShortestPathSql,
     "i5_xml_roundtrip" -> i5XmlRoundtripSql,
     "i6_orc_roundtrip" -> i6OrcRoundtripSql,

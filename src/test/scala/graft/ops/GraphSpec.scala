@@ -91,6 +91,19 @@ class GraphSpec extends SparkSpec {
     assert(r3 == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("kCore: cascading peel — removing one low-degree node unravels the " +
+      "chain; the clique survives") {
+    // K4 on {1,2,3,4} + chain 4-5-6: for k=2 the chain peels away in two
+    // cascading rounds (6 first, then 5), leaving the clique
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4: nothing has degree 4 → empty
+    assert(Graph.kCore(edges, "src", "dst", k = 4).isEmpty)
+  }
+
   test("pageRank is deterministic across runs and repartitionings") {
     val edges = (1L to 200L).map(i => (i % 17, i % 13)).toDF("src", "dst")
       .distinct()
