@@ -881,4 +881,41 @@ object Corpus {
       .groupBy(col(shardCol), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("chunk_tokens"))
   }
+
+  /**
+   * T5-style span corruption for denoising pretraining objectives: the
+   * whitespace token stream is cut into aligned spans of `spanLen`; each
+   * span is masked with probability `pctMasked`/100 by a DETERMINISTIC
+   * keyed decision (integer mix of (id, span) — no RNG state, so the
+   * corruption is reproducible per document across runs, engines, and
+   * parallelism, and the (corrupted, target) pair can be re-derived from
+   * the raw corpus at any time instead of being stored). A masked span
+   * becomes one `<MASK>` sentinel in the corrupted text; the target is the
+   * concatenation of the masked tokens. Pure per-row expressions inside
+   * codegen — zero shuffle, scan-speed at 100 TB.
+   *
+   * Output columns: corrupted, target, n_tokens, n_masked.
+   */
+  def spanCorrupt(id: Column, text: Column, spanLen: Int = 3,
+      pctMasked: Int = 15): Column = {
+    require(spanLen >= 1 && pctMasked >= 0 && pctMasked <= 100)
+    val toks = split(text, " ")
+    val n = size(toks)
+    val idx = sequence(lit(0), n - 1)
+    def masked(i: Column): Column =
+      pmod(id * lit(2654435761L) +
+        floor(i.cast("long") / lit(spanLen)).cast("long") * lit(40503L),
+        lit(100L)) < pctMasked
+    val corrupted = array_join(filter(transform(idx, i =>
+      when(!masked(i), element_at(toks, i + 1))
+        .when(i % spanLen === 0, lit("<MASK>"))), x => x.isNotNull), " ")
+    val target = array_join(filter(transform(idx, i =>
+      when(masked(i), element_at(toks, i + 1))), x => x.isNotNull), " ")
+    val nMasked = size(filter(idx, i => masked(i))).cast("long")
+    when(n === 0 || (n === 1 && toks.getItem(0) === ""),
+      struct(lit("").as("corrupted"), lit("").as("target"),
+        lit(0L).as("n_tokens"), lit(0L).as("n_masked")))
+      .otherwise(struct(corrupted.as("corrupted"), target.as("target"),
+        n.cast("long").as("n_tokens"), nMasked.as("n_masked")))
+  }
 }

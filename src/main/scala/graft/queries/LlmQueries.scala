@@ -555,6 +555,42 @@ object LlmQueries {
       |    AS sum_j_micro
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  // ── T5-style span corruption (denoising objective data prep) ────────────
+  // Deterministic keyed masking of aligned 3-token spans at 15%: corrupted
+  // text with <MASK> sentinels + concatenated target tokens, reproducible
+  // from the raw corpus (no stored RNG state). The oracle replays the
+  // integer mask decision and both reconstructions with DuckDB list
+  // comprehensions — full-string equality on every row.
+  private val tSpanCorrupt: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ops.Corpus.spanCorrupt(col("doc_id"), col("text")).as("c"))
+      .select(col("doc_id"), col("c.corrupted").as("corrupted"),
+        col("c.target").as("target"), col("c.n_tokens").as("n_tokens"),
+        col("c.n_masked").as("n_masked"))
+      .orderBy(col("doc_id"))
+  }
+  private val tSpanCorruptSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |)
+      |SELECT doc_id,
+      |  coalesce(array_to_string([CASE
+      |      WHEN NOT (((doc_id * 2654435761 + (i // 3) * 40503) % 100) < 15)
+      |        THEN toks[i + 1] ELSE '<MASK>' END
+      |    for i in range(0, len(toks))
+      |    if NOT (((doc_id * 2654435761 + (i // 3) * 40503) % 100) < 15)
+      |       OR i % 3 = 0], ' '), '') AS corrupted,
+      |  coalesce(array_to_string([toks[i + 1]
+      |    for i in range(0, len(toks))
+      |    if ((doc_id * 2654435761 + (i // 3) * 40503) % 100) < 15], ' '),
+      |    '') AS target,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len([i for i in range(0, len(toks))
+      |    if ((doc_id * 2654435761 + (i // 3) * 40503) % 100) < 15])
+      |    AS BIGINT) AS n_masked
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────────
   private val tTokens: Q = (s, dir) => {
     Tables.documents(s, dir)
@@ -1777,6 +1813,7 @@ object LlmQueries {
     "sim_int8_quant" -> simInt8,
     "sim_negatives" -> simNegatives,
     "t_diversity" -> tDiversity,
+    "t_span_corrupt" -> tSpanCorrupt,
     "dd_semantic_dedup" -> ddSemantic,
     "t_bpe_train" -> tBpeTrain,
     "t_bpe_encode" -> tBpeEncode,
@@ -1832,6 +1869,7 @@ object LlmQueries {
     "sim_int8_quant" -> simInt8Sql,
     "sim_negatives" -> simNegativesSql,
     "t_diversity" -> tDiversitySql,
+    "t_span_corrupt" -> tSpanCorruptSql,
     "dd_semantic_dedup" -> ddSemanticSql,
     "t_bpe_train" -> tBpeTrainSql,
     "t_bpe_encode" -> tBpeEncodeSql,
