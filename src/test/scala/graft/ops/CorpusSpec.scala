@@ -293,4 +293,42 @@ class CorpusSpec extends SparkSpec {
       .orderBy(col("k")).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(p1 == expected)
   }
+
+  test("spanCorrupt: masked spans collapse to one sentinel, targets " +
+      "concatenate the masked tokens, counts line up, deterministic") {
+    import spark.implicits._
+    // pctMasked=100: every span masked → corrupted = one <MASK> per span
+    val df = Seq((1L, "a b c d e f g")).toDF("id", "text")
+    val all = df.select(Corpus.spanCorrupt(col("id"), col("text"),
+        spanLen = 3, pctMasked = 100).as("c")).select("c.*")
+      .as[(String, String, Long, Long)].head()
+    assert(all == (("<MASK> <MASK> <MASK>", "a b c d e f g", 7L, 7L)))
+    // pctMasked=0: identity
+    val none = df.select(Corpus.spanCorrupt(col("id"), col("text"),
+        spanLen = 3, pctMasked = 0).as("c")).select("c.*")
+      .as[(String, String, Long, Long)].head()
+    assert(none == (("a b c d e f g", "", 7L, 0L)))
+    // intermediate rate: reconstruction invariants — corrupted tokens =
+    // unmasked + one sentinel per masked span; target has n_masked tokens;
+    // and the decision is reproducible across runs
+    val docs = (0L until 50L)
+      .map(i => (i, (1 to 20).map(j => s"w$j").mkString(" "))).toDF("id", "text")
+    def run() = docs.select(col("id"), Corpus.spanCorrupt(col("id"),
+        col("text"), spanLen = 3, pctMasked = 40).as("c"))
+      .select(col("id"), col("c.*"))
+      .as[(Long, String, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val a = run()
+    assert(a == run())
+    a.foreach { case (_, corrupted, target, nTokens, nMasked) =>
+      assert(nTokens == 20L)
+      val sentinels = corrupted.split(" ").count(_ == "<MASK>")
+      val kept = corrupted.split(" ").count(_ != "<MASK>")
+      assert(kept + nMasked == nTokens)
+      assert(target.isEmpty && nMasked == 0 ||
+        target.split(" ").length == nMasked)
+      // each sentinel stands for a contiguous aligned span of ≤ 3 masked
+      // tokens: sentinel count bounds
+      assert(sentinels * 3L >= nMasked && sentinels <= nMasked)
+    }
+  }
 }
