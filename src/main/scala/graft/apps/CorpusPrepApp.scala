@@ -78,14 +78,19 @@ object CorpusPrepApp {
       // duplicates the token-level MinHash stage cannot. semanticCentroids
       // dials expected cluster size (n / k) on real corpora.
       semantic: Option[(Double, Int)] = None,
-      semanticCentroids: Int = 8)
+      semanticCentroids: Int = 8,
+      // denoising-objective output: (spanLen, pctMasked) — emit a
+      // (corrupted, target) pair per TRAIN document, reproducible from
+      // the raw corpus (deterministic keyed masking, no stored RNG)
+      denoise: Option[(Int, Int)] = None)
 
   /** Per-stage outputs, each a complete lazily-composed plan. */
   case class Prepared(
       deduped: DataFrame, // post exact+near-dup: doc_id, text, source
       clean: DataFrame, // post decontamination (+ quota when configured)
       labeled: DataFrame, // + split column
-      chunks: DataFrame) // (split, source, chunk_id, n_docs, chunk_tokens)
+      chunks: DataFrame, // (split, source, chunk_id, n_docs, chunk_tokens)
+      denoised: Option[DataFrame]) // (doc_id, corrupted, target, …) on train
 
   /**
    * @param documents corpus table with (doc_id, text, source) columns
@@ -185,6 +190,17 @@ object CorpusPrepApp {
       .withColumn("source", split_part(col("__shard"), lit("/"), lit(2)))
       .select("split", "source", "chunk_id", "n_docs", "chunk_tokens")
 
-    Prepared(deduped, clean, labeled, chunks)
+    // 6. denoising pairs (opt-in): train-split documents only — eval
+    // splits must never leak masked reconstructions of their own text
+    val denoised = cfg.denoise.map { case (spanLen, pct) =>
+      labeled.filter(col("split") === "train")
+        .select(col("doc_id"),
+          Corpus.spanCorrupt(col("doc_id"), col("text"), spanLen, pct).as("__c"))
+        .select(col("doc_id"), col("__c.corrupted").as("corrupted"),
+          col("__c.target").as("target"), col("__c.n_tokens").as("n_tokens"),
+          col("__c.n_masked").as("n_masked"))
+    }
+
+    Prepared(deduped, clean, labeled, chunks, denoised)
   }
 }

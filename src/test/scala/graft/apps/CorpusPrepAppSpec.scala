@@ -178,4 +178,29 @@ class CorpusPrepAppSpec extends SparkSpec {
     // and the originals that aren't twins of each other survive
     assert(kept.nonEmpty)
   }
+
+  test("opt-in denoising stage: train-only (corrupted, target) pairs, " +
+      "token accounting consistent with the labeled split") {
+    val docs = Tables.documents(spark, graft.TestSpark.sf0001)
+      .select("doc_id", "source", "text")
+    val cfg = CorpusPrepApp.Config(minSharedNgrams = 1000000L,
+      denoise = Some((3, 15)))
+    val p = CorpusPrepApp.prepare(docs, docs.limit(0), cfg)
+    val den = p.denoised.get
+    val trainIds = p.labeled.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = den.collect()
+    assert(rows.map(_.getLong(0)).toSet == trainIds,
+      "denoised output must cover exactly the train split")
+    rows.foreach { r =>
+      val (corrupted, target) = (r.getString(1), r.getString(2))
+      val (n, m) = (r.getLong(3), r.getLong(4))
+      val kept = corrupted.split(" ").count(_ != "<MASK>")
+      assert(kept + m == n)
+      assert((target.isEmpty && m == 0) || target.split(" ").length == m)
+    }
+    // absent when not configured
+    assert(CorpusPrepApp.prepare(docs, docs.limit(0),
+      CorpusPrepApp.Config(minSharedNgrams = 1000000L)).denoised.isEmpty)
+  }
 }
