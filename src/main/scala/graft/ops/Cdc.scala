@@ -52,4 +52,42 @@ object Cdc {
         keyCols, "left_anti")
       .unionByName(upserts)
   }
+
+  /**
+   * Snapshot diff → changelog (the change-data-feed generator, inverse of
+   * [[applyChangelog]]): emit one I/U/D row per key whose state differs
+   * between `before` and `after` (same schema, unique per key). Keys only
+   * in `after` → insert, only in `before` → delete (payload carried from
+   * `before`), present in both with ANY payload column differing → update
+   * with the new payload. Unchanged keys emit nothing.
+   *
+   * Round-trip law (spec-enforced): `applyChangelog(before,
+   * diffSnapshots(before, after) + any seq) == after`.
+   *
+   * Scale posture: one full-outer hash join on the key and a null-safe
+   * struct comparison — no windows, no sort; at 100 TB this is the
+   * standard nightly snapshot-compare shape (both sides shuffle once on
+   * the key; AQE handles the size asymmetry).
+   */
+  def diffSnapshots(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      "before/after must share a schema")
+    val payload = before.columns.filterNot(keyCols.contains).toSeq
+    val b = before.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(payload.map(col): _*).as("__bp"))
+    val a = after.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(payload.map(col): _*).as("__ap"))
+    val joined = b.join(a, Seq("__k"), "full_outer")
+    val op = when(col("__bp").isNull, lit("I"))
+      .when(col("__ap").isNull, lit("D"))
+      .when(!(col("__bp") <=> col("__ap")), lit("U"))
+    val diff = joined.filter(op.isNotNull).withColumn(opCol, op)
+      // deletes carry the before-image payload (the CDC convention that
+      // lets downstream consumers see what was removed)
+      .withColumn("__p", coalesce(col("__ap"), col("__bp")))
+    diff.select(
+      keyCols.map(k => col("__k").getField(k).as(k)) ++
+        payload.map(p => col("__p").getField(p).as(p)) :+ col(opCol): _*)
+  }
 }

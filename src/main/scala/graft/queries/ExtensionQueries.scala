@@ -808,6 +808,89 @@ object ExtensionQueries {
       |SELECT id, cust, price_c, status FROM latest WHERE op <> 'D'
       |ORDER BY id""".stripMargin
 
+  // ── cohort retention matrix ─────────────────────────────────────────────
+  // Users cohorted by the week of their first signup; for each cohort ×
+  // week-offset, how many distinct users were active (any event). Weeks
+  // are integer epoch-ms divisions — no calendar/timezone semantics to
+  // diverge between engines. Two aggregations and one join; the cohort
+  // side is users-sized (AQE broadcasts it).
+  private val xCohortRetention: Q = (s, dir) => {
+    val wk = 604800000L // 7 * 24 * 3600 * 1000
+    val e = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), Kit.nanosToMillis("ts").as("ts_ms"))
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(ts_ms) div $wk").as("cohort_week"))
+    e.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (expr(s"ts_ms div $wk") - col("cohort_week")).as("week_offset"))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+  private val xCohortRetentionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms
+      |  FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(ts_ms) // 604800000 AS cohort_week
+      |  FROM e WHERE event_type = 'signup' GROUP BY user_id
+      |)
+      |SELECT c.cohort_week, e.ts_ms // 604800000 - c.cohort_week AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN cohort c USING (user_id)
+      |WHERE e.ts_ms // 604800000 - c.cohort_week >= 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ── snapshot diff → change-data feed ────────────────────────────────────
+  // Two deterministic snapshot states of the orders projection; emit the
+  // I/U/D changelog between them (deletes carry the before image, the CDC
+  // convention). Oracle = FULL OUTER JOIN with column-wise IS DISTINCT
+  // FROM classification.
+  private val xCdcDiff: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+      Kit.cents(col("o_totalprice")).as("price_c"),
+      col("o_orderstatus").as("status"))
+    val before = o.filter(col("id") % 4 =!= 1)
+    val after = o.filter(col("id") % 4 =!= 1 && col("id") % 7 =!= 0)
+      .select(col("id"), col("cust"),
+        when(col("id") % 3 === 0, col("price_c") + 500L)
+          .otherwise(col("price_c")).as("price_c"), col("status"))
+      .unionByName(o.filter(col("id") % 4 === 1 && col("id") % 6 === 1))
+    Cdc.diffSnapshots(before, after, Seq("id"))
+      .orderBy("id")
+  }
+  private val xCdcDiffSql =
+    """WITH o AS (
+      |  SELECT o_orderkey AS id, o_custkey AS cust,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders
+      |), before_s AS (SELECT * FROM o WHERE id % 4 <> 1),
+      |after_s AS (
+      |  SELECT id, cust,
+      |    CASE WHEN id % 3 = 0 THEN price_c + 500 ELSE price_c END AS price_c,
+      |    status
+      |  FROM o WHERE id % 4 <> 1 AND id % 7 <> 0
+      |  UNION ALL
+      |  SELECT id, cust, price_c, status FROM o
+      |  WHERE id % 4 = 1 AND id % 6 = 1
+      |)
+      |SELECT coalesce(b.id, a.id) AS id,
+      |  coalesce(a.cust, b.cust) AS cust,
+      |  coalesce(a.price_c, b.price_c) AS price_c,
+      |  coalesce(a.status, b.status) AS status,
+      |  CASE WHEN b.id IS NULL THEN 'I'
+      |       WHEN a.id IS NULL THEN 'D' ELSE 'U' END AS op
+      |FROM before_s b FULL JOIN after_s a ON b.id = a.id
+      |WHERE b.id IS NULL OR a.id IS NULL
+      |   OR a.cust IS DISTINCT FROM b.cust
+      |   OR a.price_c IS DISTINCT FROM b.price_c
+      |   OR a.status IS DISTINCT FROM b.status
+      |ORDER BY id""".stripMargin
+
   // ── integer-arithmetic PageRank (domain-authority ranking) ──────────────
   // A two-layer graph from the star schema: supplier → customer edges for
   // every distinct shipping relationship, customer → nation residence
@@ -1279,6 +1362,8 @@ object ExtensionQueries {
     "x_jaro_winkler" -> xJaroWinkler,
     "x_damerau_lev" -> xDamerauLev,
     "x_cdc_apply" -> xCdcApply,
+    "x_cdc_diff" -> xCdcDiff,
+    "x_cohort_retention" -> xCohortRetention,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -1319,6 +1404,8 @@ object ExtensionQueries {
     "x_jaro_winkler" -> xJaroWinklerSql,
     "x_damerau_lev" -> xDamerauLevSql,
     "x_cdc_apply" -> xCdcApplySql,
+    "x_cdc_diff" -> xCdcDiffSql,
+    "x_cohort_retention" -> xCohortRetentionSql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,

@@ -50,6 +50,37 @@ class CdcSpec extends SparkSpec {
       (3L, "carol", 300L), (4L, "dave", 400L)))
   }
 
+  test("diffSnapshots: I/U/D classification, before-image deletes, " +
+      "unchanged keys silent") {
+    val before = snapshot
+    val after = Seq(
+      (1L, "alice", 100L),   // unchanged → no row
+      (2L, "bob2", 200L),    // payload change → U
+      (3L, "carol", 999L),   // payload change → U
+      (5L, "eve", 500L)      // new → I   (4 dave missing → D)
+    ).toDF("id", "name", "balance")
+    val got = Cdc.diffSnapshots(before, after, Seq("id"))
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(got == Set(
+      (2L, "bob2", 200L, "U"),
+      (3L, "carol", 999L, "U"),
+      (4L, "dave", 400L, "D"),
+      (5L, "eve", 500L, "I")))
+  }
+
+  test("round-trip law: applyChangelog(before, diffSnapshots(before, " +
+      "after)) == after") {
+    val before = snapshot
+    val after = Seq((2L, "bob2", 250L), (3L, "carol", 300L),
+      (6L, "frank", 600L)).toDF("id", "name", "balance")
+    val feed = Cdc.diffSnapshots(before, after, Seq("id"))
+      .withColumn("seq", lit(1L))
+    val rebuilt = Cdc.applyChangelog(before, feed, Seq("id"), Seq("seq"))
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    val want = after.orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(rebuilt == want)
+  }
+
   test("applyChangelog plan: winner is a partial-agg + hash join, no window") {
     val changes = Seq((1L, 1L, "U", "a", 1L))
       .toDF("id", "seq", "op", "name", "balance")
