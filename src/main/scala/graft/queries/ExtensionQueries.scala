@@ -808,6 +808,82 @@ object ExtensionQueries {
       |SELECT id, cust, price_c, status FROM latest WHERE op <> 'D'
       |ORDER BY id""".stripMargin
 
+  // ── 3-step sequential funnel (ordered event chain) ──────────────────────
+  // signup → first click at-or-after it → first purchase at-or-after that
+  // click, per user: a CHAIN of min-aggregations and joins (each stage
+  // filters events against the previous stage's timestamp and takes the
+  // min) — no windows, no per-user sort; every stage is one hash shuffle
+  // and the per-user stage outputs are users-sized.
+  private val xSequenceFunnel: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      Kit.nanosToMillis("ts").as("ts_ms"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+      .filter(col("ts_ms") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .filter(col("ts_ms") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t3"))
+    s1.join(s2.join(s3, Seq("user_id"), "left"), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (col("t3") - col("t1")).as("total_ms"))
+      .orderBy("user_id")
+  }
+  private val xSequenceFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms
+      |  FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(ts_ms) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts_ms) AS t2
+      |  FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_ms >= s1.t1
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts_ms) AS t3
+      |  FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_ms >= s2.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT s1.user_id, s1.t1, s2.t2, s3.t3, s3.t3 - s1.t1 AS total_ms
+      |FROM s1
+      |LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)
+      |ORDER BY s1.user_id""".stripMargin
+
+  // ── bipartite co-occurrence projection (co-purchase graph) ──────────────
+  // Items co-ordered by the same customer projected to weighted item-item
+  // edges — the recommender/co-visitation prep. The self-join per customer
+  // is quadratic in basket size, the classic hot-key hazard; the operator
+  // path would cap baskets with sizeBandedBuckets (here uncapped so the
+  // oracle — the plain pair join — is exact).
+  private val xCopurchase: Q = (s, dir) => {
+    val basket = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), (col("l_partkey") % 499).as("item"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("item")).distinct()
+    basket.as("a").join(basket.as("b"), Seq("cust"))
+      .filter(col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") >= 3)
+      .orderBy("item_a", "item_b")
+  }
+  private val xCopurchaseSql =
+    """WITH basket AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_partkey % 499 AS item
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT a.item AS item_a, b.item AS item_b,
+      |  CAST(count(*) AS BIGINT) AS n_cust
+      |FROM basket a JOIN basket b ON a.cust = b.cust AND a.item < b.item
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY item_a, item_b""".stripMargin
+
   // ── cohort retention matrix ─────────────────────────────────────────────
   // Users cohorted by the week of their first signup; for each cohort ×
   // week-offset, how many distinct users were active (any event). Weeks
@@ -1364,6 +1440,8 @@ object ExtensionQueries {
     "x_cdc_apply" -> xCdcApply,
     "x_cdc_diff" -> xCdcDiff,
     "x_cohort_retention" -> xCohortRetention,
+    "x_sequence_funnel" -> xSequenceFunnel,
+    "x_copurchase" -> xCopurchase,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -1406,6 +1484,8 @@ object ExtensionQueries {
     "x_cdc_apply" -> xCdcApplySql,
     "x_cdc_diff" -> xCdcDiffSql,
     "x_cohort_retention" -> xCohortRetentionSql,
+    "x_sequence_funnel" -> xSequenceFunnelSql,
+    "x_copurchase" -> xCopurchaseSql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
