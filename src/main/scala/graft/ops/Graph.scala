@@ -236,4 +236,43 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
   }
+
+  /**
+   * Hierarchy resolution by POINTER DOUBLING: given a forest as
+   * (child, parent) rows — roots marked by the self-loop convention
+   * `parent == child` — return (node, root, depth) for every node.
+   *
+   * Each round rewrites every node's known ancestor to that ancestor's
+   * OWN known ancestor, summing the step counts, so the reach doubles per
+   * round: a depth-d hierarchy resolves in ⌈log₂ d⌉ rounds (the same
+   * doubling trick as [[graft.ops.Dedup.nearDupClusters]]' pointer jump) —
+   * a sequential parent-walk would be O(d) joins, catastrophic for deep
+   * chains. Root self-loops are the fixed point (their own entry adds 0),
+   * so extra rounds are identity; the loop exits early when the total
+   * depth sum stops growing (monotone until converged). One self-join per
+   * round, constant lineage via eager localCheckpoint.
+   */
+  def rootDepths(parents: DataFrame, childCol: String, parentCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    var st = parents.select(col(childCol).cast("long").as("node"),
+        col(parentCol).cast("long").as("anc"))
+      .withColumn("d",
+        when(col("anc") === col("node"), 0L).otherwise(1L))
+      .localCheckpoint(eager = true)
+    var rounds = 0
+    var done = false
+    var lastSum = -1L
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val hop = st.select(col("node").as("anc"), col("anc").as("anc2"),
+        col("d").as("d2"))
+      st = st.join(hop, Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"))
+        .localCheckpoint(eager = true)
+      val s = st.agg(sum(col("d"))).head().getLong(0)
+      if (s == lastSum) done = true else lastSum = s
+    }
+    st.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+  }
 }

@@ -884,6 +884,32 @@ object ExtensionQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY item_a, item_b""".stripMargin
 
+  // ── hierarchy resolution (pointer doubling) ─────────────────────────────
+  // A synthetic ⌊id/2⌋ forest over the customer ids (root 1, depth
+  // ~log₂ n): every node's root and depth via pointer doubling — ⌈log₂ d⌉
+  // self-joins instead of a d-step parent walk. Oracle = recursive CTE
+  // walking one parent per step, terminal rows at self-loop roots.
+  private val xHierarchy: Q = (s, dir) => {
+    val parents = Tables.customer(s, dir).select(
+      col("c_custkey").as("child"),
+      greatest(expr("c_custkey div 2"), lit(1L)).as("parent"))
+    Graph.rootDepths(parents, "child", "parent").orderBy("node")
+  }
+  private val xHierarchySql =
+    """WITH RECURSIVE p AS (
+      |  SELECT c_custkey AS id, greatest(c_custkey // 2, 1) AS parent
+      |  FROM customer
+      |), walk(node, anc, d) AS (
+      |  SELECT id, id, 0 FROM p
+      |  UNION
+      |  SELECT w.node, pp.parent, w.d + 1
+      |  FROM walk w JOIN p pp ON pp.id = w.anc
+      |  WHERE w.anc <> pp.parent
+      |)
+      |SELECT w.node, w.anc AS root, CAST(w.d AS BIGINT) AS depth
+      |FROM walk w JOIN p r ON r.id = w.anc AND r.parent = r.id
+      |ORDER BY w.node""".stripMargin
+
   // ── cohort retention matrix ─────────────────────────────────────────────
   // Users cohorted by the week of their first signup; for each cohort ×
   // week-offset, how many distinct users were active (any event). Weeks
@@ -1442,6 +1468,7 @@ object ExtensionQueries {
     "x_cohort_retention" -> xCohortRetention,
     "x_sequence_funnel" -> xSequenceFunnel,
     "x_copurchase" -> xCopurchase,
+    "x_hierarchy" -> xHierarchy,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -1486,6 +1513,7 @@ object ExtensionQueries {
     "x_cohort_retention" -> xCohortRetentionSql,
     "x_sequence_funnel" -> xSequenceFunnelSql,
     "x_copurchase" -> xCopurchaseSql,
+    "x_hierarchy" -> xHierarchySql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,

@@ -104,6 +104,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, "src", "dst", k = 4).isEmpty)
   }
 
+  test("rootDepths: pointer doubling resolves a deep chain in log rounds; " +
+      "forest roots and depths exact") {
+    // chain 1←2←3←…←9 (root 1) + separate tree root 10 with children 11,12
+    val chain = (2L to 9L).map(i => (i, i - 1))
+    val parents = (chain ++ Seq((1L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+      .toDF("child", "parent")
+    val got = Graph.rootDepths(parents, "child", "parent")
+      .as[(Long, Long, Long)].collect().toSet
+    val wantChain = (1L to 9L).map(i => (i, 1L, i - 1)).toSet
+    assert(got == wantChain ++ Set((10L, 10L, 0L), (11L, 10L, 1L),
+      (12L, 10L, 1L)))
+    // depth 8 must resolve within ⌈log₂ 8⌉ + 1 = 4 rounds: maxRounds=4
+    // yields the identical answer (doubling, not stepping)
+    val fast = Graph.rootDepths(parents, "child", "parent", maxRounds = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == got)
+  }
+
   test("pageRank is deterministic across runs and repartitionings") {
     val edges = (1L to 200L).map(i => (i % 17, i % 13)).toDF("src", "dst")
       .distinct()
