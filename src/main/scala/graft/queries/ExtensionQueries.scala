@@ -884,6 +884,39 @@ object ExtensionQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY item_a, item_b""".stripMargin
 
+  // ── unpivot / melt (wide → long reshape) ────────────────────────────────
+  // The inverse of x_pivot: per-lineitem monetary columns melted into
+  // (measure, value_c) rows with Spark's native unpivot (no UNION of
+  // scans — one pass emits all measures). Oracle = the UNION ALL form.
+  private val xUnpivot: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Kit.cents(col("l_extendedprice")).as("extendedprice_c"),
+        Kit.cents(col("l_discount")).as("discount_c"),
+        Kit.cents(col("l_tax")).as("tax_c"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("extendedprice_c"), col("discount_c"), col("tax_c")),
+        variableColumnName = "measure",
+        valueColumnName = "value_c")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+  private val xUnpivotSql =
+    """WITH w AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS extendedprice_c,
+      |    CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_c,
+      |    CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_c
+      |  FROM lineitem
+      |)
+      |SELECT l_orderkey, l_linenumber, 'extendedprice_c' AS measure,
+      |  extendedprice_c AS value_c FROM w
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'discount_c', discount_c FROM w
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'tax_c', tax_c FROM w
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   // ── hierarchy resolution (pointer doubling) ─────────────────────────────
   // A synthetic ⌊id/2⌋ forest over the customer ids (root 1, depth
   // ~log₂ n): every node's root and depth via pointer doubling — ⌈log₂ d⌉
@@ -1469,6 +1502,7 @@ object ExtensionQueries {
     "x_sequence_funnel" -> xSequenceFunnel,
     "x_copurchase" -> xCopurchase,
     "x_hierarchy" -> xHierarchy,
+    "x_unpivot" -> xUnpivot,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -1514,6 +1548,7 @@ object ExtensionQueries {
     "x_sequence_funnel" -> xSequenceFunnelSql,
     "x_copurchase" -> xCopurchaseSql,
     "x_hierarchy" -> xHierarchySql,
+    "x_unpivot" -> xUnpivotSql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
