@@ -107,6 +107,32 @@ class CdcStreamSpec extends SparkSpec {
     assert(first == Map(1L -> ("alice2", 150L), 2L -> ("bob", 200L)))
   }
 
+  test("stop and restart from checkpoint: later drops apply exactly once, " +
+      "earlier batches are not re-applied") {
+    val root = Files.createTempDirectory("cdc_restart").toString
+    val (in, snapDir, ckpt) = (s"$root/in", s"$root/snap", s"$root/ckpt")
+    CdcStream.seed(Seq((1L, "alice", 100L)).toDF("id", "name", "balance"),
+      snapDir, cfg)
+    val schema = changes((0L, 0L, "", "", 0L)).schema
+
+    changes((1L, 1L, "U", "alice2", 150L)).write.mode("append").parquet(in)
+    val q1 = CdcStream.start(spark, in, snapDir, ckpt, schema, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(snap(snapDir) == Map(1L -> ("alice2", 150L)))
+
+    // files land while no query is running; a NEW query on the SAME
+    // checkpoint picks them up without re-applying batch 0
+    changes((2L, 2L, "I", "bob", 200L), (1L, 2L, "U", "alice3", 175L))
+      .write.mode("append").parquet(in)
+    val q2 = CdcStream.start(spark, in, snapDir, ckpt, schema, cfg)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(snapDir) == Map(1L -> ("alice3", 175L), 2L -> ("bob", 200L)))
+    // versions: seed -1, batch 0, batch 1 — restart did not renumber or
+    // duplicate epochs
+    assert(bucketsIn(snapDir, 0L).nonEmpty && bucketsIn(snapDir, 1L).nonEmpty)
+    assert(bucketsIn(snapDir, 2L).isEmpty)
+  }
+
   test("compact folds live buckets into one version with identical contents") {
     val root = Files.createTempDirectory("cdc_compact").toString
     val dir = s"$root/snap"
