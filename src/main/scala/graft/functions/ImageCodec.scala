@@ -166,6 +166,37 @@ object ImageCodec {
         InternalRow(img.getWidth, img.getHeight, pixelChecksum(img))
       case None => null
     }
+
+  /** Eval hook for [[ImageResizeMeta]]: decode + NEAREST-NEIGHBOR resample
+    * to (outW, outH), emitting the resized raster's dimensions and the
+    * same [[pixelChecksum]] formula over the resized grid. Nearest
+    * neighbor with integer source mapping `sx = x·srcW / outW` is chosen
+    * deliberately: it is exact integer arithmetic (no filter kernels, no
+    * float rounding), so the result is mirrorable from a known pixel
+    * pattern without any codec — the same ground-truth contract as
+    * [[decodeMeta]]. The checksum is computed straight off the source
+    * raster (no intermediate image allocation).
+    */
+  def resizeMeta(bytes: Array[Byte], outW: Int, outH: Int): InternalRow =
+    tryDecode(bytes) match {
+      case Some(img) =>
+        val srcW = img.getWidth
+        val srcH = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < outH) {
+          val sy = y * srcH / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * srcW / outW
+            sum += ((x * 31L + y * 17L) ^ (img.getRGB(sx, sy) & 0xFFFFFFL))
+            x += 1
+          }
+          y += 1
+        }
+        InternalRow(outW, outH, sum)
+      case None => null
+    }
 }
 
 /** One-time JVM-wide ImageIO configuration (no temp-file cache). */
@@ -186,6 +217,43 @@ object NativeImageKit {
     */
   def imageDHash(c: Column): Column =
     GraftColumnBridge.column(ImageDHash(GraftColumnBridge.expression(c)))
+
+  /** Nearest-neighbor resize metadata: struct(width, height, px_checksum)
+    * of the resampled raster, null for non-decodable blobs.
+    */
+  def imageResizeMeta(c: Column, outW: Int, outH: Int): Column =
+    GraftColumnBridge.column(
+      ImageResizeMeta(GraftColumnBridge.expression(c), outW, outH))
+}
+
+/**
+ * Catalyst expression: decode an image blob and emit the nearest-neighbor
+ * resize's (width, height, pixel-checksum) — the thumbnail/normalization
+ * step of a media pipeline, verified without shipping pixels (only the
+ * 16-byte struct leaves the scan). Null for non-decodable input.
+ */
+case class ImageResizeMeta(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+  require(outW >= 1 && outH >= 1, "resize dims must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("px_checksum", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.resizeMeta(input.asInstanceOf[Array[Byte]], outW, outH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ImageCodec.resizeMeta($c, $outW, $outH);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageResizeMeta =
+    copy(child = newChild)
 }
 
 /**

@@ -111,6 +111,15 @@ object Multimodal {
   def decodeAudio(blob: Column): Column =
     graft.functions.NativeAudioKit.audioDecodeMeta(blob)
 
+  /** Nearest-neighbor image resize metadata
+    * ([[graft.functions.ImageResizeMeta]]): struct(width, height,
+    * px_checksum) of the resampled raster — the thumbnail/normalization
+    * step, with exact integer source mapping so the result is mirrorable
+    * from a known pattern. Null for non-decodable blobs.
+    */
+  def resizeImage(blob: Column, outW: Int, outH: Int): Column =
+    graft.functions.NativeImageKit.imageResizeMeta(blob, outW, outH)
+
   /** 64-bit perceptual difference hash of an image blob (decoded with the
     * JDK codecs; [[graft.functions.ImageCodec.dHash64]]): a gradient-sign
     * fingerprint invariant under uniform brightness shift and lossless

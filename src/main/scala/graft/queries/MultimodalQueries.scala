@@ -180,6 +180,42 @@ object MultimodalQueries {
       |  CAST(0 AS BIGINT) AS n_norm_bad
       |FROM documents""".stripMargin
 
+  // ── image resize (nearest-neighbor thumbnail) — roundtrip gate ──────────
+  // Every template resized through decode → integer nearest-neighbor to
+  // 3×2; the expected resized checksum is PURE ARITHMETIC from the pattern
+  // formula (sx = x·srcW/3, sy = y·srcH/2 integer division — no filter
+  // kernels, no float rounding), so the gate pins the whole decode+resample
+  // path without the oracle needing a codec.
+  private lazy val truthResizeChecksum: Seq[Long] = (0 until K).map { i =>
+    var sum = 0L
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val g = tplGray(i, x * tplW(i) / 3, y * tplH(i) / 2)
+      sum += ((x * 31L + y * 17L) ^ ((g << 16) | (g << 8) | g).toLong)
+    }
+    sum
+  }
+  private val mmResize: Q = (s, dir) => {
+    val tpl = (col("doc_id") % K).cast("int")
+    val df = Tables.documents(s, dir)
+      .withColumn("media", element_at(typedLit(pngTemplates), tpl + 1))
+      .withColumn("r", Multimodal.resizeImage(col("media"), 3, 2))
+    df.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      coalesce(sum(when(col("r").isNull, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_undecodable"),
+      coalesce(sum(when(col("r.width") =!= 3 || col("r.height") =!= 2, 1)
+        .otherwise(0)), lit(0)).cast("long").as("n_dim_mismatch"),
+      coalesce(sum(when(col("r.px_checksum") =!= element_at(
+        typedLit(truthResizeChecksum), tpl + 1), 1).otherwise(0)), lit(0))
+        .cast("long").as("n_px_mismatch"))
+  }
+  private val mmResizeSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_undecodable,
+      |  CAST(0 AS BIGINT) AS n_dim_mismatch,
+      |  CAST(0 AS BIGINT) AS n_px_mismatch
+      |FROM documents""".stripMargin
+
   // ── perceptual image near-dup (dHash) — invariance + pair-recall gate ───
   // KP pixel patterns, each shipped as THREE blobs: PNG, BMP re-encode of
   // the same pixels, and a PNG with every gray value shifted +20. dHash is
@@ -328,6 +364,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> mmFrames,
     "mm_features" -> mmFeatures,
     "mm_decode" -> mmDecode,
+    "mm_resize" -> mmResize,
     "mm_audio" -> mmAudio,
     "mm_image_neardup" -> mmImageNearDup,
     "mm_image_clusters" -> mmImageClusters)
@@ -337,6 +374,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> mmFramesSql,
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_resize" -> mmResizeSql,
     "mm_audio" -> mmAudioSql,
     "mm_image_neardup" -> mmImageNearDupSql,
     "mm_image_clusters" -> mmImageClustersSql)

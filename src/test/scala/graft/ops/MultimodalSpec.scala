@@ -186,4 +186,36 @@ class MultimodalSpec extends SparkSpec {
     assert(real != graft.functions.BinaryFeatures.byteHashFeatures(bos.toByteArray, 16).toSeq)
     assert(math.abs(real.map(v => v.toDouble * v).sum - 1.0) < 1e-5)
   }
+
+  test("resizeImage: downscale picks exact source pixels, upscale repeats " +
+      "them, undecodable is null") {
+    import spark.implicits._
+    // 4×2 image, gray g(x,y) = 10x + y
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val g = 10 * x + y
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    def truth(outW: Int, outH: Int): Long = {
+      var sum = 0L
+      for (y <- 0 until outH; x <- 0 until outW) {
+        val g = 10 * (x * 4 / outW) + (y * 2 / outH)
+        sum += ((x * 31L + y * 17L) ^ ((g << 16) | (g << 8) | g).toLong)
+      }
+      sum
+    }
+    val df = Seq(Tuple1(bos.toByteArray)).toDF("media")
+    val down = df.select(Multimodal.resizeImage(col("media"), 2, 1).as("r"))
+      .select("r.*").as[(Int, Int, Long)].head()
+    assert(down == ((2, 1, truth(2, 1))))
+    val up = df.select(Multimodal.resizeImage(col("media"), 8, 4).as("r"))
+      .select("r.*").as[(Int, Int, Long)].head()
+    assert(up == ((8, 4, truth(8, 4))))
+    val bad = Seq(Tuple1("not an image".getBytes)).toDF("media")
+      .select(Multimodal.resizeImage(col("media"), 2, 2).as("r")).head()
+    assert(bad.isNullAt(0))
+  }
 }
