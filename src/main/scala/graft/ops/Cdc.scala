@@ -90,4 +90,52 @@ object Cdc {
       keyCols.map(k => col("__k").getField(k).as(k)) ++
         payload.map(p => col("__p").getField(p).as(p)) :+ col(opCol): _*)
   }
+
+  /**
+   * Incremental aggregate maintenance (materialized-view maintenance for
+   * SUM/COUNT): given a grouped aggregate `prevAgg` = (groupCol, sum_v, n)
+   * over the `before` snapshot, produce the aggregate over `after` WITHOUT
+   * rescanning it — the maintenance law `maintainSumCount(agg(before),
+   * before, after) == agg(after)` is spec-enforced.
+   *
+   * Deltas come from one full-outer key join of the snapshots: each
+   * changed key contributes (-v, -1) under its before-group and (+v, +1)
+   * under its after-group (which handles group REASSIGNMENT — the case a
+   * naive per-key value diff silently corrupts), unchanged keys are
+   * filtered before the delta shuffle. Groups whose maintained count
+   * reaches zero are dropped, so the result is exactly the fresh
+   * aggregate, not a zero-row graveyard.
+   *
+   * Scale posture: at 100 TB the whole point — cost is O(|changed keys|)
+   * after the key join, and the delta aggregation is map-side combined;
+   * the prevAgg merge is groups-sized. SUM/COUNT (and any abelian-group
+   * measure: avg = sum/n, variance via sum of squares) maintain this way;
+   * MIN/MAX do not (deletes need a rescan) — use [[applyChangelog]] +
+   * re-aggregate for those.
+   */
+  def maintainSumCount(prevAgg: DataFrame, before: DataFrame,
+      after: DataFrame, keyCols: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    val b = before.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(col(groupCol), col(valueCol)).as("__b"))
+    val a = after.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(col(groupCol), col(valueCol)).as("__a"))
+    val changed = b.join(a, Seq("__k"), "full_outer")
+      .filter(!(col("__b") <=> col("__a")))
+    val minus = changed.filter(col("__b").isNotNull).select(
+      col("__b").getField(groupCol).as(groupCol),
+      (-col("__b").getField(valueCol)).as("__dv"), lit(-1L).as("__dn"))
+    val plus = changed.filter(col("__a").isNotNull).select(
+      col("__a").getField(groupCol).as(groupCol),
+      col("__a").getField(valueCol).as("__dv"), lit(1L).as("__dn"))
+    val deltas = minus.unionByName(plus).groupBy(col(groupCol))
+      .agg(sum(col("__dv")).as("__dv"), sum(col("__dn")).as("__dn"))
+    prevAgg.join(deltas, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+          .as("sum_v"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n"))
+      .filter(col("n") > 0)
+  }
 }

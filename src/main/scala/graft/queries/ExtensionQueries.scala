@@ -943,6 +943,46 @@ object ExtensionQueries {
       |FROM walk w JOIN p r ON r.id = w.anc AND r.parent = r.id
       |ORDER BY w.node""".stripMargin
 
+  // ── incremental aggregate maintenance (materialized-view upkeep) ────────
+  // The per-customer (sum, count) aggregate of the BEFORE snapshot is
+  // maintained to the AFTER state from snapshot deltas alone — the oracle
+  // recomputes the aggregate from AFTER directly, so the gate IS the
+  // maintenance law (maintained == fresh), covering value changes, group
+  // reassignment (customer changes on id%11==0 rows), deletes, inserts.
+  private val xIvm: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+      Kit.cents(col("o_totalprice")).as("price_c"))
+    val before = o.filter(col("id") % 4 =!= 1)
+    val after = o.filter(col("id") % 4 =!= 1 && col("id") % 7 =!= 0)
+      .select(col("id"),
+        when(col("id") % 11 === 0, (col("cust") % 100) + 1L)
+          .otherwise(col("cust")).as("cust"),
+        when(col("id") % 3 === 0, col("price_c") + 500L)
+          .otherwise(col("price_c")).as("price_c"))
+      .unionByName(o.filter(col("id") % 4 === 1 && col("id") % 6 === 1))
+    val prevAgg = before.groupBy(col("cust"))
+      .agg(sum(col("price_c")).as("sum_v"), count(lit(1)).as("n"))
+    Cdc.maintainSumCount(prevAgg, before, after, Seq("id"), "cust", "price_c")
+      .orderBy("cust")
+  }
+  private val xIvmSql =
+    """WITH o AS (
+      |  SELECT o_orderkey AS id, o_custkey AS cust,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |), after_s AS (
+      |  SELECT id,
+      |    CASE WHEN id % 11 = 0 THEN (cust % 100) + 1 ELSE cust END AS cust,
+      |    CASE WHEN id % 3 = 0 THEN price_c + 500 ELSE price_c END AS price_c
+      |  FROM o WHERE id % 4 <> 1 AND id % 7 <> 0
+      |  UNION ALL
+      |  SELECT id, cust, price_c FROM o WHERE id % 4 = 1 AND id % 6 = 1
+      |)
+      |SELECT cust, CAST(sum(price_c) AS BIGINT) AS sum_v,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM after_s GROUP BY cust ORDER BY cust""".stripMargin
+
   // ── cohort retention matrix ─────────────────────────────────────────────
   // Users cohorted by the week of their first signup; for each cohort ×
   // week-offset, how many distinct users were active (any event). Weeks
@@ -1499,6 +1539,7 @@ object ExtensionQueries {
     "x_cdc_apply" -> xCdcApply,
     "x_cdc_diff" -> xCdcDiff,
     "x_cohort_retention" -> xCohortRetention,
+    "x_ivm" -> xIvm,
     "x_sequence_funnel" -> xSequenceFunnel,
     "x_copurchase" -> xCopurchase,
     "x_hierarchy" -> xHierarchy,
@@ -1545,6 +1586,7 @@ object ExtensionQueries {
     "x_cdc_apply" -> xCdcApplySql,
     "x_cdc_diff" -> xCdcDiffSql,
     "x_cohort_retention" -> xCohortRetentionSql,
+    "x_ivm" -> xIvmSql,
     "x_sequence_funnel" -> xSequenceFunnelSql,
     "x_copurchase" -> xCopurchaseSql,
     "x_hierarchy" -> xHierarchySql,

@@ -81,6 +81,36 @@ class CdcSpec extends SparkSpec {
     assert(rebuilt == want)
   }
 
+  test("maintainSumCount: maintenance law == fresh aggregate, including " +
+      "group reassignment, deletes, inserts, emptied groups") {
+    import org.apache.spark.sql.DataFrame
+    val before = Seq(
+      (1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L), (4L, "g3", 40L)
+    ).toDF("id", "grp", "v")
+    val after = Seq(
+      (1L, "g1", 15L),  // value change within group
+      (2L, "g2", 20L),  // group REASSIGNMENT g1 → g2
+      (4L, "g3", 40L),  // unchanged          (3 deleted → g2 loses 30)
+      (5L, "g4", 50L)   // insert into a new group
+    ).toDF("id", "grp", "v")
+    def agg(df: DataFrame) = df.groupBy("grp")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val maintained = Cdc.maintainSumCount(agg(before), before, after,
+        Seq("id"), "grp", "v")
+      .as[(String, Long, Long)].collect().toSet
+    val fresh = agg(after).as[(String, Long, Long)].collect().toSet
+    assert(maintained == fresh)
+    assert(maintained == Set(("g1", 15L, 1L), ("g2", 20L, 1L),
+      ("g3", 40L, 1L), ("g4", 50L, 1L)))
+    // emptying a group drops it: delete everything in g1
+    val after2 = after.filter(col("grp") =!= "g1")
+    val m2 = Cdc.maintainSumCount(agg(after), after, after2,
+        Seq("id"), "grp", "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(m2 == agg(after2).as[(String, Long, Long)].collect().toSet)
+    assert(!m2.exists(_._1 == "g1"))
+  }
+
   test("applyChangelog plan: winner is a partial-agg + hash join, no window") {
     val changes = Seq((1L, 1L, "U", "a", 1L))
       .toDF("id", "seq", "op", "name", "balance")
