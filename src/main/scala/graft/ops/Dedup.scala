@@ -492,6 +492,43 @@ object Dedup {
     out
   }
 
+  /**
+   * Set-similarity join: all id pairs whose SETS (any element type —
+   * item ids, tags, hashed tokens) have Jaccard ≥ `threshold`. The
+   * similar-baskets / similar-tag-profiles shape (PPJoin's problem),
+   * solved with the engine's shared blocking machinery: candidates must
+   * share at least one element, so pairs come from the per-element
+   * postings join — with elements above `maxElementFreq` distinct sets
+   * dropped from CANDIDATE GENERATION only (ubiquitous elements are
+   * blocking-useless and quadratic; a pair sharing only capped elements
+   * is missed — the documented recall trade every capped path here makes;
+   * verification is exact for every surviving candidate).
+   *
+   * Scale posture: postings are (element, id) rows with the partial-agg
+   * frequency cap; sets ride only the final verify join (ids-first, like
+   * the text paths); output (id_a, id_b, jaccard) with id_a < id_b.
+   */
+  def setJaccardPairs(df: DataFrame, idCol: String, setCol: String,
+      threshold: Double, maxElementFreq: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val sets = df.select(col(idCol).as("__id"),
+      array_distinct(col(setCol)).as("__s"))
+    val posts = sizeBandedBuckets(
+      sets.select(col("__id"), explode(col("__s")).as("__e")),
+      Seq("__e"), 2L, maxElementFreq)
+    val cands = posts.select(col("__e"), col("__id").as("id_a"))
+      .join(posts.select(col("__e"), col("__id").as("id_b")), "__e")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("jaccard",
+        graft.functions.TextKit.jaccardFromSets(col("__sa"), col("__sb")))
+      .filter(graft.functions.TextKit.noPushdown(col("jaccard") >= threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ── SemDeDup: semantic dedup via embedding clustering ────────────────────
 
   /**

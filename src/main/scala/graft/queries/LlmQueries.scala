@@ -555,6 +555,55 @@ object LlmQueries {
       |    AS sum_j_micro
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  // ── set-similarity join (similar baskets) ───────────────────────────────
+  // Per-order item sets plus a planted drop-one-element twin per
+  // multi-item order: twins sit at Jaccard (n-1)/n ≥ 0.5, natural pairs
+  // are found identically by both engines. The oracle blocks on shared
+  // elements too (a bare quadratic over 30k baskets of lists is oracle-
+  // side intractable), then verifies on full sets — the same candidates ⊇
+  // answers ⇒ exact-result argument as the operator.
+  private val ddSetJaccard: Q = (s, dir) => {
+    val items0 = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("oid"))
+      .agg(sort_array(array_distinct(collect_list(col("l_partkey") % 4999)))
+        .as("items"))
+    val baskets = items0.unionByName(
+      items0.filter(size(col("items")) >= 2)
+        .select((col("oid") + 10000000L).as("oid"),
+          slice(col("items"), lit(2), size(col("items")) - 1).as("items")))
+    Dedup.setJaccardPairs(baskets, "oid", "items", threshold = 0.5,
+        maxElementFreq = Int.MaxValue)
+      .select(col("id_a"), col("id_b"), Kit.microUnits(col("jaccard"))
+        .as("j_micro"))
+      .orderBy("id_a", "id_b")
+  }
+  private val ddSetJaccardSql =
+    """WITH items0 AS (
+      |  SELECT l_orderkey AS oid,
+      |    list_sort(list_distinct(list(l_partkey % 4999))) AS items
+      |  FROM lineitem GROUP BY l_orderkey
+      |), basket AS (
+      |  SELECT oid, items FROM items0
+      |  UNION ALL
+      |  SELECT oid + 10000000, items[2:] FROM items0 WHERE len(items) >= 2
+      |), posts AS (
+      |  SELECT oid, unnest(items) AS e FROM basket
+      |), cand AS (
+      |  SELECT DISTINCT a.oid AS id_a, b.oid AS id_b
+      |  FROM posts a JOIN posts b ON a.e = b.e AND a.oid < b.oid
+      |), scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CASE WHEN len(ba.items) + len(bb.items) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(ba.items, bb.items)) AS DOUBLE) /
+      |           (CAST(len(ba.items) + len(bb.items) AS DOUBLE)
+      |             - len(list_intersect(ba.items, bb.items))) END AS jac
+      |  FROM cand c
+      |  JOIN basket ba ON ba.oid = c.id_a
+      |  JOIN basket bb ON bb.oid = c.id_b
+      |)
+      |SELECT id_a, id_b, CAST(round(jac * 1000000, 0) AS BIGINT) AS j_micro
+      |FROM scored WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   // ── T5-style span corruption (denoising objective data prep) ────────────
   // Deterministic keyed masking of aligned 3-token spans at 15%: corrupted
   // text with <MASK> sentinels + concatenated target tokens, reproducible
@@ -1814,6 +1863,7 @@ object LlmQueries {
     "sim_negatives" -> simNegatives,
     "t_diversity" -> tDiversity,
     "t_span_corrupt" -> tSpanCorrupt,
+    "dd_set_jaccard" -> ddSetJaccard,
     "dd_semantic_dedup" -> ddSemantic,
     "t_bpe_train" -> tBpeTrain,
     "t_bpe_encode" -> tBpeEncode,
@@ -1870,6 +1920,7 @@ object LlmQueries {
     "sim_negatives" -> simNegativesSql,
     "t_diversity" -> tDiversitySql,
     "t_span_corrupt" -> tSpanCorruptSql,
+    "dd_set_jaccard" -> ddSetJaccardSql,
     "dd_semantic_dedup" -> ddSemanticSql,
     "t_bpe_train" -> tBpeTrainSql,
     "t_bpe_encode" -> tBpeEncodeSql,

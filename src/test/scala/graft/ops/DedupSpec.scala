@@ -254,4 +254,33 @@ class DedupSpec extends SparkSpec {
       threshold = 0.9, maxPostingSize = 1000)
     assert(uncapped.count() == 21L * 20L) // all ordered pairs, C = 1
   }
+
+  test("setJaccardPairs: exact thresholded pairs over element sets; " +
+      "ubiquitous elements capped out of candidate generation only") {
+    import spark.implicits._
+    val baskets = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L)),      // j(1,2) = 3/4
+      (3L, Seq(10L, 50L, 60L, 70L)), // j(1,3) = 1/7, j(2,3) = 1/6
+      (4L, Seq(80L, 90L)),           // disjoint from all
+      (5L, Seq(20L, 30L, 40L))       // j(1,5) = 3/4, j(2,5) = 2/4
+    ).toDF("id", "items")
+    val got = Dedup.setJaccardPairs(baskets, "id", "items", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    // an element in EVERY basket is blocking-useless: with the cap at 4
+    // it is dropped from candidate generation, but pairs sharing rarer
+    // elements are still found and verified on FULL sets
+    val withCommon = baskets.select(col("id"),
+      array_union(col("items"), array(lit(999L))).as("items"))
+    val capped = Dedup.setJaccardPairs(withCommon, "id", "items",
+        threshold = 0.5, maxElementFreq = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // j values shift with the shared element: j(1,2)=4/5? — recompute:
+    // sets now {10,20,30,40,999},{10,20,30,999}: j = 4/5 ≥ .5 — found via
+    // elements 10/20/30 (freq 3 ≤ 4), NOT via 999 (freq 5 > 4)
+    assert(capped.contains((1L, 2L)))
+    // basket 4 shares ONLY the capped 999 with others → never a candidate
+    assert(!capped.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
