@@ -511,14 +511,34 @@ object Dedup {
   def setJaccardPairs(df: DataFrame, idCol: String, setCol: String,
       threshold: Double, maxElementFreq: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
+    import org.apache.spark.sql.expressions.Window
     val sets = df.select(col(idCol).as("__id"),
       array_distinct(col(setCol)).as("__s"))
-    val posts = sizeBandedBuckets(
-      sets.select(col("__id"), explode(col("__s")).as("__e")),
-      Seq("__e"), 2L, maxElementFreq)
-    val cands = posts.select(col("__e"), col("__id").as("id_a"))
-      .join(posts.select(col("__e"), col("__id").as("id_b")), "__e")
-      .filter(col("id_a") < col("id_b"))
+    val posts = sets.select(col("__id"), size(col("__s")).as("__sz"),
+      explode(col("__s")).as("__e"))
+    // PPJoin/AllPairs PREFIX filtering: order elements globally by
+    // (document frequency, value) and keep only each set's rarest
+    // |s| - ceil(t·|s|) + 1 elements for candidate generation. Two sets at
+    // Jaccard ≥ t share > ceil(t·|s|) - 1 elements (given the size filter
+    // below), so they MUST collide inside both prefixes — recall stays
+    // exactly 1 while ubiquitous elements (which rank last) generate
+    // candidates only from sets made almost entirely of them. The window
+    // partitions by set id (set-size-bounded, never corpus-bounded).
+    val dfreq = posts.groupBy(col("__e")).agg(count(lit(1)).as("__df"))
+    val prefix = posts.join(dfreq, Seq("__e"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__e"))))
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__e"), col("__id"), col("__sz"))
+    val capped = sizeBandedBuckets(prefix, Seq("__e"), 1L, maxElementFreq)
+    val cands = capped.select(col("__e"), col("__id").as("id_a"),
+        col("__sz").as("__sza"))
+      .join(capped.select(col("__e"), col("__id").as("id_b"),
+        col("__sz").as("__szb")), "__e")
+      .filter(col("id_a") < col("id_b") &&
+        // size filter: j ≥ t bounds the size ratio — prunes before distinct
+        lit(threshold) * col("__sza") <= col("__szb") &&
+        lit(threshold) * col("__szb") <= col("__sza"))
       .select("id_a", "id_b").distinct()
     cands
       .join(sets.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")

@@ -556,16 +556,18 @@ object LlmQueries {
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   // ── set-similarity join (similar baskets) ───────────────────────────────
-  // Per-order item sets plus a planted drop-one-element twin per
-  // multi-item order: twins sit at Jaccard (n-1)/n ≥ 0.5, natural pairs
+  // Per-order item sets (every third order) plus a planted drop-one-
+  // element twin per multi-item order: twins sit at Jaccard (n-1)/n ≥
+  // 0.5, natural pairs
   // are found identically by both engines. The oracle blocks on shared
   // elements too (a bare quadratic over 30k baskets of lists is oracle-
   // side intractable), then verifies on full sets — the same candidates ⊇
   // answers ⇒ exact-result argument as the operator.
   private val ddSetJaccard: Q = (s, dir) => {
     val items0 = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 3 === 0)
       .groupBy(col("l_orderkey").as("oid"))
-      .agg(sort_array(array_distinct(collect_list(col("l_partkey") % 4999)))
+      .agg(sort_array(array_distinct(collect_list(col("l_partkey") % 49999)))
         .as("items"))
     val baskets = items0.unionByName(
       items0.filter(size(col("items")) >= 2)
@@ -580,8 +582,8 @@ object LlmQueries {
   private val ddSetJaccardSql =
     """WITH items0 AS (
       |  SELECT l_orderkey AS oid,
-      |    list_sort(list_distinct(list(l_partkey % 4999))) AS items
-      |  FROM lineitem GROUP BY l_orderkey
+      |    list_sort(list_distinct(list(l_partkey % 49999))) AS items
+      |  FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY l_orderkey
       |), basket AS (
       |  SELECT oid, items FROM items0
       |  UNION ALL
