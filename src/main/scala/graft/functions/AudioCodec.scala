@@ -9,7 +9,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
 /**
  * REAL audio decode on the JDK's built-in `javax.sound.sampled` (WAV/AU/
@@ -88,6 +88,40 @@ object AudioCodec {
           fmt.getChannels, pcm.length.toLong, pcmChecksum(pcm))
       case None => null
     }
+
+  /** Eval hook for [[AudioWindowEnergy]]: per-window Σ(sample-128)² over
+    * the decoded 8-bit PCM stream — EXACT integer arithmetic (zero-point
+    * 128 for unsigned 8-bit), so segment energies are mirrorable from a
+    * known sample pattern with no codec and no float rounding. The tail
+    * window keeps its partial sum; at most `maxWindows` windows are
+    * emitted (a 10-hour file must not explode a row). This is the
+    * silence/activity segmentation primitive: thresholding these energies
+    * is voice-activity detection's first stage.
+    */
+  def windowEnergies(bytes: Array[Byte], windowSamples: Int,
+      maxWindows: Int): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    tryDecodePcm(bytes) match {
+      case Some((_, pcm)) =>
+        val n = pcm.length
+        val nW = math.min(maxWindows.toLong,
+          (n.toLong + windowSamples - 1) / windowSamples).toInt
+        val out = new Array[Long](nW)
+        var w = 0
+        while (w < nW) {
+          var sum = 0L
+          var i = w * windowSamples
+          val end = math.min(n, i + windowSamples)
+          while (i < end) {
+            val s = (pcm(i) & 0xFF) - 128
+            sum += s.toLong * s
+            i += 1
+          }
+          out(w) = sum
+          w += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case None => null
+    }
 }
 
 object NativeAudioKit {
@@ -96,6 +130,39 @@ object NativeAudioKit {
     */
   def audioDecodeMeta(c: Column): Column =
     GraftColumnBridge.column(AudioDecodeMeta(GraftColumnBridge.expression(c)))
+
+  /** Per-window integer PCM energies (array<long>), null for
+    * non-decodable blobs.
+    */
+  def audioWindowEnergy(c: Column, windowSamples: Int,
+      maxWindows: Int = 4096): Column =
+    GraftColumnBridge.column(AudioWindowEnergy(
+      GraftColumnBridge.expression(c), windowSamples, maxWindows))
+}
+
+/** Catalyst expression: decode an audio blob and emit per-window integer
+  * energies ([[AudioCodec.windowEnergies]]); null for non-decodable
+  * input. Only the energy array leaves the scan — never PCM.
+  */
+case class AudioWindowEnergy(child: Expression, windowSamples: Int,
+    maxWindows: Int) extends UnaryExpression {
+  require(windowSamples >= 1 && maxWindows >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.windowEnergies(input.asInstanceOf[Array[Byte]],
+      windowSamples, maxWindows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.AudioCodec.windowEnergies($c, $windowSamples, $maxWindows);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioWindowEnergy =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: decode an audio blob (JDK PCM readers) and emit

@@ -120,6 +120,17 @@ object Multimodal {
   def resizeImage(blob: Column, outW: Int, outH: Int): Column =
     graft.functions.NativeImageKit.imageResizeMeta(blob, outW, outH)
 
+  /** Per-window integer PCM energies
+    * ([[graft.functions.AudioWindowEnergy]]): array<long> of
+    * Σ(sample-128)² per `windowSamples` — the silence/activity
+    * segmentation primitive, exact integer arithmetic. Null for
+    * non-decodable blobs.
+    */
+  def audioWindowEnergy(blob: Column, windowSamples: Int,
+      maxWindows: Int = 4096): Column =
+    graft.functions.NativeAudioKit.audioWindowEnergy(blob, windowSamples,
+      maxWindows)
+
   /** 64-bit perceptual difference hash of an image blob (decoded with the
     * JDK codecs; [[graft.functions.ImageCodec.dHash64]]): a gradient-sign
     * fingerprint invariant under uniform brightness shift and lossless

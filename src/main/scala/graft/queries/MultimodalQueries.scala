@@ -359,6 +359,49 @@ object MultimodalQueries {
       |  CAST(0 AS BIGINT) AS n_pcm_mismatch
       |FROM documents""".stripMargin
 
+  // ── audio windowed energy (silence/activity segmentation) ───────────────
+  // The WAV templates' per-16-sample integer energies Σ(s-128)² computed
+  // through decode → segmentation must equal the pure-arithmetic truth
+  // from the sample formula — plus an active-window count at a fixed
+  // threshold (the VAD first stage). Codec-free ground truth, same
+  // contract as mm_decode/mm_resize.
+  private lazy val truthEnergies: Seq[Seq[Long]] = (0 until K).map { i =>
+    (0 until wavLen(i)).grouped(16).map { idxs =>
+      idxs.map { j =>
+        val s = wavSample(i, j) - 128
+        s.toLong * s
+      }.sum
+    }.toSeq
+  }
+  private val mmAudioEnergy: Q = (s, dir) => {
+    val tpl = (col("doc_id") % K).cast("int")
+    val df = Tables.documents(s, dir)
+      .withColumn("media", element_at(typedLit(wavTemplates), tpl + 1))
+      .withColumn("en",
+        Multimodal.audioWindowEnergy(col("media"), windowSamples = 16))
+    df.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      coalesce(sum(when(col("en").isNull, 1).otherwise(0)), lit(0))
+        .cast("long").as("n_undecodable"),
+      coalesce(sum(when(col("en") =!= element_at(
+        typedLit(truthEnergies), tpl + 1), 1).otherwise(0)), lit(0))
+        .cast("long").as("n_energy_mismatch"),
+      // active-window census: threshold 16·64² (mean |s-128| ≥ 64)
+      coalesce(sum(size(filter(col("en"), e => e >= 65536L))), lit(0))
+        .cast("long").as("n_active_windows"))
+  }
+  // per-template active-window constants, interpolated into the oracle as
+  // a list literal indexed by the doc's template residue
+  private lazy val truthActivePerTpl: Seq[Long] =
+    truthEnergies.map(_.count(_ >= 65536L).toLong)
+  private lazy val mmAudioEnergySql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(0 AS BIGINT) AS n_undecodable,
+       |  CAST(0 AS BIGINT) AS n_energy_mismatch,
+       |  CAST(sum(([${truthActivePerTpl.mkString(", ")}])[(doc_id % $K) + 1])
+       |    AS BIGINT) AS n_active_windows
+       |FROM documents""".stripMargin
+
   val all: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_frame_sample" -> mmFrames,
@@ -366,6 +409,7 @@ object MultimodalQueries {
     "mm_decode" -> mmDecode,
     "mm_resize" -> mmResize,
     "mm_audio" -> mmAudio,
+    "mm_audio_energy" -> mmAudioEnergy,
     "mm_image_neardup" -> mmImageNearDup,
     "mm_image_clusters" -> mmImageClusters)
 
@@ -376,6 +420,7 @@ object MultimodalQueries {
     "mm_decode" -> mmDecodeSql,
     "mm_resize" -> mmResizeSql,
     "mm_audio" -> mmAudioSql,
+    "mm_audio_energy" -> mmAudioEnergySql,
     "mm_image_neardup" -> mmImageNearDupSql,
     "mm_image_clusters" -> mmImageClustersSql)
 }
