@@ -187,6 +187,32 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(real.map(v => v.toDouble * v).sum - 1.0) < 1e-5)
   }
 
+  test("audioWindowEnergy: exact integer window sums, tail partial, " +
+      "maxWindows cap, undecodable null") {
+    import spark.implicits._
+    // 10 samples with values 128 + (-2, -1, 0, 1, 2, 3, -3, 4, -4, 5):
+    // windows of 4 → [4+1+0+1, 4+9+9+16, 16+25] = [6, 38, 41]
+    val deltas = Seq(-2, -1, 0, 1, 2, 3, -3, 4, -4, 5)
+    val pcm = deltas.map(d => (128 + d).toByte).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq(Tuple1(bos.toByteArray)).toDF("media")
+    val en = df.select(Multimodal.audioWindowEnergy(col("media"), 4).as("e"))
+      .as[Seq[Long]].head()
+    assert(en == Seq(6L, 38L, 41L))
+    val capped = df.select(
+        Multimodal.audioWindowEnergy(col("media"), 4, maxWindows = 2).as("e"))
+      .as[Seq[Long]].head()
+    assert(capped == Seq(6L, 38L))
+    val bad = Seq(Tuple1("not audio".getBytes)).toDF("media")
+      .select(Multimodal.audioWindowEnergy(col("media"), 4).as("e")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("resizeImage: downscale picks exact source pixels, upscale repeats " +
       "them, undecodable is null") {
     import spark.implicits._
