@@ -884,6 +884,30 @@ object ExtensionQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY item_a, item_b""".stripMargin
 
+  // ── exact distributed moments (variance building blocks) ────────────────
+  // Per return-flag: n, Σx, Σx² over cents-quantized prices — the abelian
+  // sufficient statistics every downstream consumer derives mean/variance
+  // from. Keeping the gate on INTEGER sums (not the float variance) is
+  // the cross-engine-portable form: float var_samp is summation-order-
+  // dependent and differs between engines by design.
+  private val xMoments: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), Kit.cents(col("l_extendedprice")).as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_c"),
+        sum(col("p") * col("p")).as("sum_sq_c"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val xMomentsSql =
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p) AS BIGINT) AS sum_c, CAST(sum(p * p) AS BIGINT) AS sum_sq_c
+      |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ── unpivot / melt (wide → long reshape) ────────────────────────────────
   // The inverse of x_pivot: per-lineitem monetary columns melted into
   // (measure, value_c) rows with Spark's native unpivot (no UNION of
@@ -1544,6 +1568,7 @@ object ExtensionQueries {
     "x_copurchase" -> xCopurchase,
     "x_hierarchy" -> xHierarchy,
     "x_unpivot" -> xUnpivot,
+    "x_moments" -> xMoments,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -1591,6 +1616,7 @@ object ExtensionQueries {
     "x_copurchase" -> xCopurchaseSql,
     "x_hierarchy" -> xHierarchySql,
     "x_unpivot" -> xUnpivotSql,
+    "x_moments" -> xMomentsSql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
