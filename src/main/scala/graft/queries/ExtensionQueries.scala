@@ -884,6 +884,38 @@ object ExtensionQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY item_a, item_b""".stripMargin
 
+  // ── event-type transition matrix (Markov counts) ────────────────────────
+  // Per-user timelines ordered by (ts, event_id); count every consecutive
+  // (from_type → to_type) transition corpus-wide — the session-flow /
+  // next-event-model sufficient statistics. One per-user window (user-
+  // bounded) and one map-side-combined count.
+  private val xTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Kit.nanosToMillis("ts").as("ts_ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+  private val xTransitionsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000000 AS ts_ms
+      |  FROM events
+      |), t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id) AS to_type
+      |  FROM e
+      |)
+      |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ── exact distributed moments (variance building blocks) ────────────────
   // Per return-flag: n, Σx, Σx² over cents-quantized prices — the abelian
   // sufficient statistics every downstream consumer derives mean/variance
@@ -1569,6 +1601,7 @@ object ExtensionQueries {
     "x_hierarchy" -> xHierarchy,
     "x_unpivot" -> xUnpivot,
     "x_moments" -> xMoments,
+    "x_transitions" -> xTransitions,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -1617,6 +1650,7 @@ object ExtensionQueries {
     "x_hierarchy" -> xHierarchySql,
     "x_unpivot" -> xUnpivotSql,
     "x_moments" -> xMomentsSql,
+    "x_transitions" -> xTransitionsSql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
