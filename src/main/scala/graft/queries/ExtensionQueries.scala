@@ -1414,6 +1414,28 @@ object ExtensionQueries {
       |    AS max_abs_delta_micro
       |FROM d ORDER BY user_id""".stripMargin
 
+  // ── raw text-lines roundtrip ────────────────────────────────────────────
+  // The line-oriented corpus format (one document per line, the WET/LM
+  // training staple): newlines flattened, written with the text
+  // datasource, read back. Line files carry no keys or order, so the
+  // gate compares the MULTISET of lines (count per md5) — exactly what
+  // identity requires of an unordered line store.
+  private val i8TextRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text")
+      .resolve("docs_txt").toString
+    val lines = Tables.documents(s, dir)
+      .select(regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
+    lines.write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .groupBy(md5(col("value").cast("binary")).as("line_md5"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("line_md5")
+  }
+  private val i8TextRoundtripSql =
+    """SELECT md5(regexp_replace(text, '[\r\n]+', ' ', 'g')) AS line_md5,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY 1 ORDER BY line_md5""".stripMargin
+
   // ── per-node triangle counting (degree-oriented) ────────────────────────
   // Co-occurrence graph folded onto 9973 residue-class nodes from lineitem's
   // (orderkey, partkey) pairs — sparse enough that the graph does NOT densify toward a
@@ -1584,6 +1606,7 @@ object ExtensionQueries {
     "i5_xml_roundtrip" -> i5XmlRoundtrip,
     "i6_orc_roundtrip" -> i6OrcRoundtrip,
     "i7_schema_evolution" -> i7SchemaEvolution,
+    "i8_text_roundtrip" -> i8TextRoundtrip,
     "x_nested_hof" -> xNestedHof,
     "x_interval_join" -> xIntervalJoin,
     "x_json_extract" -> xJsonExtract,
@@ -1633,6 +1656,7 @@ object ExtensionQueries {
     "i5_xml_roundtrip" -> i5XmlRoundtripSql,
     "i6_orc_roundtrip" -> i6OrcRoundtripSql,
     "i7_schema_evolution" -> i7SchemaEvolutionSql,
+    "i8_text_roundtrip" -> i8TextRoundtripSql,
     "x_nested_hof" -> xNestedHofSql,
     "x_interval_join" -> xIntervalJoinSql,
     "x_json_extract" -> xJsonExtractSql,
