@@ -884,6 +884,29 @@ object ExtensionQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY item_a, item_b""".stripMargin
 
+  // ── equi-width histogram (zone-map / optimizer stats shape) ─────────────
+  // 20 fixed-width price buckets with per-bucket count + integer value
+  // sum — the column-statistics build every engine's optimizer and every
+  // data-profiling UI runs; integer bucket arithmetic on cents so both
+  // engines bin identically.
+  private val xHistogram: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(Kit.cents(col("o_totalprice")).as("p"))
+      .select(least(expr("p div 3000000"), lit(19L)).as("bucket"), col("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_c"),
+        min(col("p")).as("min_c"), max(col("p")).as("max_c"))
+      .orderBy(col("bucket"))
+  }
+  private val xHistogramSql =
+    """WITH t AS (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p FROM orders
+      |)
+      |SELECT least(p // 3000000, 19) AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p) AS BIGINT) AS sum_c, CAST(min(p) AS BIGINT) AS min_c,
+      |  CAST(max(p) AS BIGINT) AS max_c
+      |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ── event-type transition matrix (Markov counts) ────────────────────────
   // Per-user timelines ordered by (ts, event_id); count every consecutive
   // (from_type → to_type) transition corpus-wide — the session-flow /
@@ -1625,6 +1648,7 @@ object ExtensionQueries {
     "x_unpivot" -> xUnpivot,
     "x_moments" -> xMoments,
     "x_transitions" -> xTransitions,
+    "x_histogram" -> xHistogram,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
@@ -1675,6 +1699,7 @@ object ExtensionQueries {
     "x_unpivot" -> xUnpivotSql,
     "x_moments" -> xMomentsSql,
     "x_transitions" -> xTransitionsSql,
+    "x_histogram" -> xHistogramSql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
