@@ -96,6 +96,32 @@ object GraftExtensions {
       "graft_damerau_levenshtein(l, r) - unrestricted Damerau-Levenshtein distance",
       { case Seq(l, r) => graft.functions.DamerauLevenshtein(l, r)
       }: Seq[Expression] => Expression),
+    ("graft_image_decode",
+      "graft_image_decode(bin) - JDK image decode: struct(width, height, px_checksum)",
+      { case Seq(c) => graft.functions.ImageDecodeMeta(c)
+      }: Seq[Expression] => Expression),
+    ("graft_image_dhash",
+      "graft_image_dhash(bin) - 64-bit perceptual difference hash",
+      { case Seq(c) => graft.functions.ImageDHash(c)
+      }: Seq[Expression] => Expression),
+    ("graft_image_resize",
+      "graft_image_resize(bin, w, h) - nearest-neighbor resize metadata",
+      { case Seq(c, w, h) => graft.functions.ImageResizeMeta(c,
+          intArg(w, "w", "graft_image_resize"),
+          intArg(h, "h", "graft_image_resize"))
+      }: Seq[Expression] => Expression),
+    ("graft_audio_decode",
+      "graft_audio_decode(bin) - JDK PCM decode: struct(sample_rate, bits, channels, n_bytes, pcm_checksum)",
+      { case Seq(c) => graft.functions.AudioDecodeMeta(c)
+      }: Seq[Expression] => Expression),
+    ("graft_audio_energy",
+      "graft_audio_energy(bin, windowSamples[, maxWindows]) - per-window integer PCM energies",
+      { case Seq(c, w) => graft.functions.AudioWindowEnergy(c,
+          intArg(w, "windowSamples", "graft_audio_energy"), 4096)
+        case Seq(c, w, m) => graft.functions.AudioWindowEnergy(c,
+          intArg(w, "windowSamples", "graft_audio_energy"),
+          intArg(m, "maxWindows", "graft_audio_energy"))
+      }: Seq[Expression] => Expression),
     ("graft_hash_embed",
       "graft_hash_embed(str, dim) - unit-norm feature-hashed bag-of-words embedding",
       { case Seq(c, d) =>

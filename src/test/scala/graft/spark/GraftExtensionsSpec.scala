@@ -64,4 +64,40 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("media kit in SQL: decode, dhash, resize, audio energy") {
+    // 2×2 PNG with gray g(x,y) = 50 + 100x + 10y
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val g = 50 + 100 * x + 10 * y
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val ibos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ibos)
+    val pcm = Array.tabulate[Byte](8)(j => (128 + j).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val abos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, abos)
+    import spark.implicits._
+    Seq((ibos.toByteArray, abos.toByteArray)).toDF("img", "wav")
+      .createOrReplaceTempView("media")
+    val r = spark.sql(
+      """SELECT graft_image_decode(img).width, graft_image_decode(img).height,
+        |  graft_image_resize(img, 1, 1).px_checksum,
+        |  graft_image_dhash(img) IS NOT NULL,
+        |  graft_audio_decode(wav).n_bytes,
+        |  graft_audio_energy(wav, 4)
+        |FROM media""".stripMargin).collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2)
+    // 1×1 resize picks source pixel (0,0): g=50 → checksum (0 ^ 0x323232)
+    assert(r.getLong(2) == 0x323232L)
+    assert(r.getBoolean(3))
+    assert(r.getLong(4) == 8L)
+    // windows of 4 over deltas 0..7: [0+1+4+9, 16+25+36+49] = [14, 126]
+    assert(r.getSeq[Long](5) == Seq(14L, 126L))
+  }
 }
