@@ -65,6 +65,49 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED PageRank: teleport mass goes only to the `seeds` set, so
+   * ranks measure authority RELATIVE to trusted sources (the crawl-
+   * scheduling prior: "how endorsed is this domain by the seeds") instead
+   * of global popularity. Same exact fixed-point integer arithmetic and
+   * per-round plan as [[pageRank]]; seeds carry initial rank `scale` and
+   * the 0.15·scale teleport, everything else starts and teleports at 0.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      srcCol: String, dstCol: String, seedCol: String, iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val eDeg = e.join(deg.hint("shuffle_hash"), "src").cache()
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("__seed", lit(1L))
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node"))).distinct()
+      .join(sd, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .cache()
+    val teleport = (15L * scale) / 100L
+    var ranks = nodes.select(col("node"),
+      (col("__seed") * scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst"), expr("rank div __deg").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__s"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "node"),
+          Seq("node"), "left_outer")
+        .select(col("node"),
+          (col("__seed") * lit(teleport) +
+            expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
+    }
+    val out = ranks.localCheckpoint(eager = true)
+    eDeg.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /**
    * Per-node triangle counts on an undirected graph given as an edge list
    * (either orientation, duplicates/self-loops tolerated). Returns
    * (node, tri_cnt) for nodes in at least one triangle.

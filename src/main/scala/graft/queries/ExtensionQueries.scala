@@ -1623,7 +1623,57 @@ object ExtensionQueries {
        |GROUP BY n HAVING count(*) >= 10 ORDER BY node""".stripMargin
   }
 
+  // ── personalized PageRank (seed-relative authority) ─────────────────────
+  // Same two-layer graph as x_pagerank, teleport restricted to the seed
+  // suppliers (every 10th): authority relative to trusted sources. Oracle
+  // unrolls the integer rounds with a seed-membership CASE.
+  private val xPpr: Q = (s, dir) => {
+    val ship = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"))
+    val residence = Tables.customer(s, dir).select(
+      (col("c_custkey") + 1000000L).as("src"),
+      (col("c_nationkey") + 2000000L).as("dst"))
+    val seeds = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey").as("id"))
+    Graph.personalizedPageRank(ship.unionByName(residence).distinct(),
+        seeds, "src", "dst", "id", iters = 3)
+      .orderBy("node")
+  }
+  private val xPprSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (SELECT n.node,
+         |  CAST(n.seed * 150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT)
+         |    AS rank
+         |FROM n2 n LEFT JOIN (
+         |  SELECT ed.dst, sum(r.rank // ed.deg) AS s
+         |  FROM ed JOIN $prev r ON ed.src = r.node GROUP BY ed.dst) c
+         |ON n.node = c.dst)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  UNION
+       |  SELECT c_custkey + 1000000, c_nationkey + 2000000 FROM customer
+       |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |sd AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 0),
+       |n2 AS (
+       |  SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed
+       |  FROM nodes n LEFT JOIN sd ON sd.node = n.node
+       |),
+       |r0 AS (SELECT node, CAST(seed * 1000000 AS BIGINT) AS rank FROM n2),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "x_ppr" -> xPpr,
     "x_kcore" -> xKcore,
     "x_shortest_path" -> xShortestPath,
     "i5_xml_roundtrip" -> i5XmlRoundtrip,
@@ -1675,6 +1725,7 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_ppr" -> xPprSql,
     "x_kcore" -> xKcoreSql,
     "x_shortest_path" -> xShortestPathSql,
     "i5_xml_roundtrip" -> i5XmlRoundtripSql,

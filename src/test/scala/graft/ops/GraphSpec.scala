@@ -122,6 +122,22 @@ class GraphSpec extends SparkSpec {
     assert(fast == got)
   }
 
+  test("personalizedPageRank: teleport mass flows only from seeds; " +
+      "non-seed sources rank zero-ish downstream of nothing") {
+    // 1 → 2 → 3 and 4 → 3; seed = {1}: node 4 gets NO teleport and no
+    // inflow → rank 0; 3 receives only via the seed path plus 4's zero.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"),
+      "src", "dst", "id", iters = 1).as[(Long, Long)].collect().toMap
+    // round 1: r(1) = 150000 (seed teleport), r(2) = 85% of full seed rank
+    // = 850000, r(3) = 85% of (0 + 0) = 0 wait — r0(2) = 0 so 3 gets 0
+    assert(r == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L, 4L -> 0L))
+    val r2 = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"),
+      "src", "dst", "id", iters = 2).as[(Long, Long)].collect().toMap
+    // round 2: r(2) = 85%·150000 = 127500, r(3) = 85%·850000 = 722500
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L, 4L -> 0L))
+  }
+
   test("pageRank is deterministic across runs and repartitionings") {
     val edges = (1L to 200L).map(i => (i % 17, i % 13)).toDF("src", "dst")
       .distinct()
