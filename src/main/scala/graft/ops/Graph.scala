@@ -108,6 +108,48 @@ object Graph {
   }
 
   /**
+   * HITS hubs & authorities, UNNORMALIZED integer form: fixed mutual-
+   * recursion rounds (auth ← Σ incoming hub, hub ← Σ outgoing auth) from
+   * all-ones start. Scores grow ~(degree)^iters — meaningful as RELATIVE
+   * rankings, which is what the hub/authority decomposition is used for —
+   * and staying in integers keeps every round bit-for-bit deterministic
+   * and engine-replayable (the usual L2 normalization is float, order-
+   * dependent, and only rescales). Keep `iters` small (≤ 4): values are
+   * bounded by maxdeg^(2·iters); a long overflows past that, and ANSI
+   * mode turns overflow into an error rather than silent wrap.
+   *
+   * Per round: two hash joins + two map-side-combined sums over the
+   * cached edge list — same shuffle budget as a [[pageRank]] round.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    var scores = nodes.select(col("node"), lit(1L).as("hub"),
+      lit(1L).as("auth"))
+    for (_ <- 1 to iters) {
+      val auth = e.join(scores.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__a"))
+      val withAuth = nodes.join(auth, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("__a"), lit(0L)).as("auth"))
+      val hub = e.join(withAuth.select(col("node").as("dst"), col("auth")
+          .as("__na")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("__na")).as("__h"))
+      scores = nodes.join(withAuth, Seq("node"))
+        .join(hub, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("__h"), lit(0L)).as("hub"),
+          col("auth"))
+    }
+    val out = scores.localCheckpoint(eager = true)
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /**
    * Per-node triangle counts on an undirected graph given as an edge list
    * (either orientation, duplicates/self-loops tolerated). Returns
    * (node, tri_cnt) for nodes in at least one triangle.

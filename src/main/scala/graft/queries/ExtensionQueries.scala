@@ -1672,7 +1672,57 @@ object ExtensionQueries {
        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  // ── HITS hubs & authorities (integer, unnormalized) ─────────────────────
+  // Two mutual-recursion rounds over the supplier→customer→nation graph;
+  // integer scores are exact and engine-replayable, oracle = the same two
+  // rounds unrolled (auth from incoming hubs, hub from the NEW auths).
+  private val xHits: Q = (s, dir) => {
+    val ship = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"))
+    val residence = Tables.customer(s, dir).select(
+      (col("c_custkey") + 1000000L).as("src"),
+      (col("c_nationkey") + 2000000L).as("dst"))
+    Graph.hits(ship.unionByName(residence), "src", "dst", iters = 2)
+      .orderBy("node")
+  }
+  private val xHitsSql = {
+    def auth(prevHub: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.node, coalesce(x.a, 0) AS auth
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(s.hub) AS a
+         |    FROM e JOIN $prevHub s ON s.node = e.src GROUP BY e.dst
+         |  ) x USING (node))""".stripMargin
+    def hub(curAuth: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.node, coalesce(y.h, 0) AS hub
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS node, sum(a.auth) AS h
+         |    FROM e JOIN $curAuth a ON a.node = e.dst GROUP BY e.src
+         |  ) y USING (node))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  UNION
+       |  SELECT c_custkey + 1000000, c_nationkey + 2000000 FROM customer
+       |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |s0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+       |${auth("s0", "a1")},
+       |${hub("a1", "h1")},
+       |${auth("h1", "a2")},
+       |${hub("a2", "h2")}
+       |SELECT n.node, CAST(h2.hub AS BIGINT) AS hub,
+       |  CAST(a2.auth AS BIGINT) AS auth
+       |FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "x_hits" -> xHits,
     "x_ppr" -> xPpr,
     "x_kcore" -> xKcore,
     "x_shortest_path" -> xShortestPath,
@@ -1725,6 +1775,7 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_hits" -> xHitsSql,
     "x_ppr" -> xPprSql,
     "x_kcore" -> xKcoreSql,
     "x_shortest_path" -> xShortestPathSql,

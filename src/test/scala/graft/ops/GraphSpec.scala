@@ -138,6 +138,22 @@ class GraphSpec extends SparkSpec {
     assert(r2 == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L, 4L -> 0L))
   }
 
+  test("hits: hand-computed hub/authority rounds on a fan-in graph") {
+    // 1→3, 2→3, 3→4: 3 is the authority (two hubs point at it), 1 and 2
+    // are the hubs (they point at the authority)
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    def run(iters: Int): Map[Long, (Long, Long)] =
+      Graph.hits(edges, "src", "dst", iters).as[(Long, Long, Long)]
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // round 1: auth = incoming hub-sum of ones → a(3)=2, a(4)=1;
+    // hub = outgoing NEW auth-sum → h(1)=h(2)=2, h(3)=1
+    assert(run(1) == Map(1L -> ((2L, 0L)), 2L -> ((2L, 0L)),
+      3L -> ((1L, 2L)), 4L -> ((0L, 1L))))
+    // round 2: a(3)=h(1)+h(2)=4, a(4)=h(3)=1; h(1)=h(2)=4, h(3)=1
+    assert(run(2) == Map(1L -> ((4L, 0L)), 2L -> ((4L, 0L)),
+      3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
+  }
+
   test("pageRank is deterministic across runs and repartitionings") {
     val edges = (1L to 200L).map(i => (i % 17, i % 13)).toDF("src", "dst")
       .distinct()
