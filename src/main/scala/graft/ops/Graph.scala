@@ -360,4 +360,52 @@ object Graph {
     }
     st.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
+
+  /**
+   * Neighborhood-Jaccard link prediction over a bipartite incidence list
+   * (left, right): for every RIGHT pair sharing at least `minCommon` left
+   * neighbors, the Jaccard similarity of their left-neighbor sets —
+   * the classic "customers who bought X also bought Y" / related-item
+   * score, and the same shape as co-citation document similarity.
+   *
+   * Returns (r1, r2, common, jac_micro) with r1 < r2; `jac_micro` is
+   * round(1e6 * |N1 ∩ N2| / |N1 ∪ N2|) — an integer ratio of two exact
+   * counts, so cross-engine deterministic.
+   *
+   * Scale posture: candidate pairs are generated ONLY through shared left
+   * nodes (one self-join keyed on left — never all right pairs), and the
+   * quadratic hazard is a hub LEFT node (a customer who bought 10⁶ items
+   * contributes deg² pairs). `maxLeftDegree` drops those hubs before the
+   * self-join via a partial-agg'd count + broadcast semi-join — the same
+   * capped-blocking discipline as the MinHash/SimHash bucket caps; a hub
+   * that popular carries ~no signal for pair similarity anyway. Three hash
+   * shuffles total (degree aggs, pair agg) + two broadcastable dimension
+   * joins.
+   */
+  def neighborJaccard(edges: DataFrame, leftCol: String, rightCol: String,
+      minCommon: Long, maxLeftDegree: Long = Long.MaxValue): DataFrame = {
+    val e = edges.select(col(leftCol).cast("long").as("l"),
+      col(rightCol).cast("long").as("r")).distinct()
+    val keptLeft =
+      if (maxLeftDegree == Long.MaxValue) e
+      else {
+        val ok = e.groupBy("l").agg(count(lit(1)).as("dl"))
+          .filter(col("dl") <= maxLeftDegree).select("l")
+        e.join(broadcast(ok), Seq("l"), "left_semi")
+      }
+    val deg = e.groupBy("r").agg(count(lit(1)).as("d"))
+    val pairs = keptLeft.as("a")
+      .join(keptLeft.withColumnRenamed("r", "r2").as("b"), "l")
+      .filter(col("r") < col("r2"))
+      .groupBy(col("r").as("r1"), col("r2"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("r").as("r1"), col("d").as("d1")), "r1")
+      .join(deg.select(col("r").as("r2"), col("d").as("d2")), "r2")
+      .select(col("r1"), col("r2"), col("common"),
+        round(col("common") * lit(1000000.0) /
+          (col("d1") + col("d2") - col("common")), 0).cast("long")
+          .as("jac_micro"))
+  }
 }

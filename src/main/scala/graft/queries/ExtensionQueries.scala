@@ -1721,7 +1721,127 @@ object ExtensionQueries {
        |ORDER BY n.node""".stripMargin
   }
 
+  // ── 2-D skyline: Pareto-best customers by (total spend, order count) ────
+  // Distributed exact frontier (ops/Skyline.scala): per-x reduction +
+  // bucketed prefix-max — no global sort, no all-pairs join. The oracle IS
+  // the all-pairs NOT EXISTS dominance definition, so the gate proves the
+  // scalable shape equals the textbook semantics.
+  private val xSkyline: Q = (s, dir) => {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(Kit.cents(col("o_totalprice"))).as("spend_c"),
+        count(lit(1)).as("n_orders"))
+    graft.ops.Skyline.skyline2D(perCust, "spend_c", "n_orders",
+        c => shiftright(c, 22))
+      .orderBy(col("spend_c").desc, col("custkey"))
+  }
+  private val xSkylineSql =
+    """WITH p AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS spend_c,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT custkey, spend_c, n_orders FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.spend_c >= a.spend_c AND b.n_orders >= a.n_orders
+      |    AND (b.spend_c > a.spend_c OR b.n_orders > a.n_orders))
+      |ORDER BY spend_c DESC, custkey""".stripMargin
+
+  // ── heavy hitters: exact report cross-checked by a count-min sketch ─────
+  // ops/Sketches.scala: the sketch side is the 100 TB path (KB-sized,
+  // mergeable, one pass, no key shuffle); the exact side gates it. Gate
+  // columns: est_ge_exact is the CMS one-sided-error theorem, within_eps
+  // the eps*n bound realized deterministically by the fixed seed.
+  private val xHeavyHitters: Q = (s, dir) => {
+    graft.ops.Sketches.heavyHittersChecked(
+        s, Tables.orders(s, dir), "o_custkey", minCount = 15L)
+      .withColumnRenamed("key", "custkey")
+  }
+  private val xHeavyHittersSql =
+    """SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_exact,
+      |  true AS est_ge_exact, true AS within_eps
+      |FROM orders GROUP BY o_custkey HAVING count(*) > 15
+      |ORDER BY custkey""".stripMargin
+
+  // ── link prediction: neighborhood Jaccard over the purchase bipartite ───
+  // ops/Graph.neighborJaccard: "customers who bought X also bought Y" —
+  // candidate pairs only through shared customers (no all-pairs), hub
+  // customers cappable like LSH buckets. jac_micro = integer ratio of two
+  // exact counts, so the hash gate is exact.
+  private val xLinkPredict: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    graft.ops.Graph.neighborJaccard(e, "cust", "part", minCommon = 5L)
+      .withColumnRenamed("r1", "part1").withColumnRenamed("r2", "part2")
+      .orderBy(col("jac_micro").desc, col("part1"), col("part2"))
+  }
+  private val xLinkPredictSql =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), deg AS (SELECT part, count(*) AS d FROM e GROUP BY part),
+      |pairs AS (
+      |  SELECT a.part AS part1, b.part AS part2,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM e a JOIN e b ON a.cust = b.cust AND a.part < b.part
+      |  GROUP BY 1, 2 HAVING count(*) >= 5
+      |)
+      |SELECT part1, part2, common,
+      |  CAST(round(common * 1000000.0 / (d1.d + d2.d - common), 0) AS BIGINT)
+      |    AS jac_micro
+      |FROM pairs
+      |JOIN deg d1 ON d1.part = part1 JOIN deg d2 ON d2.part = part2
+      |ORDER BY jac_micro DESC, part1, part2""".stripMargin
+
+  // ── data skipping: per-file min/max manifest prunes a range scan ────────
+  // sources/Layout.statsManifest + skippingRead: lineitem is range-written
+  // on ship time into 12 files (each owns a contiguous time slice, so
+  // per-file min/max envelopes are tight), the manifest then serves a
+  // 1-year predicate from metadata. Gate: the pruned scan's aggregate must
+  // equal the full filtered scan (matches_full), and it must actually have
+  // skipped files (pruned). The oracle replays the aggregate over the raw
+  // table plus the assertion literals.
+  private val xFileSkipping: Q = (s, dir) => {
+    import org.apache.spark.sql.types.TimestampType
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val lo = 852076800000000L // 1997-01-01T00:00:00Z in epoch micros
+    val hi = 883612799999999L // end of 1997
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), Kit.cents(col("l_extendedprice")).as("price_c"),
+        unix_micros(col("l_shipdate").cast(TimestampType)).as("ship_us"))
+      .repartitionByRange(12, col("ship_us"))
+      .sortWithinPartitions(col("ship_us"))
+      .write.mode("overwrite").parquet(tmp)
+    val manifest = graft.sources.Layout.statsManifest(s, tmp, Seq("ship_us"))
+    val (scan, kept, total) = graft.sources.Layout.skippingRead(
+      s, tmp, manifest, "ship_us", lit(lo), lit(hi))
+    val pruned = scan.agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+    val full = s.read.parquet(tmp)
+      .filter(col("ship_us").between(lo, hi))
+      .agg(count(lit(1)).as("fn"), sum(col("price_c")).as("fsum"))
+    pruned.crossJoin(full)
+      .select(col("n"), col("sum_price_c"), lit(total).as("files_total"),
+        lit(kept < total).as("pruned"),
+        (col("n") === col("fn") && col("sum_price_c") === col("fsum"))
+          .as("matches_full"))
+  }
+  private val xFileSkippingSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c,
+      |  CAST(12 AS BIGINT) AS files_total, true AS pruned, true AS matches_full
+      |FROM lineitem
+      |WHERE epoch_us(l_shipdate) BETWEEN 852076800000000 AND 883612799999999""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_heavy_hitters" -> xHeavyHitters,
+    "x_file_skipping" -> xFileSkipping,
+    "x_link_predict" -> xLinkPredict,
+    "x_skyline" -> xSkyline,
     "x_hits" -> xHits,
     "x_ppr" -> xPpr,
     "x_kcore" -> xKcore,
@@ -1775,6 +1895,10 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_heavy_hitters" -> xHeavyHittersSql,
+    "x_file_skipping" -> xFileSkippingSql,
+    "x_link_predict" -> xLinkPredictSql,
+    "x_skyline" -> xSkylineSql,
     "x_hits" -> xHitsSql,
     "x_ppr" -> xPprSql,
     "x_kcore" -> xKcoreSql,

@@ -116,4 +116,45 @@ object Layout {
       partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
     writePartitioned(readPartitioned(spark, inDir), outDir, partitionCols,
       maxRecordsPerFile)
+
+  /**
+   * Per-file min/max/count stats manifest — the Delta/Iceberg-style
+   * data-skipping index, as a plain DataFrame keyed by file path with
+   * `n_rows`, `min_<c>`, `max_<c>` per stat column. One distributed scan
+   * builds it (partial-agg'd groupBy on `input_file_name`); persist it next
+   * to the table and incrementally append per ingested file. At 100 TB the
+   * manifest is ~one row per file (KBs per PB of data) and replaces a full
+   * scan with a metadata lookup for any range predicate on a clustered
+   * column — the reason [[writeZOrdered]]/range-writes exist.
+   */
+  def statsManifest(spark: SparkSession, dir: String,
+      statCols: Seq[String]): DataFrame = {
+    Tables.configure(spark)
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * File-skipping read: keep only the files whose `[min, max]` envelope for
+   * `colName` can intersect the closed range `[lo, hi]`, then scan just
+   * those (the residual row-level filter still applies — stats prune files,
+   * they don't replace the predicate). The manifest is metadata-sized, so
+   * the file-list materialization is a driver metadata operation exactly
+   * like the FileIndex listing Spark itself performs on every read.
+   * Returns (prunedScan, filesKept, filesTotal).
+   */
+  def skippingRead(spark: SparkSession, dir: String, manifest: DataFrame,
+      colName: String, lo: Column, hi: Column): (DataFrame, Long, Long) = {
+    val total = manifest.count()
+    val kept = manifest
+      .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val scan =
+      if (kept.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(kept: _*)
+    (scan.filter(col(colName) >= lo && col(colName) <= hi), kept.length.toLong, total)
+  }
 }

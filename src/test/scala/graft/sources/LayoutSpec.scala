@@ -120,4 +120,29 @@ class LayoutSpec extends SparkSpec {
     assert(after == events.select("event_type").distinct().count())
     assert(Layout.readPartitioned(spark, out).count() == events.count())
   }
+
+  test("statsManifest + skippingRead: range predicate served from file stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_skip").toString
+    // 1000 rows range-clustered on k into 10 files: file i owns [100i, 100i+99]
+    (0L until 1000L).map(k => (k, k * 7)).toDF("k", "v")
+      .repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    val m = Layout.statsManifest(spark, dir, Seq("k"))
+    assert(m.count() == 10)
+    // envelopes are tight: per-file max-min spans exactly its slice
+    assert(m.agg(sum(col("max_k") - col("min_k") + 1)).head.getLong(0) == 1000L)
+
+    val (scan, kept, total) = Layout.skippingRead(
+      spark, dir, m, "k", lit(250L), lit(449L))
+    assert(total == 10 && kept <= 3 && kept >= 2) // 2 full slices + boundary
+    val got = scan.as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (250L to 449L))
+    assert(got.forall { case (k, v) => v == k * 7 })
+
+    // empty intersection: zero files, empty (not failing) scan
+    val (empty, kept0, _) = Layout.skippingRead(
+      spark, dir, m, "k", lit(5000L), lit(6000L))
+    assert(kept0 == 0 && empty.count() == 0)
+  }
 }
