@@ -1837,7 +1837,158 @@ object ExtensionQueries {
       |FROM lineitem
       |WHERE epoch_us(l_shipdate) BETWEEN 852076800000000 AND 883612799999999""".stripMargin
 
+  // ── ranking-window kit: ntile / percent_rank / cume_dist ────────────────
+  // The remaining analytic window family in one query. percent_rank and
+  // cume_dist are integer-ratio doubles ((rank-1)/(n-1), peers/n) computed
+  // from a total order (price, orderkey), so micro-quantization is exact
+  // cross-engine. Note the 5-value partition key is a deliberate
+  // demo skew: a production partition-less ranking runs through
+  // repartitionByRange + per-partition ranks (see Corpus.writeShuffled).
+  private val xWindowKit: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        Kit.microUnits(percent_rank().over(w)).as("pct_rank_micro"),
+        Kit.microUnits(cume_dist().over(w)).as("cume_micro"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+  private val xWindowKitSql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  CAST(round(percent_rank() OVER w * 1000000, 0) AS BIGINT)
+      |    AS pct_rank_micro,
+      |  CAST(round(cume_dist() OVER w * 1000000, 0) AS BIGINT) AS cume_micro
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ── approx percentile with a rank-error gate ────────────────────────────
+  // percentile_approx (Greenwald–Khanna style) at accuracy A guarantees the
+  // returned element's rank is within n/A of the target rank. The gate
+  // computes the TRUE rank of each approx value with one exact pass and
+  // asserts the bound — the same assertion-row pattern as t_approx_distinct
+  // (sketch values themselves are engine-specific, their rank contract is
+  // not). At 100 TB the sketch is the only viable percentile: mergeable,
+  // one pass, KB-sized; the exact rank check here is the gate, not the op.
+  private val xApproxPercentile: Q = (s, dir) => {
+    import s.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val li = Tables.lineitem(s, dir)
+      .select(Kit.cents(col("l_extendedprice")).as("p"))
+    val vs = li.agg(percentile_approx(col("p"),
+        array(qs.map(lit): _*), lit(1000)).as("v"))
+      .head.getSeq[Long](0)
+    val aggCols = count(lit(1)).as("n") +: vs.zipWithIndex.map {
+      case (v, i) => sum(when(col("p") <= v, 1L).otherwise(0L)).as(s"r$i")
+    }
+    val ranks = li.agg(aggCols.head, aggCols.tail: _*).head
+    val n = ranks.getLong(0)
+    val slack = n / 1000 + 1
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      val trueRank = ranks.getLong(i + 1)
+      ((q * 10000).round, n, math.abs(trueRank - q * n) <= slack)
+    }
+    rows.toDF("q_bps", "n", "within_bound").orderBy(col("q_bps"))
+  }
+  private val xApproxPercentileSql =
+    """SELECT q_bps, (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+      |  true AS within_bound
+      |FROM (VALUES (CAST(5000 AS BIGINT)), (9000), (9900)) AS t(q_bps)
+      |ORDER BY q_bps""".stripMargin
+
+  // ── range join via the injected Catalyst rule ───────────────────────────
+  // The SAME naive non-equi join the optimizer would plan as
+  // BroadcastNestedLoopJoin, written naively — graft.spark.
+  // RangeJoinChunkRule (conf-gated, injected by GraftExtensions) rewrites
+  // it transparently into a chunked equi-join. rule_applied pins that the
+  // executed plan really went through the rewrite, so the gate can't pass
+  // on the nested-loop fallback.
+  private val xRangeJoinRule: Q = (s, dir) => {
+    graft.spark.GraftExtensions.registerAll(s)
+    s.conf.set(graft.spark.RangeJoinChunkRule.ConfKey, "10800000") // 3 h
+    val l = Tables.events(s, dir)
+      .select(col("event_id"), Kit.nanosToMillis("ts").as("ts_ms"))
+    val r = s.range(100).select(
+      (lit(1704067200000L) + col("id") * 21600000L).as("w_start"))
+      .withColumn("w_end", col("w_start") + 10800000L)
+    val joined = l.join(r,
+      col("ts_ms") >= col("w_start") && col("ts_ms") < col("w_end"))
+    val applied = joined.queryExecution.executedPlan.toString
+      .contains("__graft_chunk")
+    // materialize under the conf, then restore the session so the rewrite
+    // stays scoped to this query
+    val out = joined.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_windows"), min(col("w_start")).as("first_w_ms"))
+      .withColumn("rule_applied", lit(applied))
+      .orderBy(col("event_id"))
+      .localCheckpoint(eager = true)
+    s.conf.unset(graft.spark.RangeJoinChunkRule.ConfKey)
+    out
+  }
+  private val xRangeJoinRuleSql =
+    """WITH l AS (
+      |  SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+      |), r AS (
+      |  SELECT 1704067200000 + range * 21600000 AS w_start,
+      |         1704067200000 + range * 21600000 + 10800000 AS w_end
+      |  FROM range(100)
+      |)
+      |SELECT l.event_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  min(r.w_start) AS first_w_ms, true AS rule_applied
+      |FROM l JOIN r ON l.ts_ms >= r.w_start AND l.ts_ms < r.w_end
+      |GROUP BY l.event_id
+      |ORDER BY l.event_id""".stripMargin
+
+  // ── recursive CTE: calendar-spine gap fill ──────────────────────────────
+  // Spark 4's WITH RECURSIVE on the engine's SQL surface: an 80-iteration
+  // month spine (bounded, driver-cheap — the spine is metadata-scale; the
+  // fact-side aggregate below it is the only data-scale work) left-joined
+  // with per-month order counts so empty months surface as explicit zeros.
+  // Same SQL text runs on both engines.
+  private val xRecursiveCte: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rcte")
+    s.sql(
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT 23941
+        |  UNION ALL
+        |  SELECT m + 1 FROM spine WHERE m < 24020
+        |), per_month AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS sum_c
+        |  FROM orders_rcte GROUP BY 1
+        |)
+        |SELECT spine.m AS month_num, coalesce(n, CAST(0 AS BIGINT)) AS n_orders,
+        |  coalesce(sum_c, CAST(0 AS BIGINT)) AS spend_c
+        |FROM spine LEFT JOIN per_month ON spine.m = per_month.m
+        |ORDER BY month_num""".stripMargin)
+  }
+  private val xRecursiveCteSql =
+    """WITH RECURSIVE spine(m) AS (
+      |  SELECT 23941
+      |  UNION ALL
+      |  SELECT m + 1 FROM spine WHERE m < 24020
+      |), per_month AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS sum_c
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT spine.m AS month_num, coalesce(n, CAST(0 AS BIGINT)) AS n_orders,
+      |  coalesce(sum_c, CAST(0 AS BIGINT)) AS spend_c
+      |FROM spine LEFT JOIN per_month ON spine.m = per_month.m
+      |ORDER BY month_num""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_recursive_cte" -> xRecursiveCte,
+    "x_range_join_rule" -> xRangeJoinRule,
+    "x_window_kit" -> xWindowKit,
+    "x_approx_percentile" -> xApproxPercentile,
     "x_heavy_hitters" -> xHeavyHitters,
     "x_file_skipping" -> xFileSkipping,
     "x_link_predict" -> xLinkPredict,
@@ -1895,6 +2046,10 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_recursive_cte" -> xRecursiveCteSql,
+    "x_range_join_rule" -> xRangeJoinRuleSql,
+    "x_window_kit" -> xWindowKitSql,
+    "x_approx_percentile" -> xApproxPercentileSql,
     "x_heavy_hitters" -> xHeavyHittersSql,
     "x_file_skipping" -> xFileSkippingSql,
     "x_link_predict" -> xLinkPredictSql,

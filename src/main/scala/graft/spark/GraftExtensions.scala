@@ -23,12 +23,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
  * Spark's own `approx_percentile` treats its accuracy argument.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
+    // conf-gated plan rewrites (each is a no-op until its conf is set)
+    ext.injectOptimizerRule(_ => RangeJoinChunkRule)
+  }
 }
 
 object GraftExtensions {
@@ -138,5 +141,8 @@ object GraftExtensions {
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinChunkRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinChunkRule
   }
 }
