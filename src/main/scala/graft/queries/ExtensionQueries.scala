@@ -1984,7 +1984,83 @@ object ExtensionQueries {
       |FROM spine LEFT JOIN per_month ON spine.m = per_month.m
       |ORDER BY month_num""".stripMargin
 
+  // ── bucketed co-located join: zero-shuffle join via table layout ────────
+  // Both sides written bucketBy(8) on the join key: the join (and the
+  // downstream group-by on the same key) plans with NO shuffle exchange —
+  // the bucketed-layout contract that makes a daily 100 TB fact-to-dim
+  // join shuffle-free forever after one write. Broadcast is disabled for
+  // the probe so the gate pins the SortMergeJoin-without-Exchange shape
+  // (`colocated`), not a trivial broadcast.
+  private val xBucketedJoin: Q = (s, dir) => {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    s.sql("DROP TABLE IF EXISTS graft_b_orders")
+    s.sql("DROP TABLE IF EXISTS graft_b_cust")
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").option("path", s"$wh/o")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_b_orders")
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").option("path", s"$wh/c")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_b_cust")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val agg = s.table("graft_b_orders")
+      .join(s.table("graft_b_cust"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(Kit.cents(col("o_totalprice"))).as("spend_c"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val colocated = !plan.contains("ShuffleExchange") &&
+      plan.contains("SortMergeJoin")
+    val out = agg.withColumn("colocated", lit(colocated))
+      .orderBy(col("c_mktsegment"))
+      .localCheckpoint(eager = true)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    out
+  }
+  private val xBucketedJoinSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS spend_c,
+      |  true AS colocated
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ── EWMA smoothing (truncated horizon, exact integer arithmetic) ────────
+  // Exponential smoothing with alpha = 1/2 truncated at 8 lags: the scaled
+  // sum Σ_{j<8} value_c(t-j)·2^(7-j) is exact integer arithmetic, so the
+  // gate is bit-exact. The truncation IS the scale story: the recursive
+  // EWMA is inherently sequential per key, while the k-lag form is one
+  // per-user window pass (hash shuffle on user, per-user sort) — and 2^-8
+  // of residual weight is below any practical signal.
+  private val xEwma: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val lags = (0 until 8).map(j =>
+      coalesce(lag(col("v_c"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        Kit.nanosToMillis("ts").as("ts_ms"), Kit.cents(col("value")).as("v_c"))
+      .withColumn("ewma_s", lags.reduce(_ + _))
+      .select(col("event_id"), col("user_id"), col("ewma_s"))
+      .orderBy(col("event_id"))
+  }
+  private val xEwmaSql = {
+    val terms = (0 until 8).map(j =>
+      s"coalesce(lag(v_c, $j) OVER w, 0) * ${1L << (7 - j)}").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v_c
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, $terms AS ewma_s
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "x_bucketed_join" -> xBucketedJoin,
+    "x_ewma" -> xEwma,
     "x_recursive_cte" -> xRecursiveCte,
     "x_range_join_rule" -> xRangeJoinRule,
     "x_window_kit" -> xWindowKit,
@@ -2046,6 +2122,8 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_bucketed_join" -> xBucketedJoinSql,
+    "x_ewma" -> xEwmaSql,
     "x_recursive_cte" -> xRecursiveCteSql,
     "x_range_join_rule" -> xRangeJoinRuleSql,
     "x_window_kit" -> xWindowKitSql,
