@@ -1848,7 +1848,54 @@ object LlmQueries {
       |FROM canon JOIN documents t ON t.doc_id = canon.cid
       |ORDER BY canon.doc_id""".stripMargin
 
+  // ── full-text search: positional inverted index, AND + phrase query ─────
+  // ops/Search.scala: O(corpus) one-time index build, O(postings) query —
+  // the leak-hunting / contamination-triage shape a 100 TB corpus cannot
+  // serve by regex scan. Oracles replay the token/position construction.
+  private val tSearchAnd: Q = (s, dir) => {
+    val idx = graft.ops.Search.invertedIndex(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.ops.Search.andQuery(idx, Seq("hash", "join", "scan"))
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+  private val tSearchAndSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0
+      |)
+      |SELECT doc_id FROM t WHERE tok IN ('hash', 'join', 'scan')
+      |GROUP BY doc_id HAVING count(DISTINCT tok) = 3
+      |ORDER BY doc_id""".stripMargin
+
+  private val tSearchPhrase: Q = (s, dir) => {
+    val idx = graft.ops.Search.invertedIndex(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.ops.Search.phraseQuery(idx, Seq("hash", "join"))
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+  private val tSearchPhraseSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+      |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1
+      |      AS pos
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), a AS (
+      |  SELECT doc_id, pos AS anchor FROM t WHERE tok = 'hash'
+      |  UNION ALL
+      |  SELECT doc_id, pos - 1 AS anchor FROM t WHERE tok = 'join'
+      |), m AS (
+      |  SELECT doc_id, anchor FROM a WHERE anchor >= 0
+      |  GROUP BY doc_id, anchor HAVING count(*) = 2
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "t_search_and" -> tSearchAnd,
+    "t_search_phrase" -> tSearchPhrase,
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
     "dd_minhash_lsh" -> ddMinhash,
@@ -1906,6 +1953,8 @@ object LlmQueries {
     "t_vocab" -> tVocab)
 
   val oracles: Map[String, String] = Map(
+    "t_search_and" -> tSearchAndSql,
+    "t_search_phrase" -> tSearchPhraseSql,
     "dd_exact_hash" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_minhash_lsh" -> ddMinhashSql,
