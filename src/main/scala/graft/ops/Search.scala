@@ -45,6 +45,35 @@ object Search {
       .select(col("doc"))
   }
 
+  /**
+   * BM25-ranked retrieval (Robertson–Spärck Jones): per-document relevance
+   * over `terms`, `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+   * with idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene-standard
+   * non-negative form). Needs only the posting rows of the query terms
+   * plus two corpus scalars (N, avgdl) and per-term dfs — all
+   * partial-agg'd; the doc-length side joins on doc for just the candidate
+   * docs. Scores are micro-quantized for cross-engine exactness.
+   */
+  def bm25Query(index: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    val docLen = index.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val corpus = docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val posting = index.filter(col("token").isin(terms: _*))
+      .select(col("token"), col("doc"), col("tf"))
+    val df_ = posting.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    posting
+      .join(broadcast(df_), "token")
+      .join(docLen, "doc")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc"))
+      .agg(round(sum(col("w")) * 1000000.0, 0).cast("long").as("score_micro"))
+  }
+
   /** Documents containing the exact token phrase `terms`, with occurrence
     * counts. Position-offset anchors: full phrases are anchors hit by all
     * n terms; overlapping occurrences count separately.

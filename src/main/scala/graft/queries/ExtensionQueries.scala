@@ -2058,7 +2058,24 @@ object ExtensionQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ── KLL quantile sketch via a typed Aggregator (custom-UDAF surface) ────
+  // ops/Sketches.KllAgg: DataSketches KLL wrapped as an Aggregator —
+  // per-partition sketches update in place, merge at the exchange, one KB
+  // image reaches the driver. KLL compaction is randomized, so the gate
+  // asserts every returned quantile's true rank within 3× the sketch's own
+  // normalized error envelope (not a pinned value).
+  private val xKllQuantiles: Q = (s, dir) => {
+    graft.ops.Sketches.kllQuantilesChecked(
+      s, Tables.events(s, dir), "value", Seq(0.25, 0.5, 0.75, 0.95))
+  }
+  private val xKllQuantilesSql =
+    """SELECT q_bps, (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
+      |  true AS within_bound
+      |FROM (VALUES (CAST(2500 AS BIGINT)), (5000), (7500), (9500)) AS t(q_bps)
+      |ORDER BY q_bps""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_kll_quantiles" -> xKllQuantiles,
     "x_bucketed_join" -> xBucketedJoin,
     "x_ewma" -> xEwma,
     "x_recursive_cte" -> xRecursiveCte,
@@ -2122,6 +2139,7 @@ object ExtensionQueries {
     "w8_session_window" -> w8Session)
 
   val oracles: Map[String, String] = Map(
+    "x_kll_quantiles" -> xKllQuantilesSql,
     "x_bucketed_join" -> xBucketedJoinSql,
     "x_ewma" -> xEwmaSql,
     "x_recursive_cte" -> xRecursiveCteSql,

@@ -1893,9 +1893,44 @@ object LlmQueries {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // BM25 ranked retrieval on the same index: Lucene-form idf, micro-
+  // quantized scores; only query-term postings + two corpus scalars flow.
+  private val tSearchRanked: Q = (s, dir) => {
+    val idx = graft.ops.Search.invertedIndex(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.ops.Search.bm25Query(idx, Seq("hash", "join", "scan"))
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+  }
+  private val tSearchRankedSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+      |), corpus AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+      |), posting AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2
+      |), dfs AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  CAST(round(sum(
+      |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1.0)
+      |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  ) * 1000000.0, 0) AS BIGINT) AS score_micro
+      |FROM posting JOIN dfs USING (tok) JOIN dl USING (doc_id)
+      |CROSS JOIN corpus
+      |GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "t_search_and" -> tSearchAnd,
     "t_search_phrase" -> tSearchPhrase,
+    "t_search_ranked" -> tSearchRanked,
     "dd_exact_hash" -> ddExact,
     "dd_ngram_jaccard" -> ddNgram,
     "dd_minhash_lsh" -> ddMinhash,
@@ -1955,6 +1990,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "t_search_and" -> tSearchAndSql,
     "t_search_phrase" -> tSearchPhraseSql,
+    "t_search_ranked" -> tSearchRankedSql,
     "dd_exact_hash" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_minhash_lsh" -> ddMinhashSql,

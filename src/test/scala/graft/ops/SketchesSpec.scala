@@ -37,4 +37,26 @@ class SketchesSpec extends SparkSpec {
     assert(out == Seq((1L, 40L, true, true), (2L, 30L, true, true),
       (3L, 21L, true, true)))
   }
+
+  test("KLL aggregator: merged quantiles within the sketch's rank-error bound") {
+    // known distribution: 0..99999 uniform => quantile q ~ 100000*q
+    val df = spark.range(100000L).toDF("v").repartition(8)
+    val out = Sketches.kllQuantilesChecked(spark, df, "v",
+      Seq(0.1, 0.5, 0.9)).as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1000L, 5000L, 9000L))
+    assert(out.forall(r => r._2 == 100000L && r._3))
+  }
+
+  test("KLL buffer survives serialization (exchange boundary round trip)") {
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+    (1 to 1000).foreach(i => sk.update(i.toDouble))
+    val buf = new Sketches.KllBuf(sk)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(buf); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[Sketches.KllBuf]
+    assert(back.sk.getN == 1000L)
+    assert(math.abs(back.sk.getQuantile(0.5) - 500.0) <= 50.0)
+  }
 }
