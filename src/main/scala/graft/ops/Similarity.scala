@@ -349,4 +349,34 @@ object Similarity {
     cand.join(corpus.select(col(idCol).cast("long").as("partner")), "partner")
       .select(col("anchor"), col("j"), col("partner"))
   }
+
+  /**
+   * k-nearest-neighbor classification: each query vector takes the
+   * majority label of its k nearest labeled corpus vectors by cosine
+   * (ties: most votes first, then the nearer top neighbor is irrelevant —
+   * smallest label wins, fully deterministic). Built on [[bruteForceTopK]]
+   * (broadcast query side, per-partition heap — exact), so the scale path
+   * for large query sets is the same swap as search: route through
+   * [[lshTopK]]/[[ivfTopK]] neighbor lists instead.
+   *
+   * Output: (query_id, pred_label, votes, n_neighbors).
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__lbl"))
+    val votes = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__rk", row_number().over(w))
+      .withColumn("__nn", sum(col("votes"))
+        .over(Window.partitionBy(col("query_id"))))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"),
+        col("__nn").as("n_neighbors"))
+  }
 }

@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed descriptive statistics: correlation matrix, per-group OLS
+ * regression, z-score outlier detection, chi-square independence, a
+ * grid-blocked planar distance join, and basket association rules.
+ *
+ * Cross-engine determinism contract (the DuckDB oracle hashes values): every
+ * statistic here is computed from EXACT integer sums (callers pass
+ * integer-scaled columns — cents/bps — so `sum(x)`, `sum(x*x)`, `sum(x*y)`
+ * are exact BIGINTs; Spark runs ANSI mode so overflow fails loudly instead
+ * of wrapping), then finished with a fixed IEEE-754 double expression tree
+ * that the oracle mirrors operation-for-operation. Identical inputs +
+ * identical op order → bit-identical doubles → identical micro-rounding.
+ *
+ * Scale posture: every op is one scan + map-side-combined aggregation (the
+ * moment sums), or an equi-join on a blocking key (grid cells, baskets).
+ * Nothing collects to the driver; nothing is quadratic without a documented
+ * cap.
+ */
+object Stats {
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  /**
+   * Pearson correlation for every pair of `cols` (assumed integer-valued;
+   * cast to long internally) in ONE scan: a single aggregate row holds all
+   * moment sums (n, Σx, Σx², Σxy — all exact bigints, partial-agg
+   * combined), then the pair rows are exploded from that one row — no
+   * second pass, no driver collect. At 100 TB this is a full scan plus a
+   * 1-row reduce, the minimum any correlation needs.
+   *
+   * Output: (col_x, col_y, n, corr) with corr =
+   * (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ₛ)·(n·Σy² − Σy²ₛ)) in doubles.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val d = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs =
+      cols.flatMap(c => Seq(sum(col(c)).as(s"__s_$c"),
+        sum(col(c) * col(c)).as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"__sp_${a}_$b") }
+    val g = d.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = dd(col("__n"))
+      val sx = dd(col(s"__s_$a")); val sy = dd(col(s"__s_$b"))
+      val sxx = dd(col(s"__ss_$a")); val syy = dd(col(s"__ss_$b"))
+      val sxy = dd(col(s"__sp_${a}_$b"))
+      val corr = (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("__n").as("n"), corr.as("corr"))
+    }
+    g.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /**
+   * Per-group ordinary-least-squares fit of y on x (both integer-valued):
+   * one grouped aggregation for the five moment sums, then
+   * slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ₛ), intercept = (Σy − slope·Σx)/n,
+   * r² = cov² / (varx·vary). Groups with zero x-variance yield nulls.
+   * One shuffle on the group key, partials combined map-side.
+   *
+   * Output: (group, n, slope, intercept, r2).
+   */
+  def olsRegression(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("group"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val g = d.groupBy(col("group")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = dd(col("n"))
+    val sx = dd(col("sx")); val sy = dd(col("sy"))
+    val sxx = dd(col("sxx")); val syy = dd(col("syy")); val sxy = dd(col("sxy"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val slope = when(varx =!= 0.0, cov / varx)
+    g.select(col("group"), col("n"), slope.as("slope"),
+      when(varx =!= 0.0, (sy - (cov / varx) * sx) / n).as("intercept"),
+      when(varx =!= 0.0 && vary =!= 0.0, (cov * cov) / (varx * vary)).as("r2"))
+  }
+
+  /**
+   * Population z-score outliers per group: rows where |v − mean| > z·std.
+   * Two passes over the (already small, integer-scaled) projection: a
+   * grouped moment aggregate (group cardinality-sized — broadcast back),
+   * then a per-row filter. mean = Σv/n, var = (Σv² − Σv²ₛ/n)/n — fixed op
+   * order, mirrored by the oracle.
+   *
+   * Output: original (group, id, v) rows that are outliers, plus zscore.
+   */
+  def zscoreOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, z: Double): DataFrame = {
+    val d = df.select(col(groupCol).as("group"), col(idCol).as("id"),
+      col(valueCol).cast("long").as("v"))
+    val stats = d.groupBy(col("group")).agg(count(lit(1)).as("n"),
+      sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
+    val n = dd(col("n")); val s = dd(col("s")); val ss = dd(col("ss"))
+    val withStats = d.join(broadcast(
+      stats.select(col("group"), (s / n).as("mean"),
+        sqrt((ss - (s * s) / n) / n).as("std"))), Seq("group"))
+    withStats
+      .filter(abs(dd(col("v")) - col("mean")) > lit(z) * col("std"))
+      .select(col("group"), col("id"), col("v"),
+        ((dd(col("v")) - col("mean")) / col("std")).as("zscore"))
+  }
+
+  /**
+   * Chi-square test of independence between two categorical columns,
+   * via the zero-cell-free identity chi2 = Σ_cells (obs−exp)²/exp =
+   * Σ_OBSERVED obs²/exp − n (the never-observed (a,b) combinations each
+   * contribute exactly their expectation, and all expectations sum to n —
+   * so they need not be generated). Each observed cell's obs²/exp term
+   * (exp = rowTot·colTot/n, exact marginals) is rounded to micro-units
+   * BEFORE the final sum so the statistic is an order-free exact BIGINT
+   * sum (distributed double addition is order-dependent; rounded-integer
+   * addition is not).
+   *
+   * Output: one row (n_cells — observed cells, dof, chi2_micro).
+   */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    val obs = d.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val colTot = obs.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"), countDistinct(col("a")).as("ra"),
+      countDistinct(col("b")).as("cb"))
+    val exp = (dd(col("rt")) * dd(col("ct"))) / dd(col("n"))
+    val contrib = (dd(col("o")) * dd(col("o"))) / exp
+    obs.join(broadcast(rowTot), Seq("a")).join(broadcast(colTot), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(round(contrib * lit(1e6), 0).cast("long").as("c_micro"),
+        col("n"), col("ra"), col("cb"))
+      .groupBy(col("n"), col("ra"), col("cb"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("c_micro")).as("chi2_micro"))
+      .select(col("n_cells"), ((col("ra") - 1) * (col("cb") - 1)).as("dof"),
+        (col("chi2_micro") - col("n") * lit(1000000L)).as("chi2_micro"))
+  }
+
+  /**
+   * All point pairs within `radius` (planar euclidean), found with uniform
+   * grid blocking: cell side = radius, so a point's partners can only live
+   * in its own or the 8 neighboring cells. The left side is replicated to
+   * the 3×3 neighborhood (9 rows), the right side stays in its own cell,
+   * and the match is a plain equi-join on (cellX, cellY) — each qualifying
+   * pair appears exactly once (the right row's cell is unique). This is
+   * the standard spatial self-join shape: shuffle on cell, no all-pairs.
+   *
+   * Cells holding more than `maxCellSize` points are dropped WHOLE from
+   * both sides (quadratic-blowup guard for pathological point stacks —
+   * same posture as the LSH bucket caps); the default never triggers at
+   * gate scale, so the brute-force oracle stays exact.
+   *
+   * Output: (id_a, id_b, d2) with id_a < id_b and d2 = squared distance
+   * (no sqrt/trig — the whole chain is IEEE mult/add, oracle-mirrorable).
+   */
+  def gridDistanceJoin(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Double, maxCellSize: Int = 1 << 20): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    val p0 = points.select(col(idCol).as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / lit(radius)).cast("long"))
+      .withColumn("cy", floor(col("y") / lit(radius)).cast("long"))
+    val cellCounts = p0.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") <= maxCellSize)
+      .select(col("cx"), col("cy"))
+    val p = p0.join(cellCounts, Seq("cx", "cy"), "left_semi")
+    val offsets = for { ox <- -1 to 1; oy <- -1 to 1 } yield (ox, oy)
+    val lhs = p
+      .withColumn("__o", explode(array(offsets.map { case (ox, oy) =>
+        struct(lit(ox).as("ox"), lit(oy).as("oy")) }: _*)))
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("__o.ox")).as("jx"), (col("cy") + col("__o.oy")).as("jy"))
+    val rhs = p.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+    lhs.join(rhs, Seq("jx", "jy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"), col("d2"))
+  }
+
+  /**
+   * Pairwise association rules over (basket, item) transactions — the
+   * market-basket staple: for every ordered pair A→B of items co-occurring
+   * in ≥ `minPairCount` baskets, support = pairN/nBaskets, confidence =
+   * pairN/count(A), lift = pairN·nBaskets/(count(A)·count(B)).
+   *
+   * Shape: distinct (basket, item) → per-basket self-join with item_a <
+   * item_b (quadratic ONLY in basket size, and baskets over
+   * `maxBasketItems` items are dropped whole — the Apriori-style guard),
+   * pair counts shuffled on the pair, item counts broadcast back. The
+   * ratios are exact-count divisions in a fixed double op order.
+   *
+   * Output: (ante, cons, pair_n, n_baskets, support, confidence, lift) —
+   * both directions of each unordered pair.
+   */
+  def assocRules(tx: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 1L, maxBasketItems: Int = 100): DataFrame = {
+    val items0 = tx.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val smallBaskets = items0.groupBy(col("basket"))
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBasketItems)
+      .select(col("basket"))
+    val items = items0.join(smallBaskets, Seq("basket"), "left_semi")
+    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("item_n"))
+    val nB = items.agg(countDistinct(col("basket")).as("n_baskets"))
+    val a = items.select(col("basket"), col("item").as("ia"))
+    val b = items.select(col("basket"), col("item").as("ib"))
+    val pairs = a.join(b, Seq("basket")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairCount)
+    val directed = pairs.select(col("ia").as("ante"), col("ib").as("cons"),
+        col("pair_n"))
+      .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
+        col("pair_n")))
+    directed
+      .join(broadcast(itemCnt.select(col("item").as("ante"),
+        col("item_n").as("ante_n"))), Seq("ante"))
+      .join(broadcast(itemCnt.select(col("item").as("cons"),
+        col("item_n").as("cons_n"))), Seq("cons"))
+      .crossJoin(broadcast(nB))
+      .select(col("ante"), col("cons"), col("pair_n"), col("n_baskets"),
+        (dd(col("pair_n")) / dd(col("n_baskets"))).as("support"),
+        (dd(col("pair_n")) / dd(col("ante_n"))).as("confidence"),
+        ((dd(col("pair_n")) * dd(col("n_baskets"))) /
+          (dd(col("ante_n")) * dd(col("cons_n")))).as("lift"))
+  }
+}

@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.functions.Kit
+import graft.ops.{Similarity, Stats}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Statistical-analytics extension surface (SURVEY §2.12): correlation
+ * matrix, per-group OLS regression, z-score outliers, chi-square
+ * independence, grid-blocked spatial distance join, association rules,
+ * and kNN classification — each oracle-gated against DuckDB.
+ *
+ * Determinism recipe (shared with [[LlmQueries]]): integer-scaled inputs →
+ * exact BIGINT moment sums → a fixed IEEE-754 double expression tree the
+ * oracle mirrors op-for-op → micro-unit rounding. See [[graft.ops.Stats]].
+ */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── Pearson correlation matrix in one scan ──────────────────────────────
+  private val xCorr: Q = (s, dir) => {
+    val d = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice"), 0).cast("long").as("price_d"),
+      round(col("l_discount") * 10000, 0).cast("long").as("disc_bps"),
+      round(col("l_tax") * 10000, 0).cast("long").as("tax_bps"))
+    Stats.corrMatrix(d, Seq("qty", "price_d", "disc_bps", "tax_bps"))
+      .select(col("col_x"), col("col_y"), col("n"),
+        Kit.microUnits(col("corr")).as("corr_micro"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+  private val xCorrSql = {
+    val cols = Seq("qty", "price_d", "disc_bps", "tax_bps")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val moments = cols.flatMap(c => Seq(
+      s"CAST(sum($c) AS BIGINT) AS s_$c",
+      s"CAST(sum($c * $c) AS BIGINT) AS ss_$c")) ++
+      pairs.map { case (a, b) => s"CAST(sum($a * $b) AS BIGINT) AS sp_${a}_$b" }
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  CAST(round(
+         |    (CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+         |       - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+         |    sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |            - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |         * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |            - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+         |    * 1000000, 0) AS BIGINT) AS corr_micro FROM m""".stripMargin }
+    s"""WITH d AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(round(l_extendedprice, 0) AS BIGINT) AS price_d,
+       |    CAST(round(l_discount * 10000, 0) AS BIGINT) AS disc_bps,
+       |    CAST(round(l_tax * 10000, 0) AS BIGINT) AS tax_bps
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, ${moments.mkString(",\n    ")}
+       |  FROM d
+       |)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  // ── per-group OLS: extendedprice (dollars) on quantity ──────────────────
+  private val xRegression: Q = (s, dir) => {
+    val d = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice"), 0).cast("long").as("y"))
+    Stats.olsRegression(d, "g", "x", "y")
+      .select(col("group"), col("n"),
+        Kit.microUnits(col("slope")).as("slope_micro"),
+        Kit.microUnits(col("intercept")).as("intercept_micro"),
+        Kit.microUnits(col("r2")).as("r2_ppm"))
+      .orderBy(col("group"))
+  }
+  private val xRegressionSql =
+    """WITH d AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM d GROUP BY g
+      |), f AS (
+      |  SELECT g, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m
+      |)
+      |SELECT g AS "group", n,
+      |  CAST(round((cov / varx) * 1000000, 0) AS BIGINT) AS slope_micro,
+      |  CAST(round(((syd - (cov / varx) * sxd) / CAST(n AS DOUBLE))
+      |             * 1000000, 0) AS BIGINT) AS intercept_micro,
+      |  CAST(round(((cov * cov) / (varx * vary)) * 1000000, 0) AS BIGINT)
+      |    AS r2_ppm
+      |FROM f ORDER BY "group"""".stripMargin
+
+  // ── per-type z-score outliers on event value (cents) ────────────────────
+  private val xOutliers: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      Kit.cents(col("value")).as("v"))
+    Stats.zscoreOutliers(e, "event_type", "event_id", "v", z = 3.0)
+      .select(col("group"), col("id"), col("v"),
+        Kit.microUnits(col("zscore")).as("z_micro"))
+      .orderBy(col("group"), col("id"))
+  }
+  private val xOutliersSql =
+    """WITH d AS (
+      |  SELECT event_type AS g, event_id AS id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS v
+      |  FROM events
+      |), m AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+      |  FROM d GROUP BY g
+      |), st AS (
+      |  SELECT g, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt((CAST(ss AS DOUBLE)
+      |          - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+      |         / CAST(n AS DOUBLE)) AS std
+      |  FROM m
+      |)
+      |SELECT d.g AS "group", d.id, d.v,
+      |  CAST(round(((CAST(d.v AS DOUBLE) - st.mean) / st.std) * 1000000, 0)
+      |    AS BIGINT) AS z_micro
+      |FROM d JOIN st ON d.g = st.g
+      |WHERE abs(CAST(d.v AS DOUBLE) - st.mean) > 3.0 * st.std
+      |ORDER BY "group", id""".stripMargin
+
+  // ── chi-square independence: event_type × epoch-day-of-week ─────────────
+  // The weekday category is pure integer arithmetic on the epoch-nanos
+  // long ((ms // 86400000) % 7) — no calendar functions, engine-portable.
+  private val xChisq: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("__ms", Kit.nanosToMillis("ts"))
+      .select(col("event_type").as("a"),
+        (expr("__ms div 86400000") % lit(7L)).as("b"))
+    Stats.chiSquare(e, "a", "b")
+  }
+  private val xChisqSql =
+    """WITH d AS (
+      |  SELECT event_type AS a, (epoch_ns(ts) // 1000000 // 86400000) % 7 AS b
+      |  FROM events
+      |), obs AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY a, b
+      |), rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY a),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT a) AS BIGINT) AS ra,
+      |    CAST(count(DISTINCT b) AS BIGINT) AS cb
+      |  FROM obs
+      |), cells AS (
+      |  SELECT CAST(round(
+      |    ((CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
+      |     / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE)))
+      |    * 1000000.0, 0) AS BIGINT) AS c_micro, n, ra, cb
+      |  FROM obs
+      |  JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |  (ra - 1) * (cb - 1) AS dof,
+      |  CAST(sum(c_micro) - n * 1000000 AS BIGINT) AS chi2_micro
+      |FROM cells GROUP BY n, ra, cb""".stripMargin
+
+  // ── grid-blocked planar distance self-join ──────────────────────────────
+  // Deterministic pseudo-coordinates derived from the customer key. The
+  // scatter must be QUADRATIC in the key: a linear map would place all
+  // points on a sparse 1-D lattice of the 100×100 torus (pair displacement
+  // depends only on key DELTA, and no small delta lands within the radius
+  // at small SF → zero pairs), while Weyl-style k² sequences equidistribute
+  // pairwise. Pairs within radius 0.5 via 3×3 cell blocking; the oracle
+  // brute-forces the same predicate — valid because no cell hits the
+  // blow-up cap at gate SF.
+  private val xGeoJoin: Q = (s, dir) => {
+    val k = col("c_custkey")
+    val pts = Tables.customer(s, dir).select(k.as("id"),
+      (((k * k * lit(31L) + k * lit(7919L)) % lit(100000L)) / lit(1000.0)).as("x"),
+      (((k * k * lit(57L) + k * lit(104729L) + lit(11L)) % lit(100000L)) / lit(1000.0)).as("y"))
+    Stats.gridDistanceJoin(pts, "id", "x", "y", radius = 0.5)
+      .select(col("id_a"), col("id_b"), Kit.microUnits(col("d2")).as("d2_micro"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val xGeoJoinSql =
+    """WITH p AS (
+      |  SELECT c_custkey AS id,
+      |    ((c_custkey * c_custkey * 31 + c_custkey * 7919) % 100000)
+      |      / 1000.0 AS x,
+      |    ((c_custkey * c_custkey * 57 + c_custkey * 104729 + 11) % 100000)
+      |      / 1000.0 AS y
+      |  FROM customer
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(round(((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+      |             * 1000000, 0) AS BIGINT) AS d2_micro
+      |FROM p a, p b
+      |WHERE a.id < b.id
+      |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.5 * 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ── association rules over per-user event-type baskets ──────────────────
+  private val xAssocRules: Q = (s, dir) => {
+    val tx = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+    Stats.assocRules(tx, "user_id", "event_type")
+      .select(col("ante"), col("cons"), col("pair_n"), col("n_baskets"),
+        Kit.microUnits(col("support")).as("supp_ppm"),
+        Kit.microUnits(col("confidence")).as("conf_ppm"),
+        Kit.microUnits(col("lift")).as("lift_micro"))
+      .orderBy(col("ante"), col("cons"))
+  }
+  private val xAssocRulesSql =
+    """WITH items AS (
+      |  SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+      |), ic AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) AS item_n FROM items GROUP BY item
+      |), nb AS (
+      |  SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+      |), pr AS (
+      |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS pair_n
+      |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY a.item, b.item
+      |), dir AS (
+      |  SELECT ia AS ante, ib AS cons, pair_n FROM pr
+      |  UNION ALL
+      |  SELECT ib AS ante, ia AS cons, pair_n FROM pr
+      |)
+      |SELECT ante, cons, pair_n, n_baskets,
+      |  CAST(round((CAST(pair_n AS DOUBLE) / CAST(n_baskets AS DOUBLE))
+      |             * 1000000, 0) AS BIGINT) AS supp_ppm,
+      |  CAST(round((CAST(pair_n AS DOUBLE) / CAST(ca.item_n AS DOUBLE))
+      |             * 1000000, 0) AS BIGINT) AS conf_ppm,
+      |  CAST(round(((CAST(pair_n AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+      |              (CAST(ca.item_n AS DOUBLE) * CAST(cc.item_n AS DOUBLE)))
+      |             * 1000000, 0) AS BIGINT) AS lift_micro
+      |FROM dir
+      |JOIN ic ca ON dir.ante = ca.item
+      |JOIN ic cc ON dir.cons = cc.item
+      |CROSS JOIN nb
+      |ORDER BY ante, cons""".stripMargin
+
+  // ── kNN majority-vote classification over embeddings ────────────────────
+  // Leave-one-out: each query (every 25th vector) takes the majority label
+  // of its 5 nearest OTHER vectors by cosine; ties → smallest label.
+  private val simKnn: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    Similarity.knnClassify(em, queries, k = 5)
+      .select(col("query_id"), col("pred_label").cast("long").as("pred_label"),
+        col("votes"), col("n_neighbors"))
+      .orderBy(col("query_id"))
+  }
+  private val simKnnSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0
+      |), s AS (
+      |  SELECT q.query_id, v.vec_id AS neighbor_id, v.label,
+      |    list_sum(list_transform(range(1, 65), i -> v.e[i] * q.qe[i])) /
+      |      (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cos
+      |  FROM v, q WHERE v.vec_id <> q.query_id
+      |), r AS (
+      |  SELECT query_id, label,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM s
+      |), votes AS (
+      |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+      |  FROM r WHERE rank <= 5 GROUP BY query_id, label
+      |), winner AS (
+      |  SELECT query_id, label, votes,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY votes DESC, label) AS wr,
+      |    CAST(sum(votes) OVER (PARTITION BY query_id) AS BIGINT) AS n_neighbors
+      |  FROM votes
+      |)
+      |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes, n_neighbors
+      |FROM winner WHERE wr = 1 ORDER BY query_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "x_corr_matrix" -> xCorr,
+    "x_regression" -> xRegression,
+    "x_outliers" -> xOutliers,
+    "x_chisq" -> xChisq,
+    "x_geo_join" -> xGeoJoin,
+    "x_assoc_rules" -> xAssocRules,
+    "sim_knn_classify" -> simKnn)
+
+  val oracles: Map[String, String] = Map(
+    "x_corr_matrix" -> xCorrSql,
+    "x_regression" -> xRegressionSql,
+    "x_outliers" -> xOutliersSql,
+    "x_chisq" -> xChisqSql,
+    "x_geo_join" -> xGeoJoinSql,
+    "x_assoc_rules" -> xAssocRulesSql,
+    "sim_knn_classify" -> simKnnSql)
+}
