@@ -408,4 +408,47 @@ object Graph {
           (col("d1") + col("d2") - col("common")), 0).cast("long")
           .as("jac_micro"))
   }
+
+  /**
+   * Synchronous label-propagation community detection, fully
+   * deterministic: every node starts labeled with its own id; each round
+   * ALL nodes simultaneously adopt the most frequent label among their
+   * neighbors, ties broken by the smallest label. (The classic
+   * async/random-order LPA is irreproducible by construction — the
+   * synchronous min-tie-break variant trades a little convergence speed
+   * for an engine-replayable fixed point, the same determinism posture as
+   * [[pageRank]]'s integer rounds.)
+   *
+   * Per round: one hash join (labels onto the symmetrized edge list), one
+   * (node,label) count aggregate, and one per-node argmax as a
+   * `min_by`-shaped aggregate (partial-agg capable — NOT a window sort,
+   * so a celebrity node's million-neighbor vote count combines map-side).
+   * Constant lineage via eager localCheckpoint per round.
+   *
+   * Returns (node, label) after `rounds` rounds; isolated nodes never
+   * appear (no edges → no community evidence).
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).filter(col("a") =!= col("b"))
+    val e = raw.union(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    val nodes = e.select(col("a").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("node").as("a"), col("label")), "a")
+        .groupBy(col("b").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      labels = votes
+        .groupBy("node")
+        .agg(min(struct((-col("__c")).as("negc"), col("label"))).as("__m"))
+        .select(col("node"), col("__m.label").as("label"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist()
+    labels
+  }
 }

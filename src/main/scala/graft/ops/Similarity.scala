@@ -379,4 +379,45 @@ object Similarity {
       .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"),
         col("__nn").as("n_neighbors"))
   }
+
+  /**
+   * Nearest-centroid (Rocchio) classification: one centroid per label —
+   * the per-dimension mean over QUANTIZED components (round(x·quantScale)
+   * as long), so the distributed sums are exact integers and the centroid
+   * is bit-identical regardless of partitioning/order (a raw float mean
+   * would be order-dependent) — then each query takes the label of the
+   * highest-cosine centroid (ties → smallest label).
+   *
+   * Scale: centroid build is one posexplode + one (label,dim) aggregate
+   * (map-side combined; output is labels×dims rows — KBs); the model
+   * table is broadcast so classification is a scan-side map with no
+   * shuffle of the query side. The classic cheap-and-strong baseline
+   * before kNN.
+   *
+   * Output: (query_id, pred_label, cos).
+   */
+  def nearestCentroidClassify(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", quantScale: Double = 1e6): DataFrame = {
+    val comp = corpus
+      .select(col(labelCol).as("label"),
+        posexplode(VectorKit.asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x") * lit(quantScale), 0).cast("long").as("q"))
+    val dims = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"))
+    val centroids = dims.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("label"))
+    q.crossJoin(broadcast(centroids))
+      .withColumn("cos", VectorKit.cosine(col("qv"), col("cv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("cos"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Kit
-import graft.ops.{Similarity, Stats}
+import graft.ops.{Graph, Similarity, Stats}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -290,7 +290,96 @@ object StatsQueries {
       |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes, n_neighbors
       |FROM winner WHERE wr = 1 ORDER BY query_id""".stripMargin
 
+  // ── synchronous label-propagation communities ───────────────────────────
+  // Same supplier→customer→nation graph as x_pagerank, symmetrized; two
+  // deterministic rounds (most-frequent neighbor label, ties → min label)
+  // unrolled in the oracle.
+  private val xLpa: Q = (s, dir) => {
+    val ship = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"))
+    val residence = Tables.customer(s, dir).select(
+      (col("c_custkey") + 1000000L).as("src"),
+      (col("c_nationkey") + 2000000L).as("dst"))
+    Graph.labelPropagation(ship.unionByName(residence).distinct(),
+        "src", "dst", rounds = 2)
+      .orderBy(col("node"))
+  }
+  private val xLpaSql = {
+    def round(prev: String, votes: String, cur: String) =
+      s"""$votes AS (
+         |  SELECT e.b AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM ed e JOIN $prev l ON e.a = l.node GROUP BY e.b, l.label
+         |), $cur AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |    FROM $votes) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH und AS (
+       |  SELECT DISTINCT l.l_suppkey AS a, o.o_custkey + 1000000 AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  UNION
+       |  SELECT c_custkey + 1000000 AS a, c_nationkey + 2000000 AS b
+       |  FROM customer
+       |), ed AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)
+       |  WHERE a <> b
+       |), l0 AS (SELECT DISTINCT a AS node, a AS label FROM ed),
+       |${round("l0", "v1", "l1")},
+       |${round("l1", "v2", "l2")}
+       |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+  }
+
+  // ── nearest-centroid (Rocchio) classification ───────────────────────────
+  private val simCentroid: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    Similarity.nearestCentroidClassify(em, queries)
+      .select(col("query_id"), col("pred_label").cast("long").as("pred_label"),
+        Kit.microUnits(col("cos")).as("cos_micro"))
+      .orderBy(col("query_id"))
+  }
+  private val simCentroidSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), comp AS (
+      |  SELECT label, t.i AS pos,
+      |    CAST(round(e[t.i] * 1000000, 0) AS BIGINT) AS q
+      |  FROM v, range(1, 65) t(i)
+      |), dims AS (
+      |  SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM comp GROUP BY label, pos
+      |), cent AS (
+      |  SELECT label,
+      |    list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+      |  FROM dims GROUP BY label
+      |), q AS (
+      |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0
+      |), sc AS (
+      |  SELECT q.query_id, c.label,
+      |    list_sum(list_transform(range(1, 65), i -> q.qe[i] * c.cv[i])) /
+      |      (sqrt(list_sum(list_transform(q.qe, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cos
+      |  FROM q, cent c
+      |), r AS (
+      |  SELECT query_id, label, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, label) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+      |  CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro
+      |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_lpa" -> xLpa,
+    "sim_centroid_classify" -> simCentroid,
     "x_corr_matrix" -> xCorr,
     "x_regression" -> xRegression,
     "x_outliers" -> xOutliers,
@@ -300,6 +389,8 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_lpa" -> xLpaSql,
+    "sim_centroid_classify" -> simCentroidSql,
     "x_corr_matrix" -> xCorrSql,
     "x_regression" -> xRegressionSql,
     "x_outliers" -> xOutliersSql,

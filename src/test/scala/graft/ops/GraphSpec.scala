@@ -163,4 +163,40 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("labelPropagation: two cliques joined by a bridge keep separate labels") {
+    // clique {1,2,3} and clique {10,11,12}, one bridge 3-10: after enough
+    // rounds every clique member carries its clique's min label; the
+    // bridge endpoints see a majority of in-clique neighbors so the
+    // communities don't merge.
+    def clique(ns: Seq[Long]) =
+      for { a <- ns; b <- ns if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      Seq((3L, 10L))).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(labels).distinct.size == 1)
+    assert(Seq(10L, 11L, 12L).map(labels).distinct.size == 1)
+    assert(labels(1L) != labels(10L))
+  }
+
+  test("labelPropagation: synchronous min-tie-break is partitioning-invariant") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).toDF("src", "dst")
+    val a = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(edges.repartition(11), "src", "dst",
+      rounds = 3).as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("labelPropagation: star adopts the hub's label in one round") {
+    // hub 5 with leaves 6,7,8: each leaf's only neighbor is 5 -> label 5;
+    // the hub's neighbors all carry distinct labels -> tie -> min = 6.
+    val edges = Seq((5L, 6L), (5L, 7L), (5L, 8L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, "src", "dst", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(5L -> 6L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+  }
 }

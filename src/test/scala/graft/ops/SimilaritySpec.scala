@@ -175,4 +175,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall { case (a, _, p) => p != a && p >= 0 && p < 40 })
     assert(out == run(corpus.repartition(13)))
   }
+
+  test("nearestCentroidClassify assigns axis clusters to their centroid") {
+    // two tight clusters on orthogonal axes; every query lands on its own
+    // cluster's centroid, and the winning cosine is near 1
+    def v(parts: Float*): Array[Float] = parts.toArray
+    val corpus = Seq(
+      (1L, v(1f, 0.1f), 7), (2L, v(1f, -0.1f), 7), (3L, v(0.9f, 0f), 7),
+      (4L, v(0.1f, 1f), 8), (5L, v(-0.1f, 1f), 8), (6L, v(0f, 0.9f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val qs = Seq((100L, v(0.8f, 0.05f)), (101L, v(0.02f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nearestCentroidClassify(corpus, qs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(got.map(g => (g._1, g._2)) == List((100L, 7), (101L, 8)))
+    assert(got.forall(_._3 > 0.99))
+  }
+
+  test("nearestCentroidClassify: centroids are partitioning-invariant") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (1L to 200L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = corpus.filter($"vec_id" % 20 === 0)
+      .select($"vec_id", $"embedding")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.nearestCentroidClassify(c, qs)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(run(corpus) == run(corpus.repartition(17)) && run(corpus).size == 10)
+  }
 }
