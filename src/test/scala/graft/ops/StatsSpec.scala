@@ -129,6 +129,24 @@ class StatsSpec extends SparkSpec {
     assert(got.toSet == Set(("a", "b", 2L, 2L), ("b", "a", 2L, 2L)))
   }
 
+  test("plan: gridDistanceJoin is an equi-join on cells — no nested loop") {
+    val pts = (1L to 100L).map(i => (i, (i % 17).toDouble, (i % 23).toDouble))
+    val plan = Stats.gridDistanceJoin(pts.toDF("id", "x", "y"), "id", "x", "y",
+      radius = 1.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"spatial join fell back to an all-pairs plan:\n$plan")
+  }
+
+  test("plan: corrMatrix moment sums combine map-side (partial aggregation)") {
+    val df = (1L to 100L).map(i => (i, i * 2, i % 7)).toDF("a", "b", "c")
+    val plan = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"expected partial aggregation before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("knnClassify: majority label wins, ties break to smallest label") {
     // query 0 at origin-ish; labels: two 1s and one 2 among 3-NN -> 1.
     // query 10: exactly balanced 1-vs-2 votes in 2-NN -> smaller label 1.
