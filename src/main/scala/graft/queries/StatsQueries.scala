@@ -377,7 +377,48 @@ object StatsQueries {
       |  CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro
       |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin
 
+  // ── bloom-filter point-lookup file skipping ─────────────────────────────
+  // The layout is range-partitioned by SHIP DATE, so a `l_orderkey = v`
+  // lookup gets nothing from min/max envelopes (every file spans the key
+  // space) — the per-file bloom manifest prunes it instead. Gate asserts
+  // the pruned scan returns exactly the full-scan answer AND that files
+  // were actually skipped.
+  private val xBloomSkip: Q = (s, dir) => {
+    import org.apache.spark.sql.types.TimestampType
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), Kit.cents(col("l_extendedprice")).as("price_c"),
+        unix_micros(col("l_shipdate").cast(TimestampType)).as("ship_us"))
+      .repartitionByRange(12, col("ship_us"))
+      .sortWithinPartitions(col("ship_us"))
+      .write.mode("overwrite").parquet(tmp)
+    val probe = Tables.lineitem(s, dir)
+      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+    val manifest = graft.sources.Layout.bloomManifest(s, tmp, "l_orderkey")
+      .cache()
+    val (scan, kept, total) = graft.sources.Layout.bloomSkippingRead(
+      s, tmp, manifest, "l_orderkey", lit(probe))
+    manifest.unpersist()
+    val pruned = scan.agg(count(lit(1)).as("n"),
+      sum(col("price_c")).as("sum_price_c"))
+    val full = s.read.parquet(tmp).filter(col("l_orderkey") === probe)
+      .agg(count(lit(1)).as("fn"), sum(col("price_c")).as("fsum"))
+    pruned.crossJoin(full)
+      .select(col("n"), col("sum_price_c"), lit(total).as("files_total"),
+        lit(kept < total).as("pruned"),
+        (col("n") === col("fn") && col("sum_price_c") === col("fsum"))
+          .as("matches_full"))
+  }
+  private val xBloomSkipSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c,
+      |  CAST(12 AS BIGINT) AS files_total, true AS pruned, true AS matches_full
+      |FROM lineitem
+      |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_bloom_skipping" -> xBloomSkip,
     "x_lpa" -> xLpa,
     "sim_centroid_classify" -> simCentroid,
     "x_corr_matrix" -> xCorr,
@@ -389,6 +430,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_bloom_skipping" -> xBloomSkipSql,
     "x_lpa" -> xLpaSql,
     "sim_centroid_classify" -> simCentroidSql,
     "x_corr_matrix" -> xCorrSql,

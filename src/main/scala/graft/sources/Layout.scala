@@ -157,4 +157,67 @@ object Layout {
       else spark.read.parquet(kept: _*)
     (scan.filter(col(colName) >= lo && col(colName) <= hi), kept.length.toLong, total)
   }
+
+  /**
+   * Per-file BLOOM-FILTER manifest for point-lookup file skipping — the
+   * companion to [[statsManifest]]: min/max envelopes prune RANGE
+   * predicates but are useless for `key = v` lookups on a column the
+   * layout is NOT sorted by (every file's envelope spans v). A per-file
+   * bloom filter (`nBits` bits; `nHashes` deterministic positions per
+   * value, derived `xxhash64(key, i) mod nBits`) prunes those instead —
+   * the Delta/Iceberg bloom-index shape over plain parquet.
+   *
+   * The filter build is a bitwise-OR aggregate — commutative and
+   * associative, so it partial-aggregates map-side and is bit-identical
+   * under any partitioning. Stored SPARSE as a (wordIndex → 64-bit word)
+   * map per file; manifest size ≤ files × nBits/8 bytes — metadata-scale
+   * (the same class of object as the FileIndex Spark already keeps).
+   *
+   * Size `nBits` for the per-file distinct-key count: load factor
+   * k·n/nBits ≈ 0.25 gives ~1.5% false-positive rate at k=3.
+   */
+  def bloomManifest(spark: SparkSession, dir: String, keyCol: String,
+      nBits: Int = 1 << 20, nHashes: Int = 3): DataFrame = {
+    require(nBits > 0 && nBits % 64 == 0, "nBits must be a positive multiple of 64")
+    require(nHashes >= 1, "need at least one hash")
+    Tables.configure(spark)
+    val posCols = (0 until nHashes).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(nBits.toLong)))
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"),
+        explode(array(posCols: _*)).as("pos"))
+      .groupBy(col("file"), expr("pos div 64").cast("int").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, int(pos % 64)))").as("bits"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+  }
+
+  /**
+   * Point-lookup read through a [[bloomManifest]]: keep only the files
+   * whose bloom has ALL probe bits set for `keyCol = value`, scan just
+   * those, and re-apply the row-level predicate (blooms prune files — a
+   * false positive costs one extra file scan, never a wrong row). The
+   * probe positions are computed by the engine itself on a one-row plan,
+   * so build and probe share the exact hash family by construction.
+   * Returns (prunedScan, filesKept, filesTotal).
+   */
+  def bloomSkippingRead(spark: SparkSession, dir: String, manifest: DataFrame,
+      keyCol: String, value: Column, nBits: Int = 1 << 20,
+      nHashes: Int = 3): (DataFrame, Long, Long) = {
+    val probeRow = spark.range(1).select((0 until nHashes).map(i =>
+      pmod(xxhash64(value, lit(i)), lit(nBits.toLong)).as(s"p$i")): _*)
+      .collect()(0)
+    val hit = (0 until nHashes).map { i =>
+      val p = probeRow.getLong(i)
+      coalesce(element_at(col("bloom"), lit((p / 64).toInt)), lit(0L))
+        .bitwiseAND(lit(1L << (p % 64).toInt)) =!= lit(0L)
+    }.reduce(_ && _)
+    val total = manifest.count()
+    val kept = manifest.filter(hit).select("file").collect().map(_.getString(0))
+    val scan =
+      if (kept.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(kept: _*)
+    (scan.filter(col(keyCol) === value), kept.length.toLong, total)
+  }
 }

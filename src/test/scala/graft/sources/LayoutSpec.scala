@@ -145,4 +145,46 @@ class LayoutSpec extends SparkSpec {
       spark, dir, m, "k", lit(5000L), lit(6000L))
     assert(kept0 == 0 && empty.count() == 0)
   }
+
+  test("bloomManifest + bloomSkippingRead: point lookup on an unsorted key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_bloom").toString
+    // keys deliberately NOT clustered with the file layout: files are
+    // range-split on a scrambled order column, so min/max on k is useless
+    (0L until 1000L).map(k => (k, (k * 6364136223846793005L) % 1000))
+      .toDF("k", "scramble")
+      .repartitionByRange(10, col("scramble")).sortWithinPartitions("scramble")
+      .write.mode("overwrite").parquet(dir)
+    val m = Layout.bloomManifest(spark, dir, "k", nBits = 1 << 14).cache()
+    assert(m.count() == 10)
+
+    // a present key: found exactly, with most files pruned (the key lives
+    // in one file; FP rate at this load is ~0)
+    val (scan, kept, total) = Layout.bloomSkippingRead(
+      spark, dir, m, "k", lit(777L), nBits = 1 << 14)
+    assert(total == 10 && kept < 10 && kept >= 1)
+    assert(scan.select("k").as[Long].collect().toSeq == Seq(777L))
+
+    // an absent key: blooms have no false negatives, and at this load the
+    // probe should miss everywhere -> empty scan either way
+    val (miss, _, _) = Layout.bloomSkippingRead(
+      spark, dir, m, "k", lit(123456789L), nBits = 1 << 14)
+    assert(miss.count() == 0)
+    m.unpersist()
+  }
+
+  test("bloomManifest: bitwise-OR build is partitioning-invariant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_bloom2").toString
+    (0L until 500L).map(k => (k, k % 3)).toDF("k", "g")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("file"), explode(col("bloom")).as(Seq("w", "bits")))
+      .orderBy("file", "w")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = canon(Layout.bloomManifest(spark, dir, "k", nBits = 4096))
+    val b = canon(Layout.bloomManifest(
+      spark.newSession(), dir, "k", nBits = 4096))
+    assert(a == b && a.nonEmpty)
+  }
 }
