@@ -417,7 +417,20 @@ object StatsQueries {
       |FROM lineitem
       |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin
 
+  // ── distributed dense-id assignment (scalable zipWithIndex) ─────────────
+  private val xDenseIds: Q = (s, dir) => {
+    graft.sources.Layout.denseIds(
+        Tables.orders(s, dir).select(col("o_orderkey")),
+        Seq("o_orderkey"), nParts = 8)
+      .orderBy(col("o_orderkey"))
+  }
+  private val xDenseIdsSql =
+    """SELECT o_orderkey,
+      |  row_number() OVER (ORDER BY o_orderkey) - 1 AS dense_id
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_dense_ids" -> xDenseIds,
     "x_bloom_skipping" -> xBloomSkip,
     "x_lpa" -> xLpa,
     "sim_centroid_classify" -> simCentroid,
@@ -430,6 +443,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_dense_ids" -> xDenseIdsSql,
     "x_bloom_skipping" -> xBloomSkipSql,
     "x_lpa" -> xLpaSql,
     "sim_centroid_classify" -> simCentroidSql,

@@ -220,4 +220,46 @@ object Layout {
       else spark.read.parquet(kept: _*)
     (scan.filter(col(keyCol) === value), kept.length.toLong, total)
   }
+
+  /**
+   * Dense 0..n−1 id assignment in the total order of `orderCols` — the
+   * distributed zipWithIndex. The naive form (`row_number()` over an
+   * unpartitioned window) funnels the whole table through ONE task; this
+   * one never does: range-repartition on the order key, rank WITHIN each
+   * partition (parallel windows), then shift each partition's ranks by the
+   * exclusive prefix sum of partition counts — a #partitions-sized driver
+   * array, broadcast back. Total cost: one range shuffle + two cheap
+   * passes over a lineage-frozen snapshot (localCheckpoint, so the count
+   * pass and the rank pass can't diverge).
+   *
+   * `orderCols` must be a TOTAL order (make it unique with a tiebreaker
+   * column) — otherwise ids within a tie group are partition-placement-
+   * dependent. Needed wherever dense ids are a contract:
+   * [[graft.ops.Similarity.contrastiveNegatives]]' modular pairing, matrix
+   * ids for embedding tables, shard-stable sample numbering.
+   */
+  def denseIds(df: DataFrame, orderCols: Seq[String], nParts: Int = 0,
+      idName: String = "dense_id"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val spark = df.sparkSession
+    val parts =
+      if (nParts > 0) nParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    parted.join(broadcast(offDf), "__pid")
+      .withColumn(idName, col("__off") + row_number().over(w) - 1L)
+      .drop("__pid", "__off")
+  }
 }

@@ -173,6 +173,26 @@ class LayoutSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("denseIds: 0..n-1 in total order, parallel windows, no 1-task funnel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val keys = rnd.shuffle((0L until 5000L).toList)
+    val df = keys.map(k => (k, k % 7)).toDF("k", "payload").repartition(13)
+    val out = Layout.denseIds(df, Seq("k"), nParts = 8)
+    val got = out.select("k", "dense_id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // in a shuffled 0..4999 key space, dense_id must equal the key itself
+    assert(got.map(_._1).toSeq == (0L until 5000L))
+    assert(got.forall { case (k, id) => id == k })
+    // the ranking windows are per-range-partition, never one global window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"expected partitioned window:\n$plan")
+    // invariant under input partitioning
+    val again = Layout.denseIds(df.repartition(3), Seq("k"), nParts = 8)
+      .select("k", "dense_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("bloomManifest: bitwise-OR build is partitioning-invariant") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("layout_bloom2").toString
