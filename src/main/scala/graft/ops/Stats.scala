@@ -193,6 +193,36 @@ object Stats {
   }
 
   /**
+   * Equi-join output-cardinality estimation by DETERMINISTIC key sampling
+   * (the CBO/AQE primitive: |A ⋈ B| = Σ_k a_k·b_k): keep only join keys
+   * with `xxhash64(key) mod rate == 0` — a coordinated sample, the SAME
+   * keys on both sides, which is what makes the estimator unbiased for
+   * joins (independent row samples would hit a_k·b_k/rate² and square the
+   * variance) — count per surviving key on each side, and scale the
+   * sampled Σ a_k·b_k back up by `rate`. Hash-based, so the "sample" is
+   * reproducible run-to-run and engine-independent: no RNG state.
+   *
+   * Cost: two filtered scans + a rate-fold-smaller aggregate/join —
+   * exactly the footprint a planner can afford before committing to a
+   * 100 TB shuffle strategy.
+   *
+   * Output: one row (est_rows, sampled_keys).
+   */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame, keyCol: String,
+      rate: Int = 8): DataFrame = {
+    require(rate >= 1, "rate must be >= 1")
+    def sampledCounts(df: DataFrame, out: String): DataFrame = df
+      .select(col(keyCol).as("k"))
+      .filter(pmod(xxhash64(col("k")), lit(rate.toLong)) === 0L)
+      .groupBy(col("k")).agg(count(lit(1)).as(out))
+    sampledCounts(left, "a").join(sampledCounts(right, "b"), "k")
+      .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("__s"),
+        count(lit(1)).as("sampled_keys"))
+      .select((col("__s") * lit(rate.toLong)).as("est_rows"),
+        col("sampled_keys"))
+  }
+
+  /**
    * Pairwise association rules over (basket, item) transactions — the
    * market-basket staple: for every ordered pair A→B of items co-occurring
    * in ≥ `minPairCount` baskets, support = pairN/nBaskets, confidence =

@@ -429,7 +429,29 @@ object StatsQueries {
       |  row_number() OVER (ORDER BY o_orderkey) - 1 AS dense_id
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ── sampled-key join-cardinality estimation ─────────────────────────────
+  // Gate pattern as for heavy hitters: the exact size is oracle-replayed,
+  // the (xxhash64-sampled, not SQL-replayable) estimate is pinned by an
+  // in-engine accuracy assertion — deterministic, so it either always
+  // holds on this data or never does.
+  private val xJoinEstimate: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val est = Stats.joinSizeEstimate(li, li, "l_partkey", rate = 8)
+    val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("true_rows"))
+    est.crossJoin(exact).select(
+      col("true_rows"),
+      (col("sampled_keys") > 0).as("sampled_pos"),
+      (abs(col("est_rows").cast("double") / col("true_rows").cast("double")
+        - 1.0) <= 0.25).as("est_within_25pct"))
+  }
+  private val xJoinEstimateSql =
+    """SELECT CAST(sum(c * c) AS BIGINT) AS true_rows,
+      |  true AS sampled_pos, true AS est_within_25pct
+      |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_join_estimate" -> xJoinEstimate,
     "x_dense_ids" -> xDenseIds,
     "x_bloom_skipping" -> xBloomSkip,
     "x_lpa" -> xLpa,
@@ -443,6 +465,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_join_estimate" -> xJoinEstimateSql,
     "x_dense_ids" -> xDenseIdsSql,
     "x_bloom_skipping" -> xBloomSkipSql,
     "x_lpa" -> xLpaSql,

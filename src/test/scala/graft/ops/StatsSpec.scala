@@ -147,6 +147,27 @@ class StatsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("joinSizeEstimate: rate=1 is exact; disjoint keys estimate 0") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")   // a = {1:3, 2:1, 3:1}
+    val right = Seq(1L, 2L, 2L, 5L).toDF("k")      // b = {1:1, 2:2, 5:1}
+    val r = Stats.joinSizeEstimate(left, right, "k", rate = 1).collect()(0)
+    assert(r.getLong(0) == 3L * 1 + 1L * 2) // sum over shared keys {1,2}
+    assert(r.getLong(1) == 2L)
+    val none = Stats.joinSizeEstimate(left,
+      Seq(9L).toDF("k"), "k", rate = 1).collect()(0)
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
+  }
+
+  test("joinSizeEstimate: sampled estimate is deterministic and scaled") {
+    val df = (1L to 2000L).map(k => k % 200).toDF("k") // 200 keys x 10 rows
+    val a = Stats.joinSizeEstimate(df, df, "k", rate = 4).collect()(0)
+    val b = Stats.joinSizeEstimate(df.repartition(7), df, "k", rate = 4)
+      .collect()(0)
+    assert((a.getLong(0), a.getLong(1)) == (b.getLong(0), b.getLong(1)))
+    // uniform multiplicities: est = rate x sampledKeys x 10x10 exactly
+    assert(a.getLong(1) > 0 && a.getLong(0) == 4L * a.getLong(1) * 100L)
+  }
+
   test("knnClassify: majority label wins, ties break to smallest label") {
     // query 0 at origin-ish; labels: two 1s and one 2 among 3-NN -> 1.
     // query 10: exactly balanced 1-vs-2 votes in 2-NN -> smaller label 1.
