@@ -138,4 +138,57 @@ object Cdc {
           .as("n"))
       .filter(col("n") > 0)
   }
+
+  /**
+   * Incremental MOMENT-SUM maintenance — [[maintainSumCount]] generalized
+   * to the five bivariate moments (n, Σx, Σy, Σx², Σy², Σxy), which is
+   * exactly the state [[graft.ops.Stats.olsRegression]] and
+   * [[graft.ops.Stats.corrMatrix]] finish from: maintain the sums from
+   * snapshot deltas, re-run only the (groups-sized) closed-form finish,
+   * and the regression/correlation over a 100 TB table stays current at
+   * O(|changed keys|) per refresh — no rescan. Moments are an abelian
+   * group under row insert/delete (every term is ±), so the same
+   * before-group-minus / after-group-plus delta shape applies, including
+   * group reassignment.
+   *
+   * `prevAgg` must carry (groupCol, n, sx, sy, sxx, syy, sxy) as produced
+   * by the same integer-scaled projection, and `keyCols` must uniquely
+   * identify rows in BOTH snapshots (a non-key explodes the full-outer
+   * key join and corrupts the deltas); the maintenance law
+   * `maintainMoments(agg(before), before, after) == agg(after)` is
+   * spec-enforced and oracle-gated through the regression finish.
+   */
+  def maintainMoments(prevAgg: DataFrame, before: DataFrame,
+      after: DataFrame, keyCols: Seq[String], groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val b = before.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(col(groupCol), col(xCol).cast("long").as(xCol),
+        col(yCol).cast("long").as(yCol)).as("__b"))
+    val a = after.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(col(groupCol), col(xCol).cast("long").as(xCol),
+        col(yCol).cast("long").as(yCol)).as("__a"))
+    val changed = b.join(a, Seq("__k"), "full_outer")
+      .filter(!(col("__b") <=> col("__a")))
+    def side(c: String, sign: Long): DataFrame = {
+      val x = changed(c).getField(xCol)
+      val y = changed(c).getField(yCol)
+      changed.filter(col(c).isNotNull).select(
+        col(c).getField(groupCol).as(groupCol), lit(sign).as("__dn"),
+        (lit(sign) * x).as("__dx"), (lit(sign) * y).as("__dy"),
+        (lit(sign) * x * x).as("__dxx"), (lit(sign) * y * y).as("__dyy"),
+        (lit(sign) * x * y).as("__dxy"))
+    }
+    val deltas = side("__b", -1L).unionByName(side("__a", 1L))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dx")).as("__dx"),
+        sum(col("__dy")).as("__dy"), sum(col("__dxx")).as("__dxx"),
+        sum(col("__dyy")).as("__dyy"), sum(col("__dxy")).as("__dxy"))
+    def upd(prev: String, d: String) =
+      (coalesce(col(prev), lit(0L)) + coalesce(col(d), lit(0L))).as(prev)
+    prevAgg.join(deltas, Seq(groupCol), "full_outer")
+      .select(col(groupCol), upd("n", "__dn"), upd("sx", "__dx"),
+        upd("sy", "__dy"), upd("sxx", "__dxx"), upd("syy", "__dyy"),
+        upd("sxy", "__dxy"))
+      .filter(col("n") > 0)
+  }
 }

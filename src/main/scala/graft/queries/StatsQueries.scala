@@ -450,7 +450,87 @@ object StatsQueries {
       |  true AS sampled_pos, true AS est_within_25pct
       |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)""".stripMargin
 
+  // ── incremental regression maintenance: moments IVM + closed-form finish
+  // Simulated snapshot churn (deletes, x/y updates, group reassignment,
+  // late inserts), moments maintained from the deltas alone, regression
+  // finished from the maintained sums; the oracle rebuilds the after
+  // snapshot and runs the FRESH aggregate through the same formula — the
+  // gate IS the maintenance law.
+  private val xIvmRegression: Q = (s, dir) => {
+    // events: event_id IS unique (lineitem's (orderkey, linenumber) is
+    // not in this testdata — a composite "id" built from it would explode
+    // the snapshot key join). x = second-of-day, y = value cents: the
+    // maintained state powers a diurnal-trend regression per event type.
+    val ev = Tables.events(s, dir).select(
+      col("event_id").as("id"), col("event_type").as("g"),
+      (expr("(ts div 1000000000) % 86400")).as("x"),
+      Kit.cents(col("value")).as("y"))
+    val before = ev.filter(col("id") % 5 =!= 1)
+    val after = ev.filter(col("id") % 5 =!= 1 && col("id") % 7 =!= 0)
+      .select(col("id"),
+        when(col("id") % 11 === 0, lit("X")).otherwise(col("g")).as("g"),
+        when(col("id") % 3 === 0, col("x") + 60L).otherwise(col("x")).as("x"),
+        when(col("id") % 4 === 0, col("y") + 500L).otherwise(col("y")).as("y"))
+      .unionByName(ev.filter(col("id") % 5 === 1 && col("id") % 2 === 0))
+    val prevAgg = before.groupBy(col("g")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val m = graft.ops.Cdc.maintainMoments(prevAgg, before, after,
+      Seq("id"), "g", "x", "y")
+    def dd(c: String) = col(c).cast("double")
+    val cov = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+    val varx = dd("n") * dd("sxx") - dd("sx") * dd("sx")
+    val vary = dd("n") * dd("syy") - dd("sy") * dd("sy")
+    m.select(col("g"), col("n"),
+        Kit.microUnits(cov / varx).as("slope_micro"),
+        Kit.microUnits((dd("sy") - (cov / varx) * dd("sx")) / dd("n"))
+          .as("intercept_micro"),
+        Kit.microUnits((cov * cov) / (varx * vary)).as("r2_ppm"))
+      .orderBy(col("g"))
+  }
+  private val xIvmRegressionSql =
+    """WITH ev AS (
+      |  SELECT event_id AS id, event_type AS g,
+      |    (epoch_ns(ts) // 1000000000) % 86400 AS x,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS y
+      |  FROM events
+      |), after_s AS (
+      |  SELECT id,
+      |    CASE WHEN id % 11 = 0 THEN 'X' ELSE g END AS g,
+      |    CASE WHEN id % 3 = 0 THEN x + 60 ELSE x END AS x,
+      |    CASE WHEN id % 4 = 0 THEN y + 500 ELSE y END AS y
+      |  FROM ev WHERE id % 5 <> 1 AND id % 7 <> 0
+      |  UNION ALL
+      |  SELECT id, g, x, y FROM ev WHERE id % 5 = 1 AND id % 2 = 0
+      |), m AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM after_s GROUP BY g
+      |), f AS (
+      |  SELECT g, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m
+      |)
+      |SELECT g, n,
+      |  CAST(round((cov / varx) * 1000000, 0) AS BIGINT) AS slope_micro,
+      |  CAST(round(((syd - (cov / varx) * sxd) / CAST(n AS DOUBLE))
+      |             * 1000000, 0) AS BIGINT) AS intercept_micro,
+      |  CAST(round(((cov * cov) / (varx * vary)) * 1000000, 0) AS BIGINT)
+      |    AS r2_ppm
+      |FROM f ORDER BY g""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_ivm_regression" -> xIvmRegression,
     "x_join_estimate" -> xJoinEstimate,
     "x_dense_ids" -> xDenseIds,
     "x_bloom_skipping" -> xBloomSkip,
@@ -465,6 +545,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_ivm_regression" -> xIvmRegressionSql,
     "x_join_estimate" -> xJoinEstimateSql,
     "x_dense_ids" -> xDenseIdsSql,
     "x_bloom_skipping" -> xBloomSkipSql,

@@ -111,6 +111,47 @@ class CdcSpec extends SparkSpec {
     assert(!m2.exists(_._1 == "g1"))
   }
 
+  test("maintainMoments law: maintained sums == fresh aggregate under churn") {
+    val rnd = new scala.util.Random(41)
+    val before = (1L to 500L).map(i =>
+      (i, s"g${i % 4}", rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "g", "x", "y")
+    // churn: delete %7, update x/y on %3, REASSIGN group on %11, insert new
+    val after = before
+      .filter($"id" % 7 =!= 0)
+      .select($"id",
+        when($"id" % 11 === 0, lit("gNew")).otherwise($"g").as("g"),
+        when($"id" % 3 === 0, $"x" + 5L).otherwise($"x").as("x"),
+        when($"id" % 3 === 0, $"y" - 9L).otherwise($"y").as("y"))
+      .unionByName(Seq((9001L, "g0", 7L, 11L), (9002L, "gNew", 1L, 2L))
+        .toDF("id", "g", "x", "y"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"g").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    val maintained = Cdc.maintainMoments(agg(before), before, after,
+        Seq("id"), "g", "x", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val fresh = agg(after)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(maintained == fresh)
+    assert(maintained.exists(_._1 == "gNew"))
+  }
+
+  test("maintainMoments: emptied groups vanish instead of lingering at n=0") {
+    val before = Seq((1L, "solo", 3L, 4L), (2L, "keep", 1L, 1L))
+      .toDF("id", "g", "x", "y")
+    val after = Seq((2L, "keep", 1L, 1L)).toDF("id", "g", "x", "y")
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"g").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    val m = Cdc.maintainMoments(agg(before), before, after,
+        Seq("id"), "g", "x", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m == Seq(("keep", 1L, 1L, 1L, 1L, 1L, 1L)))
+  }
+
   test("applyChangelog plan: winner is a partial-agg + hash join, no window") {
     val changes = Seq((1L, 1L, "U", "a", 1L))
       .toDF("id", "seq", "op", "name", "balance")
