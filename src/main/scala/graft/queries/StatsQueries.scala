@@ -529,7 +529,55 @@ object StatsQueries {
       |    AS r2_ppm
       |FROM f ORDER BY g""".stripMargin
 
+  // ── skew-safe top-k per group (bounded-heap Aggregator, no window sort)
+  private val xTopkAgg: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    graft.ops.TopK.topKPerGroup(o, "o_custkey",
+        Kit.cents(col("o_totalprice")), col("o_orderkey"), k = 3)
+      .select(col("group").as("o_custkey"), col("payload").as("o_orderkey"),
+        col("ord").as("price_c"), col("rank"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+  private val xTopkAggSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY round(o_totalprice * 100, 0) DESC, o_orderkey) AS INT)
+      |    AS rank
+      |FROM orders
+      |QUALIFY rank <= 3
+      |ORDER BY o_custkey, rank""".stripMargin
+
+  // ── incremental distinct counting with persistable HLL sketches ─────────
+  // Per-shard sketches built independently (the incremental/partitioned
+  // shape: each ingest batch materializes a KB sketch), then union-merged
+  // and estimated. The estimate is pinned by an in-engine error assertion
+  // against the oracle-replayed exact count (lgConfigK=14 → ~0.4% stderr;
+  // 5% bound).
+  private val xHllIncremental: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      (col("event_id") % 8).as("shard"))
+    val perShard = e.groupBy(col("event_type"), col("shard"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = perShard.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_n"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_n"),
+        (abs(col("est").cast("double") / col("exact_n").cast("double") - 1.0)
+          <= 0.05).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+  private val xHllIncrementalSql =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+      |  true AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_topk_agg" -> xTopkAgg,
+    "x_hll_incremental" -> xHllIncremental,
     "x_ivm_regression" -> xIvmRegression,
     "x_join_estimate" -> xJoinEstimate,
     "x_dense_ids" -> xDenseIds,
@@ -545,6 +593,8 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_topk_agg" -> xTopkAggSql,
+    "x_hll_incremental" -> xHllIncrementalSql,
     "x_ivm_regression" -> xIvmRegressionSql,
     "x_join_estimate" -> xJoinEstimateSql,
     "x_dense_ids" -> xDenseIdsSql,
