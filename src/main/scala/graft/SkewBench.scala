@@ -78,6 +78,22 @@ object SkewBench {
         "exact_dedup_window" -> (() =>
           windowDedup(hashed, "__h", "doc_id").count()))
     }
+    // top-k per group: the bounded-heap Aggregator vs the window-rank form
+    // on the same hot-key corpus (one group = 20% of all rows)
+    def topkOps(docs: DataFrame): Seq[(String, () => Long)] = {
+      val keyed = docs.select(xxhash64(col("text")).as("g"),
+        (col("doc_id") % 1000000L).as("o"), col("doc_id").as("p"))
+      Seq(
+        "topk_agg_engine" -> (() =>
+          graft.ops.TopK.topKPerGroup(keyed, "g", col("o"), col("p"), 3).count()),
+        "topk_window" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("g")).orderBy(col("o").desc, col("p"))
+          keyed.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= 3).count()
+        }))
+    }
+
     def lshOps(docs: DataFrame): Seq[(String, () => Long)] = Seq(
       "minhash_candidates_capped" -> (() =>
         Dedup.minhashCandidatePairs(docs, "doc_id", "text",
@@ -88,6 +104,8 @@ object SkewBench {
     val cases =
       Seq(("skewed", nExact, exactOps(spark.read.parquet(skewEx))),
         ("uniform", nExact, exactOps(spark.read.parquet(unifEx))),
+        ("skewed", nExact, topkOps(spark.read.parquet(skewEx))),
+        ("uniform", nExact, topkOps(spark.read.parquet(unifEx))),
         ("skewed", nLsh, lshOps(spark.read.parquet(skewLsh))),
         ("uniform", nLsh, lshOps(spark.read.parquet(unifLsh))))
     val results = for {

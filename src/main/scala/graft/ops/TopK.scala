@@ -5,14 +5,20 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /**
- * Top-k rows per group WITHOUT a window sort: a typed `Aggregator` whose
- * buffer is a k-bounded ordered array — partial-aggregation capable, so a
- * hot group's millions of rows collapse to k map-side BEFORE the
- * exchange, and the reducer merges k-sized buffers. The window-rank form
- * (`row_number().over(partitionBy(group))` + `filter(rank <= k)`) sorts
- * every group's FULL row set in one task — the same skew hazard
- * [[Dedup.exactDedup]] documents; this operator is the skew-safe shape
- * for "top 3 orders per customer" at 100 TB.
+ * Top-k rows per group as a typed `Aggregator` with a k-bounded ordered
+ * buffer — partial-aggregation capable, so a hot group's rows collapse to
+ * k map-side BEFORE the exchange and the reducers merge k-sized buffers.
+ *
+ * WHEN TO USE (measured, graft.SkewBench, 2M rows / 20%-hot group): the
+ * window-rank form (`row_number().over(partitionBy(group))` +
+ * `filter(rank <= k)`) is ~3× FASTER here (0.4 s vs 1.1 s) — the udaf
+ * per-row decode dominates while a 400k-row single-task sort is still
+ * milliseconds. The aggregator's advantage is STRUCTURAL, not
+ * throughput: memory per group is O(k) with no full-group sort buffer —
+ * no spill, no single task owning a 10⁸-row viral group's sort — so it is
+ * the shape that stays up at extreme skew / tight executor memory, and
+ * the window is the right default everywhere else (same honest trade
+ * recorded for [[Dedup.exactDedup]]'s three formulations).
  *
  * Ordering: (orderVal desc, payload asc) — deterministic under ties.
  * The buffer holds (orderVal, payload) LONG pairs: project the ranking
@@ -21,43 +27,52 @@ import org.apache.spark.sql.functions._
  */
 object TopK {
 
-  /** k-bounded buffer, kept sorted (ord desc, payload asc), length ≤ k. */
-  final class Buf(var items: Array[Long]) extends Serializable
-  // items is a flat [ord0, pay0, ord1, pay1, ...] — compact Java
-  // serialization, no tuple boxing in the hot path
+  /** k-bounded buffer: flat [ord0, pay0, ord1, pay1, ...], kept sorted
+    * (ord desc, payload asc), `len` longs used. Fixed capacity 2k — no
+    * per-row allocation; the hot path (a row that doesn't make the cut of
+    * a full buffer) is a single comparison against the current minimum. */
+  final class Buf(var len: Int, var items: Array[Long]) extends Serializable
 
   private def better(o1: Long, p1: Long, o2: Long, p2: Long): Boolean =
     o1 > o2 || (o1 == o2 && p1 < p2)
 
   final class TopKAgg(k: Int) extends Aggregator[(Long, Long), Buf, Seq[(Long, Long)]] {
-    override def zero: Buf = new Buf(Array.emptyLongArray)
+    override def zero: Buf = new Buf(0, new Array[Long](2 * k))
 
-    override def reduce(b: Buf, a: (Long, Long)): Buf =
-      mergeArrays(b, Array(a._1, a._2))
-
-    override def merge(x: Buf, y: Buf): Buf = mergeArrays(x, y.items)
-
-    private def mergeArrays(b: Buf, other: Array[Long]): Buf = {
-      val merged = new Array[Long](b.items.length + other.length)
-      var i = 0; var j = 0; var o = 0
-      while (i < b.items.length && j < other.length) {
-        if (better(b.items(i), b.items(i + 1), other(j), other(j + 1))) {
-          merged(o) = b.items(i); merged(o + 1) = b.items(i + 1); i += 2
-        } else {
-          merged(o) = other(j); merged(o + 1) = other(j + 1); j += 2
-        }
-        o += 2
-      }
-      while (i < b.items.length) { merged(o) = b.items(i); merged(o + 1) = b.items(i + 1); i += 2; o += 2 }
-      while (j < other.length) { merged(o) = other(j); merged(o + 1) = other(j + 1); j += 2; o += 2 }
-      b.items = if (merged.length > 2 * k) merged.take(2 * k) else merged
+    override def reduce(b: Buf, a: (Long, Long)): Buf = {
+      val ord = a._1; val pay = a._2
+      if (b.len == 2 * k &&
+          !better(ord, pay, b.items(b.len - 2), b.items(b.len - 1))) return b
+      // position by linear scan from the tail (k is small; rows that get
+      // here are already rare once the buffer is warm)
+      var pos = b.len
+      while (pos >= 2 &&
+          better(ord, pay, b.items(pos - 2), b.items(pos - 1))) pos -= 2
+      val newLen = math.min(b.len + 2, 2 * k)
+      // shift worse entries right, dropping the overflow
+      val toMove = newLen - 2 - pos
+      if (toMove > 0) System.arraycopy(b.items, pos, b.items, pos + 2, toMove)
+      if (pos < newLen) { b.items(pos) = ord; b.items(pos + 1) = pay }
+      b.len = newLen
       b
     }
 
-    // single-element inserts arrive unsorted — reduce() relies on
-    // mergeArrays treating a 1-pair array as trivially sorted, which holds
+    override def merge(x: Buf, y: Buf): Buf = {
+      val merged = new Array[Long](2 * k)
+      var i = 0; var j = 0; var o = 0
+      while (o < 2 * k && (i < x.len || j < y.len)) {
+        val takeX = j >= y.len || (i < x.len &&
+          better(x.items(i), x.items(i + 1), y.items(j), y.items(j + 1)))
+        if (takeX) { merged(o) = x.items(i); merged(o + 1) = x.items(i + 1); i += 2 }
+        else { merged(o) = y.items(j); merged(o + 1) = y.items(j + 1); j += 2 }
+        o += 2
+      }
+      x.items = merged; x.len = o
+      x
+    }
+
     override def finish(b: Buf): Seq[(Long, Long)] =
-      b.items.grouped(2).map(a => (a(0), a(1))).toSeq
+      (0 until b.len by 2).map(i => (b.items(i), b.items(i + 1)))
 
     override def bufferEncoder: Encoder[Buf] = Encoders.javaSerialization[Buf]
     override def outputEncoder: Encoder[Seq[(Long, Long)]] =
