@@ -575,7 +575,36 @@ object StatsQueries {
       |  true AS within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ── metadata-only count(*): custom planner strategy + SparkPlan ─────────
+  // Gate: rewrite a rewritten-layout lineitem count through
+  // FooterCountExec (pin asserts the custom node actually planned and its
+  // answer is used), oracle replays the exact count.
+  private val xFooterCount: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_footer").toString
+    Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .repartition(6).write.mode("overwrite").parquet(tmp)
+    val prev = s.experimental.extraStrategies
+    s.experimental.extraStrategies =
+      prev.filterNot(_ == graft.spark.FooterCountStrategy) :+
+        graft.spark.FooterCountStrategy
+    s.conf.set("spark.graft.footerCount.enabled", "true")
+    try {
+      val agg = s.read.parquet(tmp).agg(count(lit(1)).as("n"))
+      val usedFooter =
+        agg.queryExecution.executedPlan.toString.contains("FooterCount")
+      val n = agg.collect()(0).getLong(0)
+      s.range(1).select(lit(n).as("n"), lit(usedFooter).as("used_footer"))
+    } finally {
+      s.conf.unset("spark.graft.footerCount.enabled")
+      s.experimental.extraStrategies = prev
+    }
+  }
+  private val xFooterCountSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n, true AS used_footer
+      |FROM lineitem""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_footer_count" -> xFooterCount,
     "x_topk_agg" -> xTopkAgg,
     "x_hll_incremental" -> xHllIncremental,
     "x_ivm_regression" -> xIvmRegression,
@@ -593,6 +622,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_footer_count" -> xFooterCountSql,
     "x_topk_agg" -> xTopkAggSql,
     "x_hll_incremental" -> xHllIncrementalSql,
     "x_ivm_regression" -> xIvmRegressionSql,

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // conf-gated plan rewrites (each is a no-op until its conf is set)
     ext.injectOptimizerRule(_ => RangeJoinChunkRule)
+    ext.injectPlannerStrategy(_ => FooterCountStrategy)
   }
 }
 
