@@ -603,7 +603,43 @@ object StatsQueries {
     """SELECT CAST(count(*) AS BIGINT) AS n, true AS used_footer
       |FROM lineitem""".stripMargin
 
+  // ── materialized-view rollup rewrite: Catalyst rule, oracle-gated ───────
+  // MV at (priority, status) grain; the query rolls up to priority only —
+  // served from the MV via sum(sum)/sum(cnt). Pin asserts the executed
+  // plan actually scanned the MV, oracle recomputes from the fact table.
+  private val xMvRewrite: Q = (s, dir) => {
+    val factDir = java.nio.file.Files.createTempDirectory("graft_mv_fact").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_mv_mv").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        Kit.cents(col("o_totalprice")).as("price_c"))
+      .write.mode("overwrite").parquet(factDir)
+    s.read.parquet(factDir).groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(col("price_c")).as("sum_price_c"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(mvDir)
+    graft.spark.GraftExtensions.registerAll(s)
+    s.conf.set(graft.spark.MvRewriteRule.ConfKey,
+      s"$factDir::$mvDir::o_orderpriority,o_orderstatus::price_c")
+    try {
+      val q = s.read.parquet(factDir).groupBy(col("o_orderpriority"))
+        .agg(sum(col("price_c")).as("sum_price_c"), count(lit(1)).as("n"))
+      val usedMv = q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(mvDir).getName)
+      q.select(col("o_orderpriority"), col("sum_price_c"), col("n"),
+          lit(usedMv).as("used_mv"))
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true) // materialize while the MV conf is still set
+    } finally s.conf.unset(graft.spark.MvRewriteRule.ConfKey)
+  }
+  private val xMvRewriteSql =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c,
+      |  CAST(count(*) AS BIGINT) AS n, true AS used_mv
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_mv_rewrite" -> xMvRewrite,
     "x_footer_count" -> xFooterCount,
     "x_topk_agg" -> xTopkAgg,
     "x_hll_incremental" -> xHllIncremental,
@@ -622,6 +658,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_mv_rewrite" -> xMvRewriteSql,
     "x_footer_count" -> xFooterCountSql,
     "x_topk_agg" -> xTopkAggSql,
     "x_hll_incremental" -> xHllIncrementalSql,

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // conf-gated plan rewrites (each is a no-op until its conf is set)
     ext.injectOptimizerRule(_ => RangeJoinChunkRule)
+    ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectPlannerStrategy(_ => FooterCountStrategy)
   }
 }
@@ -145,5 +146,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinChunkRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinChunkRule
+    if (!spark.experimental.extraOptimizations.contains(MvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule
+    if (!spark.experimental.extraStrategies.contains(FooterCountStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ FooterCountStrategy
   }
 }
