@@ -638,7 +638,44 @@ object StatsQueries {
       |  CAST(count(*) AS BIGINT) AS n, true AS used_mv
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ── Hilbert-curve clustering value (native expression) ──────────────────
+  // Same gate shape as x_zorder: bucketed aggregates over the index pin
+  // every row's value; the oracle replays the 16-round xy2d walk as
+  // generated unrolled CTEs (a Column chain would re-inline to a 4^16-node
+  // tree — why this is a native codegen'd expression).
+  private val xHilbert: Q = (s, dir) => {
+    val h = graft.functions.HilbertKit.hilbert2(
+      (col("l_orderkey") % 65536).cast("long"),
+      (col("l_partkey") % 65536).cast("long"))
+    Tables.lineitem(s, dir).select(h.as("d"))
+      .groupBy(shiftright(col("d"), 26).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sum_d"),
+        min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+      .orderBy(col("bucket"))
+  }
+  private val xHilbertSql = {
+    val rounds = (0 until 16).map { i =>
+      val S = 1L << (15 - i)
+      s"r${i + 1} AS (SELECT " +
+        s"CASE WHEN (y & $S) = 0 THEN (CASE WHEN (x & $S) > 0 " +
+        s"THEN $S - 1 - y ELSE y END) ELSE x END AS x, " +
+        s"CASE WHEN (y & $S) = 0 THEN (CASE WHEN (x & $S) > 0 " +
+        s"THEN $S - 1 - x ELSE x END) ELSE y END AS y, " +
+        s"d + $S * $S * xor(3 * (CASE WHEN (x & $S) > 0 THEN 1 ELSE 0 END), " +
+        s"(CASE WHEN (y & $S) > 0 THEN 1 ELSE 0 END)) AS d " +
+        s"FROM r$i)"
+    }
+    "WITH r0 AS (SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y, " +
+      "CAST(0 AS BIGINT) AS d FROM lineitem),\n" +
+      rounds.mkString(",\n") + "\n" +
+      "SELECT d >> 26 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(d) AS BIGINT) AS sum_d, CAST(min(d) AS BIGINT) AS min_d, " +
+      "CAST(max(d) AS BIGINT) AS max_d " +
+      "FROM r16 GROUP BY bucket ORDER BY bucket"
+  }
+
   val all: Map[String, Q] = Map(
+    "x_hilbert" -> xHilbert,
     "x_mv_rewrite" -> xMvRewrite,
     "x_footer_count" -> xFooterCount,
     "x_topk_agg" -> xTopkAgg,
@@ -658,6 +695,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "x_hilbert" -> xHilbertSql,
     "x_mv_rewrite" -> xMvRewriteSql,
     "x_footer_count" -> xFooterCountSql,
     "x_topk_agg" -> xTopkAggSql,

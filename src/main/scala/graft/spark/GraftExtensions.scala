@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.{BinaryFeatures, Fingerprint32, MinHashBands, MinHashSig, SimHash64}
+import graft.functions.{BinaryFeatures, Fingerprint32, HilbertIndex2, MinHashBands, MinHashSig, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -58,6 +58,12 @@ object GraftExtensions {
     ("graft_simhash64",
       "graft_simhash64(str) - 64-bit SimHash over whitespace tokens",
       { case Seq(c) => SimHash64(c) }: Seq[Expression] => Expression),
+    ("graft_hilbert2",
+      "graft_hilbert2(x, y, order) - 2-D Hilbert curve index of (x, y), " +
+        "coordinates masked to the low `order` bits",
+      { case Seq(x, y, o) =>
+        HilbertIndex2(x, y, intArg(o, "order", "graft_hilbert2"))
+      }: Seq[Expression] => Expression),
     ("graft_minhash_sig",
       "graft_minhash_sig(str, numHashes, shingleLen[, oph]) - MinHash signature array " +
         "(oph=true: one-permutation kernel)",
