@@ -193,6 +193,41 @@ class LayoutSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("hilbert clustering skips 2-D box queries at least as well as z-order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val pts = (1 to 20000).map(_ =>
+      (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+    val df = pts.toDF("x", "y")
+    def writeSorted(c: org.apache.spark.sql.Column, name: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(name).toString
+      df.withColumn("__k", c).repartitionByRange(16, col("__k"))
+        .sortWithinPartitions("__k").drop("__k")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    val dirZ = writeSorted(Layout.zValue2(col("x"), col("y")), "lay_z")
+    val dirH = writeSorted(
+      graft.functions.HilbertKit.hilbert2(col("x"), col("y"), 12), "lay_h")
+    val dirU = {
+      val d = java.nio.file.Files.createTempDirectory("lay_u").toString
+      df.repartition(16).write.mode("overwrite").parquet(d)
+      d
+    }
+    // 2-D box: how many files' (x, y) envelopes intersect it?
+    def kept(dir: String): Long = Layout.statsManifest(spark, dir, Seq("x", "y"))
+      .filter(col("max_x") >= 1000L && col("min_x") <= 1300L &&
+        col("max_y") >= 2000L && col("min_y") <= 2300L)
+      .count()
+    val (kZ, kH, kU) = (kept(dirZ), kept(dirH), kept(dirU))
+    // random layout: every file spans the whole plane -> nothing skipped
+    assert(kU == 16L, s"unsorted kept $kU")
+    // space-filling-curve layouts prune most files on BOTH dimensions
+    assert(kZ < 16L && kH < 16L, s"z=$kZ h=$kH")
+    // the continuous walk is at least as tight as z-order's seamed one
+    assert(kH <= kZ, s"hilbert kept $kH > zorder $kZ")
+  }
+
   test("bloomManifest: bitwise-OR build is partitioning-invariant") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("layout_bloom2").toString
