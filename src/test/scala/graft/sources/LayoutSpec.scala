@@ -193,6 +193,33 @@ class LayoutSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_dyn").toString
+    Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 100L)).toDF("p", "v")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    def filesOf(part: String): Set[String] = {
+      val d = new java.io.File(s"$dir/p=$part")
+      d.listFiles().filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    }
+    val bBefore = filesOf("b"); val cBefore = filesOf("c")
+    // dynamic mode: overwriting with only p=a data must leave b and c alone
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(("a", 99L)).toDF("p", "v")
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(filesOf("b") == bBefore && filesOf("c") == cBefore,
+      "untouched partitions were rewritten")
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == Set((99L, "a"), (10L, "b"), (100L, "c")))
+  }
+
   test("hilbert clustering skips 2-D box queries at least as well as z-order") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
