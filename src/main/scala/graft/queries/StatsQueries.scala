@@ -674,7 +674,36 @@ object StatsQueries {
       "FROM r16 GROUP BY bucket ORDER BY bucket"
   }
 
+  // ── custom DataSource V2 connector, pushdown-pinned ─────────────────────
+  // The graft-docs synthetic table is pure id arithmetic, so DuckDB can
+  // replay the connector's CONTENT exactly — gating the connector itself.
+  // Pin asserts the doc_id range reached the scan (filter pushdown).
+  private val s9CustomSource: Q = (s, dir) => {
+    val d = s.read.format("graft.sources.v2.GraftDocsSource")
+      .option("rows", "5000").load()
+      .filter(col("doc_id") >= 100 && col("doc_id") < 2000)
+    val pushed = d.queryExecution.executedPlan.toString
+      .contains("range=[100,1999]")
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+      .select(col("lang"), col("n"), col("chars"), lit(pushed).as("pushed"))
+      .orderBy(col("lang"))
+  }
+  private val s9CustomSourceSql =
+    """WITH d AS (
+      |  SELECT i AS doc_id,
+      |    ['en','de','fr','es','pt'][CAST(i % 5 AS INT) + 1] AS lang,
+      |    'tok' || CAST(i % 97 AS VARCHAR) || ' tok'
+      |      || CAST((i * 7) % 89 AS VARCHAR) || ' tok'
+      |      || CAST((i * 13) % 83 AS VARCHAR) AS text
+      |  FROM range(100, 2000) t(i)
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars, true AS pushed
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "s9_custom_source" -> s9CustomSource,
     "x_hilbert" -> xHilbert,
     "x_mv_rewrite" -> xMvRewrite,
     "x_footer_count" -> xFooterCount,
@@ -695,6 +724,7 @@ object StatsQueries {
     "sim_knn_classify" -> simKnn)
 
   val oracles: Map[String, String] = Map(
+    "s9_custom_source" -> s9CustomSourceSql,
     "x_hilbert" -> xHilbertSql,
     "x_mv_rewrite" -> xMvRewriteSql,
     "x_footer_count" -> xFooterCountSql,
