@@ -5,7 +5,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,18 +62,38 @@ class GraftDocsTable(rows: Long, slices: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_docs($rows)"
   override def schema(): StructType = GraftDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocsScanBuilder(rows, slices)
+    new GraftDocsScanBuilder(rows, slices,
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(100L))
 }
 
-class GraftDocsScanBuilder(rows: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+class GraftDocsScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 100L) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows - 1
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GraftDocs.schema
+  private var countPushed = false
+
+  /** COUNT(*) with no grouping never needs generated rows — the range IS
+    * the answer (the DSv2 twin of [[graft.spark.FooterCountStrategy]]'s
+    * footer trick). Complete pushdown: the scan returns the single
+    * aggregated row. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
@@ -104,11 +126,35 @@ class GraftDocsScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftDocsScan(lo, hi, slices, required)
+  override def build(): Scan =
+    if (countPushed) new GraftDocsCountScan(lo, hi)
+    else new GraftDocsScan(lo, hi, slices, required, rowsPerBatch)
 }
 
-class GraftDocsScan(lo: Long, hi: Long, slices: Int, required: StructType)
-    extends Scan with Batch {
+/** The aggregated scan for a completely-pushed COUNT(*): one partition,
+  * one row, value = the (filter-tightened) range size. */
+class GraftDocsCountScan(lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count(*)", LongType, nullable = false)
+  override def description(): String = s"GraftDocsCountScan range=[$lo,$hi]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftDocsPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val part = p.asInstanceOf[GraftDocsPartition]
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow =
+          InternalRow(math.max(0L, part.end - part.start + 1))
+        override def close(): Unit = ()
+      }
+    }
+}
+
+class GraftDocsScan(lo: Long, hi: Long, slices: Int, required: StructType,
+    rowsPerBatch: Long = 100L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -127,6 +173,70 @@ class GraftDocsScan(lo: Long, hi: Long, slices: Int, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDocsReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftDocsMicroBatchStream(lo, hi, slices, required.fieldNames,
+      rowsPerBatch)
+}
+
+/** Offset = the next unread doc id; a plain long as JSON. */
+case class DocsOffset(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
+
+/**
+ * The UNBOUNDED read path: the same deterministic id range served as a
+ * micro-batch stream with admission control — `latestOffset(start, limit)`
+ * admits at most `rowsPerBatch` ids per trigger (the Kafka-style
+ * maxOffsetsPerTrigger contract), batches re-plan as sliced partitions of
+ * the admitted range, and offsets checkpoint/restore as plain longs so a
+ * restarted query resumes exactly where it stopped.
+ */
+class GraftDocsMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    fields: Array[String], rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = DocsOffset(lo)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  // Trigger.AvailableNow: the range is already bounded by `hi`, so the
+  // "snapshot what's available" preparation is a no-op — read limits keep
+  // pacing the catch-up batches until reportLatestOffset is reached
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[DocsOffset].next
+    val next = limit match {
+      case r: ReadMaxRows => math.min(hi + 1, from + r.maxRows())
+      case _: ReadAllAvailable => hi + 1
+      case _ => math.min(hi + 1, from + rowsPerBatch)
+    }
+    DocsOffset(next)
+  }
+
+  override def reportLatestOffset(): Offset = DocsOffset(hi + 1)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocsOffset].next
+    val e = end.asInstanceOf[DocsOffset].next - 1
+    if (e < s) return Array.empty
+    val n = e - s + 1
+    val per = math.max(1L, (n + slices - 1) / slices)
+    (s to e by per).map(b =>
+      GraftDocsPartition(b, math.min(b + per - 1, e)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsReaderFactory(fields)
+
+  override def deserializeOffset(json: String): Offset = DocsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class GraftDocsPartition(start: Long, end: Long) extends InputPartition

@@ -45,8 +45,65 @@ class GraftDocsSourceSpec extends SparkSpec {
     assert(q.count() == (0 until 100).count(i => i % 5 == 0))
   }
 
+  test("count(*) pushes down completely: no row generation, range arithmetic") {
+    val q = docs(5000000).filter($"doc_id" >= 10 && $"doc_id" <= 4000000)
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDocsCountScan range=[10,4000000]"),
+      s"count(*) was not pushed into the source:\n$plan")
+    assert(q.collect()(0).getLong(0) == 3999991L)
+    // grouped counts must NOT push (the source only supports global)
+    val g = docs(1000).groupBy($"lang").agg(count(lit(1)))
+    assert(!g.queryExecution.executedPlan.toString.contains("CountScan"))
+    assert(g.count() == 5)
+  }
+
   test("empty range after contradictory pushdown yields zero partitions") {
     val q = docs(1000).filter($"doc_id" > 10 && $"doc_id" < 5)
     assert(q.count() == 0)
+  }
+
+  test("micro-batch stream: admission control paces batches, content exact") {
+    val ckpt = java.nio.file.Files.createTempDirectory("docs_stream_ck").toString
+    val q = spark.readStream.format(fmt)
+      .option("rows", "100").option("rowsPerBatch", "40").load()
+      .writeStream.format("memory").queryName("docs_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val got = spark.table("docs_stream").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 100L))
+    got.foreach { case (id, lang, text) =>
+      assert(lang == graft.sources.v2.GraftDocs.lang(id) &&
+        text == graft.sources.v2.GraftDocs.text(id))
+    }
+    // 100 rows at 40/trigger = 3 data batches (40, 40, 20)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(sizes == Seq(40L, 40L, 20L), s"batch sizes: $sizes")
+  }
+
+  test("micro-batch stream restart resumes from the checkpointed offset") {
+    // run 1 drains a 25-row source; run 2 restarts on the same checkpoint
+    // after the source "grew" to 60 rows — it must resume at id 25, not 0
+    val ckpt = java.nio.file.Files.createTempDirectory("docs_restart_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("docs_restart_out").toString
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format(fmt)
+        .option("rows", rows.toString).option("rowsPerBatch", "25").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    run(25)
+    assert(spark.read.parquet(out).count() == 25)
+    run(60)
+    // resumed at 25: full coverage, no re-emission of 0..24
+    val got = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (0L until 60L), s"resumed wrong: $got")
   }
 }
