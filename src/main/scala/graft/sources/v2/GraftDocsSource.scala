@@ -8,6 +8,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Statistics, SupportsReportStatistics}
+import java.util.OptionalLong
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -154,9 +156,20 @@ class GraftDocsCountScan(lo: Long, hi: Long) extends Scan with Batch {
 }
 
 class GraftDocsScan(lo: Long, hi: Long, slices: Int, required: StructType,
-    rowsPerBatch: Long = 100L) extends Scan with Batch {
+    rowsPerBatch: Long = 100L) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Accurate statistics AFTER pushdown (the range is known exactly), so
+    * Catalyst's join planning can broadcast a small filtered slice of this
+    * source instead of shuffling it — spec-pinned. ~30 bytes/row covers
+    * the two short strings. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo + 1)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(n * 30L)
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+  }
 
   override def description(): String =
     s"GraftDocsScan range=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"

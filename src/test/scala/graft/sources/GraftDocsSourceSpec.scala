@@ -58,6 +58,18 @@ class GraftDocsSourceSpec extends SparkSpec {
     assert(g.count() == 5)
   }
 
+  test("post-pushdown statistics let Catalyst broadcast a filtered slice") {
+    // a 50-row slice of a 10M-row source: with accurate post-pushdown
+    // stats the join side is broadcast, not shuffled
+    val dim = docs(10000000).filter($"doc_id" >= 100 && $"doc_id" < 150)
+    val fact = spark.range(0, 50000).toDF("doc_id")
+    val joined = fact.join(dim, "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast:\n$plan")
+    assert(joined.count() == 50)
+  }
+
   test("empty range after contradictory pushdown yields zero partitions") {
     val q = docs(1000).filter($"doc_id" > 10 && $"doc_id" < 5)
     assert(q.count() == 0)

@@ -193,6 +193,35 @@ class LayoutSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_dpp").toString
+    (0 until 10000).map(i => (i.toLong, (i % 10).toLong))
+      .toDF("v", "p").write.partitionBy("p").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // partition-column discovery types p as INT — the dim side must match
+    // exactly (a cast on the partition column defeats runtime pruning).
+    // The dim is a real parquet table: DPP's benefit/reuse logic targets
+    // scans, not LocalRelations.
+    val dimDir = java.nio.file.Files.createTempDirectory("layout_dpp_dim").toString
+    (0 until 10).map(p => (p, if (p < 2) "keep" else "drop"))
+      .toDF("p", "attr").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // column-stat-free path: the benefit heuristic otherwise sees 10
+    // distinct keys on both sides and predicts zero pruning
+    val statsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = spark.conf.get(statsKey)
+    spark.conf.set(statsKey, "false")
+    try {
+      val q = fact.join(dim.filter($"attr" === "keep"), "p")
+      // the fact scan carries a dynamicpruning subquery on its partition col
+      val planned = q.queryExecution.executedPlan.toString
+      assert(planned.toLowerCase.contains("dynamicpruning"),
+        s"no runtime partition pruning in plan:\n$planned")
+      assert(q.count() == 2000)
+    } finally spark.conf.set(statsKey, prev)
+  }
+
   test("dynamic partition overwrite rewrites only the touched partitions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("layout_dyn").toString
