@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.functions.Kit
+import graft.ops.{Asof, Integrity, Quality, Sampling}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multi-join decision-support analytics + deterministic sampling +
+ * table-integrity queries (round-6 continuation surface).
+ *
+ * The first three are the classic TPC-H shapes (Q3/Q5/Q10) — they gate the
+ * JOIN-HEAVY side of the engine: 3-to-6-table star joins where the plan
+ * quality question (filter-before-join, dim broadcast vs shuffle, AQE join
+ * re-selection) matters more than any single operator. Filters are applied
+ * at the scan (pushdown-visible), tiny dims (`region`, `nation`) broadcast
+ * explicitly, big-side joins left to AQE.
+ *
+ * Cross-engine conventions as in [[RelationalQueries]]: exact-integer money
+ * (`*_c` cents), total ORDER BY with unique tie-breaks, identical aliases
+ * both sides.
+ */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── TPC-H Q3 shape: shipping-priority revenue of unshipped orders ───────
+  // customer(segment) ⋈ orders(< date) ⋈ lineitem(> date), top-10 revenue.
+  private val q3Shipping: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1998-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .filter(to_date(col("l_shipdate")) > lit(java.sql.Date.valueOf("1998-01-01")))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("orderdate"), col("o_orderpriority"))
+      .agg(Kit.cents(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue_c"), col("orderdate"),
+        col("o_orderpriority"))
+  }
+  private val q3ShippingSql =
+    """SELECT l_orderkey,
+      |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue_c,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+      |GROUP BY l_orderkey, orderdate, o_orderpriority
+      |ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ── TPC-H Q5 shape: local-supplier volume per nation in one region ──────
+  // 6-table star with the c_nationkey = s_nationkey "local" twist: the dim
+  // chain region→nation is broadcast (KBs at any SF), the supplier join
+  // carries the composite equi-key (l_suppkey, c_nationkey).
+  private val q5LocalVolume: Q = (s, dir) => {
+    val asiaNations = broadcast(
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+    val o = Tables.orders(s, dir)
+      .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+        to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1998-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Kit.cents(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_c"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue_c").desc, col("n_name"))
+  }
+  private val q5LocalVolumeSql =
+    """SELECT n_name,
+      |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue_c,
+      |  count(*) AS n
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue_c DESC, n_name""".stripMargin
+
+  // ── TPC-H Q10 shape: returned-item revenue per customer, one quarter ────
+  private val q10Returns: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val o = Tables.orders(s, dir)
+      .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+        to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1997-04-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val n = broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"))
+      .agg(min(col("c_name")).as("c_name"),
+        Kit.cents(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_c"),
+        Kit.cents(min(col("c_acctbal"))).as("acctbal_c"),
+        min(col("n_name")).as("n_name"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+  }
+  private val q10ReturnsSql =
+    """SELECT c_custkey, min(c_name) AS c_name,
+      |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue_c,
+      |  CAST(round(min(c_acctbal)*100, 0) AS BIGINT) AS acctbal_c,
+      |  min(n_name) AS n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+      |GROUP BY c_custkey
+      |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ── Point-in-time (PIT) dimension probe: facts × SCD2 as-of ────────────
+  // The warehouse "value as of T" join: SCD2 intervals built from the event
+  // log (x_scd2), probed per fact at fact time. Implemented as a BACKWARD
+  // AS-OF join on the interval STARTS — latest valid_from <= probe time IS
+  // the covering interval, so no range join / interval explosion: one
+  // merge-shaped window pass ([[Asof.joinBackward]]). Orders fold onto the
+  // events' user and month ranges (deterministic remap, mirrored in the
+  // oracle); the oracle replays through DuckDB's native ASOF LEFT JOIN —
+  // an independent implementation of the same semantics.
+  private val xPitJoin: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Kit.nanosToMillis("ts").as("ts_ms"))
+    val iv = Quality.scd2Intervals(e, "user_id", "ts_ms", "event_id", "event_type")
+      .select(col("user_id"), col("valid_from_ms").as("__rt"),
+        col("value").as("value_asof"), col("valid_from_ms"))
+    val probe = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 150).as("user_id"),
+        (expr("unix_millis(cast(o_orderdate as timestamp))") % 2592000000L +
+          lit(1704067200000L)).as("ts_ms"))
+    Asof.joinBackward(probe, iv, "user_id", "ts_ms", "__rt")
+      .select(col("o_orderkey"), col("user_id"), col("ts_ms"),
+        // probes before the key's first interval have no covering version;
+        // sentinel-coalesced so the gate compares exact ints/strings, never
+        // engine-null representations
+        coalesce(col("value_asof"), lit("(none)")).as("value_asof"),
+        coalesce(col("valid_from_ms"), lit(-1L)).as("valid_from_ms"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val xPitJoinSql =
+    """WITH iv AS MATERIALIZED (
+      |  WITH e AS (
+      |    SELECT user_id, event_id, event_type,
+      |      epoch_ns(ts) // 1000000 AS ts_ms FROM events
+      |  ), r AS (
+      |    SELECT user_id, event_id, event_type, ts_ms,
+      |      CASE WHEN lag(event_type) OVER w IS NULL
+      |             OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |  ), s AS (
+      |    SELECT user_id, event_type, ts_ms,
+      |      sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |    FROM r
+      |  )
+      |  SELECT user_id, min(event_type) AS value, min(ts_ms) AS valid_from_ms
+      |  FROM s GROUP BY user_id, run
+      |), probe AS (
+      |  SELECT o_orderkey, o_custkey % 150 AS user_id,
+      |    epoch_ms(o_orderdate) % 2592000000 + 1704067200000 AS ts_ms
+      |  FROM orders
+      |)
+      |SELECT p.o_orderkey, p.user_id, p.ts_ms,
+      |  coalesce(iv.value, '(none)') AS value_asof,
+      |  coalesce(iv.valid_from_ms, -1) AS valid_from_ms
+      |FROM probe p ASOF LEFT JOIN iv
+      |  ON p.user_id = iv.user_id AND p.ts_ms >= iv.valid_from_ms
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ── Deterministic stratified sampling (pure filter, no shuffle) ─────────
+  // Per-language corpus downsampling: en at ~50%, de at ~25%, the rest at
+  // ~12.5% — the language-rebalancing step of a multilingual corpus build.
+  private val xStratifiedSample: Q = (s, dir) => {
+    Sampling.stratifiedByHash(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> "8", "de" -> "4"), default = "2")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+  private val xStratifiedSampleSql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      |  CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' ELSE '2' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ── Deterministic bottom-k reservoir per group ─────────────────────────
+  // 5 docs per language, selected by hashed priority through the k-bounded
+  // aggregator (map-side collapse; no per-group sort). The oracle replays
+  // the SAME priorities and ranks them with a window — the window IS the
+  // quadratic-memory formulation the aggregator replaces.
+  private val xReservoirSample: Q = (s, dir) => {
+    Sampling.reservoirPerGroup(Tables.documents(s, dir), "lang", "doc_id", k = 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+  private val xReservoirSampleSql =
+    """WITH pr AS (
+      |  SELECT lang, doc_id,
+      |    ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS prio
+      |  FROM documents
+      |), rk AS (
+      |  SELECT lang, doc_id, prio,
+      |    row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rnk
+      |  FROM pr
+      |)
+      |SELECT lang, doc_id, prio, CAST(rnk AS INT) AS rnk FROM rk WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ── Order-independent replica checksum ─────────────────────────────────
+  // 32-bucket fingerprint of lineitem over its full business key + two
+  // value columns (quantity in cents — exact-integer, engine-portable).
+  // One scan, 32 output rows; the anti-entropy primitive for comparing a
+  // 100 TB table to its mirror without shuffling either.
+  private val xTableChecksum: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val sig = Integrity.rowSignature(col("l_orderkey"), col("l_linenumber"),
+      Kit.cents(col("l_quantity")), col("l_returnflag"))
+    Integrity.bucketSignature(l, col("l_orderkey") % 32, sig)
+      .orderBy(col("bucket"))
+  }
+  private val xTableChecksumSql =
+    """SELECT l_orderkey % 32 AS bucket, count(*) AS n_rows,
+      |  bit_xor(('0x' || substr(md5(concat_ws(chr(1),
+      |     CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      |     CAST(CAST(round(l_quantity*100, 0) AS BIGINT) AS VARCHAR),
+      |     l_returnflag)), 1, 15))::BIGINT) AS sig
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q3_shipping" -> q3Shipping,
+    "q5_local_volume" -> q5LocalVolume,
+    "q10_returns" -> q10Returns,
+    "x_pit_join" -> xPitJoin,
+    "x_stratified_sample" -> xStratifiedSample,
+    "x_reservoir_sample" -> xReservoirSample,
+    "x_table_checksum" -> xTableChecksum)
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local_volume" -> q5LocalVolumeSql,
+    "q10_returns" -> q10ReturnsSql,
+    "x_pit_join" -> xPitJoinSql,
+    "x_stratified_sample" -> xStratifiedSampleSql,
+    "x_reservoir_sample" -> xReservoirSampleSql,
+    "x_table_checksum" -> xTableChecksumSql)
+}

@@ -55,8 +55,10 @@ def main(sf_dir: str, out_dir: str) -> int:
                         eq = False
                         break
                 else:
-                    if not (a.astype(object).where(pd.notna(a), None)
-                            == b.astype(object).where(pd.notna(b), None)).all():
+                    # None/NaN on both sides counts as equal (pandas object
+                    # `==` yields False for None == None)
+                    both_na = pd.isna(a) & pd.isna(b)
+                    if not (both_na | (a.astype(object) == b.astype(object))).all():
                         eq = False
                         break
             if eq:
