@@ -141,6 +141,77 @@ object AnalyticsQueries {
       |GROUP BY c_custkey
       |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ── Subquery decorrelation: EXISTS / correlated scalar / NOT IN ────────
+  // The three classic correlated-subquery shapes (TPC-H Q4/Q17/Q16),
+  // expressed as SQL so the gate covers Catalyst's decorrelation: EXISTS
+  // becomes a left-semi join, the correlated scalar average becomes an
+  // aggregate joined back on the correlation key, NOT IN becomes a
+  // null-aware anti join — never a per-row re-execution of the inner query
+  // (which at 100 TB would be a scan per outer row). Plan shapes pinned in
+  // `test/spark/SubqueryDecorrelationSpec`.
+  private val q4Exists: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q4")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders_q4
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem_q4
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+  private val q4ExistsSql =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // l_quantity is integral in this testdata, so sum(quantity) is exact in
+  // double at any scale and 0.2*avg is the same IEEE value on both engines
+  // — the boundary comparison cannot flip between engines.
+  private val q17CorrelatedScalar: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q17")
+    Tables.part(s, dir).createOrReplaceTempView("part_q17")
+    s.sql("""
+      SELECT CAST(round(sum(l_extendedprice)*100, 0) AS BIGINT) AS total_c,
+        count(*) AS n
+      FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem_q17 l2
+                          WHERE l2.l_partkey = part_q17.p_partkey)""")
+  }
+  private val q17CorrelatedScalarSql =
+    """SELECT CAST(round(sum(l_extendedprice)*100, 0) AS BIGINT) AS total_c,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  private val q16NotIn: Q = (s, dir) => {
+    Tables.part(s, dir).createOrReplaceTempView("part_q16")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q16")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q16")
+    s.sql("""
+      SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part_q16 JOIN lineitem_q16 ON l_partkey = p_partkey
+      WHERE p_size >= 30
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""")
+  }
+  private val q16NotInSql =
+    """SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON l_partkey = p_partkey
+      |WHERE p_size >= 30
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin
+
   // ── Point-in-time (PIT) dimension probe: facts × SCD2 as-of ────────────
   // The warehouse "value as of T" join: SCD2 intervals built from the event
   // log (x_scd2), probed per fact at fact time. Implemented as a BACKWARD
@@ -262,6 +333,9 @@ object AnalyticsQueries {
     "q3_shipping" -> q3Shipping,
     "q5_local_volume" -> q5LocalVolume,
     "q10_returns" -> q10Returns,
+    "q4_exists" -> q4Exists,
+    "q17_correlated_scalar" -> q17CorrelatedScalar,
+    "q16_not_in" -> q16NotIn,
     "x_pit_join" -> xPitJoin,
     "x_stratified_sample" -> xStratifiedSample,
     "x_reservoir_sample" -> xReservoirSample,
@@ -271,6 +345,9 @@ object AnalyticsQueries {
     "q3_shipping" -> q3ShippingSql,
     "q5_local_volume" -> q5LocalVolumeSql,
     "q10_returns" -> q10ReturnsSql,
+    "q4_exists" -> q4ExistsSql,
+    "q17_correlated_scalar" -> q17CorrelatedScalarSql,
+    "q16_not_in" -> q16NotInSql,
     "x_pit_join" -> xPitJoinSql,
     "x_stratified_sample" -> xStratifiedSampleSql,
     "x_reservoir_sample" -> xReservoirSampleSql,
