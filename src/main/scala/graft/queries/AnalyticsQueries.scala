@@ -329,7 +329,46 @@ object AnalyticsQueries {
       |     l_returnflag)), 1, 15))::BIGINT) AS sig
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ── Storage-partitioned join through the bucketed DSv2 connector ───────
+  // Both sides report KeyGroupedPartitioning(identity(bucket)) from storage
+  // ([[graft.sources.v2.GraftBucketedSource]]); with v2 bucketing enabled
+  // Catalyst aligns the reported partitions and plans the sort-merge join
+  // with NO exchange on either side — the `no_shuffle` pin column records
+  // that from the executed plan, and the oracle replays the join itself
+  // (connector content is pure id arithmetic). requireAllClusterKeys=false
+  // lets the partition keys be a SUBSET of the join keys (bucket ⊂
+  // {bucket, doc_id}) — the realistic shape: tables bucketed by a key
+  // prefix, joined on the full key. The merge hint (not a conf) keeps the
+  // plan a sort-merge join so the pin measures SPJ, not broadcast.
+  private val xSpjJoin: Q = (s, dir) => {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def side(rows: Int) = s.read.format("graft.sources.v2.GraftBucketedSource")
+      .option("rows", rows.toString).option("buckets", "8").load()
+    val a = side(20000)
+    val b = side(12000).withColumnRenamed("v", "v2")
+    val j = a.hint("merge").join(b, Seq("bucket", "doc_id"))
+    val noShuffle = !j.queryExecution.executedPlan.toString.contains("Exchange")
+    j.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v") + col("v2")).as("sum_v"))
+      .select(col("bucket"), col("n"), col("sum_v"), lit(noShuffle).as("no_shuffle"))
+      .orderBy(col("bucket"))
+  }
+  private val xSpjJoinSql =
+    """WITH a AS (
+      |  SELECT i AS doc_id, i % 8 AS bucket, (i*31) % 1000 AS v
+      |  FROM range(0, 20000) t(i)
+      |), b AS (
+      |  SELECT i AS doc_id, i % 8 AS bucket, (i*31) % 1000 AS v2
+      |  FROM range(0, 12000) t(i)
+      |)
+      |SELECT a.bucket AS bucket, count(*) AS n,
+      |  CAST(sum(a.v + b.v2) AS BIGINT) AS sum_v, true AS no_shuffle
+      |FROM a JOIN b ON a.bucket = b.bucket AND a.doc_id = b.doc_id
+      |GROUP BY a.bucket ORDER BY a.bucket""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "x_spj_join" -> xSpjJoin,
     "q3_shipping" -> q3Shipping,
     "q5_local_volume" -> q5LocalVolume,
     "q10_returns" -> q10Returns,
@@ -342,6 +381,7 @@ object AnalyticsQueries {
     "x_table_checksum" -> xTableChecksum)
 
   val oracles: Map[String, String] = Map(
+    "x_spj_join" -> xSpjJoinSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_volume" -> q5LocalVolumeSql,
     "q10_returns" -> q10ReturnsSql,

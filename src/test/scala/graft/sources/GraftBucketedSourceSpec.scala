@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Storage-partitioned join (SPJ) through
+ * [[graft.sources.v2.GraftBucketedSource]]: the table reports
+ * identity(bucket) partitioning with per-partition keys, so a join on the
+ * bucket key plans WITHOUT exchanges when v2 bucketing is on — and the
+ * spec proves causality by showing the exchanges come back when it's off.
+ */
+class GraftBucketedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(rows: Int, buckets: Int = 8): DataFrame =
+    spark.read.format("graft.sources.v2.GraftBucketedSource")
+      .option("rows", rows.toString).option("buckets", buckets.toString).load()
+
+  private def withConfs[T](confs: (String, String)*)(f: => T): T = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("content is the declared id arithmetic") {
+    val got = read(100, 4).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = (0L until 100L).map(i => (i, i % 4, (i * 31) % 1000))
+    assert(got === want)
+    // every row of bucket b lives in the partition keyed b (the layout
+    // contract): per-partition distinct buckets are singletons
+    val perPart = read(100, 4)
+      .select(spark_partition_id().as("p"), col("bucket"))
+      .distinct().groupBy("p").count().as[(Int, Long)].collect()
+    assert(perPart.forall(_._2 === 1L))
+  }
+
+  test("join on the partition key plans with no exchange (SPJ); disabling brings the shuffle back") {
+    val joined = withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = read(1000).join(read(600).select(col("bucket"), col("v").as("v2")),
+        Seq("bucket"))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"SPJ must remove both exchanges:\n${j.queryExecution.executedPlan}")
+      j.groupBy("bucket").count().orderBy("bucket").as[(Long, Long)].collect().toSeq
+    }
+    val baseline = withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = read(1000).join(read(600).select(col("bucket"), col("v").as("v2")),
+        Seq("bucket"))
+      assert(j.queryExecution.executedPlan.toString.contains("Exchange"))
+      j.groupBy("bucket").count().orderBy("bucket").as[(Long, Long)].collect().toSeq
+    }
+    assert(joined === baseline)
+    assert(joined.map(_._2).sum === (0 until 8).map(b =>
+      (1000 / 8).toLong * (600 / 8)).sum)
+  }
+
+  test("partition keys may be a subset of the join keys (bucket ⊂ {bucket, doc_id})") {
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = read(1000).join(read(600).select(col("bucket"), col("doc_id"),
+        col("v").as("v2")), Seq("bucket", "doc_id"))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"subset-key SPJ must remove both exchanges:\n${j.queryExecution.executedPlan}")
+      // bucket is functionally determined by doc_id, so the join matches
+      // exactly the 600 shared ids
+      assert(j.count() === 600L)
+    }
+  }
+}
