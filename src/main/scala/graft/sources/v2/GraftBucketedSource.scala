@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,6 +51,11 @@ object GraftBucketed {
     .add("v", LongType, nullable = false)
 
   def v(id: Long): Long = (id * 31) % 1000
+
+  /** Test observability: partitions whose readers were actually opened —
+    * how the runtime-pruning spec proves whole buckets were skipped.
+    * Execution-side state, valid in local mode (same JVM). */
+  val partitionsOpened = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 class GraftBucketedTable(rows: Long, buckets: Int) extends Table with SupportsRead {
@@ -64,7 +70,7 @@ class GraftBucketedTable(rows: Long, buckets: Int) extends Table with SupportsRe
 }
 
 class GraftBucketedScan(rows: Long, buckets: Int) extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = GraftBucketed.schema
 
@@ -76,15 +82,49 @@ class GraftBucketedScan(rows: Long, buckets: Int) extends Scan with Batch
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), buckets)
 
+  // ── runtime (dynamic) bucket pruning ────────────────────────────────────
+  // Catalyst's PartitionPruning plants a DynamicPruningExpression on
+  // `bucket` when this scan joins a selectively-filtered dim; at runtime
+  // the build side's bucket values arrive here as IN/= predicates and
+  // whole buckets drop out of planInputPartitions — the DSv2 twin of
+  // parquet dynamic partition pruning (SPARK-35779 surface).
+  private var allowed: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("bucket"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def litValues(children: Array[_]): Seq[Long] = children.collect {
+      case l: Literal[_] => l.value match {
+        case x: java.lang.Long => x.toLong
+        case x: java.lang.Integer => x.toLong
+      }
+    }.toSeq
+    predicates.foreach { p =>
+      val isBucketRef = p.children().headOption.exists {
+        case f: NamedReference => f.describe() == "bucket"
+        case _ => false
+      }
+      if (isBucketRef && (p.name() == "IN" || p.name() == "=")) {
+        val vs = litValues(p.children().drop(1)).toSet
+        allowed = Some(allowed.fold(vs)(_ intersect vs))
+      }
+      // unrecognized predicates are ignored — pruning is an optimization,
+      // Spark re-applies the semantic filter above the scan
+    }
+  }
+
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until buckets).map(b =>
-      GraftBucketPartition(b, rows, buckets): InputPartition).toArray
+    (0 until buckets)
+      .filter(b => allowed.forall(_.contains(b.toLong)))
+      .map(b => GraftBucketPartition(b, rows, buckets): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => {
       val part = p.asInstanceOf[GraftBucketPartition]
+      GraftBucketed.partitionsOpened.incrementAndGet()
       new PartitionReader[InternalRow] {
         private var id = part.bucket.toLong - part.buckets
         override def next(): Boolean = { id += part.buckets; id < part.rows }

@@ -64,6 +64,24 @@ class GraftBucketedSourceSpec extends SparkSpec {
       (1000 / 8).toLong * (600 / 8)).sum)
   }
 
+  test("runtime v2 filtering prunes whole buckets from a dim-side filter") {
+    val dimDir = java.nio.file.Files.createTempDirectory("gbdim").toString
+    spark.range(0, 8).select(col("id").as("bucket"), (col("id") % 3).as("cat"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = read(100000)
+    val dim = spark.read.parquet(dimDir).filter(col("cat") === 1) // buckets 1,4,7
+    graft.sources.v2.GraftBucketed.partitionsOpened.set(0)
+    val j = fact.join(dim, Seq("bucket"))
+    val n = j.count()
+    // 100000 rows / 8 buckets = 12500 per bucket, 3 surviving buckets
+    assert(n === 37500L)
+    assert(graft.sources.v2.GraftBucketed.partitionsOpened.get() === 3,
+      "only the dim's buckets' partitions may be opened")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a runtime pruning filter on the scan:\n$plan")
+  }
+
   test("partition keys may be a subset of the join keys (bucket ⊂ {bucket, doc_id})") {
     withConfs(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
