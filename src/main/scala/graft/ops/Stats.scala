@@ -268,4 +268,45 @@ object Stats {
         ((dd(col("pair_n")) * dd(col("n_baskets"))) /
           (dd(col("ante_n")) * dd(col("cons_n")))).as("lift"))
   }
+
+  /**
+   * Welch's two-sample t-test (unequal variances) between groups `a` and
+   * `b` of `groupCol`, over an INTEGER-scaled value column — the A/B-test
+   * primitive. ONE scan computes both groups' exact moment sums
+   * (n, Σv, Σv² as bigints via `sum(when(...))`, map-side combined), then
+   * the statistic finishes in a fixed double tree the oracle mirrors:
+   *   mᵢ = Σvᵢ/nᵢ,  s²ᵢ = (Σv²ᵢ − Σvᵢ²/nᵢ)/(nᵢ−1),
+   *   t  = (m₁ − m₂) / sqrt(s²₁/n₁ + s²₂/n₂)
+   * plus the Welch–Satterthwaite df. sqrt and / are IEEE
+   * correctly-rounded, so identical op order → bit-identical t on any
+   * engine. Output: one row (n_a, n_b, mean_a, mean_b, t_stat, df).
+   *
+   * Scale posture: a full scan reduced to ONE row of six bigints; the
+   * test itself is driver-free arithmetic on that row.
+   */
+  def welchTTest(df: DataFrame, groupCol: String, valueIntCol: Column,
+      a: String, b: String): DataFrame = {
+    def side(tag: String, g: String) = Seq(
+      sum(when(col(groupCol) === g, lit(1L)).otherwise(lit(0L))).as(s"n_$tag"),
+      sum(when(col(groupCol) === g, valueIntCol).otherwise(lit(0L))).as(s"s_$tag"),
+      sum(when(col(groupCol) === g, valueIntCol * valueIntCol)
+        .otherwise(lit(0L))).as(s"q_$tag"))
+    val agg = side("a", a) ++ side("b", b)
+    val base = df.agg(agg.head, agg.tail: _*)
+    def mean(t: String) = dd(col(s"s_$t")) / dd(col(s"n_$t"))
+    def varOverN(t: String) =
+      ((dd(col(s"q_$t")) - dd(col(s"s_$t")) * dd(col(s"s_$t")) / dd(col(s"n_$t"))) /
+        (dd(col(s"n_$t")) - lit(1.0))) / dd(col(s"n_$t"))
+    base
+      .withColumn("mean_a", mean("a")).withColumn("mean_b", mean("b"))
+      .withColumn("__va", varOverN("a")).withColumn("__vb", varOverN("b"))
+      .withColumn("t_stat",
+        (col("mean_a") - col("mean_b")) / sqrt(col("__va") + col("__vb")))
+      .withColumn("df",
+        (col("__va") + col("__vb")) * (col("__va") + col("__vb")) /
+          (col("__va") * col("__va") / (dd(col("n_a")) - lit(1.0)) +
+            col("__vb") * col("__vb") / (dd(col("n_b")) - lit(1.0))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("t_stat"), col("df"))
+  }
 }

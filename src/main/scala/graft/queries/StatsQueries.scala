@@ -139,6 +139,46 @@ object StatsQueries {
       |WHERE abs(CAST(d.v AS DOUBLE) - st.mean) > 3.0 * st.std
       |ORDER BY "group", id""".stripMargin
 
+  // ── Welch two-sample t-test: click vs purchase values ───────────────────
+  // One scan → six exact bigint moment sums → fixed double tree (mirrored
+  // op-for-op in the oracle; sqrt and / are IEEE correctly-rounded, so the
+  // doubles are bit-identical across engines).
+  private val xTtest: Q = (s, dir) => {
+    graft.ops.Stats.welchTTest(Tables.events(s, dir), "event_type",
+      Kit.cents(col("value")), a = "click", b = "purchase")
+  }
+  private val xTtestSql =
+    """WITH d AS (
+      |  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS v
+      |  FROM events
+      |), m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN g = 'click' THEN v ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN g = 'click' THEN v * v ELSE 0 END) AS BIGINT) AS q_a,
+      |    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN g = 'purchase' THEN v ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN g = 'purchase' THEN v * v ELSE 0 END) AS BIGINT) AS q_b
+      |  FROM d
+      |), f AS (
+      |  SELECT n_a, n_b,
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |    ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+      |        / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+      |      / CAST(n_a AS DOUBLE) AS va,
+      |    ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+      |        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+      |      / CAST(n_b AS DOUBLE) AS vb
+      |  FROM m
+      |)
+      |SELECT n_a, n_b, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(va + vb) AS t_stat,
+      |  (va + vb) * (va + vb) /
+      |    (va * va / (CAST(n_a AS DOUBLE) - 1.0)
+      |     + vb * vb / (CAST(n_b AS DOUBLE) - 1.0)) AS df
+      |FROM f""".stripMargin
+
   // ── chi-square independence: event_type × epoch-day-of-week ─────────────
   // The weekday category is pure integer arithmetic on the epoch-nanos
   // long ((ms // 86400000) % 7) — no calendar functions, engine-portable.
@@ -704,6 +744,7 @@ object StatsQueries {
 
   val all: Map[String, Q] = Map(
     "s9_custom_source" -> s9CustomSource,
+    "x_ttest" -> xTtest,
     "x_hilbert" -> xHilbert,
     "x_mv_rewrite" -> xMvRewrite,
     "x_footer_count" -> xFooterCount,
@@ -725,6 +766,7 @@ object StatsQueries {
 
   val oracles: Map[String, String] = Map(
     "s9_custom_source" -> s9CustomSourceSql,
+    "x_ttest" -> xTtestSql,
     "x_hilbert" -> xHilbertSql,
     "x_mv_rewrite" -> xMvRewriteSql,
     "x_footer_count" -> xFooterCountSql,

@@ -187,4 +187,29 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got2 == Seq((10L, 1, 1L, 2L))) // 1 vote each; label 1 < label 2
   }
+
+  test("welchTTest: hand-computed statistic, invariant to partitioning") {
+    // a: {10, 20, 30}; b: {40, 40, 70, 50} (integer-scaled values)
+    val rows = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 40L), ("b", 40L), ("b", 70L), ("b", 50L))
+    def expected: (Double, Double) = {
+      val (na, nb) = (3.0, 4.0)
+      val (sa, sb) = (60.0, 200.0)
+      val (qa, qb) = (1400.0, 10600.0)
+      val (ma, mb) = (sa / na, sb / nb)
+      val va = ((qa - sa * sa / na) / (na - 1.0)) / na
+      val vb = ((qb - sb * sb / nb) / (nb - 1.0)) / nb
+      val t = (ma - mb) / math.sqrt(va + vb)
+      val dfree = (va + vb) * (va + vb) /
+        (va * va / (na - 1.0) + vb * vb / (nb - 1.0))
+      (t, dfree)
+    }
+    def run(parts: Int) = Stats.welchTTest(
+      rows.toDF("g", "v").repartition(parts), "g", $"v", "a", "b")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    val r1 = run(1)
+    val (t, dfree) = expected
+    assert(r1 === ((3L, 4L, 20.0, 50.0, t, dfree)))
+    assert(run(5) === r1) // exact bigint moments → partitioning-invariant
+  }
 }
