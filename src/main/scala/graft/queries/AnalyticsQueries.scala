@@ -367,8 +367,36 @@ object AnalyticsQueries {
       |FROM a JOIN b ON a.bucket = b.bucket AND a.doc_id = b.doc_id
       |GROUP BY a.bucket ORDER BY a.bucket""".stripMargin
 
+  // ── SQL-addressable connector tables through the DSv2 catalog ──────────
+  // The catalog rung of the DSv2 ladder: `graft.docs_<rows>` resolves by
+  // NAME in plain SQL ([[graft.sources.v2.GraftCatalog]]), with all the
+  // table's pushdowns intact — the doc_id filter below still tightens the
+  // generated range inside the scan on the SQL path. Content is id
+  // arithmetic, so DuckDB replays the whole query.
+  private val s10CatalogSql_ : Q = (s, dir) => {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
+    s.sql("""
+      SELECT lang, count(*) AS n, sum(length(text)) AS chars
+      FROM graft.docs_5000
+      WHERE doc_id >= 500 AND doc_id < 3000
+      GROUP BY lang ORDER BY lang""")
+  }
+  private val s10CatalogSqlSql =
+    """WITH d AS (
+      |  SELECT i AS doc_id,
+      |    ['en','de','fr','es','pt'][CAST(i % 5 AS INT) + 1] AS lang,
+      |    'tok' || CAST(i % 97 AS VARCHAR) || ' tok'
+      |      || CAST((i * 7) % 89 AS VARCHAR) || ' tok'
+      |      || CAST((i * 13) % 83 AS VARCHAR) AS text
+      |  FROM range(500, 3000) t(i)
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "x_spj_join" -> xSpjJoin,
+    "s10_catalog_sql" -> s10CatalogSql_,
     "q3_shipping" -> q3Shipping,
     "q5_local_volume" -> q5LocalVolume,
     "q10_returns" -> q10Returns,
@@ -382,6 +410,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "x_spj_join" -> xSpjJoinSql,
+    "s10_catalog_sql" -> s10CatalogSqlSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_volume" -> q5LocalVolumeSql,
     "q10_returns" -> q10ReturnsSql,
