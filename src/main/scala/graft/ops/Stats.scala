@@ -284,6 +284,42 @@ object Stats {
    * Scale posture: a full scan reduced to ONE row of six bigints; the
    * test itself is driver-free arithmetic on that row.
    */
+  /**
+   * Deterministic half-sample bootstrap CI for the mean of an
+   * integer-scaled value — uncertainty quantification in ONE scan with no
+   * resampling shuffles: resample r (r < `b` ≤ 48) keeps a row iff bit r
+   * of its id's md5-derived 60-bit hash is set (each bit an independent
+   * fair coin, so each resample is a ~n/2 subsample; half-sampling is the
+   * classic McCarthy balanced-half-sample estimator, and a hash tape makes
+   * it deterministic/retry-stable like everything in [[Sampling]]).
+   * All 2b moment sums accumulate in the SAME map-side-combined aggregate
+   * row; the resample means sort in-plan (a b-element array) and the CI
+   * bounds are the 2nd-smallest / 2nd-largest — ≈96% coverage at b=48.
+   *
+   * Output: one row (n, mean, ci_lo, ci_hi). Fixed double op order; the
+   * oracle regenerates the identical 2b CASE-sums, so the doubles are
+   * bit-identical.
+   */
+  def bootstrapMeanCI(df: DataFrame, idCol: Column, valueIntCol: Column,
+      b: Int = 48): DataFrame = {
+    require(b >= 4 && b <= 48, "b must be in [4, 48] (60 hash bits, 48 used)")
+    val h = conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val pre = df.select(h.as("__h"), valueIntCol.cast("long").as("__v"))
+    val sums = (0 until b).flatMap { r =>
+      val bit = expr(s"shiftright(__h, $r) & 1L")
+      Seq(sum(col("__v") * bit).as(s"__s$r"), sum(bit).as(s"__n$r"))
+    } ++ Seq(sum(col("__v")).as("__s"), count(lit(1)).as("n"))
+    val base = pre.agg(sums.head, sums.tail: _*)
+    val means = array((0 until b).map(r =>
+      dd(col(s"__s$r")) / dd(col(s"__n$r"))): _*)
+    base
+      .withColumn("__ms", array_sort(means))
+      .select(col("n"), (dd(col("__s")) / dd(col("n"))).as("mean"),
+        element_at(col("__ms"), 2).as("ci_lo"),
+        element_at(col("__ms"), b - 1).as("ci_hi"))
+  }
+
   def welchTTest(df: DataFrame, groupCol: String, valueIntCol: Column,
       a: String, b: String): DataFrame = {
     def side(tag: String, g: String) = Seq(

@@ -179,6 +179,36 @@ object StatsQueries {
       |     + vb * vb / (CAST(n_b AS DOUBLE) - 1.0)) AS df
       |FROM f""".stripMargin
 
+  // ── deterministic half-sample bootstrap CI for the mean ─────────────────
+  // 48 hash-bit resamples accumulated in ONE aggregate row (no resample
+  // shuffles); the oracle REGENERATES the identical 96 CASE-sums, so the
+  // resample means — and the sorted CI bounds — are bit-identical doubles.
+  private val xBootstrap: Q = (s, dir) => {
+    graft.ops.Stats.bootstrapMeanCI(Tables.events(s, dir),
+      col("event_id"), Kit.cents(col("value")), b = 48)
+  }
+  private val xBootstrapSql = {
+    val b = 48
+    val terms = (0 until b).flatMap(r => Seq(
+      s"CAST(sum(v * ((h >> $r) & 1)) AS BIGINT) AS s$r",
+      s"CAST(sum((h >> $r) & 1) AS BIGINT) AS n$r"))
+    val meanList = (0 until b)
+      .map(r => s"CAST(s$r AS DOUBLE) / CAST(n$r AS DOUBLE)").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v
+       |  FROM events
+       |), m AS (
+       |  SELECT ${terms.mkString(",\n    ")},
+       |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM d
+       |), q AS (
+       |  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |    list_sort([$meanList]) AS ms FROM m
+       |)
+       |SELECT n, mean, ms[2] AS ci_lo, ms[${b - 1}] AS ci_hi FROM q""".stripMargin
+  }
+
   // ── chi-square independence: event_type × epoch-day-of-week ─────────────
   // The weekday category is pure integer arithmetic on the epoch-nanos
   // long ((ms // 86400000) % 7) — no calendar functions, engine-portable.
@@ -745,6 +775,7 @@ object StatsQueries {
   val all: Map[String, Q] = Map(
     "s9_custom_source" -> s9CustomSource,
     "x_ttest" -> xTtest,
+    "x_bootstrap" -> xBootstrap,
     "x_hilbert" -> xHilbert,
     "x_mv_rewrite" -> xMvRewrite,
     "x_footer_count" -> xFooterCount,
@@ -767,6 +798,7 @@ object StatsQueries {
   val oracles: Map[String, String] = Map(
     "s9_custom_source" -> s9CustomSourceSql,
     "x_ttest" -> xTtestSql,
+    "x_bootstrap" -> xBootstrapSql,
     "x_hilbert" -> xHilbertSql,
     "x_mv_rewrite" -> xMvRewriteSql,
     "x_footer_count" -> xFooterCountSql,

@@ -188,6 +188,29 @@ class StatsSpec extends SparkSpec {
     assert(got2 == Seq((10L, 1, 1L, 2L))) // 1 vote each; label 1 < label 2
   }
 
+  test("bootstrapMeanCI: locally-replayed resample means, invariant to partitioning") {
+    val rows = Seq.tabulate(500)(i => (i.toLong, (i * 13 % 97).toLong))
+    val df = rows.toDF("id", "v")
+    def hash(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    val b = 16
+    val means = (0 until b).map { r =>
+      val kept = rows.filter { case (id, _) => ((hash(id) >> r) & 1L) == 1L }
+      kept.map(_._2).sum.toDouble / kept.size.toDouble
+    }.sorted
+    val overall = rows.map(_._2).sum.toDouble / rows.size
+    def run(parts: Int) = Stats.bootstrapMeanCI(
+      df.repartition(parts), $"id", $"v", b)
+      .as[(Long, Double, Double, Double)].collect().head
+    val r1 = run(1)
+    assert(r1 === ((500L, overall, means(1), means(b - 2))))
+    assert(run(7) === r1)
+  }
+
   test("welchTTest: hand-computed statistic, invariant to partitioning") {
     // a: {10, 20, 30}; b: {40, 40, 70, 50} (integer-scaled values)
     val rows = Seq(("a", 10L), ("a", 20L), ("a", 30L),
