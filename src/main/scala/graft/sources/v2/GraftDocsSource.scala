@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{Statistics, SupportsReportStatistics}
@@ -80,22 +81,41 @@ class GraftDocsScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 100L) e
   private var required: StructType = GraftDocs.schema
   private var countPushed = false
 
-  /** COUNT(*) with no grouping never needs generated rows — the range IS
-    * the answer (the DSv2 twin of [[graft.spark.FooterCountStrategy]]'s
-    * footer trick). Complete pushdown: the scan returns the single
-    * aggregated row. */
+  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) with no grouping never need
+    * generated rows — the (filter-tightened) range IS the answer (the DSv2
+    * twin of [[graft.spark.FooterCountStrategy]]'s footer trick, extended
+    * the way parquet footers also answer min/max). Complete pushdown: the
+    * scan returns the single aggregated row with one value per pushed
+    * aggregate, in declaration order. */
+  private def rangeAnswerable(aggregation: Aggregation): Boolean = {
+    def onDocId(f: AggregateFunc, c: Array[_ <: org.apache.spark.sql.connector.expressions.Expression]): Boolean =
+      c.length == 1 && (c(0) match {
+        case n: NamedReference => n.describe() == "doc_id"
+        case _ => false
+      })
+    aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().nonEmpty &&
+      aggregation.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => onDocId(m, m.children())
+        case m: Max => onDocId(m, m.children())
+        case _ => false
+      }
+  }
+
+  private var pushedAggs: Seq[AggregateFunc] = Nil
+
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (ok) countPushed = true
+    val ok = rangeAnswerable(aggregation)
+    if (ok) {
+      countPushed = true
+      pushedAggs = aggregation.aggregateExpressions().toSeq
+    }
     ok
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    rangeAnswerable(aggregation)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
@@ -129,30 +149,52 @@ class GraftDocsScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 100L) e
     required = requiredSchema
 
   override def build(): Scan =
-    if (countPushed) new GraftDocsCountScan(lo, hi)
+    if (countPushed) new GraftDocsCountScan(lo, hi, pushedAggs)
     else new GraftDocsScan(lo, hi, slices, required, rowsPerBatch)
 }
 
-/** The aggregated scan for a completely-pushed COUNT(*): one partition,
-  * one row, value = the (filter-tightened) range size. */
-class GraftDocsCountScan(lo: Long, hi: Long) extends Scan with Batch {
+/** The aggregated scan for completely-pushed COUNT(*)/MIN/MAX(doc_id):
+  * one partition, one row, each value answered by range arithmetic.
+  * Empty ranges yield count 0 and null min/max (the SQL aggregate
+  * contract). */
+class GraftDocsCountScan(lo: Long, hi: Long, aggs: Seq[AggregateFunc])
+    extends Scan with Batch {
   override def readSchema(): StructType =
-    new StructType().add("count(*)", LongType, nullable = false)
-  override def description(): String = s"GraftDocsCountScan range=[$lo,$hi]"
+    aggs.zipWithIndex.foldLeft(new StructType()) {
+      case (st, (_: CountStar, i)) => st.add(s"count_$i", LongType, nullable = false)
+      case (st, (_, i)) => st.add(s"agg_$i", LongType, nullable = true)
+    }
+  override def description(): String =
+    s"GraftDocsCountScan range=[$lo,$hi] aggs=${aggs.map(_.describe()).mkString(",")}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftDocsPartition(lo, hi))
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // AggregateFunc instances are not Serializable — ship primitive tags
+    val tags: Array[Int] = aggs.map {
+      case _: CountStar => 0
+      case _: Min => 1
+      case _: Max => 2
+      case other => throw new IllegalStateException(
+        s"unexpected pushed aggregate ${other.describe()}")
+    }.toArray
     (p: InputPartition) => {
       val part = p.asInstanceOf[GraftDocsPartition]
       new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = { val r = !emitted; emitted = true; r }
-        override def get(): InternalRow =
-          InternalRow(math.max(0L, part.end - part.start + 1))
+        override def get(): InternalRow = {
+          val empty = part.end < part.start
+          InternalRow.fromSeq(tags.toSeq.map {
+            case 0 => if (empty) 0L else part.end - part.start + 1
+            case 1 => if (empty) null else part.start
+            case 2 => if (empty) null else part.end
+          })
+        }
         override def close(): Unit = ()
       }
     }
+  }
 }
 
 class GraftDocsScan(lo: Long, hi: Long, slices: Int, required: StructType,

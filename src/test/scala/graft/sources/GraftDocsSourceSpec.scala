@@ -58,6 +58,20 @@ class GraftDocsSourceSpec extends SparkSpec {
     assert(g.count() == 5)
   }
 
+  test("min/max(doc_id) push down completely alongside count(*)") {
+    val q = docs(5000000).filter($"doc_id" >= 10 && $"doc_id" <= 4000000)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDocsCountScan"),
+      s"min/max/count were not pushed into the source:\n$plan")
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3999991L, 10L, 4000000L)))
+    // min over a NON-range-answerable column must not push
+    val m = docs(1000).agg(min($"lang"))
+    assert(!m.queryExecution.executedPlan.toString.contains("CountScan"))
+    assert(m.collect()(0).getString(0) == "de")
+  }
+
   test("post-pushdown statistics let Catalyst broadcast a filtered slice") {
     // a 50-row slice of a 10M-row source: with accurate post-pushdown
     // stats the join side is broadcast, not shuffled
