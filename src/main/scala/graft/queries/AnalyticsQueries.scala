@@ -212,6 +212,43 @@ object AnalyticsQueries {
       |                        WHERE s_acctbal < 0)
       |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin
 
+  // The Q21 shape — DOUBLE correlation on the same inner table (EXISTS +
+  // NOT EXISTS over lineitem), the hardest of the classic decorrelation
+  // cases: both subqueries decorrelate against the same fact, planned as a
+  // semi join AND an anti join on l_orderkey (two passes over one shuffle
+  // of lineitem keys, not a per-row rescan).
+  private val q21Waiting: Q = (s, dir) => {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q21")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q21")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q21")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier_q21 JOIN lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders_q21 ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""")
+  }
+  private val q21WaitingSql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   // ── Point-in-time (PIT) dimension probe: facts × SCD2 as-of ────────────
   // The warehouse "value as of T" join: SCD2 intervals built from the event
   // log (x_scd2), probed per fact at fact time. Implemented as a BACKWARD
@@ -403,6 +440,7 @@ object AnalyticsQueries {
     "q4_exists" -> q4Exists,
     "q17_correlated_scalar" -> q17CorrelatedScalar,
     "q16_not_in" -> q16NotIn,
+    "q21_waiting" -> q21Waiting,
     "x_pit_join" -> xPitJoin,
     "x_stratified_sample" -> xStratifiedSample,
     "x_reservoir_sample" -> xReservoirSample,
@@ -417,6 +455,7 @@ object AnalyticsQueries {
     "q4_exists" -> q4ExistsSql,
     "q17_correlated_scalar" -> q17CorrelatedScalarSql,
     "q16_not_in" -> q16NotInSql,
+    "q21_waiting" -> q21WaitingSql,
     "x_pit_join" -> xPitJoinSql,
     "x_stratified_sample" -> xStratifiedSampleSql,
     "x_reservoir_sample" -> xReservoirSampleSql,

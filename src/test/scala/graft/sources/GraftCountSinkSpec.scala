@@ -41,4 +41,39 @@ class GraftCountSinkSpec extends SparkSpec {
       .mode("append").save()
     assert(GraftCountSink.committed("t3").contains(0L))
   }
+
+  test("streaming write commits per epoch through a real query") {
+    GraftCountSink.clearStreaming("s1")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("sinkckpt").toString
+    val q = mem.toDF().writeStream.format(fmt)
+      .option("tag", "s1").option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(1L to 100L: _*)
+      q.processAllAvailable()
+      mem.addData(1L to 50L: _*)
+      q.processAllAvailable()
+      assert(GraftCountSink.committedStreaming("s1") === 150L)
+      assert(GraftCountSink.committedEpochs("s1") >= 2)
+    } finally q.stop()
+  }
+
+  test("streaming commit is idempotent per epoch (replayed micro-batch)") {
+    GraftCountSink.clearStreaming("s2")
+    val w = new graft.sources.v2.GraftCountStreamingWrite("s2")
+    val row = org.apache.spark.sql.catalyst.InternalRow(1L)
+    def msg(n: Int) = {
+      val dw = (new graft.sources.v2.GraftCountStreamingWriterFactory)
+        .createWriter(0, 0L, 7L)
+      (1 to n).foreach(_ => dw.write(row))
+      dw.commit()
+    }
+    w.commit(7L, Array(msg(400)))
+    // post-restart replay of epoch 7: same data, committed again
+    w.commit(7L, Array(msg(400)))
+    w.commit(8L, Array(msg(100)))
+    assert(GraftCountSink.committedStreaming("s2") === 500L)
+    assert(GraftCountSink.committedEpochs("s2") === 2)
+  }
 }

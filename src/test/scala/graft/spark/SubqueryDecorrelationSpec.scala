@@ -32,6 +32,16 @@ class SubqueryDecorrelationSpec extends SparkSpec {
     assert(df.collect().length === 1)
   }
 
+  test("double correlation (EXISTS + NOT EXISTS on the same table) plans as semi + anti join") {
+    val df = AnalyticsQueries.all("q21_waiting")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected one semi and one anti join:\n$plan")
+    assert(!plan.contains("exists#") || !plan.contains("Filter exists"),
+      s"EXISTS predicates must be planned away:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("NOT IN decorrelates to a null-aware anti join") {
     val df = AnalyticsQueries.all("q16_not_in")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
