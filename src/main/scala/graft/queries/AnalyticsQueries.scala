@@ -249,6 +249,61 @@ object AnalyticsQueries {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  // The Q2 shape — correlated ARGMIN: rows selling at their part's minimum
+  // price. Decorrelates to a per-part min aggregate joined back on the
+  // correlation key; the double equality is engine-safe because both
+  // engines compare the same stored IEEE values (min picks, never computes).
+  private val q2MinSubquery: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q2")
+    Tables.part(s, dir).createOrReplaceTempView("part_q2")
+    s.sql("""
+      SELECT p_partkey, CAST(round(l_extendedprice*100, 0) AS BIGINT) AS price_c,
+        l_suppkey
+      FROM lineitem_q2 JOIN part_q2 ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#2'
+        AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem_q2 l2
+                               WHERE l2.l_partkey = part_q2.p_partkey)
+      ORDER BY p_partkey, l_suppkey""")
+  }
+  private val q2MinSubquerySql =
+    """SELECT p_partkey, CAST(round(l_extendedprice*100, 0) AS BIGINT) AS price_c,
+      |  l_suppkey
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#2'
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |                         WHERE l2.l_partkey = part.p_partkey)
+      |ORDER BY p_partkey, l_suppkey""".stripMargin
+
+  // The Q22 shape — uncorrelated scalar average + NOT EXISTS: high-balance
+  // customers with no recent orders. The balance compares in exact CENTS so
+  // the average is an exact-integer-sum division — bit-identical across
+  // engines and partitionings (a raw double avg is order-dependent and
+  // could flip boundary rows between engines).
+  private val q22NoOrders: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q22")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q22")
+    s.sql("""
+      WITH c AS (
+        SELECT c_custkey, CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_c
+        FROM customer_q22
+      )
+      SELECT count(*) AS numcust, CAST(sum(bal_c) AS BIGINT) AS totbal_c
+      FROM c
+      WHERE bal_c > (SELECT avg(bal_c) FROM c c2 WHERE c2.bal_c > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders_q22 WHERE o_custkey = c_custkey
+                        AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')""")
+  }
+  private val q22NoOrdersSql =
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_c
+      |  FROM customer
+      |)
+      |SELECT count(*) AS numcust, CAST(sum(bal_c) AS BIGINT) AS totbal_c
+      |FROM c
+      |WHERE bal_c > (SELECT avg(bal_c) FROM c c2 WHERE c2.bal_c > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')""".stripMargin
+
   // ── Point-in-time (PIT) dimension probe: facts × SCD2 as-of ────────────
   // The warehouse "value as of T" join: SCD2 intervals built from the event
   // log (x_scd2), probed per fact at fact time. Implemented as a BACKWARD
@@ -441,6 +496,8 @@ object AnalyticsQueries {
     "q17_correlated_scalar" -> q17CorrelatedScalar,
     "q16_not_in" -> q16NotIn,
     "q21_waiting" -> q21Waiting,
+    "q2_min_subquery" -> q2MinSubquery,
+    "q22_no_orders" -> q22NoOrders,
     "x_pit_join" -> xPitJoin,
     "x_stratified_sample" -> xStratifiedSample,
     "x_reservoir_sample" -> xReservoirSample,
@@ -456,6 +513,8 @@ object AnalyticsQueries {
     "q17_correlated_scalar" -> q17CorrelatedScalarSql,
     "q16_not_in" -> q16NotInSql,
     "q21_waiting" -> q21WaitingSql,
+    "q2_min_subquery" -> q2MinSubquerySql,
+    "q22_no_orders" -> q22NoOrdersSql,
     "x_pit_join" -> xPitJoinSql,
     "x_stratified_sample" -> xStratifiedSampleSql,
     "x_reservoir_sample" -> xReservoirSampleSql,
