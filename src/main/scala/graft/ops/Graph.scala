@@ -128,22 +128,26 @@ object Graph {
       col(dstCol).cast("long").as("dst")).distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    var scores = nodes.select(col("node"), lit(1L).as("hub"),
-      lit(1L).as("auth"))
+    // Propagate only NONZERO mass: a node absent from a round's hub/auth
+    // frame has exactly 0 and contributes nothing to any sum, so the inner
+    // joins below compute the same integers as a dense all-nodes iteration
+    // while shuffling only the support of the scores — the full node set
+    // (with its zeros) joins back ONCE at the end, not twice per round.
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val auth = e.join(scores.select(col("node").as("src"), col("hub")), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__a"))
-      val withAuth = nodes.join(auth, Seq("node"), "left_outer")
-        .select(col("node"), coalesce(col("__a"), lit(0L)).as("auth"))
-      val hub = e.join(withAuth.select(col("node").as("dst"), col("auth")
-          .as("__na")), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("__na")).as("__h"))
-      scores = nodes.join(withAuth, Seq("node"))
-        .join(hub, Seq("node"), "left_outer")
-        .select(col("node"), coalesce(col("__h"), lit(0L)).as("hub"),
-          col("auth"))
+      auth = e.join(hub.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      hub = e.join(auth.select(col("node").as("dst"), col("auth").as("__na")),
+          "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("__na")).as("hub"))
     }
-    val out = scores.localCheckpoint(eager = true)
+    val out = nodes
+      .join(auth, Seq("node"), "left_outer")
+      .join(hub.withColumnRenamed("hub", "__h"), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("__h"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+      .localCheckpoint(eager = true)
     e.unpersist()
     nodes.unpersist()
     out
