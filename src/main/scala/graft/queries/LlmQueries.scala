@@ -1927,7 +1927,44 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY score_micro DESC, doc_id""".stripMargin
 
+  // ── multi-pattern blocklist counting (Aho–Corasick, one pass) ───────────
+  // Per doc, occurrence counts of every tracked phrase from ONE automaton
+  // pass ([[graft.functions.MultiMatch]]); the oracle replays each count
+  // with replace-arithmetic (patterns chosen borderless w.r.t. the corpus,
+  // so non-overlapping replace counting equals all-occurrence counting).
+  private val blockPats =
+    Seq("table", "hash", "agg query", "window merge", "zz absent zz")
+  private val tBlocklist: Q = (s, dir) => {
+    val c = graft.functions.MultiMatch.patternCounts(col("text"), blockPats)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), c.as("__c"))
+      .select(col("doc_id"),
+        element_at(col("__c"), 1).as("n_table"),
+        element_at(col("__c"), 2).as("n_hash"),
+        element_at(col("__c"), 3).as("n_aggq"),
+        element_at(col("__c"), 4).as("n_wm"),
+        element_at(col("__c"), 5).as("n_absent"),
+        expr("aggregate(__c, 0L, (a, x) -> a + x)").as("hits"),
+        expr("size(filter(__c, x -> x > 0))").as("n_pats"))
+      .orderBy(col("doc_id"))
+  }
+  private val tBlocklistSql = {
+    def cnt(p: String, as: String) =
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length} AS $as"
+    s"""SELECT doc_id,
+       |  ${cnt("table", "n_table")},
+       |  ${cnt("hash", "n_hash")},
+       |  ${cnt("agg query", "n_aggq")},
+       |  ${cnt("window merge", "n_wm")},
+       |  ${cnt("zz absent zz", "n_absent")},
+       |  n_table + n_hash + n_aggq + n_wm + n_absent AS hits,
+       |  CAST((n_table > 0)::INT + (n_hash > 0)::INT + (n_aggq > 0)::INT
+       |    + (n_wm > 0)::INT + (n_absent > 0)::INT AS INT) AS n_pats
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "t_blocklist" -> tBlocklist,
     "t_search_and" -> tSearchAnd,
     "t_search_phrase" -> tSearchPhrase,
     "t_search_ranked" -> tSearchRanked,
@@ -1988,6 +2025,7 @@ object LlmQueries {
     "t_vocab" -> tVocab)
 
   val oracles: Map[String, String] = Map(
+    "t_blocklist" -> tBlocklistSql,
     "t_search_and" -> tSearchAndSql,
     "t_search_phrase" -> tSearchPhraseSql,
     "t_search_ranked" -> tSearchRankedSql,
