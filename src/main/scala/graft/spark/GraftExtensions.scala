@@ -50,6 +50,12 @@ object GraftExtensions {
       s"$fn: $name must be a boolean literal, got $other")
   }
 
+  private def strArg(e: Expression, name: String, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be a string literal, got $other")
+  }
+
   /** The engine's SQL function surface: (name, usage, builder). */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_fingerprint32",
@@ -137,6 +143,18 @@ object GraftExtensions {
       "graft_hash_embed(str, dim) - unit-norm feature-hashed bag-of-words embedding",
       { case Seq(c, d) =>
         graft.functions.HashEmbed(c, intArg(d, "dim", "graft_hash_embed"))
+      }: Seq[Expression] => Expression),
+    ("graft_multimatch",
+      "graft_multimatch(str, patterns[, sep]) - Aho-Corasick occurrence counts " +
+        "per pattern; patterns is a sep-joined literal (default ',')",
+      { case Seq(c, p) =>
+          graft.functions.MultiPatternCounts(c,
+            strArg(p, "patterns", "graft_multimatch").split(',').toSeq)
+        case Seq(c, p, s) =>
+          val sep = strArg(s, "sep", "graft_multimatch")
+          require(sep.length == 1, "graft_multimatch: sep must be one char")
+          graft.functions.MultiPatternCounts(c,
+            strArg(p, "patterns", "graft_multimatch").split(sep.head).toSeq)
       }: Seq[Expression] => Expression))
 
   /** Register into a live session's function registry (tests, notebooks —

@@ -58,6 +58,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == "a b")
   }
 
+  test("graft_multimatch in SQL: per-pattern counts via the automaton") {
+    val row = spark.sql(
+      """SELECT graft_multimatch('aa bb aa cc', 'aa,bb,zz') AS c,
+        |       graft_multimatch('x|y', 'x;y', ';') AS c2
+        |""".stripMargin).head()
+    assert(row.getSeq[Long](0) == Seq(2L, 1L, 0L))
+    assert(row.getSeq[Long](1) == Seq(1L, 1L))
+  }
+
   test("non-literal parameter arguments are rejected") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash_sig(text, doc_id, 3) FROM VALUES ('x', 1) AS t(text, doc_id)").collect()
