@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -404,5 +405,78 @@ object SimHash64 {
       b += 1
     }
     out
+  }
+}
+
+/**
+ * Distinct character-n-gram set as sorted 64-bit hashes in ONE native
+ * pass — the hot sketch of every shingle-based dedup path
+ * ([[graft.ops.Dedup.containmentPairs]]'s profile: the sketch is the
+ * single largest stage). The declarative form
+ * (`transform(sequence(...), i -> xxhash64(substr(...)))` +
+ * `array_distinct` + `sort_array`) allocates a UTF8 substring and boxes a
+ * long per shingle; this walks the UTF-8 bytes once, hashes each
+ * char-aligned window with an FNV-style polynomial (hash choice is free:
+ * every consumer uses the hashes only for equality/distinctness, and the
+ * oracles count STRING n-grams), sorts and dedups a primitive long array.
+ * Char-aligned windows keep the semantics of the substring form on any
+ * Unicode input.
+ */
+case class NgramHashSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashSet.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramHashSet.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashSet =
+    copy(child = newChild)
+}
+
+object NgramHashSet {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // char-start byte offsets (UTF-8 continuation bytes are 10xxxxxx)
+    var chars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = bytes.length
+    val m = chars - n + 1
+    val hs = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var h = 0xCBF29CE484222325L
+      var b = starts(w)
+      val end = starts(w + n)
+      while (b < end) { h = (h ^ (bytes(b) & 0xFF)) * 0x100000001B3L; b += 1 }
+      hs(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var out = 0
+    var r = 0
+    while (r < m) {
+      if (out == 0 || hs(r) != hs(out - 1)) { hs(out) = hs(r); out += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (out == m) hs else java.util.Arrays.copyOf(hs, out))
   }
 }

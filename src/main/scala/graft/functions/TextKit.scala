@@ -104,13 +104,13 @@ object TextKit {
     * arrays — bytes per shingle is the scaling term.
     */
   def ngramHashSet(text: Column, n: Int): Column =
-    // Guard text shorter than n like charNgrams: sequence(1, len-(n-1))
-    // with len < n yields the DESCENDING array [1,0] (not empty), which
-    // would hash the truncated text into a spurious singleton set.
-    when(length(text) < n, array().cast("array<bigint>"))
-      .otherwise(sort_array(array_distinct(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => xxhash64(text.substr(i, lit(n)))))))
+    // native single-pass sketch ([[graft.functions.NgramHashSet]]): no
+    // per-shingle substring allocation, primitive sort+dedup; hash choice
+    // is internal (consumers use the hashes for equality/distinctness
+    // only, and the oracles count STRING n-grams)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NgramHashSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
   /** Pushdown barrier for expensive pair filters:
     * `filter(noPushdown(expensive >= θ))` keeps `expensive` in the

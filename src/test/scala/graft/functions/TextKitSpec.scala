@@ -17,6 +17,28 @@ class TextKitSpec extends SparkSpec {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
+  test("ngramHashSet (native): cardinality = distinct char n-grams, sorted, unicode-aligned") {
+    def card(text: String, n: Int): (Int, Boolean) = {
+      val arr = Seq(text).toDF("t")
+        .select(TextKit.ngramHashSet(col("t"), n).as("g"))
+        .collect().head.getSeq[Long](0)
+      (arr.size, arr == arr.sorted)
+    }
+    def expectDistinct(text: String, n: Int): Int =
+      text.sliding(n).filter(_.length == n).toSet.size
+    for ((t, n) <- Seq(("abcabcab", 3), ("aaaa", 2), ("hello world", 5),
+        ("日本語テキスト日本語", 2), ("ab", 5), ("", 3))) {
+      val (c, sorted) = card(t, n)
+      assert(c === expectDistinct(t, n), s"text='$t' n=$n")
+      assert(sorted)
+    }
+    // equal texts -> equal sets; sets drive jaccard downstream
+    val j = Seq(("abcdef", "abcdef"), ("abcdef", "zzzzzz")).toDF("a", "b")
+      .select(size(array_intersect(TextKit.ngramHashSet(col("a"), 3),
+        TextKit.ngramHashSet(col("b"), 3))).as("i")).collect().map(_.getInt(0))
+    assert(j.toSeq === Seq(4, 0))
+  }
+
   test("redactPii scrubs emails, phones, IPv4 with typed tokens") {
     assert(redact("mail bob.smith+tag@sub.example.co.uk now") == "mail <EMAIL> now")
     assert(redact("call +1 415-555-0134 or +44 201.555.0177") ==
