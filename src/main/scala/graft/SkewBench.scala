@@ -94,6 +94,47 @@ object SkewBench {
         }))
     }
 
+    // D3 markers: narrow-winner join-back vs the window form it replaced
+    // (same hot-key corpus — one key holds 20% of all rows)
+    def markerOps(docs: DataFrame): Seq[(String, () => Long)] = {
+      val hashed = docs.withColumn("__h", md5(col("text").cast("binary")))
+      Seq(
+        "markers_engine" -> (() =>
+          Dedup.dedupMarkers(hashed, col("__h"), Seq(col("doc_id"))).count()),
+        "markers_window" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+          hashed.withColumn("status",
+            when(row_number().over(w) === 1, lit("SENT"))
+              .otherwise(lit("SENT_OR_DUPLICATED"))).count()
+        }))
+    }
+    // brute-force ANN ranking: 1 query vs the whole corpus — the shape
+    // where the per-query window holds |corpus| rows in ONE task's sort
+    // (VERDICT r6 item 1). Hash-derived 16-dim vectors, deterministic.
+    def simOps(docs: DataFrame): Seq[(String, () => Long)] = {
+      val vecs = docs.select(col("doc_id").as("vec_id"),
+        expr("transform(sequence(1, 16), i -> " +
+          "cast(pmod(xxhash64(doc_id * 31 + i), 1000) / 1000.0 as float))")
+          .as("embedding"))
+      val queries = vecs.filter(col("vec_id") === 0)
+      Seq(
+        "bruteforce_topk_engine" -> (() =>
+          graft.ops.Similarity.bruteForceTopK(vecs, queries, k = 5).count()),
+        "bruteforce_topk_window" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val c = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+          val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))
+          c.crossJoin(broadcast(q))
+            .filter(col("neighbor_id") =!= col("query_id"))
+            .withColumn("cos", graft.functions.VectorKit.cosine(col("cv"), col("qv")))
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= 5).count()
+        }))
+    }
+
     def lshOps(docs: DataFrame): Seq[(String, () => Long)] = Seq(
       "minhash_candidates_capped" -> (() =>
         Dedup.minhashCandidatePairs(docs, "doc_id", "text",
@@ -106,6 +147,8 @@ object SkewBench {
         ("uniform", nExact, exactOps(spark.read.parquet(unifEx))),
         ("skewed", nExact, topkOps(spark.read.parquet(skewEx))),
         ("uniform", nExact, topkOps(spark.read.parquet(unifEx))),
+        ("skewed", nExact, markerOps(spark.read.parquet(skewEx))),
+        ("skewed", nExact, simOps(spark.read.parquet(skewEx))),
         ("skewed", nLsh, lshOps(spark.read.parquet(skewLsh))),
         ("uniform", nLsh, lshOps(spark.read.parquet(unifLsh))))
     val results = for {

@@ -62,13 +62,29 @@ object Dedup {
    * (mediation/http/StateAsyncParDoWithHttpHandler.scala:105-131; the
    * streaming twin lives in [[graft.streaming.StatefulTtlDedup]]).
    */
+  /**
+   * Same narrow-winner shape as [[exactDedup]] (NOT a `row_number` window):
+   * the per-key winner is a map-side-combinable `min(struct(orderCols))`
+   * over only (key, orderCols) — a viral key with 10⁸ duplicates collapses
+   * to one buffer per input partition instead of one task sorting all 10⁸
+   * rows — and the status falls out of a hash join-back: a row is `SENT`
+   * iff its orderCols equal the winner's (null-safe, like exactDedup's
+   * join-back). `orderCols` must order rows uniquely within a key (every
+   * caller ends with a unique id) — with ties the window form's pick was
+   * partition-order-dependent anyway; this form marks all tied minima
+   * `SENT`, which is at least deterministic.
+   */
   def dedupMarkers(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
       statusName: String = "status"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
-    df.withColumn(statusName,
-      when(row_number().over(w) === 1, lit("SENT"))
-        .otherwise(lit("SENT_OR_DUPLICATED")))
+    val keyed = df.withColumn("__dk", keyCol)
+    val winners = keyed.groupBy(col("__dk"))
+      .agg(min(struct(orderCols: _*)).as("__mo"))
+      .select(col("__dk").as("__wk"), col("__mo"))
+    keyed.join(winners.hint("shuffle_hash"), col("__dk") <=> col("__wk"))
+      .withColumn(statusName,
+        when(struct(orderCols: _*) <=> col("__mo"), lit("SENT"))
+          .otherwise(lit("SENT_OR_DUPLICATED")))
+      .select(df.columns.map(col) :+ col(statusName): _*)
   }
 
   // ── bucket-size banding (shared by every blocked candidate path) ─────────

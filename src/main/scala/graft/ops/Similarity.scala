@@ -22,8 +22,18 @@ object Similarity {
 
   /**
    * Exact top-k by cosine for each query vector. `queries` must be small
-   * (it is broadcast). Ties broken by corpus id for determinism.
+   * (it is broadcast); ids must be integral (they ride the k-bounded
+   * ranking buffer as longs). Ties broken by corpus id for determinism.
    * Output: (query_id, neighbor_id, cos) — self-matches excluded.
+   *
+   * Ranking is [[TopK.topKPerGroupByDouble]] — a k-bounded partial
+   * aggregate, NOT a `row_number` window: the window form would hold every
+   * query's |corpus| scored rows in ONE task's sort buffer (a
+   * straggler/OOM per query at 10⁹ docs), while the aggregator collapses
+   * each query to k rows map-side before the exchange, O(k) memory per
+   * query regardless of corpus size. The emitted cosine is the exact
+   * scored double (the buffer stores IEEE-754 sortable bits — a
+   * bijection), so results are bit-identical to the window form.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -32,11 +42,9 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorKit.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__rk").as("rank"))
+    TopK.topKPerGroupByDouble(scored, "query_id", col("cos"), col("neighbor_id"), k)
+      .select(col("group").as("query_id"), col("payload").as("neighbor_id"),
+        col("ord").as("cos"), col("rank"))
   }
 
   /**
@@ -354,19 +362,29 @@ object Similarity {
    * k-nearest-neighbor classification: each query vector takes the
    * majority label of its k nearest labeled corpus vectors by cosine
    * (ties: most votes first, then the nearer top neighbor is irrelevant —
-   * smallest label wins, fully deterministic). Built on [[bruteForceTopK]]
-   * (broadcast query side, per-partition heap — exact), so the scale path
-   * for large query sets is the same swap as search: route through
-   * [[lshTopK]]/[[ivfTopK]] neighbor lists instead.
+   * smallest label wins, fully deterministic). The neighbor source is
+   * PLUGGABLE: by default [[bruteForceTopK]] (exact, k-bounded partial-agg
+   * ranking), but any (corpus, queries, k) → (query_id, neighbor_id, …)
+   * searcher drops in — pass `(c, q, kk) => Similarity.lshTopK(c, q, kk,
+   * nBits, nTables, idCol, vecCol)` or an [[ivfTopK]]/[[ivfPqTopK]]
+   * closure to trade exactness for the ANN scale path without touching
+   * the voting logic.
+   *
+   * The vote-ranking windows partition by query_id over at most k rows
+   * per query (one per distinct neighbor label) — bounded by construction,
+   * no corpus-sized partition anywhere.
    *
    * Output: (query_id, pred_label, votes, n_neighbors).
    */
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      neighborSource: Option[(DataFrame, DataFrame, Int) => DataFrame] = None): DataFrame = {
+    val search = neighborSource.getOrElse(
+      (c: DataFrame, q: DataFrame, kk: Int) => bruteForceTopK(c, q, kk, idCol, vecCol))
     val labels = corpus.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("__lbl"))
-    val votes = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val votes = search(corpus, queries, k)
       .join(labels, Seq("neighbor_id"))
       .groupBy(col("query_id"), col("__lbl"))
       .agg(count(lit(1)).as("votes"))

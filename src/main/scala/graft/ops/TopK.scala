@@ -96,4 +96,58 @@ object TopK {
       .select(col("group"), col("__t._1").as("ord"),
         col("__t._2").as("payload"), (col("__i") + 1).cast("int").as("rank"))
   }
+
+  /** IEEE-754 total-order bijection double↔long (Lucene's sortable-bits
+    * trick, an involution): signed-long comparison of the mapped value
+    * equals double comparison, with NaN above +Inf — matching Spark's sort
+    * semantics. Lets the k-bounded long-pair buffer rank DOUBLE order
+    * values (cosines, scores) exactly, no precision loss. */
+  private def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7FFFFFFFFFFFFFFFL)
+  }
+  private def fromSortableBits(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & 0x7FFFFFFFFFFFFFFFL))
+
+  /** [[TopKAgg]] over a DOUBLE order value: converts through
+    * [[sortableBits]] on the way in and back on the way out, so ordering is
+    * exact double ordering and the emitted `ord` is the bit-identical
+    * input double. */
+  final class TopKDoubleAgg(k: Int)
+      extends Aggregator[(Double, Long), Buf, Seq[(Double, Long)]] {
+    private val inner = new TopKAgg(k)
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, a: (Double, Long)): Buf =
+      inner.reduce(b, (sortableBits(a._1), a._2))
+    override def merge(x: Buf, y: Buf): Buf = inner.merge(x, y)
+    override def finish(b: Buf): Seq[(Double, Long)] =
+      inner.finish(b).map { case (o, p) => (fromSortableBits(o), p) }
+    override def bufferEncoder: Encoder[Buf] = Encoders.javaSerialization[Buf]
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /**
+   * Top-k per group ranked by a DOUBLE order value (desc; payload asc on
+   * ties) — the shape for exact cosine/score rankings where the window form
+   * would sort a corpus-sized partition in one task
+   * ([[graft.ops.Similarity.bruteForceTopK]]'s hazard: one query × 10⁹
+   * scored corpus rows = one straggler sort). The k-bounded buffer
+   * collapses each group to k rows MAP-SIDE before the exchange; memory is
+   * O(k) per group regardless of group size.
+   *
+   * Output: (group, ord: double, payload: long, rank: int).
+   */
+  def topKPerGroupByDouble(df: DataFrame, groupCol: String, orderCol: Column,
+      payloadCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val agg = udaf(new TopKDoubleAgg(k))
+    df.select(col(groupCol).as("group"), orderCol.cast("double").as("__o"),
+        payloadCol.cast("long").as("__p"))
+      .groupBy(col("group"))
+      .agg(agg(col("__o"), col("__p")).as("__top"))
+      .select(col("group"), posexplode(col("__top")).as(Seq("__i", "__t")))
+      .select(col("group"), col("__t._1").as("ord"),
+        col("__t._2").as("payload"), (col("__i") + 1).cast("int").as("rank"))
+  }
 }

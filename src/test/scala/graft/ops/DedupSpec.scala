@@ -63,6 +63,34 @@ class DedupSpec extends SparkSpec {
     assert(statuses("unique_abu-2") == (1L, 0L))
   }
 
+  test("dedupMarkers is a narrow partial-min + hash join-back, not a window sort " +
+    "(skew posture, VERDICT r6 item 2)") {
+    import spark.implicits._
+    val df = Seq(("k1", 1L), ("k1", 2L), ("k2", 3L)).toDF("key", "ts")
+    val plan = Dedup.dedupMarkers(df, col("key"), Seq(col("ts")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), s"expected partial min aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window operator over the key:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected hash join-back:\n$plan")
+  }
+
+  test("dedupMarkers survives a hot key (one key = 20% of rows) with exactly one SENT") {
+    import spark.implicits._
+    val n = 5000
+    val rows = (0 until n).map(i =>
+      (if (i % 5 == 0) "hot" else s"k$i", i.toLong))
+    val out = Dedup.dedupMarkers(rows.toDF("key", "ts"), col("key"), Seq(col("ts")))
+    assert(out.count() == n.toLong) // every row emits a marker
+    val hot = out.filter(col("key") === "hot")
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(hot("SENT") == 1L && hot("SENT_OR_DUPLICATED") == (n / 5 - 1).toLong)
+    // winner is deterministic: the smallest ts
+    val sent = out.filter(col("key") === "hot" && col("status") === "SENT")
+      .select("ts").as[Long].collect()
+    assert(sent.toSeq == Seq(0L))
+  }
+
   implicit class ToMap2(rows: Array[(String, Long, Long)]) {
     def toMap2: Map[String, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -45,6 +45,38 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"expected no window sort:\n$plan")
   }
 
+  test("topKPerGroupByDouble equals the window-rank form on doubles, incl. " +
+    "negatives, ties, and extreme magnitudes (sortable-bits bijection)") {
+    val vals = Seq(-1.5, -0.0, 0.0, 1e-300, 0.75, 0.75, 1e300, -1e300, 2.25)
+    val df = vals.zipWithIndex.map { case (v, i) => ((i % 2).toLong, v, i.toLong) }
+      .toDF("g", "o", "p")
+    val got = TopK.topKPerGroupByDouble(df, "g", $"o", $"p", k = 3)
+      .as[(Long, Double, Long, Int)].collect().toSet
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"g").orderBy($"o".desc, $"p")
+      df.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+        .select($"g", $"o", $"p", $"rank")
+        .as[(Long, Double, Long, Int)].collect().toSet
+    }
+    assert(got == want)
+    // the emitted ord is the bit-identical input double (bijection, not a
+    // lossy quantization)
+    assert(got.map(_._2).subsetOf(vals.toSet ++ Set(-0.0)))
+  }
+
+  test("topKPerGroupByDouble: partial aggregation, no window sort " +
+    "(the bruteForceTopK ranking shape, VERDICT r6 item 1)") {
+    val df = (1 to 100).map(i => (1L, i / 7.0, i.toLong)).toDF("g", "o", "p")
+    val plan = TopK.topKPerGroupByDouble(df, "g", $"o", $"p", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected a typed-aggregator plan:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"expected partial (map-side) aggregation before the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window sort:\n$plan")
+  }
+
   test("topKPerGroup: partitioning-invariant under ties") {
     val rows = (1 to 400).map(i => ((i % 7).toLong, (i % 5).toLong, i.toLong))
     val a = TopK.topKPerGroup(rows.toDF("g", "o", "p"), "g", $"o", $"p", 4)
