@@ -24,13 +24,20 @@ import org.apache.spark.sql.functions._
 object Integrity {
 
   /** 60-bit row signature over the canonical string form of `cols`,
-    * concat_ws-joined with the \u0001 separator (nulls skipped on both
-    * engines — DuckDB's `concat_ws(chr(1), ...)` replays this verbatim).
+    * concat_ws-joined with the \u0001 separator. Each column is coalesced
+    * to the \u0002 sentinel first so NULL POSITION participates in the
+    * hash — bare concat_ws skips nulls, making (a,NULL,b) and (a,b,NULL)
+    * collide, i.e. a replica diff in null placement would be invisible.
+    * (A real string value equal to "\u0002" is indistinguishable from
+    * null — acceptable: control chars don't survive canonical casts of
+    * the key/metric columns this signs.) DuckDB replays it as
+    * `concat_ws(chr(1), coalesce(CAST(c AS VARCHAR), chr(2)), ...)`.
     * Cast numeric columns to exact integer forms first (e.g.
     * [[graft.functions.Kit.cents]]) — double→string formatting is not
     * engine-portable. */
   def rowSignature(cols: Column*): Column =
-    conv(substring(md5(concat_ws("\u0001", cols.map(_.cast("string")): _*)), 1, 15),
+    conv(substring(md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*)), 1, 15),
       16, 10).cast("long")
 
   /** Per-bucket (n_rows, sig) fingerprint: ONE scan, one map-side-combined

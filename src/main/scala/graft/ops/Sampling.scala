@@ -68,8 +68,19 @@ object Sampling {
     val prio = conv(
       substring(md5(concat(col(groupCol), lit("|"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("long")
-    val projected = df.select(col(groupCol), col(idCol).cast("long").as("__id"),
-      prio.as("__prio"))
+    // the id rides the long-pair TopK buffer, so it must be integral: a
+    // non-castable id (e.g. "doc-17") would otherwise either silently
+    // become a NULL payload (non-ANSI) or die in an opaque cast error
+    // (ANSI). try_cast + in-plan raise_error guard — fails fast on the
+    // first bad row with a clear message, no extra action (ADVICE r6).
+    val idLong = expr(s"try_cast(`$idCol` AS LONG)")
+    val projected = df.select(col(groupCol), idLong.as("__id"),
+      prio.as("__prio"),
+      when(col(idCol).isNotNull && idLong.isNull, raise_error(concat(
+        lit(s"reservoirPerGroup: idCol '$idCol' must be integral-castable " +
+          "(it rides the k-bounded long-pair buffer), got '"),
+        col(idCol).cast("string"), lit("'")))).as("__guard"))
+      .filter(col("__guard").isNull).drop("__guard")
     TopK.topKPerGroup(projected, groupCol, -col("__prio"), col("__id"), k)
       .select(col("group").as(groupCol), col("payload").as(idCol),
         (-col("ord")).as("prio"), col("rank").as("rnk"))

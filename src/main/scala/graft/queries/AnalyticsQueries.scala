@@ -416,9 +416,10 @@ object AnalyticsQueries {
   private val xTableChecksumSql =
     """SELECT l_orderkey % 32 AS bucket, count(*) AS n_rows,
       |  bit_xor(('0x' || substr(md5(concat_ws(chr(1),
-      |     CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
-      |     CAST(CAST(round(l_quantity*100, 0) AS BIGINT) AS VARCHAR),
-      |     l_returnflag)), 1, 15))::BIGINT) AS sig
+      |     coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+      |     coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
+      |     coalesce(CAST(CAST(round(l_quantity*100, 0) AS BIGINT) AS VARCHAR), chr(2)),
+      |     coalesce(l_returnflag, chr(2)))), 1, 15))::BIGINT) AS sig
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ── Storage-partitioned join through the bucketed DSv2 connector ───────
@@ -432,19 +433,38 @@ object AnalyticsQueries {
   // {bucket, doc_id}) — the realistic shape: tables bucketed by a key
   // prefix, joined on the full key. The merge hint (not a conf) keeps the
   // plan a sort-merge join so the pin measures SPJ, not broadcast.
-  private val xSpjJoin: Q = (s, dir) => {
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+  /** Save/restore session confs around `f` — gate queries must not leak
+    * session state into whichever query the harness runs next (plans and
+    * bench numbers would become order-dependent). Mirrors the test-side
+    * GraftBucketedSourceSpec.withConfs. */
+  private def withConfs[T](s: SparkSession, confs: (String, String)*)(f: => T): T = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val xSpjJoin: Q = (s, dir) => withConfs(s,
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
     def side(rows: Int) = s.read.format("graft.sources.v2.GraftBucketedSource")
       .option("rows", rows.toString).option("buckets", "8").load()
     val a = side(20000)
     val b = side(12000).withColumnRenamed("v", "v2")
     val j = a.hint("merge").join(b, Seq("bucket", "doc_id"))
     val noShuffle = !j.queryExecution.executedPlan.toString.contains("Exchange")
-    j.groupBy(col("bucket"))
+    val out = j.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("v") + col("v2")).as("sum_v"))
       .select(col("bucket"), col("n"), col("sum_v"), lit(noShuffle).as("no_shuffle"))
       .orderBy(col("bucket"))
+    // force physical planning while the SPJ confs are still set: the
+    // QueryExecution caches its executedPlan, so the returned frame keeps
+    // the exchange-free plan after the confs are restored
+    out.queryExecution.executedPlan
+    out
   }
   private val xSpjJoinSql =
     """WITH a AS (
@@ -465,13 +485,17 @@ object AnalyticsQueries {
   // table's pushdowns intact — the doc_id filter below still tightens the
   // generated range inside the scan on the SQL path. Content is id
   // arithmetic, so DuckDB replays the whole query.
-  private val s10CatalogSql_ : Q = (s, dir) => {
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
-    s.sql("""
+  private val s10CatalogSql_ : Q = (s, dir) => withConfs(s,
+    "spark.sql.catalog.graft" -> "graft.sources.v2.GraftCatalog") {
+    val out = s.sql("""
       SELECT lang, count(*) AS n, sum(length(text)) AS chars
       FROM graft.docs_5000
       WHERE doc_id >= 500 AND doc_id < 3000
       GROUP BY lang ORDER BY lang""")
+    // resolution AND planning complete while the catalog is registered;
+    // the restored session no longer carries the registration
+    out.queryExecution.executedPlan
+    out
   }
   private val s10CatalogSqlSql =
     """WITH d AS (

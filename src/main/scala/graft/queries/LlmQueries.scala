@@ -890,8 +890,10 @@ object LlmQueries {
 
   // Benchmark decontamination: benchmark = every 20th doc; output = per
   // training doc, how many of its distinct 8-grams appear in the benchmark
-  // set. Spark counts 64-bit hashed grams, the oracle counts the strings —
-  // identical unless xxhash64 collides within one doc's shingles (P≈10⁻¹³).
+  // set. Spark counts 64-bit hashed grams (the native NgramHashSet FNV-1a
+  // polynomial — see [[graft.functions.NgramHashSet]]), the oracle counts
+  // the strings — identical unless the 64-bit hash collides within one
+  // doc's shingles (P≈10⁻¹³ at 64 bits).
   private val ddDecontaminate: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     graft.ops.Corpus.contaminationCounts(

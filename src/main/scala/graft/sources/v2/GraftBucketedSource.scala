@@ -94,20 +94,33 @@ class GraftBucketedScan(rows: Long, buckets: Int) extends Scan with Batch
     Array(Expressions.column("bucket"))
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    def litValues(children: Array[_]): Seq[Long] = children.collect {
+    def litValue(c: Any): Option[Long] = c match {
       case l: Literal[_] => l.value match {
-        case x: java.lang.Long => x.toLong
-        case x: java.lang.Integer => x.toLong
+        case x: java.lang.Long => Some(x.toLong)
+        case x: java.lang.Integer => Some(x.toLong)
+        case x: java.lang.Short => Some(x.toLong)
+        case x: java.lang.Byte => Some(x.toLong)
+        case _ => None
       }
-    }.toSeq
+      case _ => None
+    }
     predicates.foreach { p =>
       val isBucketRef = p.children().headOption.exists {
         case f: NamedReference => f.describe() == "bucket"
         case _ => false
       }
       if (isBucketRef && (p.name() == "IN" || p.name() == "=")) {
-        val vs = litValues(p.children().drop(1)).toSet
-        allowed = Some(allowed.fold(vs)(_ intersect vs))
+        // prune ONLY when every value child is a recognized integral
+        // literal: partial extraction (a cast-wrapped value, a mixed
+        // literal/expression IN list) would yield a too-small allowed set
+        // and silently DROP whole buckets — wrong missing rows, not a
+        // skipped optimization. Treat it as unrecognized instead.
+        val valueChildren = p.children().drop(1)
+        val vs = valueChildren.map(litValue)
+        if (valueChildren.nonEmpty && vs.forall(_.isDefined)) {
+          val set = vs.flatten.toSet
+          allowed = Some(allowed.fold(set)(_ intersect set))
+        }
       }
       // unrecognized predicates are ignored — pruning is an optimization,
       // Spark re-applies the semantic filter above the scan

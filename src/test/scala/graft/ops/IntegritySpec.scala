@@ -36,6 +36,19 @@ class IntegritySpec extends SparkSpec {
     assert(bad.toSeq === Seq((321L % 16, 63L, 62L)))
   }
 
+  test("null POSITION participates in the signature: (a,NULL,b) vs (a,b,NULL) " +
+    "differ (ADVICE r6: bare concat_ws skips nulls)") {
+    val a = Seq(("a", Option.empty[String], Option("b"))).toDF("x", "y", "z")
+    val b = Seq(("a", Option("b"), Option.empty[String])).toDF("x", "y", "z")
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.select(Integrity.rowSignature(col("x"), col("y"), col("z")).as("s"))
+        .as[Long].head()
+    assert(one(a) != one(b))
+    // and a null is not the same as an empty string either
+    val c = Seq(("a", Option(""), Option("b"))).toDF("x", "y", "z")
+    assert(one(a) != one(c))
+  }
+
   test("signature aggregation is map-side combined (partial before exchange)") {
     val plan = Integrity.bucketSignature(replica, col("id") % 16, sig)
       .queryExecution.executedPlan.toString

@@ -80,6 +80,23 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"reservoir must not use a window:\n$plan")
   }
 
+  test("reservoirPerGroup fails fast with a clear error on non-integral ids " +
+    "(ADVICE r6: they must not silently become NULL payloads)") {
+    import spark.implicits._
+    val bad = Seq(("en", "doc-17"), ("en", "42")).toDF("lang", "id")
+    val e = intercept[Exception] {
+      Sampling.reservoirPerGroup(bad, "lang", "id", 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("must be integral-castable")),
+      s"expected the in-plan guard message, got: $e")
+    // all-integral string ids still work (cast path)
+    val ok = Sampling.reservoirPerGroup(
+      Seq(("en", "42"), ("en", "7")).toDF("lang", "id"), "lang", "id", 2)
+    assert(ok.count() == 2)
+  }
+
   test("reservoirPerGroup is invariant to input partitioning") {
     val a = Sampling.reservoirPerGroup(docs.repartition(13), "lang", "doc_id", 5)
       .select("lang", "doc_id", "prio", "rnk").collect().toSet

@@ -96,4 +96,38 @@ class GraftBucketedSourceSpec extends SparkSpec {
       assert(j.count() === 600L)
     }
   }
+
+  test("runtime V2 filter: pruning applies ONLY when every value child is a " +
+    "recognized literal — partial extraction must not drop buckets") {
+    import org.apache.spark.sql.connector.expressions.{Cast, Expressions}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.LongType
+    val bucket = Expressions.column("bucket")
+    def scan = new graft.sources.v2.GraftBucketedScan(rows = 80, buckets = 8)
+
+    // all-literal IN → prunes to exactly those buckets
+    val s1 = scan
+    s1.filter(Array(new Predicate("IN", Array(bucket,
+      Expressions.literal(1L), Expressions.literal(3L)))))
+    assert(s1.planInputPartitions().length == 2)
+
+    // mixed literal / cast-wrapped value → unrecognized, NO pruning
+    // (a too-small allowed set would silently drop bucket 5's rows)
+    val s2 = scan
+    s2.filter(Array(new Predicate("IN", Array(bucket,
+      Expressions.literal(1L),
+      new Cast(Expressions.literal(5L), LongType)))))
+    assert(s2.planInputPartitions().length == 8)
+
+    // non-integral literal → unrecognized, no pruning, no crash
+    val s3 = scan
+    s3.filter(Array(new Predicate("=", Array(bucket,
+      Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString("2"))))))
+    assert(s3.planInputPartitions().length == 8)
+
+    // '=' with a plain literal still prunes to one bucket
+    val s4 = scan
+    s4.filter(Array(new Predicate("=", Array(bucket, Expressions.literal(2L)))))
+    assert(s4.planInputPartitions().length == 1)
+  }
 }
