@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.{ProjectExec, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -53,4 +53,38 @@ object PlanLint {
     * global-sort on a KB-sized result). */
   def violations(df: Dataset[_], accepted: Set[String] = Set.empty): Seq[Finding] =
     check(df).filterNot(f => accepted.contains(f.rule))
+
+  /**
+   * Gate-query variant: like [[check]], but the one global sort sitting on
+   * the plan's ROOT SPINE (walking down through projections) is NOT
+   * flagged — that is the query's presentation `ORDER BY`, required for
+   * deterministic oracle output, sorting the already-reduced result.
+   * Global sorts anywhere DEEPER in the plan (a mid-pipeline range sort
+   * of the full dataset) still flag. Identity (`eq`) matching, so a
+   * structurally identical sort below the spine is not masked.
+   */
+  def checkGate(df: Dataset[_]): Seq[Finding] = {
+    val plan = df.queryExecution.sparkPlan
+    @annotation.tailrec
+    def presentationSort(p: SparkPlan): Option[SparkPlan] = p match {
+      case s: SortExec if s.global => Some(s)
+      case pr: ProjectExec => presentationSort(pr.child)
+      case _ => None
+    }
+    val skip = presentationSort(plan)
+    val findings = Seq.newBuilder[Finding]
+    plan.foreach {
+      case s: SortExec if skip.exists(_ eq s) => // presentation ORDER BY
+      case j: CartesianProductExec =>
+        findings += Finding("cartesian-join", j.nodeName)
+      case j: BroadcastNestedLoopJoinExec =>
+        findings += Finding("nested-loop-join", j.nodeName)
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        findings += Finding("global-window", w.nodeName)
+      case s: SortExec if s.global =>
+        findings += Finding("global-sort", s.nodeName)
+      case _ =>
+    }
+    findings.result()
+  }
 }
