@@ -1186,13 +1186,35 @@ object LlmQueries {
       threshold = 0.9, shingleLen = 5, maxPostingSize = Int.MaxValue)
     val expect = planted.select(col("doc_id").as("pa"),
       (col("doc_id") - 1000000L).as("pb"))
-    val found = pairs.join(expect,
+    def foundOf(p: DataFrame): DataFrame = p.join(expect,
       col("doc_a") === col("pa") && col("doc_b") === col("pb") &&
         col("containment_ppm") === 1000000L)
+    val found = foundOf(pairs)
+    // capped-path pin (VERDICT r6 nit 3): the uncapped run above proves
+    // theorem-exact recall, but production runs with a finite
+    // maxPostingSize — so the gate ALSO runs the capped path over a
+    // PLANTED HOT POSTING: 60 filler docs sharing one identical gibberish
+    // text (every filler shingle's posting has df=60 > cap=50, so
+    // sizeBandedBuckets drops those buckets whole → zero filler pairs),
+    // while every planted excerpt pair still surfaces (its discriminative
+    // shingles are rare, far under the cap). Gibberish tokens keep filler
+    // shingles disjoint from corpus shingles, so the cap cannot touch a
+    // real posting.
+    val fillerText = "zzq4x wq7kj xva9z qqy3m zzr8n vvk2p yyj6t xxw5h " +
+      "zzq4x wq7kj xva9z qqy3m zzr8n vvk2p"
+    val filler = s.range(60).select((col("id") + 2000000L).as("doc_id"),
+      lit(fillerText).as("text"))
+    val cappedPairs = Dedup.containmentPairs(corpus.unionByName(filler),
+      "doc_id", "text", threshold = 0.9, shingleLen = 5, maxPostingSize = 50)
+    val cappedFound = foundOf(cappedPairs)
+    val fillerPairs = cappedPairs.filter(
+      col("doc_a") >= 2000000L && col("doc_b") >= 2000000L)
     base.agg(count(lit(1)).as("n_base"))
       .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
       .crossJoin(found.agg(count(lit(1)).as("planted_found")))
       .withColumn("missing", col("n_planted") - col("planted_found"))
+      .crossJoin(cappedFound.agg(count(lit(1)).as("capped_planted_found")))
+      .crossJoin(fillerPairs.agg(count(lit(1)).as("capped_filler_pairs")))
   }
   private val ddContainmentSql =
     """WITH b AS (
@@ -1204,7 +1226,9 @@ object LlmQueries {
       |SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_base,
       |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_planted,
       |  CAST((SELECT count(*) FROM p) AS BIGINT) AS planted_found,
-      |  CAST(0 AS BIGINT) AS missing""".stripMargin
+      |  CAST(0 AS BIGINT) AS missing,
+      |  CAST((SELECT count(*) FROM p) AS BIGINT) AS capped_planted_found,
+      |  CAST(0 AS BIGINT) AS capped_filler_pairs""".stripMargin
 
   // ── bloom-pruned incremental anti-join (huge-historical dedup) ──────────
   // The D2 split where the HISTORICAL corpus is the 100 TB side: a bloom
