@@ -1153,16 +1153,13 @@ object ExtensionQueries {
   // oracle replays each round as an unrolled CTE with DuckDB's integer
   // division, bit-for-bit.
   private val xPagerank: Q = (s, dir) => {
-    val ship = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + 1000000L).as("dst"))
+    val ship = GraphFixtures.shipEdges(s, dir) // cached distinct fixture
     val residence = Tables.customer(s, dir).select(
       (col("c_custkey") + 1000000L).as("src"),
       (col("c_nationkey") + 2000000L).as("dst"))
-    Graph.pageRank(ship.unionByName(residence).distinct(), "src", "dst",
+    // union of the distinct fixture with per-primary-key layers in
+    // disjoint id namespaces is already distinct — no extra shuffle
+    Graph.pageRank(ship.unionByName(residence), "src", "dst",
         iters = 3)
       .orderBy("node")
   }
@@ -1467,8 +1464,7 @@ object ExtensionQueries {
   // edges and a 3-way self-join, then unpivots corners; the operator's
   // degree orientation must produce identical per-node counts.
   private val xTriangles: Q = (s, dir) => {
-    val e = Tables.lineitem(s, dir).select(
-      (col("l_orderkey") % 9973).as("src"), (col("l_partkey") % 9973).as("dst"))
+    val e = GraphFixtures.modEdges(s, dir) // cached fixture
     Graph.triangleCounts(e, "src", "dst").orderBy("node")
   }
   private val xTrianglesSql =
@@ -1494,12 +1490,7 @@ object ExtensionQueries {
   // distance within 3 hops. Oracle = recursive CTE with UNION dedup and a
   // final min() per node.
   private val xBfs: Q = (s, dir) => {
-    val ship = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + 1000000L).as("dst"))
+    val ship = GraphFixtures.shipEdges(s, dir) // cached distinct fixture
     val residence = Tables.customer(s, dir).select(
       (col("c_custkey") + 1000000L).as("src"),
       (col("c_nationkey") + 2000000L).as("dst"))
@@ -1508,7 +1499,7 @@ object ExtensionQueries {
       (col("n_regionkey") + 3000000L).as("dst"))
     val seeds = Tables.supplier(s, dir)
       .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey").as("id"))
-    Graph.bfsHops(ship.unionByName(residence).unionByName(location).distinct(),
+    Graph.bfsHops(ship.unionByName(residence).unionByName(location),
         seeds, "src", "dst", "id", maxHops = 3)
       .orderBy("node")
   }
@@ -1537,12 +1528,8 @@ object ExtensionQueries {
   // for some nodes and loses for others; 3 relaxation rounds, oracle =
   // the identical rounds unrolled as min-union CTEs.
   private val xShortestPath: Q = (s, dir) => {
-    val ship = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + 1000000L).as("dst"), lit(4L).as("w"))
+    val ship = GraphFixtures.shipEdges(s, dir) // cached distinct fixture
+      .withColumn("w", lit(4L))
     val residence = Tables.customer(s, dir).select(
       (col("c_custkey") + 1000000L).as("src"),
       (col("c_nationkey") + 2000000L).as("dst"), lit(2L).as("w"))
@@ -1555,8 +1542,7 @@ object ExtensionQueries {
     val seeds = Tables.supplier(s, dir)
       .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey").as("id"))
     Graph.shortestPaths(
-        ship.unionByName(residence).unionByName(location).unionByName(direct)
-          .distinct(),
+        ship.unionByName(residence).unionByName(location).unionByName(direct),
         seeds, "src", "dst", "w", "id", rounds = 3)
       .orderBy("node")
   }
@@ -1595,8 +1581,7 @@ object ExtensionQueries {
   // extra rounds are identity — without MATERIALIZED, DuckDB's CTE
   // inlining re-evaluates the chain exponentially).
   private val xKcore: Q = (s, dir) => {
-    val e = Tables.lineitem(s, dir).select(
-      (col("l_orderkey") % 9973).as("src"), (col("l_partkey") % 9973).as("dst"))
+    val e = GraphFixtures.modEdges(s, dir) // cached fixture
     Graph.kCore(e, "src", "dst", k = 10).orderBy("n")
       .select(col("n").as("node"), col("deg"))
   }
@@ -1628,18 +1613,13 @@ object ExtensionQueries {
   // suppliers (every 10th): authority relative to trusted sources. Oracle
   // unrolls the integer rounds with a seed-membership CASE.
   private val xPpr: Q = (s, dir) => {
-    val ship = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + 1000000L).as("dst"))
+    val ship = GraphFixtures.shipEdges(s, dir) // cached distinct fixture
     val residence = Tables.customer(s, dir).select(
       (col("c_custkey") + 1000000L).as("src"),
       (col("c_nationkey") + 2000000L).as("dst"))
     val seeds = Tables.supplier(s, dir)
       .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey").as("id"))
-    Graph.personalizedPageRank(ship.unionByName(residence).distinct(),
+    Graph.personalizedPageRank(ship.unionByName(residence),
         seeds, "src", "dst", "id", iters = 3)
       .orderBy("node")
   }
@@ -1677,12 +1657,7 @@ object ExtensionQueries {
   // integer scores are exact and engine-replayable, oracle = the same two
   // rounds unrolled (auth from incoming hubs, hub from the NEW auths).
   private val xHits: Q = (s, dir) => {
-    val ship = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + 1000000L).as("dst"))
+    val ship = GraphFixtures.shipEdges(s, dir) // cached distinct fixture
     val residence = Tables.customer(s, dir).select(
       (col("c_custkey") + 1000000L).as("src"),
       (col("c_nationkey") + 2000000L).as("dst"))

@@ -365,16 +365,11 @@ object StatsQueries {
   // deterministic rounds (most-frequent neighbor label, ties → min label)
   // unrolled in the oracle.
   private val xLpa: Q = (s, dir) => {
-    val ship = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + 1000000L).as("dst"))
+    val ship = GraphFixtures.shipEdges(s, dir) // cached distinct fixture
     val residence = Tables.customer(s, dir).select(
       (col("c_custkey") + 1000000L).as("src"),
       (col("c_nationkey") + 2000000L).as("dst"))
-    Graph.labelPropagation(ship.unionByName(residence).distinct(),
+    Graph.labelPropagation(ship.unionByName(residence),
         "src", "dst", rounds = 2)
       .orderBy(col("node"))
   }
