@@ -155,11 +155,13 @@ object Similarity {
     val scored = cells.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorKit.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__rk").as("rank"))
+    // k-bounded partial-agg ranking (not a window): a skewed coarse
+    // quantizer can hand one query a mega-cell's worth of candidates; the
+    // aggregator caps per-query state at O(k) map-side (same hazard/fix
+    // as bruteForceTopK)
+    TopK.topKPerGroupByDouble(scored, "query_id", col("cos"), col("neighbor_id"), k)
+      .select(col("group").as("query_id"), col("payload").as("neighbor_id"),
+        col("ord").as("cos"), col("rank"))
   }
 
   /**
@@ -273,19 +275,22 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc",
         graft.functions.NativeVectorKit.pqAdcCosine(col("qv"), col("codes"), pq))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val short = adc.withColumn("__ra", row_number().over(wAdc))
-      .filter(col("__ra") <= shortlist)
-      .select("query_id", "neighbor_id", "qv")
-    // exact rerank: raw vectors fetched only for the shortlist
+    // ADC shortlist via the k-bounded aggregator: candidate volume per
+    // query is cell-skew-dependent, so no per-query sort buffer may scale
+    // with it. The query vector joins back from the (tiny, broadcast)
+    // probe list — it cannot ride the long-pair buffer.
+    val qvs = q.select(col("query_id"), col("qv"))
+    val short = TopK.topKPerGroupByDouble(adc, "query_id", col("adc"),
+        col("neighbor_id"), shortlist)
+      .select(col("group").as("query_id"), col("payload").as("neighbor_id"))
+      .join(broadcast(qvs), Seq("query_id"))
+    // exact rerank: raw vectors fetched only for the shortlist (bounded:
+    // shortlist rows per query), ranked with the same aggregator
     val rescored = c.join(broadcast(short), Seq("neighbor_id"))
       .withColumn("cos", VectorKit.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    rescored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__rk").as("rank"))
+    TopK.topKPerGroupByDouble(rescored, "query_id", col("cos"), col("neighbor_id"), k)
+      .select(col("group").as("query_id"), col("payload").as("neighbor_id"),
+        col("ord").as("cos"), col("rank"))
   }
 
   /**
@@ -314,11 +319,12 @@ object Similarity {
     val deduped = if (nTables == 1) cands else cands.distinct()
     val scored = deduped
       .withColumn("cos", VectorKit.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__rk").as("rank"))
+    // k-bounded partial-agg ranking: an LSH bucket can be hot (boilerplate
+    // embeddings collapsing to one hyperplane signature), so per-query
+    // candidate volume is unbounded — the aggregator keeps it O(k)
+    TopK.topKPerGroupByDouble(scored, "query_id", col("cos"), col("neighbor_id"), k)
+      .select(col("group").as("query_id"), col("payload").as("neighbor_id"),
+        col("ord").as("cos"), col("rank"))
   }
 
   /**
