@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, ExtensionQueries, LlmQueries, MultimodalQueries, RelationalQueries, StatsQueries}
+import graft.queries.{AnalyticsQueries, DecisionSupportQueries, ExtensionQueries, LlmQueries, MultimodalQueries, RelationalQueries, StatsQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -17,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ LlmQueries.all ++ ExtensionQueries.all ++
-      MultimodalQueries.all ++ StatsQueries.all ++ AnalyticsQueries.all
+      MultimodalQueries.all ++ StatsQueries.all ++ AnalyticsQueries.all ++
+      DecisionSupportQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has an oracle: approximate ops
@@ -27,5 +28,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtensionQueries.oracles ++
-      MultimodalQueries.oracles ++ StatsQueries.oracles ++ AnalyticsQueries.oracles
+      MultimodalQueries.oracles ++ StatsQueries.oracles ++ AnalyticsQueries.oracles ++
+      DecisionSupportQueries.oracles
 }
