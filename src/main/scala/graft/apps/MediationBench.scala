@@ -1,0 +1,84 @@
+package graft.apps
+
+import graft.streaming.AsyncEnrich
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/**
+ * Composed end-to-end throughput figure for the flagship pipeline
+ * (VERDICT r6 item 6): the 28–49k sends/s number in AsyncEnrichSpec
+ * measures the dispatch stage ALONE; this harness drives the WHOLE
+ * recomposed MediationService — file-stream source → validity split →
+ * D3 stateful TTL dedup (transformWithState on RocksDB by default) →
+ * async enrichment (hermetic stub client) → parquet analytics sink +
+ * windowed toxic sink — as one bounded drain (Trigger.AvailableNow),
+ * and reports records/second end to end.
+ *
+ * Reference baseline: >200K notifications/min ≈ 3,333/s sustained on
+ * Dataflow against a real HTTPS endpoint (mediation/README.md:280-284).
+ * The stub removes network latency, so the figure here measures the
+ * ENGINE's pipeline overhead (scan, shuffle into keyed state, RocksDB
+ * state round-trip, dispatch machinery, sink commit) — the part the
+ * reference's number also pays on top of the wire.
+ */
+object MediationBench {
+
+  /** Returns (rowsOut, seconds, ratePerSec). `rowsOut` must equal `n`:
+    * every generated record is valid and unique-keyed, so each yields
+    * exactly one SENT result. */
+  def run(spark: SparkSession, n: Long, d3: String = "tws"): (Long, Double, Double) = {
+    val base = Files.createTempDirectory("medbench").toString
+    val events = s"$base/events"; val out = s"$base/out"
+    val toxic = s"$base/toxic"; val ckpt = s"$base/ckpt"
+    DataGen.mockRecords(spark, n).write.parquet(events)
+    val cfg = MediationApp.Config(
+      ttlMillis = 600000L,
+      // timerCleanup=false: dedup/TTL semantics are identical (expiry is
+      // data-path) and the per-key GC timer would only add re-trigger noise
+      timerCleanup = false,
+      d3 = d3,
+      trigger = Trigger.AvailableNow(),
+      enrich = AsyncEnrich.Config(clientId = s"med-bench-$d3-$n",
+        maxConcurrency = 256, ratePerSec = 1000000, burst = 1000000,
+        backoffMillis = 1L))
+    val t0 = System.nanoTime()
+    val queries = MediationApp.start(spark,
+      MediationApp.fileStream(spark, events), historicalPaths = Nil, cfg,
+      () => new AsyncEnrich.StubClient(), out, toxic, ckpt)
+    // The Tws TTL operator runs TimeMode.ProcessingTime, under which Spark
+    // keeps scheduling no-data batches to advance timers even on a bounded
+    // AvailableNow drain — processAllAvailable never settles. Poll the sink
+    // for the expected row count instead (the harness StatefulTtlDedupSpec
+    // documents as the compatible one for Tws queries).
+    def countOut(): Long =
+      try spark.read.parquet(out).count()
+      catch { case _: Exception => 0L } // sink dir not committed yet
+    val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
+    try {
+      while (countOut() < n && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally queries.foreach(_.stop())
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = countOut()
+    (rows, secs, n / secs)
+  }
+
+  /** Prints one JSON line with the composed figure. Env knobs:
+    * SPARK_GRAFT_MED_N (records, default 200000), SPARK_GRAFT_CPUS. */
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_MED_N", "200000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (rows, secs, rate) = run(spark, n)
+    println(f"""{"metric":"mediation_e2e","records":$n,"rows_out":$rows,""" +
+      f""""seconds":$secs%.2f,"records_per_sec":$rate%.0f,""" +
+      f""""baseline_per_sec":3333}""")
+    spark.stop()
+  }
+}

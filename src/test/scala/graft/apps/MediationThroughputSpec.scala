@@ -1,0 +1,24 @@
+package graft.apps
+
+import graft.SparkSpec
+
+/** Composed end-to-end throughput floor (VERDICT r6 item 6): the WHOLE
+  * pipeline — file-stream → validity → D3 TWS dedup → AsyncEnrich(stub) →
+  * sinks — must beat the reference's published 3,333/s stress figure even
+  * on the 4-core test session. The committed local[32] figure lives in
+  * README (graft.apps.MediationBench main).
+  */
+class MediationThroughputSpec extends SparkSpec {
+
+  test("composed pipeline sustains the reference's >200K/min baseline " +
+    "(file source → TWS dedup → async enrich → sinks)") {
+    // large enough that stream startup (query init + RocksDB store setup,
+    // ~2 s fixed) doesn't dominate the rate
+    val n = 60000L
+    val (rows, secs, rate) = MediationBench.run(spark, n)
+    info(f"end-to-end: $rate%.0f records/s over $n records ($secs%.1f s)")
+    assert(rows == n, s"expected every record to produce one result, got $rows")
+    assert(rate >= 3333.0,
+      f"only $rate%.0f records/s end-to-end — below the 3,333/s baseline")
+  }
+}
