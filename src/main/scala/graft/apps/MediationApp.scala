@@ -180,6 +180,15 @@ object MediationApp {
       .as[MyEventRecord]
   }
 
+  /** S1 against the RUNNABLE unbounded bus ([[graft.sources.v2.GraftLogBusSource]]):
+    * per-partition offsets, checkpoint resume, key-routed partitions so
+    * per-key order holds into the dedup stage — the transport contract the
+    * Kafka glue in [[graft.sources.Bus]] compiles for but cannot execute
+    * in this environment. */
+  def busStream(spark: SparkSession, root: String, topic: String,
+      partitions: Int = 4): Dataset[MyEventRecord] =
+    graft.sources.Bus.logBusRecordSource(spark, root, topic, partitions)
+
   /**
    * Runnable entry: drain the events directory once (Trigger.AvailableNow)
    * through the full pipeline and exit — the bounded-replay mode of the

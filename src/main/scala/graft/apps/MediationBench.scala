@@ -27,12 +27,24 @@ object MediationBench {
 
   /** Returns (rowsOut, seconds, ratePerSec). `rowsOut` must equal `n`:
     * every generated record is valid and unique-keyed, so each yields
-    * exactly one SENT result. */
-  def run(spark: SparkSession, n: Long, d3: String = "tws"): (Long, Double, Double) = {
+    * exactly one SENT result. `source="bus"` publishes the records to the
+    * runnable log bus (Avro wire bytes, key-routed partitions) and streams
+    * the pipeline from it — the full unbounded-bus round trip; the default
+    * streams from a parquet file directory. */
+  def run(spark: SparkSession, n: Long, d3: String = "tws",
+      source: String = "file"): (Long, Double, Double) = {
     val base = Files.createTempDirectory("medbench").toString
     val events = s"$base/events"; val out = s"$base/out"
     val toxic = s"$base/toxic"; val ckpt = s"$base/ckpt"
-    DataGen.mockRecords(spark, n).write.parquet(events)
+    val stream = source match {
+      case "bus" =>
+        graft.sources.Bus.logBusAppend(
+          DataGen.mockRecords(spark, n), s"$base/bus", "events", partitions = 4)
+        MediationApp.busStream(spark, s"$base/bus", "events", partitions = 4)
+      case _ =>
+        DataGen.mockRecords(spark, n).write.parquet(events)
+        MediationApp.fileStream(spark, events)
+    }
     val cfg = MediationApp.Config(
       ttlMillis = 600000L,
       // timerCleanup=false: dedup/TTL semantics are identical (expiry is
@@ -40,12 +52,12 @@ object MediationBench {
       timerCleanup = false,
       d3 = d3,
       trigger = Trigger.AvailableNow(),
-      enrich = AsyncEnrich.Config(clientId = s"med-bench-$d3-$n",
+      enrich = AsyncEnrich.Config(clientId = s"med-bench-$d3-$source-$n",
         maxConcurrency = 256, ratePerSec = 1000000, burst = 1000000,
         backoffMillis = 1L))
     val t0 = System.nanoTime()
     val queries = MediationApp.start(spark,
-      MediationApp.fileStream(spark, events), historicalPaths = Nil, cfg,
+      stream, historicalPaths = Nil, cfg,
       () => new AsyncEnrich.StubClient(), out, toxic, ckpt)
     // The Tws TTL operator runs TimeMode.ProcessingTime, under which Spark
     // keeps scheduling no-data batches to advance timers even on a bounded
@@ -65,9 +77,11 @@ object MediationBench {
   }
 
   /** Prints one JSON line with the composed figure. Env knobs:
-    * SPARK_GRAFT_MED_N (records, default 200000), SPARK_GRAFT_CPUS. */
+    * SPARK_GRAFT_MED_N (records, default 200000), SPARK_GRAFT_CPUS,
+    * SPARK_GRAFT_MED_SOURCE (file|bus). */
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_MED_N", "200000").toLong
+    val source = sys.env.getOrElse("SPARK_GRAFT_MED_SOURCE", "file")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,9 +89,9 @@ object MediationBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (rows, secs, rate) = run(spark, n)
-    println(f"""{"metric":"mediation_e2e","records":$n,"rows_out":$rows,""" +
-      f""""seconds":$secs%.2f,"records_per_sec":$rate%.0f,""" +
+    val (rows, secs, rate) = run(spark, n, source = source)
+    println(f"""{"metric":"mediation_e2e","source":"$source","records":$n,""" +
+      f""""rows_out":$rows,"seconds":$secs%.2f,"records_per_sec":$rate%.0f,""" +
       f""""baseline_per_sec":3333}""")
     spark.stop()
   }

@@ -62,4 +62,40 @@ object Bus {
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
+
+  // ── The runnable bus: the log-structured stand-in, same wire format ─────
+
+  private val logBusFmt = "graft.sources.v2.GraftLogBusSource"
+
+  /** Wire-encode + key-route: (partition, value) rows ready to publish.
+    * The routing key is the record's idempotent identity (transactionId +
+    * customer id — the reference's dedup key), so all occurrences of one
+    * key land in ONE partition and per-key order holds downstream. */
+  def routeRecords(ds: Dataset[MyEventRecord], partitions: Int): DataFrame = {
+    val keyed = ds.toDF().select(
+      concat_ws("-",
+        coalesce(col("event.transactionId"), lit("null")),
+        coalesce(col("customer.id"), lit("null"))).as("key"),
+      AvroKit.toAvro(
+        struct(col("event"), col("customer"), col("notification"))).as("value"))
+    graft.sources.v2.GraftLogBus.route(keyed, col("key"), partitions)
+  }
+
+  /** K3 against the runnable log bus: batch publish (two-phase commit). */
+  def logBusAppend(ds: Dataset[MyEventRecord], root: String, topic: String,
+      partitions: Int = 4): Unit =
+    routeRecords(ds, partitions).write.format(logBusFmt)
+      .option("root", root).option("topic", topic)
+      .option("partitions", partitions.toString)
+      .mode("append").save()
+
+  /** S1/S2 against the runnable log bus: unbounded subscribe + wire-decode
+    * (per-partition offsets, checkpoint resume, admission control). */
+  def logBusRecordSource(spark: SparkSession, root: String, topic: String,
+      partitions: Int = 4, maxPerTrigger: Long = Long.MaxValue): Dataset[MyEventRecord] =
+    decodeRecords(spark.readStream.format(logBusFmt)
+      .option("root", root).option("topic", topic)
+      .option("partitions", partitions.toString)
+      .option("maxPerTrigger", maxPerTrigger.toString)
+      .load())
 }

@@ -21,4 +21,15 @@ class MediationThroughputSpec extends SparkSpec {
     assert(rate >= 3333.0,
       f"only $rate%.0f records/s end-to-end — below the 3,333/s baseline")
   }
+
+  test("the full unbounded-bus round trip: publish to the log bus, run the " +
+    "whole pipeline from it (S1 end-to-end, no connector jar required)") {
+    val n = 30000L
+    val (rows, secs, rate) = MediationBench.run(spark, n, source = "bus")
+    info(f"bus end-to-end: $rate%.0f records/s over $n records ($secs%.1f s)")
+    assert(rows == n,
+      s"expected every published record to produce one result, got $rows")
+    assert(rate >= 3333.0,
+      f"only $rate%.0f records/s end-to-end over the bus — below the baseline")
+  }
 }
