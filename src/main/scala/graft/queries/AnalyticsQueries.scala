@@ -510,9 +510,46 @@ object AnalyticsQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS chars
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ── The runnable log bus, oracle-gated (S1/S2/K3 storage model) ────────
+  // Publish 5,000 deterministic frames to an 8-partition topic from ONE
+  // ordered producer task (so record offsets are a pure function of the
+  // data: offset = id div 8 within partition id mod 8), then batch-read the
+  // log back and verify, per partition: record count, id sum, and that
+  // EVERY record sits at its predicted offset (`offset_exact`). DuckDB
+  // replays the whole thing as arithmetic — the bus's framing, segment
+  // commit, and offset accounting are what's actually under test.
+  private val s11LogBus: Q = (s, dir) => {
+    val fmt = "graft.sources.v2.GraftLogBusSource"
+    val root = java.nio.file.Files.createTempDirectory("busgate").toString
+    val pub = s.range(0, 5000)
+      .select((col("id") % 8).cast("int").as("partition"),
+        col("id").cast("string").cast("binary").as("value"))
+      .orderBy(col("id")).coalesce(1)
+    pub.write.format(fmt).option("root", root).option("topic", "gate")
+      .option("partitions", "8").mode("append").save()
+    s.read.format(fmt).option("root", root).option("topic", "gate")
+      .option("partitions", "8").load()
+      .select(col("partition"), col("offset"),
+        col("value").cast("string").cast("long").as("id"))
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_ids"),
+        (sum(when(col("offset") === expr("id div 8"), 0L).otherwise(1L)) === 0)
+          .as("offset_exact"))
+      .orderBy(col("partition"))
+  }
+  private val s11LogBusSql =
+    """WITH pub AS (
+      |  SELECT i AS id, CAST(i % 8 AS INT) AS partition, i // 8 AS off
+      |  FROM range(0, 5000) t(i)
+      |)
+      |SELECT partition, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_ids,
+      |  true AS offset_exact
+      |FROM pub GROUP BY partition ORDER BY partition""".stripMargin
+
   val all: Map[String, Q] = Map(
     "x_spj_join" -> xSpjJoin,
     "s10_catalog_sql" -> s10CatalogSql_,
+    "s11_log_bus" -> s11LogBus,
     "q3_shipping" -> q3Shipping,
     "q5_local_volume" -> q5LocalVolume,
     "q10_returns" -> q10Returns,
@@ -530,6 +567,7 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "x_spj_join" -> xSpjJoinSql,
     "s10_catalog_sql" -> s10CatalogSqlSql,
+    "s11_log_bus" -> s11LogBusSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_volume" -> q5LocalVolumeSql,
     "q10_returns" -> q10ReturnsSql,

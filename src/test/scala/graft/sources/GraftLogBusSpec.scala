@@ -158,6 +158,32 @@ class GraftLogBusSpec extends SparkSpec {
     assert(tmps === 0, "aborted/replayed attempts must clean their tmp files")
   }
 
+  test("streaming publish through a real writeStream query (K3 end-to-end)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("buspubckpt").toString
+    val mem = MemoryStream[Long](spark)
+    val q = mem.toDF()
+      .select(pmod(col("value"), lit(3)).cast("int").as("partition"),
+        col("value").cast("string").cast("binary").as("value"))
+      .writeStream.format(fmt)
+      .option("root", root).option("topic", "t7").option("partitions", "3")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(0L until 100L: _*)
+      q.processAllAvailable()
+      mem.addData(100L until 150L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = readAll(root, "t7", 3)
+      .select(col("value").cast("string").as("v")).collect()
+      .map(_.getString(0).toLong)
+    assert(back.length === 150, "both epochs committed exactly once")
+    assert(back.sorted.toSeq === (0L until 150L))
+  }
+
   test("e2e: mock records through the bus wire format round-trip typed") {
     val root = newRoot()
     val n = 500L
