@@ -124,39 +124,36 @@ object GraftLogBus {
   private[v2] def segName(seq: Long, task: Long, count: Long): String =
     f"s$seq%012d-t$task%06d-c$count.seg"
 
-  /** Framed-record write of one task-attempt's buffer to a tmp file. */
-  private[v2] def writeTmp(tmp: File, records: Seq[Array[Byte]]): Unit = {
-    val out = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(tmp)))
-    try {
-      records.foreach { b => out.writeInt(b.length); out.write(b) }
-    } finally out.close()
-  }
-
-  /** Stream records [skip, skip+wanted) out of one segment file. */
-  private[v2] def readSegment(f: File, skip: Long, wanted: Long): Iterator[Array[Byte]] = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
-    var skipped = 0L
-    while (skipped < skip) {
-      val len = in.readInt(); in.skipBytes(len); skipped += 1
-    }
-    new Iterator[Array[Byte]] {
-      private var emitted = 0L
-      private var closed = false
-      override def hasNext: Boolean = {
-        val h = emitted < wanted && !closed
-        if (!h && !closed) { in.close(); closed = true }
-        h
-      }
-      override def next(): Array[Byte] = {
-        val len = in.readInt()
-        val b = new Array[Byte](len)
-        in.readFully(b)
-        emitted += 1
-        if (emitted == wanted) { in.close(); closed = true }
-        b
+  /** Stream records [skip, skip+wanted) out of one segment file. The
+    * returned iterator closes its stream on exhaustion; callers that stop
+    * early (query LIMIT) must call `close()` — [[BusReaderFactory]]'s
+    * reader does, via its own close hook. */
+  private[v2] class SegmentIterator(f: File, skip: Long, wanted: Long)
+      extends Iterator[Array[Byte]] with AutoCloseable {
+    private val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(f)))
+    locally {
+      var skipped = 0L
+      while (skipped < skip) {
+        val len = in.readInt(); in.skipBytes(len); skipped += 1
       }
     }
+    private var emitted = 0L
+    private var closed = false
+    override def hasNext: Boolean = {
+      val h = emitted < wanted && !closed
+      if (!h) close()
+      h
+    }
+    override def next(): Array[Byte] = {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      emitted += 1
+      if (emitted == wanted) close()
+      b
+    }
+    override def close(): Unit = if (!closed) { closed = true; in.close() }
   }
 }
 
@@ -310,16 +307,19 @@ class BusReaderFactory extends PartitionReaderFactory {
       b.result()
     }
     new PartitionReader[InternalRow] {
+      // one segment open at a time; `open` tracked so an early stop
+      // (query LIMIT) still releases the file handle via close()
+      private var open: GraftLogBus.SegmentIterator = _
       private val it: Iterator[(Long, Array[Byte])] = slices.iterator.flatMap {
         case (name, segBase, skip, take) =>
-          GraftLogBus.readSegment(new File(r.dir, name), skip, take)
-            .zipWithIndex.map { case (bytes, i) => (segBase + skip + i, bytes) }
+          open = new GraftLogBus.SegmentIterator(new File(r.dir, name), skip, take)
+          open.zipWithIndex.map { case (bytes, i) => (segBase + skip + i, bytes) }
       }
       private var cur: (Long, Array[Byte]) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow =
         InternalRow(r.partition, cur._1, cur._2)
-      override def close(): Unit = ()
+      override def close(): Unit = if (open != null) open.close()
     }
   }
 }
@@ -400,22 +400,33 @@ private object BusCommit {
   * its own segment so log order per partition stays well-defined. */
 private class BusWriterCore(root: String, topic: String, partitions: Int,
     taskId: Long) {
-  private val buf = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+  // frames stream straight into per-partition tmp files as they arrive —
+  // task memory stays O(partitions), never O(epoch) (a buffering writer
+  // would OOM on a large replayed micro-batch)
+  private case class Open(tmp: File, out: DataOutputStream, var count: Long)
+  private val open = scala.collection.mutable.Map.empty[Int, Open]
   def write(record: InternalRow): Unit = {
     val p = record.getInt(0)
     require(p >= 0 && p < partitions,
       s"partition $p out of range [0, $partitions)")
-    buf.getOrElseUpdate(p, scala.collection.mutable.ArrayBuffer.empty) +=
-      record.getBinary(1)
+    val o = open.getOrElseUpdate(p, {
+      val tmpDir = GraftLogBus.tmpDir(root, topic)
+      tmpDir.mkdirs()
+      val tmp = File.createTempFile(s"t$taskId-p$p-", ".tmp", tmpDir)
+      Open(tmp, new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(tmp))), 0L)
+    })
+    val b = record.getBinary(1)
+    o.out.writeInt(b.length); o.out.write(b); o.count += 1
   }
   def commitAll(): Array[BusSegMessage] = {
-    val tmpDir = GraftLogBus.tmpDir(root, topic)
-    tmpDir.mkdirs()
-    buf.toSeq.sortBy(_._1).map { case (p, records) =>
-      val tmp = File.createTempFile(s"t$taskId-p$p-", ".tmp", tmpDir)
-      GraftLogBus.writeTmp(tmp, records.toSeq)
-      BusSegMessage(p, taskId, records.length.toLong, tmp.getPath)
+    open.toSeq.sortBy(_._1).map { case (p, o) =>
+      o.out.close()
+      BusSegMessage(p, taskId, o.count, o.tmp.getPath)
     }.toArray
+  }
+  def abortAll(): Unit = open.values.foreach { o =>
+    o.out.close(); o.tmp.delete()
   }
 }
 
@@ -424,15 +435,11 @@ class BusWriterFactory(root: String, topic: String, partitions: Int)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val core = new BusWriterCore(root, topic, partitions, taskId)
-      private var msgs: Array[BusSegMessage] = Array.empty
       override def write(record: InternalRow): Unit = core.write(record)
-      override def commit(): WriterCommitMessage = {
-        msgs = core.commitAll()
-        // a task commits ONE message; fold the per-partition files into a
-        // wrapper when a task carried several partitions
-        BusMultiMessage(msgs)
-      }
-      override def abort(): Unit = msgs.foreach(m => new File(m.tmpPath).delete())
+      // a task commits ONE message; fold the per-partition files into a
+      // wrapper when a task carried several partitions
+      override def commit(): WriterCommitMessage = BusMultiMessage(core.commitAll())
+      override def abort(): Unit = core.abortAll()
       override def close(): Unit = ()
     }
 }
@@ -443,13 +450,9 @@ class BusStreamingWriterFactory(root: String, topic: String, partitions: Int)
       epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val core = new BusWriterCore(root, topic, partitions, taskId)
-      private var msgs: Array[BusSegMessage] = Array.empty
       override def write(record: InternalRow): Unit = core.write(record)
-      override def commit(): WriterCommitMessage = {
-        msgs = core.commitAll()
-        BusMultiMessage(msgs)
-      }
-      override def abort(): Unit = msgs.foreach(m => new File(m.tmpPath).delete())
+      override def commit(): WriterCommitMessage = BusMultiMessage(core.commitAll())
+      override def abort(): Unit = core.abortAll()
       override def close(): Unit = ()
     }
 }
