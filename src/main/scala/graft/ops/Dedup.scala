@@ -462,17 +462,35 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleLen: Int = 5,
       maxPostingSize: Int = 1000): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
-    import org.apache.spark.sql.expressions.Window
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // cached: the sketch pass feeds the posting build AND both verify
     // sides — uncached it re-runs per consumer (the corpus scan is the
     // dominant term at 100 TB)
-    val grams = df.repartition(par)
+    val grams = containmentSketch(df, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try containmentPairsFromSketch(grams, threshold, maxPostingSize)
+    finally grams.unpersist() // outputs are eagerly checkpointed inside
+  }
+
+  /** The shingle-set sketch feeding [[containmentPairsFromSketch]]:
+    * (doc, gs) with gs the doc's 64-bit hashed `shingleLen`-gram set.
+    * Build it once (and cache it) to run several containment configs —
+    * threshold / posting-cap sweeps — against ONE corpus scan. */
+  def containmentSketch(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(par)
       .select(col(idCol).as("doc"),
         TextKit.ngramHashSet(col(textCol), shingleLen).as("gs"))
       .filter(size(col("gs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[containmentPairs]] from a pre-built (cached) sketch; caching of
+    * `grams` is the CALLER's concern — both returned stages are eagerly
+    * checkpointed, so the sketch may be unpersisted once this returns. */
+  def containmentPairsFromSketch(grams: DataFrame, threshold: Double,
+      maxPostingSize: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    import org.apache.spark.sql.expressions.Window
     val posts = grams.select(col("doc"), explode(col("gs")).as("g"),
       size(col("gs")).as("__sz"))
     val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("__df"))
@@ -504,7 +522,6 @@ object Dedup {
         col("containment_ppm") >= math.floor(threshold * 1e6).toLong))
       .select(col("doc_a"), col("doc_b"), col("containment_ppm"))
       .localCheckpoint(eager = true)
-    grams.unpersist()
     out
   }
 
