@@ -157,9 +157,15 @@ object MediationApp {
     implicit val enc = Encoders.product[SendResult]
     val analyticsQuery = analytics.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Marked], _: Long) =>
+      // epoch-keyed OVERWRITE, not a flat append: foreachBatch makes sink
+      // idempotence the app's duty — after a crash the engine REPLAYS the
+      // failed epoch, and an append would double-write its rows. Writing
+      // each epoch into its own batch=<id> partition dir with overwrite
+      // makes the replay rewrite the same dir, so the sink is exactly-once
+      // end-to-end (readers see one extra `batch` partition column).
+      .foreachBatch { (batch: Dataset[Marked], epochId: Long) =>
         processBatch(batch.filter(!_.record.isInitialLoad), cfg, client)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$epochId")
       }
       .option("checkpointLocation", s"$checkpointRoot/analytics")
       .trigger(cfg.trigger)
