@@ -48,6 +48,10 @@ object WindowedSink {
     * files from several panes). NB a stateless watermark does NOT drop late
     * rows in Spark — late arrivals land in their (old) window dir; use
     * [[streamFinalized]] for drop-late/write-once-per-window semantics.
+    * Delivery is AT-LEAST-ONCE under crash replay (a replayed epoch
+    * re-appends its panes) — the same contract as the reference's
+    * discarding panes on an at-least-once bus; the finalized mode below is
+    * the exactly-once path.
     */
   def stream(df: DataFrame, eventTime: String, duration: String,
       watermarkDelay: String, path: String,
@@ -79,13 +83,26 @@ object WindowedSink {
       .agg(collect_list(struct(cols.map(col): _*)).as("rows"))
       .writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          batch.select(
+        if (!batch.isEmpty) {
+          // exactly-once under crash replay: append-mode emits each window
+          // in exactly ONE epoch, so dynamic partition overwrite makes a
+          // replayed epoch REWRITE its own window dirs instead of
+          // double-appending them — and never touches other windows'
+          val s = batch.sparkSession
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val saved = s.conf.getOption(key)
+          s.conf.set(key, "dynamic")
+          try batch.select(
               Kit.windowName(col("w.start"), col("w.end")).as("window_name"),
               explode(col("rows")).as("r"))
             .select(col("window_name") +: cols.map(c => col(s"r.$c")): _*)
-            .write.mode("append").format(format)
+            .write.mode("overwrite").format(format)
             .partitionBy("window_name").save(path)
+          finally saved match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
       }
   }
 

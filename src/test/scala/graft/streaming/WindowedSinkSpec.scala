@@ -78,4 +78,39 @@ class WindowedSinkSpec extends SparkSpec {
       assert(!got.contains("pending2")) // its window is still open
     } finally query.stop()
   }
+
+  test("finalized mode survives an epoch REPLAY without duplicating windows") {
+    implicit val sq = spark.sqlContext
+    val out = Files.createTempDirectory("wsink-r").resolve("data").toString
+    val ckpt = Files.createTempDirectory("wsink-rckpt").toString
+    val input = MemoryStream[(String, Timestamp)]
+    // self-terminating bounded drains, one fresh run each — the same
+    // restart harness the source-resume specs use
+    def drain(): Unit = {
+      val q = WindowedSink.start(
+        input.toDF().toDF("v", "event_time"),
+        "event_time", "30 seconds", "0 seconds", out, ckpt, finalized = true,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    input.addData(("w1", Timestamp.valueOf("2026-01-01 10:00:05")))
+    drain()
+    // advance the watermark well past w1's window → finalize + write it
+    input.addData(("w2", Timestamp.valueOf("2026-01-01 10:09:00")))
+    drain()
+    assert(spark.read.parquet(out).count() === 1) // w1 written once
+    // simulate a crash AFTER the sink wrote but BEFORE the engine recorded
+    // the epoch: delete the last commit marker — restart replays that epoch
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(last.delete())
+    // the local ChecksumFileSystem keeps a .N.crc sibling; leaving it
+    // behind makes the replayed commit's rename fail as "already exists"
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    drain() // replays the deleted epoch against the sink
+    val rows = spark.read.parquet(out).select("v").as[String].collect().toSeq
+    assert(rows === Seq("w1"),
+      s"replayed epoch must rewrite its window, not duplicate it: $rows")
+  }
 }
