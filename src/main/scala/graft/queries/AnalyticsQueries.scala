@@ -546,10 +546,41 @@ object AnalyticsQueries {
       |  true AS offset_exact
       |FROM pub GROUP BY partition ORDER BY partition""".stripMargin
 
+  // ── S5: typed external-table-service scan, oracle-gated ────────────────
+  // The storage-read-API shape: the connector sends projection + range
+  // pushdown OVER THE WIRE and reassembles 4 parallel Avro streams; the
+  // served table is id arithmetic, so DuckDB replays the CONTENT and the
+  // gate checks the protocol (framing, striping, schema negotiation).
+  // The server is the JVM-lifetime shared instance (daemon threads) —
+  // DataFrames are lazy, so a per-query server would be gone by the time
+  // the driver's write action executes the scan.
+  private val s12TableService: Q = (s, dir) => {
+    val srv = graft.sources.v2.GraftTableService.shared
+    s.read.format("graft.sources.v2.GraftServiceSource")
+      .option("host", "127.0.0.1").option("port", srv.port.toString)
+      .option("slices", "4").load()
+      .filter(col("doc_id") >= 2000L && col("doc_id") < 12000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+  private val s12TableServiceSql =
+    """WITH t AS (
+      |  SELECT i AS doc_id,
+      |    ['en','de','fr','es','pt'][CAST(i % 5 AS INT) + 1] AS lang,
+      |    (i*31) % 1000 AS score
+      |  FROM range(2000, 12000) x(i)
+      |)
+      |SELECT lang, count(*) AS n, CAST(sum(score) AS BIGINT) AS sum_score,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "x_spj_join" -> xSpjJoin,
     "s10_catalog_sql" -> s10CatalogSql_,
     "s11_log_bus" -> s11LogBus,
+    "s12_table_service" -> s12TableService,
     "q3_shipping" -> q3Shipping,
     "q5_local_volume" -> q5LocalVolume,
     "q10_returns" -> q10Returns,
@@ -568,6 +599,7 @@ object AnalyticsQueries {
     "x_spj_join" -> xSpjJoinSql,
     "s10_catalog_sql" -> s10CatalogSqlSql,
     "s11_log_bus" -> s11LogBusSql,
+    "s12_table_service" -> s12TableServiceSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_volume" -> q5LocalVolumeSql,
     "q10_returns" -> q10ReturnsSql,
