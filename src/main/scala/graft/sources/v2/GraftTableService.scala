@@ -126,24 +126,25 @@ object GraftTableService {
       val writer = new GenericDatumWriter[GenericRecord](sch)
       val buf = new ByteArrayOutputStream()
       var enc: BinaryEncoder = null
-      var id = lo
+      // modulo striping mirrors the BQ stream interleave; a real storage
+      // backend would seek per stripe instead of walking the range — here
+      // the walk is generation, not IO, so per-stream cost is fine
+      var id = lo + ((slice - lo % slices + slices) % slices)
       while (id <= hi) {
-        if (id % slices == slice) { // stripe striping, BQ-stream style
-          buf.reset()
-          enc = EncoderFactory.get().binaryEncoder(buf, enc)
-          val rec = new GenericData.Record(sch)
-          cols.foreach {
-            case "doc_id" => rec.put("doc_id", id)
-            case "lang" => rec.put("lang", lang(id))
-            case "score" => rec.put("score", score(id))
-          }
-          writer.write(rec, enc)
-          enc.flush()
-          val bytes = buf.toByteArray
-          out.writeInt(bytes.length)
-          out.write(bytes)
+        buf.reset()
+        enc = EncoderFactory.get().binaryEncoder(buf, enc)
+        val rec = new GenericData.Record(sch)
+        cols.foreach {
+          case "doc_id" => rec.put("doc_id", id)
+          case "lang" => rec.put("lang", lang(id))
+          case "score" => rec.put("score", score(id))
         }
-        id += 1
+        writer.write(rec, enc)
+        enc.flush()
+        val bytes = buf.toByteArray
+        out.writeInt(bytes.length)
+        out.write(bytes)
+        id += slices
       }
       out.writeInt(-1) // end of stream
       out.flush()
