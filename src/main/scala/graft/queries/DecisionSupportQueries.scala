@@ -265,8 +265,8 @@ object DecisionSupportQueries {
   }
   private val q12PriorityByStatusSql =
     """SELECT l_linestatus,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_n,
-      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_n
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_n
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_returnflag = 'R'
       |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
