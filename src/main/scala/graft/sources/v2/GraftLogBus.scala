@@ -39,18 +39,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *    after existing ones.
  *
  * Layout: `<root>/<topic>/p<partition>/s<seq 12d>-t<task 6d>-c<count>.seg`
- * where seq = streaming epochId or driver-assigned batch sequence; segment
- * content is length-framed records (`[int32 len][bytes]`*). Record offsets
- * are implicit: segments sort lexicographically by (seq, task) and counts
- * accumulate. `.tmp/` holds uncommitted task-attempt files; only the
- * driver-side commit renames them into the log, so readers never observe a
- * partial write and aborted attempts leave nothing visible.
+ * where seq is a COMMIT-TIME log sequence (maxSeq+1, assigned by the single
+ * driver-side committer — the "partition leader" role) shared by every
+ * segment of one commit; segment content is length-framed records
+ * (`[int32 len][bytes]`*). Record offsets are implicit: segments sort
+ * lexicographically by (seq, task) and counts accumulate on top of the
+ * partition's log-start offset (`.base`, advanced by retention). `.tmp/`
+ * holds uncommitted task-attempt files.
+ *
+ * Commit protocol (atomic visibility + epoch idempotence):
+ *  1. tasks write tmp files (invisible — readers only list `s*.seg`);
+ *  2. the driver renames every attempt's file to its final segment name;
+ *  3. the driver creates ONE marker file
+ *     `.commits/c<seq 12d>-<writerKey>.cmt` LAST. Readers treat a segment
+ *     as existing only if its seq has a marker, so a driver crash anywhere
+ *     before step 3 leaves nothing visible — there is no partial-epoch
+ *     window (the marker create is the single atomic commit point).
+ * The writerKey is `b` for batch appends and `q<queryId>-e<epochId>` for
+ * streaming epochs: a replayed micro-batch is detected by ITS OWN
+ * (query, epoch) marker — never by a foreign segment or a batch append
+ * that happened to use the same number — so batch and streaming writers
+ * interleave safely on one topic and a crashed partial commit is re-run
+ * in full under a fresh seq (the orphaned unmarked segments stay
+ * invisible until [[GraftLogBus.expire]] garbage-collects them).
+ *
+ * Retention: [[GraftLogBus.expire]] drops whole committed segments that
+ * lie entirely below a consumer-supplied floor (e.g. the offset a
+ * checkpoint has passed) and advances `.base` by the dropped record
+ * count, so surviving offsets — and any checkpoint at or above the
+ * floor — stay valid. A checkpoint BEHIND the floor fails fast with
+ * "expired by retention" instead of silently skipping records. This also
+ * bounds the O(segments) per-trigger listing cost for long-running
+ * topics.
  *
  * Scale notes: this is a correctness-faithful stand-in, not a broker — at
  * production scale the same code paths bind to Kafka via
- * `format("kafka")` ([[graft.sources.Bus]], jar-blocked here). The listing
- * cost per trigger is O(segments) per partition; a broker's index replaces
- * that. Wire format stays the engine's Avro codec either way
+ * `format("kafka")` ([[graft.sources.Bus]], jar-blocked here). Wire
+ * format stays the engine's Avro codec either way
  * ([[graft.functions.AvroKit]]), so swapping transports is config-only.
  */
 class GraftLogBusSource extends TableProvider {
@@ -100,29 +125,142 @@ object GraftLogBus {
     new File(new File(root, topic), s"p$p")
   private[v2] def tmpDir(root: String, topic: String): File =
     new File(new File(root, topic), ".tmp")
+  private[v2] def commitsDir(root: String, topic: String): File =
+    new File(new File(root, topic), ".commits")
+  private def commitsDirFor(partDir: File): File =
+    new File(partDir.getParentFile, ".commits")
 
   private val SegName = """s(\d{12})-t(\d{6})-c(\d+)\.seg""".r
+  private val MarkName = """c(\d{12})-(.+)\.cmt""".r
+  private val StreamKey = """q(.+)-e(\d{12})""".r
+
+  /** The marker namespace that makes replay detection writer-scoped:
+    * a streaming epoch is "already committed" only if ITS query's marker
+    * for ITS epoch exists — a batch append (key `b`) or another query's
+    * epoch can never fence out a live commit. */
+  private[v2] def writerKey(queryId: String, epochId: Long): String =
+    f"q${queryId.replaceAll("[^A-Za-z0-9-]", "")}%s-e$epochId%012d"
+
+  private[v2] def markerFile(commits: File, seq: Long, key: String): File =
+    new File(commits, f"c$seq%012d-$key.cmt")
+
+  private[v2] def markerExists(commits: File, key: String): Boolean =
+    Option(commits.list()).exists(_.exists(_.endsWith(s"-$key.cmt")))
+
+  /** Seqs with a commit marker — the only segments readers may observe. */
+  private[v2] def committedSeqs(commits: File): Set[Long] =
+    Option(commits.list()).getOrElse(Array.empty[String])
+      .iterator.collect { case MarkName(s, _) => s.toLong }.toSet
+
+  /** ALL segment files of one partition, marker-committed or not (strays
+    * from a crashed partial commit included), in log order — used only for
+    * sequence assignment and garbage collection, never by readers. */
+  private[v2] def rawSegments(dir: File): Seq[(String, Long, Long)] =
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .iterator.map(_.getName).collect {
+        case n @ SegName(s, _, c) => (n, s.toLong, c.toLong)
+      }.toSeq.sortBy(_._1)
 
   /** Committed segments of one partition in log order: (name, count). */
   private[v2] def segments(dir: File): Seq[(String, Long)] = {
-    val fs = Option(dir.listFiles()).getOrElse(Array.empty[File])
-    fs.iterator.map(_.getName).collect {
-      case n @ SegName(_, _, c) => (n, c.toLong)
-    }.toSeq.sortBy(_._1)
+    val committed = committedSeqs(commitsDirFor(dir))
+    rawSegments(dir).collect { case (n, s, c) if committed(s) => (n, c) }
   }
 
-  /** Log-end offset (= total committed records) of one partition. */
-  private[v2] def endOffset(dir: File): Long = segments(dir).map(_._2).sum
+  /** Log-start offset of one partition — the offset of the first retained
+    * record, advanced by [[expire]] so record offsets survive retention. */
+  private[v2] def baseOffset(dir: File): Long = {
+    val f = new File(dir, ".base")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else 0L
+  }
 
-  private[v2] def maxSeq(root: String, topic: String, partitions: Int): Long =
-    (0 until partitions).flatMap { p =>
-      segments(partDir(root, topic, p)).map(_._1 match {
-        case SegName(s, _, _) => s.toLong
-      })
-    }.foldLeft(-1L)(math.max)
+  private def writeBase(dir: File, base: Long): Unit = {
+    val tmp = new File(dir, ".base.tmp")
+    java.nio.file.Files.write(tmp.toPath, base.toString.getBytes("UTF-8"))
+    if (!tmp.renameTo(new File(dir, ".base")))
+      throw new IllegalStateException(s"cannot advance base offset in $dir")
+  }
+
+  /** Log-end offset of one partition. */
+  private[v2] def endOffset(dir: File): Long =
+    baseOffset(dir) + segments(dir).map(_._2).sum
+
+  /** Next free commit sequence: above every segment file (committed or
+    * stray) AND every marker, so a crashed partial commit can never be
+    * collided with and an expired-but-marked seq is never reused. */
+  private[v2] def maxSeq(root: String, topic: String, partitions: Int): Long = {
+    val segMax = (0 until partitions).iterator
+      .flatMap(p => rawSegments(partDir(root, topic, p)).iterator.map(_._2))
+    val markMax = Option(commitsDir(root, topic).list())
+      .getOrElse(Array.empty[String]).iterator.collect { case MarkName(s, _) => s.toLong }
+    (segMax ++ markMax).foldLeft(-1L)(math.max)
+  }
 
   private[v2] def segName(seq: Long, task: Long, count: Long): String =
     f"s$seq%012d-t$task%06d-c$count.seg"
+
+  /** What [[expire]] did: counts for observability and spec assertions. */
+  case class ExpireStats(segmentsDeleted: Int, recordsDropped: Long,
+      straysDeleted: Int, markersDeleted: Int)
+
+  /**
+   * Retention: per partition, delete whole committed segments whose records
+   * all lie below `floor(p)` (the offset a consumer's checkpoint has safely
+   * passed) and advance `.base` by the dropped count — offsets of every
+   * surviving record, and every checkpoint at or above the floor, stay
+   * exactly valid. Also garbage-collects (a) stray unmarked segments left
+   * by crashed partial commits and (b) markers whose segments are gone —
+   * EXCEPT each streaming query's highest epoch marker, which is kept as
+   * the replay fence for the one epoch Structured Streaming can still
+   * replay after a restart.
+   *
+   * Call from the single-committer maintenance context (no commit racing),
+   * like Kafka's log-cleaner runs inside the partition leader.
+   */
+  def expire(root: String, topic: String, partitions: Int,
+      floor: Int => Long): ExpireStats = {
+    var segsDel = 0; var recsDropped = 0L; var straysDel = 0
+    val commits = commitsDir(root, topic)
+    val committed = committedSeqs(commits)
+    (0 until partitions).foreach { p =>
+      val dir = partDir(root, topic, p)
+      var base = baseOffset(dir)
+      val lim = floor(p)
+      var advancing = true
+      rawSegments(dir).foreach { case (name, seq, count) =>
+        if (!committed(seq)) {
+          // stray from a crashed commit: never visible, safe to drop
+          if (new File(dir, name).delete()) straysDel += 1
+        } else if (advancing && base + count <= lim) {
+          if (!new File(dir, name).delete())
+            throw new IllegalStateException(s"cannot expire $name in $dir")
+          segsDel += 1; recsDropped += count; base += count
+        } else advancing = false // segments are offset-ordered: stop at first keeper
+      }
+      if (base != baseOffset(dir)) writeBase(dir, base)
+    }
+    // marker GC: segments all gone AND not a query's latest epoch fence
+    val liveSeqs = (0 until partitions).iterator
+      .flatMap(p => rawSegments(partDir(root, topic, p)).iterator.map(_._2)).toSet
+    val markers = Option(commits.listFiles()).getOrElse(Array.empty[File])
+      .flatMap(f => f.getName match {
+        case MarkName(s, key) => Some((f, s.toLong, key))
+        case _ => None
+      })
+    val latestEpoch = markers.collect { case (_, _, StreamKey(q, e)) => (q, e.toLong) }
+      .groupBy(_._1).map { case (q, es) => q -> es.map(_._2).max }
+    var marksDel = 0
+    markers.foreach { case (f, seq, key) =>
+      val isLatestFence = key match {
+        case StreamKey(q, e) => latestEpoch.get(q).contains(e.toLong)
+        case _ => false
+      }
+      if (!liveSeqs(seq) && !isLatestFence && f.delete()) marksDel += 1
+    }
+    ExpireStats(segsDel, recsDropped, straysDel, marksDel)
+  }
 
   /** Stream records [skip, skip+wanted) out of one segment file. The
     * returned iterator closes its stream on exhaustion; callers that stop
@@ -173,8 +311,10 @@ class GraftLogBusTable(tableSchema: StructType, root: String, topic: String,
         override def planInputPartitions(): Array[InputPartition] =
           (0 until partitions).map { p =>
             val dir = GraftLogBus.partDir(root, topic, p)
-            BusRange(dir.getPath, p, 0L, GraftLogBus.endOffset(dir)): InputPartition
-          }.filter(_.asInstanceOf[BusRange].end > 0).toArray
+            BusRange(dir.getPath, p, GraftLogBus.baseOffset(dir),
+              GraftLogBus.endOffset(dir)): InputPartition
+          }.filter(r => r.asInstanceOf[BusRange].end > r.asInstanceOf[BusRange].start)
+            .toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new BusReaderFactory
       }
@@ -188,12 +328,13 @@ class GraftLogBusTable(tableSchema: StructType, root: String, topic: String,
       s.fields(0).name == "partition" && s.fields(0).dataType == IntegerType &&
       s.fields(1).name == "value" && s.fields(1).dataType == BinaryType,
       s"log bus producer schema must be (partition INT, value BINARY), got ${s.toDDL}")
+    val queryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new BusBatchWrite(root, topic, partitions)
         override def toStreaming: StreamingWrite =
-          new BusStreamingWrite(root, topic, partitions)
+          new BusStreamingWrite(root, topic, partitions, queryId)
       }
     }
   }
@@ -241,7 +382,9 @@ class BusMicroBatchStream(root: String, topic: String, partitions: Int,
     snapshot = Some(liveEnds())
 
   override def initialOffset(): Offset =
-    BusOffset((0 until partitions).map(_ -> 0L).toMap)
+    // a new consumer starts at the log-start offset (post-retention base)
+    BusOffset((0 until partitions).map(p =>
+      p -> GraftLogBus.baseOffset(GraftLogBus.partDir(root, topic, p))).toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
@@ -260,7 +403,14 @@ class BusMicroBatchStream(root: String, topic: String, partitions: Int,
       case _ => Long.MaxValue
     }
     BusOffset(ends.map { case (p, end) =>
-      val s = from.getOrElse(p, 0L)
+      val base = GraftLogBus.baseOffset(GraftLogBus.partDir(root, topic, p))
+      val s = from.getOrElse(p, base)
+      if (s < base)
+        throw new IllegalStateException(
+          s"topic $topic partition $p: checkpoint offset $s expired by " +
+            s"retention (log now starts at $base) — records were dropped " +
+            "before this consumer passed them; reset the checkpoint or " +
+            "expire only below consumed offsets")
       p -> math.min(end, if (cap == Long.MaxValue) end else s + cap)
     })
   }
@@ -296,7 +446,8 @@ class BusReaderFactory extends PartitionReaderFactory {
     // open only segments overlapping [start, end)
     val segs = GraftLogBus.segments(new File(r.dir))
     val slices = {
-      var base = 0L
+      // cumulative offsets start at the log-start base (post-retention)
+      var base = GraftLogBus.baseOffset(new File(r.dir))
       val b = Seq.newBuilder[(String, Long, Long, Long)] // (name, segBase, skip, take)
       segs.foreach { case (name, count) =>
         val lo = math.max(r.start, base)
@@ -330,11 +481,12 @@ case class BusSegMessage(partition: Int, taskId: Long, count: Long,
 
 /**
  * Producer, batch flavor. Tasks write length-framed tmp files under
- * `.tmp/` (invisible to readers); the driver assigns the next sequence
- * number and renames every committed attempt's file into the log — the
- * two-phase commit that keeps aborted/speculative attempts out of the
- * stream. One rename per (task, partition); single driver-side commit
- * point serializes sequence assignment (the "partition leader" role).
+ * `.tmp/` (invisible to readers); the driver assigns the next free log
+ * sequence, renames every committed attempt's file into the log, and
+ * creates the commit marker LAST — the marker is the atomic visibility
+ * point, so a crash anywhere before it leaves nothing reader-visible.
+ * Single driver-side commit point serializes sequence assignment (the
+ * "partition leader" role).
  */
 class BusBatchWrite(root: String, topic: String, partitions: Int)
     extends BatchWrite {
@@ -342,31 +494,38 @@ class BusBatchWrite(root: String, topic: String, partitions: Int)
     new BusWriterFactory(root, topic, partitions)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val seq = GraftLogBus.maxSeq(root, topic, partitions) + 1
-    BusCommit.rename(root, topic, seq, messages)
+    BusCommit.commit(root, topic, seq, "b", messages)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     BusCommit.cleanup(messages)
 }
 
 /**
- * Producer, streaming flavor: sequence number = epochId, which makes the
- * commit IDEMPOTENT under micro-batch replay — if any segment of this
- * epoch already exists, the epoch committed before the failure and the
- * replay only cleans its tmp files (Kafka's transactional-producer epoch
- * fencing, expressed as immutable named segments).
+ * Producer, streaming flavor. Idempotence under micro-batch replay keys
+ * on the (queryId, epochId) MARKER, not on segment names: a replayed
+ * epoch whose marker exists committed fully before the failure and only
+ * cleans its tmp files; an epoch whose marker is absent — including one
+ * whose previous attempt crashed mid-rename — re-commits IN FULL under a
+ * fresh log sequence (the crashed attempt's unmarked segments were never
+ * reader-visible and are swept by [[GraftLogBus.expire]]). Batch appends
+ * (key `b`) and other queries' epochs live in different marker
+ * namespaces, so they can never fence out a live epoch (Kafka's
+ * transactional-producer epoch fencing, per producer identity).
  */
-class BusStreamingWrite(root: String, topic: String, partitions: Int)
+class BusStreamingWrite(root: String, topic: String, partitions: Int,
+    queryId: String = "test")
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new BusStreamingWriterFactory(root, topic, partitions)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val already = (0 until partitions).exists { p =>
-      GraftLogBus.segments(GraftLogBus.partDir(root, topic, p))
-        .exists(_._1.startsWith(f"s$epochId%012d-"))
+    val key = GraftLogBus.writerKey(queryId, epochId)
+    if (GraftLogBus.markerExists(GraftLogBus.commitsDir(root, topic), key))
+      BusCommit.cleanup(messages)
+    else {
+      val seq = GraftLogBus.maxSeq(root, topic, partitions) + 1
+      BusCommit.commit(root, topic, seq, key, messages)
     }
-    if (already) BusCommit.cleanup(messages)
-    else BusCommit.rename(root, topic, epochId, messages)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     BusCommit.cleanup(messages)
@@ -379,8 +538,12 @@ private object BusCommit {
       case m: BusSegMessage => Seq(m)
       case _ => Nil
     }
-  def rename(root: String, topic: String, seq: Long,
-      messages: Array[WriterCommitMessage]): Unit =
+  /** Two-phase commit, atomic at the marker: rename every attempt's tmp
+    * file to its final segment name, THEN create the single
+    * `c<seq>-<key>.cmt` marker that makes the whole commit visible. */
+  def commit(root: String, topic: String, seq: Long, key: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    var any = false
     flatten(messages).foreach { case BusSegMessage(p, task, count, tmpPath) =>
       if (count > 0) {
         val dir = GraftLogBus.partDir(root, topic, p)
@@ -388,8 +551,17 @@ private object BusCommit {
         val target = new File(dir, GraftLogBus.segName(seq, task, count))
         if (!new File(tmpPath).renameTo(target) && !target.exists())
           throw new IllegalStateException(s"bus commit failed: $tmpPath -> $target")
+        any = true
       } else new File(tmpPath).delete()
     }
+    if (any) {
+      val commits = GraftLogBus.commitsDir(root, topic)
+      commits.mkdirs()
+      val m = GraftLogBus.markerFile(commits, seq, key)
+      if (!m.createNewFile() && !m.exists())
+        throw new IllegalStateException(s"bus commit marker failed: $m")
+    }
+  }
   def cleanup(messages: Array[WriterCommitMessage]): Unit =
     flatten(messages).foreach(m => new File(m.tmpPath).delete())
 }

@@ -184,6 +184,136 @@ class GraftLogBusSpec extends SparkSpec {
     assert(back.sorted.toSeq === (0L until 150L))
   }
 
+  test("atomic commit: a crash mid-rename leaves NOTHING visible; replay re-commits in full") {
+    val root = newRoot()
+    val w = new BusStreamingWrite(root, "t8", 2, "qcrash")
+    def attempt(task: Long, n: Int) = {
+      val f = new graft.sources.v2.BusStreamingWriterFactory(root, "t8", 2)
+        .createWriter(0, task, 7L)
+      (0 until n).foreach { i =>
+        f.write(org.apache.spark.sql.catalyst.InternalRow(
+          i % 2, s"e$i".getBytes("UTF-8")))
+      }
+      f.commit().asInstanceOf[graft.sources.v2.BusMultiMessage]
+    }
+    // simulate the driver dying MID-COMMIT: one partition's segment renamed
+    // into place, the other's tmp left behind, no marker written
+    val crashed = attempt(0L, 10)
+    val seg0 = crashed.segs.find(_.partition === 0).get
+    val p0 = new File(new File(root, "t8"), "p0"); p0.mkdirs()
+    assert(new File(seg0.tmpPath).renameTo(
+      new File(p0, f"s${0L}%012d-t${0L}%06d-c${seg0.count}.seg")))
+    // atomicity: the half-renamed epoch is INVISIBLE (no marker)
+    assert(readAll(root, "t8", 2).count() === 0,
+      "a partial commit must not be reader-visible")
+    // post-restart replay of epoch 7 — marker absent, so it commits in full
+    w.commit(7L, Array(attempt(1L, 10)))
+    val vs = readAll(root, "t8", 2)
+      .select(col("value").cast("string")).collect().map(_.getString(0)).sorted
+    assert(vs.toSeq === (0 until 10).map(i => s"e$i").sorted,
+      "replay after a partial commit must publish every record exactly once")
+    // the crashed attempt's stray segment is swept by retention GC
+    val stats = GraftLogBus.expire(root, "t8", 2, _ => 0L)
+    assert(stats.straysDeleted === 1)
+    assert(readAll(root, "t8", 2).count() === 10)
+  }
+
+  test("batch appends never fence out a streaming epoch with the same number") {
+    val root = newRoot()
+    produceIds(root, "t9", 0, 100)             // batch append — log seq 0
+    val w = new BusStreamingWrite(root, "t9", 4, "qmix")
+    val f = new graft.sources.v2.BusStreamingWriterFactory(root, "t9", 4)
+      .createWriter(0, 0L, 0L)                  // streaming epoch 0
+    (0 until 10).foreach { i =>
+      f.write(org.apache.spark.sql.catalyst.InternalRow(
+        i % 4, s"s$i".getBytes("UTF-8")))
+    }
+    w.commit(0L, Array(f.commit()))
+    assert(readAll(root, "t9", 4).count() === 110,
+      "epoch 0 must commit even though a batch append already used seq 0")
+    // and the epoch IS fenced against its own replay
+    val f2 = new graft.sources.v2.BusStreamingWriterFactory(root, "t9", 4)
+      .createWriter(0, 1L, 0L)
+    f2.write(org.apache.spark.sql.catalyst.InternalRow(0, "dup".getBytes))
+    w.commit(0L, Array(f2.commit()))
+    assert(readAll(root, "t9", 4).count() === 110)
+  }
+
+  test("retention: expire consumed segments, offsets stay stable, checkpoint resumes, stale checkpoint fails fast") {
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("busretck").toString
+    val out = Files.createTempDirectory("busretout").toString
+    produceIds(root, "t10", 0, 150)
+    produceIds(root, "t10", 150, 300)
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt)
+        .option("root", root).option("topic", "t10").option("partitions", "4")
+        .load()
+        .select(col("partition"), col("offset"), col("value").cast("string").as("v"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 300)
+    // floor = what the checkpoint has passed (max consumed offset + 1)
+    val floors = spark.read.parquet(out).groupBy("partition")
+      .agg(max("offset").as("m")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    val stats = GraftLogBus.expire(root, "t10", 4, p => floors.getOrElse(p, 0L))
+    assert(stats.segmentsDeleted > 0)
+    assert(stats.recordsDropped === 300)
+    // offsets are STABLE across retention: new records continue numbering
+    produceIds(root, "t10", 300, 400)
+    drain()
+    val all = spark.read.parquet(out)
+    assert(all.count() === 400, "resume across retention must read only new records")
+    assert(all.select("v").collect().map(_.getString(0).toLong).sorted.toSeq
+      === (0L until 400L))
+    // a fresh batch read sees only retained records, at their ORIGINAL offsets
+    val fresh = readAll(root, "t10", 4)
+      .select(col("partition"), col("offset"), col("value").cast("string").as("v"))
+    val freshRows = fresh.collect()
+    assert(freshRows.map(_.getString(2).toLong).sorted.toSeq === (300L until 400L))
+    val resumedOffsets = all.filter(col("v").cast("long") >= 300)
+      .select("partition", "offset", "v").collect()
+      .map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(freshRows.map(r => (r.getInt(0), r.getString(2))).toSet === resumedOffsets)
+    freshRows.groupBy(_.getInt(0)).foreach { case (p, rs) =>
+      assert(rs.map(_.getLong(1)).min === floors.getOrElse(p, 0L),
+        s"partition $p must resume numbering at its retention floor")
+    }
+    // a NEW streaming consumer starts at the log-start base, not offset 0
+    val ckpt2 = Files.createTempDirectory("busretck2").toString
+    val out2 = Files.createTempDirectory("busretout2").toString
+    val q2 = spark.readStream.format(fmt)
+      .option("root", root).option("topic", "t10").option("partitions", "4")
+      .load()
+      .select(col("value").cast("string").as("v"))
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).count() === 100)
+    // expire PAST a live checkpoint -> that consumer must fail fast:
+    // publish records the ckpt2 consumer has NOT seen, then drop them
+    produceIds(root, "t10", 400, 410)
+    GraftLogBus.expire(root, "t10", 4, _ => Long.MaxValue)
+    produceIds(root, "t10", 410, 420)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q3 = spark.readStream.format(fmt)
+        .option("root", root).option("topic", "t10").option("partitions", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+    }
+    assert(ex.getMessage.contains("expired by retention") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expired by retention")))
+  }
+
   test("e2e: mock records through the bus wire format round-trip typed") {
     val root = newRoot()
     val n = 500L
