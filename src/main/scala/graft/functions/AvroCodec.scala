@@ -157,6 +157,92 @@ object AvroCodec {
     val dec = DecoderFactory.get().binaryDecoder(bytes, null)
     new GenericDatumReader[GenericRecord](schema).read(null, dec)
   }
+
+  /** Schema-resolving decode: reads bytes written with `writer` into the
+    * shape of `reader` (Avro writer/reader resolution — added reader
+    * fields take their null default, dropped writer fields are skipped).
+    * The reference relies on the same resolution rules in its Avro layer
+    * (utils/core/AvroUtils.scala:43). */
+  def decodeResolved(bytes: Array[Byte], offset: Int, writer: Schema,
+      reader: Schema): GenericRecord = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, offset,
+      bytes.length - offset, null)
+    new GenericDatumReader[GenericRecord](writer, reader).read(null, dec)
+  }
+
+  /** CRC-64-AVRO fingerprint of the canonical (parsing) form — the id the
+    * single-object frame carries. */
+  def fingerprint64(schema: Schema): Long =
+    org.apache.avro.SchemaNormalization.parsingFingerprint64(schema)
+}
+
+/**
+ * Filesystem schema registry + Avro single-object frames — the evolution
+ * story for the wire: each frame is `[0xC3 0x01][8-byte LE writer
+ * fingerprint][binary body]` (Avro's standard single-object encoding), and
+ * writer schemas live as `<fp>.avsc` files in a shared directory keyed by
+ * fingerprint, so a consumer can resolve ANY epoch's writer schema against
+ * its own reader schema — old and new frames decode in one run. Files are
+ * written tmp+rename (atomic) and are immutable once present, so
+ * concurrent producers registering the same schema are idempotent.
+ */
+object SchemaRegistry {
+  val Magic0: Byte = 0xC3.toByte
+  val Magic1: Byte = 0x01.toByte
+  val HeaderLen: Int = 10
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Schema]()
+
+  private def file(dir: String, fp: Long): java.io.File =
+    new java.io.File(dir, f"$fp%016x.avsc")
+
+  /** Idempotently persist a writer schema; returns its fingerprint. */
+  def register(dir: String, schema: Schema): Long = {
+    val fp = AvroCodec.fingerprint64(schema)
+    val f = file(dir, fp)
+    if (!f.exists()) {
+      new java.io.File(dir).mkdirs()
+      val tmp = java.io.File.createTempFile("schema-", ".tmp", new java.io.File(dir))
+      java.nio.file.Files.write(tmp.toPath, schema.toString.getBytes("UTF-8"))
+      if (!tmp.renameTo(f) && !f.exists())
+        throw new IllegalStateException(s"cannot register schema at $f")
+      tmp.delete()
+    }
+    cache.putIfAbsent((new java.io.File(dir).getAbsolutePath, fp), schema)
+    fp
+  }
+
+  /** Resolve a fingerprint to its writer schema (cached per JVM). */
+  def lookup(dir: String, fp: Long): Schema =
+    cache.computeIfAbsent((new java.io.File(dir).getAbsolutePath, fp), { _ =>
+      val f = file(dir, fp)
+      if (!f.exists())
+        throw new IllegalStateException(
+          f"unknown writer schema fingerprint $fp%016x (not in registry $dir)")
+      new Schema.Parser().parse(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    })
+
+  /** Wrap a binary body in the single-object frame. */
+  def frame(fp: Long, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](HeaderLen + body.length)
+    out(0) = Magic0; out(1) = Magic1
+    var i = 0
+    while (i < 8) { out(2 + i) = ((fp >>> (8 * i)) & 0xff).toByte; i += 1 } // LE
+    System.arraycopy(body, 0, out, HeaderLen, body.length)
+    out
+  }
+
+  /** Read the frame header; returns the writer fingerprint. */
+  def readFingerprint(bytes: Array[Byte]): Long = {
+    require(bytes.length >= HeaderLen && bytes(0) == Magic0 && bytes(1) == Magic1,
+      "not an Avro single-object frame (bad magic)")
+    var fp = 0L
+    var i = 0
+    while (i < 8) { fp |= (bytes(2 + i) & 0xffL) << (8 * i); i += 1 }
+    fp
+  }
 }
 
 /**
@@ -211,6 +297,23 @@ object AvroKit {
     */
   def fromAvro(c: Column, ddl: String): Column =
     GraftColumnBridge.column(FromAvroBinary(GraftColumnBridge.expression(c), ddl))
+
+  /** Encode a struct column as an Avro SINGLE-OBJECT frame: the writer
+    * schema (derived from the column's type) is persisted into
+    * `registryDir` and each value carries its 8-byte fingerprint, so
+    * consumers can decode frames from ANY schema version via
+    * [[fromAvroEvolving]]. */
+  def toAvroEvolving(c: Column, registryDir: String): Column =
+    GraftColumnBridge.column(
+      ToAvroSingleObject(GraftColumnBridge.expression(c), registryDir))
+
+  /** Schema-resolving decode of single-object frames: each value's writer
+    * schema is looked up by fingerprint in `registryDir` and resolved
+    * against the reader DDL — frames written before a schema evolution
+    * (missing the new nullable fields) and after it decode side by side. */
+  def fromAvroEvolving(c: Column, ddl: String, registryDir: String): Column =
+    GraftColumnBridge.column(
+      FromAvroSingleObject(GraftColumnBridge.expression(c), ddl, registryDir))
 }
 
 /** Struct → Avro wire bytes. */
@@ -260,5 +363,70 @@ case class FromAvroBinary(child: Expression, ddl: String) extends UnaryExpressio
   }
 
   override protected def withNewChildInternal(newChild: Expression): FromAvroBinary =
+    copy(child = newChild)
+}
+
+/** Struct → Avro single-object frame (magic + writer fingerprint + body).
+  * The writer schema is registered into `registryDir` lazily on first
+  * encode per executor — idempotent file create on the shared FS, and
+  * always before any frame carrying its fingerprint exists. */
+case class ToAvroSingleObject(child: Expression, registryDir: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  @transient private lazy val schema: Schema = AvroCodec.avroSchemaFor(structType)
+  @transient private lazy val fp: Long = SchemaRegistry.register(registryDir, schema)
+
+  def encodeRow(row: Any): Array[Byte] =
+    SchemaRegistry.frame(fp, AvroCodec.encode(
+      AvroCodec.toAvroDatum(row, structType, schema).asInstanceOf[GenericRecord],
+      schema))
+
+  override def nullSafeEval(input: Any): Any = encodeRow(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("toAvroSO", this, classOf[ToAvroSingleObject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeRow($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ToAvroSingleObject =
+    copy(child = newChild)
+}
+
+/** Avro single-object frame → struct, resolving EACH value's writer schema
+  * (by the frame's fingerprint, via the registry) against the reader DDL —
+  * Avro's writer/reader resolution, so a stream mixing schema versions
+  * decodes in one pass. Unknown fingerprints throw (strict, like the
+  * reference's fromByteBuffer). */
+case class FromAvroSingleObject(child: Expression, ddl: String,
+    registryDir: String) extends UnaryExpression {
+
+  override val dataType: StructType = StructType.fromDDL(ddl)
+
+  @transient private lazy val readerSchema: Schema = AvroCodec.avroSchemaFor(dataType)
+  // per-fingerprint writer schemas, cached per executor
+  @transient private lazy val writers =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Schema]()
+
+  def decodeBytes(bytesAny: Any): InternalRow = {
+    val bytes = bytesAny.asInstanceOf[Array[Byte]]
+    val fp = SchemaRegistry.readFingerprint(bytes)
+    val writer = writers.computeIfAbsent(fp, f => SchemaRegistry.lookup(registryDir, f))
+    AvroCodec.fromAvroDatum(
+      AvroCodec.decodeResolved(bytes, SchemaRegistry.HeaderLen, writer, readerSchema),
+      dataType).asInstanceOf[InternalRow]
+  }
+
+  override def nullSafeEval(input: Any): Any = decodeBytes(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fromAvroSO", this, classOf[FromAvroSingleObject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.decodeBytes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FromAvroSingleObject =
     copy(child = newChild)
 }

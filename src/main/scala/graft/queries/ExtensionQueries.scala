@@ -517,6 +517,39 @@ object ExtensionQueries {
       |  CAST(round(value * 100, 0) AS BIGINT) AS value_c, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ── I2b: Avro schema EVOLUTION through single-object frames ─────────────
+  // Half the events are encoded with the v1 writer schema (no `value`
+  // field), half with the evolved v2 schema (added nullable `value`); every
+  // frame carries its writer's fingerprint and the schemas live in a
+  // filesystem registry, so ONE reader decodes both generations in one
+  // pass via Avro writer/reader resolution — v1 frames surface the added
+  // field as NULL (the reference's reader/writer-resolution behavior,
+  // utils/core/AvroUtils.scala:43). The oracle replays the split as a CASE.
+  private val i9AvroEvolution: Q = (s, dir) => {
+    val reg = java.nio.file.Files.createTempDirectory("avroreg").toString
+    val v1 = struct(col("user_id"), col("event_type"))
+    val v2 = struct(col("user_id"), col("event_type"), col("value"))
+    val readerDdl = "user_id BIGINT, event_type STRING, value DOUBLE"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 2 === 0,
+          graft.functions.AvroKit.toAvroEvolving(v1, reg))
+          .otherwise(graft.functions.AvroKit.toAvroEvolving(v2, reg))
+          .as("wire"))
+      .select(col("event_id"),
+        graft.functions.AvroKit.fromAvroEvolving(col("wire"), readerDdl, reg)
+          .as("rec"))
+      .select(col("event_id"), col("rec.user_id").as("user_id"),
+        col("rec.event_type").as("event_type"),
+        Kit.cents(col("rec.value")).as("value_c"))
+      .orderBy(col("event_id"))
+  }
+  private val i9AvroEvolutionSql =
+    """SELECT event_id, user_id, event_type,
+      |  CASE WHEN event_id % 2 = 0 THEN NULL
+      |       ELSE CAST(round(value * 100, 0) AS BIGINT) END AS value_c
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ── sliding (hopping) window: 1 h length, 15 min slide ──────────────────
   // Each event lands in exactly windowLen/slide = 4 windows; Spark's
   // `window(col, len, slide)` explodes that assignment inside the scan
@@ -2090,6 +2123,7 @@ object ExtensionQueries {
     "x_histogram" -> xHistogram,
     "x_pagerank" -> xPagerank,
     "i2_avro_roundtrip" -> i2AvroRoundtrip,
+    "i9_avro_evolution" -> i9AvroEvolution,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtrip,
     "i4_csv_roundtrip" -> i4CsvRoundtrip,
     "w4_order_stats" -> w4OrderStats,
@@ -2154,6 +2188,7 @@ object ExtensionQueries {
     "x_histogram" -> xHistogramSql,
     "x_pagerank" -> xPagerankSql,
     "i2_avro_roundtrip" -> i2AvroRoundtripSql,
+    "i9_avro_evolution" -> i9AvroEvolutionSql,
     "i3_jsonl_roundtrip" -> i3JsonlRoundtripSql,
     "i4_csv_roundtrip" -> i4CsvRoundtripSql,
     "w4_order_stats" -> w4OrderStatsSql,

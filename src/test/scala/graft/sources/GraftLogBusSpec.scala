@@ -314,6 +314,58 @@ class GraftLogBusSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("expired by retention")))
   }
 
+  test("schema evolution: epochs written with v1 and evolved v2 writer schemas decode in ONE run") {
+    import graft.functions.AvroKit
+    val root = newRoot()
+    val reg = Files.createTempDirectory("busreg").toString
+    // publish #1: v1 writer schema (id, name)
+    val v1 = spark.range(0, 50)
+      .select(col("id").cast("string").as("key"),
+        AvroKit.toAvroEvolving(
+          struct(col("id"), concat(lit("n"), col("id")).as("name")), reg).as("value"))
+    GraftLogBus.route(v1, col("key"), 2)
+      .write.format(fmt).option("root", root).option("topic", "tev")
+      .option("partitions", "2").mode("append").save()
+    // publish #2: EVOLVED v2 writer schema (added nullable score)
+    val v2 = spark.range(50, 80)
+      .select(col("id").cast("string").as("key"),
+        AvroKit.toAvroEvolving(
+          struct(col("id"), concat(lit("n"), col("id")).as("name"),
+            (col("id") * 2).as("score")), reg).as("value"))
+    GraftLogBus.route(v2, col("key"), 2)
+      .write.format(fmt).option("root", root).option("topic", "tev")
+      .option("partitions", "2").mode("append").save()
+    // ONE consumer with the v2 reader schema drains BOTH generations
+    val ckpt = Files.createTempDirectory("busevck").toString
+    val out = Files.createTempDirectory("busevout").toString
+    val q = spark.readStream.format(fmt)
+      .option("root", root).option("topic", "tev").option("partitions", "2")
+      .load()
+      .select(AvroKit.fromAvroEvolving(col("value"),
+        "id BIGINT, name STRING, score BIGINT", reg).as("r"))
+      .select(col("r.id").as("id"), col("r.name").as("name"),
+        col("r.score").as("score"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length === 80)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === s"n$id")
+      if (id < 50) assert(r.isNullAt(2), "v1 frames surface the added field as null")
+      else assert(r.getLong(2) === id * 2)
+    }
+    // and a v1 reader still decodes v2 frames (the added field is dropped)
+    val back = spark.read.format(fmt)
+      .option("root", root).option("topic", "tev").option("partitions", "2").load()
+      .select(AvroKit.fromAvroEvolving(col("value"), "id BIGINT, name STRING", reg)
+        .as("r"))
+      .select(col("r.id")).collect().map(_.getLong(0)).sorted
+    assert(back.toSeq === (0L until 80L))
+  }
+
   test("e2e: mock records through the bus wire format round-trip typed") {
     val root = newRoot()
     val n = 500L
