@@ -51,13 +51,29 @@ object LookupJoinApp {
     enrich(streamDf, lookup, key, defaults).writeStream
 
   /** Refreshing variant: `loadLookup` runs per micro-batch (e.g. a fresh
-    * `spark.read.parquet(dir)`), so lookup-table updates between batches
-    * are joined against the current snapshot. `sink` receives the enriched
-    * batch (runs on the driver; writes from there are distributed as usual).
+    * `spark.read.parquet(dir)` or [[serviceLookup]] call), so lookup-table
+    * updates between batches are joined against the current snapshot.
+    * `sink` receives the enriched batch (runs on the driver; writes from
+    * there are distributed as usual).
     */
   def streamWithRefresh(streamDf: DataFrame, loadLookup: () => DataFrame,
       key: String, defaults: Map[String, Column])(sink: BatchSink): DataStreamWriter[Row] =
     streamDf.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       sink(enrich(batch, loadLookup(), key, defaults), id)
     }
+
+  /** The lookup side AS THE EXTERNAL TYPED TABLE — how the reference app
+    * actually composes: its lookup is a BigQuery table read through the
+    * storage API (slack/MinimalPubSubBQLookup.scala:37-45), which here is
+    * [[graft.sources.v2.GraftTableService]] — same shape (server-side
+    * projection/predicate pushdown, N parallel Avro streams, negotiated
+    * writer schema). Pass `() => serviceLookup(...)` to
+    * [[streamWithRefresh]] and every micro-batch re-reads the service,
+    * the reference's per-window side-input rebuild.
+    */
+  def serviceLookup(spark: org.apache.spark.sql.SparkSession, host: String,
+      port: Int, slices: Int = 4): DataFrame =
+    spark.read.format("graft.sources.v2.GraftServiceSource")
+      .option("host", host).option("port", port.toString)
+      .option("slices", slices.toString).load()
 }

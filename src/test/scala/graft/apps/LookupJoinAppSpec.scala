@@ -53,9 +53,68 @@ class LookupJoinAppSpec extends SparkSpec {
       assert(got.contains(("k2", "v2"))) // refreshed row picked up
     } finally query.stop()
   }
+
+  test("stream x external table service: the lookup side reads over the wire (S5 composed)") {
+    implicit val sq = spark.sqlContext
+    val srv = graft.sources.v2.GraftTableService.shared // serves 20k rows
+    val lookup = LookupJoinApp.serviceLookup(spark, "127.0.0.1", srv.port)
+    val input = MemoryStream[Long]
+    val stream = input.toDF().withColumnRenamed("value", "doc_id")
+    val query = LookupJoinApp.stream(stream, lookup, "doc_id",
+      Map("lang" -> lit("??"), "score" -> lit(-1L)))
+      .format("memory").queryName("svc_lookup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(0L, 7L, 123L, 999999L) // last one misses (beyond rows)
+      query.processAllAvailable()
+      val rows = spark.table("svc_lookup_out")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows(0L) === (("en", 0L)))
+      assert(rows(7L) === ((graft.sources.v2.GraftTableService.lang(7L),
+        graft.sources.v2.GraftTableService.score(7L))))
+      assert(rows(123L) === ((graft.sources.v2.GraftTableService.lang(123L),
+        graft.sources.v2.GraftTableService.score(123L))))
+      assert(rows(999999L) === (("??", -1L)), "a service miss takes the defaults")
+    } finally query.stop()
+  }
+
+  test("streamWithRefresh x service: each batch re-reads the CURRENT service snapshot") {
+    implicit val sq = spark.sqlContext
+    // two servers stand in for the external table before/after an update
+    val small = graft.sources.v2.GraftTableService.serve(rows = 10L)
+    val big = graft.sources.v2.GraftTableService.serve(rows = 1000L)
+    try {
+      @volatile var port = small.port
+      val input = MemoryStream[Long]
+      val query = LookupJoinApp.streamWithRefresh(
+        input.toDF().withColumnRenamed("value", "doc_id"),
+        () => LookupJoinApp.serviceLookup(spark, "127.0.0.1", port),
+        "doc_id", Map("lang" -> lit("??"), "score" -> lit(-1L))) {
+          (batch, _) => batch.as[(Long, String, Long)].collect()
+            .foreach(ServiceRefreshSink.rows.add)
+        }
+        .start()
+      try {
+        input.addData(500L); query.processAllAvailable() // not in small table
+        port = big.port // "the external table grew"
+        input.addData(500L); query.processAllAvailable() // hit in big table
+        val got = new java.util.ArrayList(ServiceRefreshSink.rows)
+        assert(got.contains((500L, "??", -1L)),
+          "batch 1 must see the pre-update snapshot (miss -> defaults)")
+        assert(got.contains((500L, graft.sources.v2.GraftTableService.lang(500L),
+          graft.sources.v2.GraftTableService.score(500L))),
+          "batch 2 must see the refreshed snapshot")
+      } finally query.stop()
+    } finally { small.close(); big.close() }
+  }
 }
 
 /** Driver-side collector for the refresh test (object = JVM-shared). */
 object LookupRefreshSink {
   val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+}
+
+/** Driver-side collector for the service-refresh test. */
+object ServiceRefreshSink {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
 }
