@@ -73,7 +73,9 @@ object MediationBench {
     } finally queries.foreach(_.stop())
     val secs = (System.nanoTime() - t0) / 1e9
     val rows = countOut()
-    (rows, secs, n / secs)
+    // rate from rows actually observed: if the poll deadline expired with
+    // an incomplete drain, n/secs would overstate throughput
+    (rows, secs, rows / secs)
   }
 
   /** Prints one JSON line with the composed figure. Env knobs:
@@ -92,7 +94,7 @@ object MediationBench {
     val (rows, secs, rate) = run(spark, n, source = source)
     println(f"""{"metric":"mediation_e2e","source":"$source","records":$n,""" +
       f""""rows_out":$rows,"seconds":$secs%.2f,"records_per_sec":$rate%.0f,""" +
-      f""""baseline_per_sec":3333}""")
+      f""""completed":${rows == n},"baseline_per_sec":3333}""")
     spark.stop()
   }
 }

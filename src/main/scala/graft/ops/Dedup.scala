@@ -73,9 +73,25 @@ object Dedup {
    * caller ends with a unique id) — with ties the window form's pick was
    * partition-order-dependent anyway; this form marks all tied minima
    * `SENT`, which is at least deterministic.
+   *
+   * CONTRACT: `orderCols` are plain value columns ordered ASCENDING — the
+   * winner is the lexicographic minimum of the struct. `.desc`/`.asc`
+   * sort-order wrappers (valid under a `Window.orderBy` implementation of
+   * this operator) are rejected explicitly: silently accepting them would
+   * either fail deep inside `struct()` analysis or invert the winner. For
+   * a descending order, negate or invert the column value instead (e.g.
+   * `-col("ts")`, or `lit(Long.MaxValue) - col("ts")` for unsigned
+   * semantics).
    */
   def dedupMarkers(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
       statusName: String = "status"): DataFrame = {
+    orderCols.foreach { c =>
+      require(!org.apache.spark.sql.GraftColumnBridge.expression(c)
+        .isInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder],
+        s"dedupMarkers orders by the ASCENDING struct minimum; got a " +
+          s"sort-order expression ($c) — pass the plain column (or negate " +
+          "it for descending order)")
+    }
     val keyed = df.withColumn("__dk", keyCol)
     val winners = keyed.groupBy(col("__dk"))
       .agg(min(struct(orderCols: _*)).as("__mo"))

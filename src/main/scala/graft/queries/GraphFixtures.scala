@@ -22,6 +22,19 @@ object GraphFixtures {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Memoize per (session, key), evicting entries whose session has been
+    * stopped — otherwise sequential sessions (test suites, notebook
+    * restarts) pin dead SparkSession references and their cached RDD
+    * blocks for the JVM lifetime. The stopped check runs on every lookup;
+    * the map holds one entry per live (session, fixture), so the sweep is
+    * O(few). */
+  private def cached(key: (SparkSession, String))(build: => DataFrame): DataFrame = {
+    cache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) cache.remove(k)
+    }
+    cache.getOrElseUpdate(key, build)
+  }
+
   /**
    * DISTINCT supplier→customer shipping edges: src = l_suppkey,
    * dst = o_custkey + 1,000,000 (namespaced so id spaces can't collide
@@ -31,7 +44,7 @@ object GraphFixtures {
    * `.distinct()`.
    */
   def shipEdges(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((s, dir),
+    cached((s, dir))(
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -46,7 +59,7 @@ object GraphFixtures {
     * have 10-cores and triangles at gate SF. Cached: saves the lineitem
     * scan per query per rep; the downstream wedge/peel joins dominate. */
   def modEdges(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((s, dir + "#mod"),
+    cached((s, dir + "#mod"))(
       Tables.lineitem(s, dir).select(
           (col("l_orderkey") % 9973).as("src"),
           (col("l_partkey") % 9973).as("dst"))
