@@ -34,6 +34,12 @@ object Bench {
     // (SURVEY §9.1), and a median per query absorbs one-off stalls without
     // letting a crashed query masquerade as a fast one — failures print to
     // stderr and report -1.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ")
+        .take(3).mkString(" ")
+      catch { case _: Throwable => "n/a" }
+    val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -48,20 +54,30 @@ object Bench {
       val med =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.size / 2)
-      name -> med
+      (name, med, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = loadavg()
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // stdout: the driver contract — ONE line, "queries" = name -> median sec
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // ALSO write the full line to a file (committed per round): driver log
-    // tails truncated 113 of 184 per-query numbers in BENCH_r06 — the
-    // on-disk copy keeps round-over-round comparison independent of log
-    // capture (VERDICT r6 item 5)
+    // The committed artifact carries its own noise evidence (VERDICT r7
+    // item 5): per-query rep spread {med,min,max}, rep count, and host
+    // load before/after — so a committed-vs-driver gap (97.5 vs 135 s in
+    // r7, pure machine state) is adjudicable from the artifact alone.
+    val detail = results.map { case (k, med, mn, mx) =>
+      f"""\"$k\":{"med":$med,"min":$mn,"max":$mx}"""
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) +
+      s""","reps":$reps,"cpus":$cpus,"detail":$detail,""" +
+      s""""load":{"before":"$loadBefore","after":"$loadAfter"}}"""
+    // the on-disk copy also keeps round-over-round comparison independent
+    // of driver log truncation (VERDICT r6 item 5)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
