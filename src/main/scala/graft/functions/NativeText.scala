@@ -480,3 +480,72 @@ object NgramHashSet {
       if (out == m) hs else java.util.Arrays.copyOf(hs, out))
   }
 }
+
+/**
+ * Directional containment in ppm over two SORTED 64-bit hash-set arrays
+ * (the [[NgramHashSet]] output invariant): ⌊10⁶·|a∩b|/|a|⌋ by a single
+ * merge scan — no hash-set build, no intersection array allocation (what
+ * `size(array_intersect(ga, gb))` pays per pair) — with an EARLY EXIT:
+ * once more than |a|−⌈minPpm·|a|/10⁶⌉ of a's elements have missed, the
+ * pair cannot reach `minPpm` and the scan aborts returning −1. At the
+ * verify stage's typical threshold (0.9) a non-matching candidate aborts
+ * after ~10% of the scan, and verify is the containment pipeline's single
+ * most expensive stage — candidates-only, but each pair intersects two
+ * full shingle sets. Callers filter `>= minPpm`, so the −1 rows (whose
+ * exact ppm is never observable downstream) drop exactly as before.
+ */
+case class SortedContainmentPpm(left: Expression, right: Expression,
+    minPpm: Long) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(minPpm >= 0 && minPpm <= 1000000L, "minPpm must be in [0, 1e6]")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_containment_ppm needs (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedContainmentPpm.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], minPpm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.SortedContainmentPpm.compute($l, $r, ${minPpm}L);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedContainmentPpm =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedContainmentPpm {
+  def compute(a: ArrayData, b: ArrayData, minPpm: Long): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0) return -1L
+    // abort once misses exceed na - ceil(minPpm*na/1e6): threshold unreachable
+    val needed = (minPpm * na + 999999L) / 1000000L
+    val maxMisses = na - needed
+    var i = 0
+    var j = 0
+    var matches = 0L
+    var misses = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { matches += 1; i += 1; j += 1 }
+      else if (va < vb) {
+        misses += 1
+        if (misses > maxMisses) return -1L
+        i += 1
+      } else j += 1
+    }
+    if (misses + (na - i) > maxMisses) return -1L
+    matches * 1000000L / na
+  }
+}

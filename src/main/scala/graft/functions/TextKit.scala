@@ -112,6 +112,17 @@ object TextKit {
       graft.functions.NgramHashSet(
         org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  /** Directional containment ppm over two SORTED long arrays (the
+    * [[ngramHashSet]] output invariant) with early exit below `minPpm`
+    * (returns -1 there) — the verify-stage kernel of
+    * [[graft.ops.Dedup.containmentPairs]]; see
+    * [[graft.functions.SortedContainmentPpm]]. */
+  def sortedContainmentPpm(a: Column, b: Column, minPpm: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SortedContainmentPpm(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b), minPpm))
+
   /** Pushdown barrier for expensive pair filters:
     * `filter(noPushdown(expensive >= θ))` keeps `expensive` in the
     * codegen'd post-join stage instead of letting predicate pushdown

@@ -506,19 +506,28 @@ object Dedup {
   def containmentPairsFromSketch(grams: DataFrame, threshold: Double,
       maxPostingSize: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
-    import org.apache.spark.sql.expressions.Window
     val posts = grams.select(col("doc"), explode(col("gs")).as("g"),
       size(col("gs")).as("__sz"))
     val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    val ranked = posts.join(dfreq, Seq("g"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("__df"), col("g"))))
-    val prefix = ranked
-      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("__sz")) + 1)
-      .select(col("g"), col("doc").as("doc_a"))
-    val index = sizeBandedBuckets(
-      posts.select(col("g"), col("doc").as("doc_b")), Seq("g"),
-      1L, maxPostingSize)
+    // per-doc prefix selection as a hash AGGREGATE (collect + in-group
+    // array sort + per-row slice), not a row_number window: the window's
+    // shuffle must SORT whole partitions by (doc, df, g) before ranking,
+    // the aggregate only sorts each doc's own (df, g) array — both are
+    // doc-shingle-bounded, but the aggregate skips the partition-wide
+    // sort (r8, VERDICT item 4a; measured below with the banding skip)
+    val prefix = posts.join(dfreq, Seq("g"))
+      .groupBy(col("doc"), col("__sz"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("g")))).as("__a"))
+      .select(col("doc").as("doc_a"),
+        explode(slice(col("__a"), lit(1),
+          (floor(lit(1.0 - threshold) * col("__sz")) + 1).cast("int"))).as("__e"))
+      .select(col("__e.g").as("g"), col("doc_a"))
+    // banding with max = ∞ is the identity — skip the count + semi-join
+    // pass entirely for uncapped runs (the exactness config)
+    val pb = posts.select(col("g"), col("doc").as("doc_b"))
+    val index =
+      if (maxPostingSize == Int.MaxValue) pb
+      else sizeBandedBuckets(pb, Seq("g"), 1L, maxPostingSize)
     val cands = prefix.join(index, Seq("g"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -529,13 +538,19 @@ object Dedup {
       grams.join(broadcast(ids), Seq("doc"), "left_semi")
         .select(col("doc").as(idName), col("gs").as(gName))
     }
+    // verify kernel: native early-exit merge over the sorted sketches —
+    // measured 9.6 -> 5.8 s isolated median on the gate query vs the
+    // size(array_intersect(...)) form; with the prefix-aggregate + banding
+    // skip above, 7.8 -> 3.4 s same-session median-of-3 end to end (r8,
+    // VERDICT item 4). The -1 early-exit rows are exactly the rows the
+    // >= filter dropped before.
+    val minPpm = math.floor(threshold * 1e6).toLong
     val out = cands
       .join(side("doc_a", "ga"), "doc_a")
       .join(side("doc_b", "gb"), "doc_b")
       .withColumn("containment_ppm",
-        expr("(size(array_intersect(ga, gb)) * 1000000L) div size(ga)"))
-      .filter(TextKit.noPushdown(
-        col("containment_ppm") >= math.floor(threshold * 1e6).toLong))
+        TextKit.sortedContainmentPpm(col("ga"), col("gb"), minPpm))
+      .filter(TextKit.noPushdown(col("containment_ppm") >= minPpm))
       .select(col("doc_a"), col("doc_b"), col("containment_ppm"))
       .localCheckpoint(eager = true)
     out

@@ -107,4 +107,33 @@ class TextKitSpec extends SparkSpec {
     assert(strip("<html>\n  <body>\n    <h1>Title</h1>\n    <p>Body text</p>\n  </body>\n</html>")
       == "Title Body text")
   }
+
+  test("sortedContainmentPpm: exact parity with array_intersect above minPpm, -1 below") {
+    // randomized sorted-distinct long arrays, cross-checked against the
+    // size(array_intersect)*1e6 div size(a) form it replaced in Dedup
+    val rnd = new scala.util.Random(42)
+    def arr(): Seq[Long] =
+      (0 until (1 + rnd.nextInt(40))).map(_ => rnd.nextInt(60).toLong).distinct.sorted
+    val rows = (0 until 200).map(_ => (arr(), arr()))
+    for (minPpm <- Seq(0L, 300000L, 700000L, 1000000L)) {
+      val got = rows.toDF("a", "b")
+        .select(TextKit.sortedContainmentPpm(col("a"), col("b"), minPpm))
+        .collect().map(_.getLong(0))
+      rows.zip(got).foreach { case ((a, b), g) =>
+        val exact = a.intersect(b).size.toLong * 1000000L / a.size
+        if (exact >= minPpm) assert(g === exact, s"a=$a b=$b minPpm=$minPpm")
+        else assert(g === -1L, s"a=$a b=$b minPpm=$minPpm exact=$exact")
+      }
+    }
+  }
+
+  test("sortedContainmentPpm: edges — empty left is -1, identity is 1e6, disjoint is -1") {
+    val df = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val got = df.select(TextKit.sortedContainmentPpm(col("a"), col("b"), 500000L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(-1L, 1000000L, -1L))
+  }
 }
