@@ -19,18 +19,33 @@ object DataGen {
   /** N mock records: base fixtures × randomized transactionId (U13/P6) and
     * nhubTimestamp = now (P3). Distributed generation — `spark.range`
     * drives it, so N can be billions without a driver-side Seq.
+    *
+    * `hotFrac` > 0 plants state-key skew: that fraction of records (chosen
+    * deterministically by id) all carry ONE idempotent key — both halves
+    * pinned, transactionId AND customer.id — so they hash to a single
+    * dedup state partition and a single RocksDB state row (the dup-key
+    * race the reference documents as its main production hazard,
+    * mediation/README.md:149-151). First arrival is SENT, the rest
+    * SENT_OR_DUPLICATED; every record still yields exactly one result row.
     */
-  def mockRecords(spark: SparkSession, n: Long): Dataset[MyEventRecord] = {
+  def mockRecords(spark: SparkSession, n: Long,
+      hotFrac: Double = 0.0): Dataset[MyEventRecord] = {
     import spark.implicits._
     val base = MockData.notSentDebitQuique
+    // striped by id % 100 so the share is exact (n multiple of 100) and
+    // hot rows interleave with unique ones instead of front-loading
+    val hot = pmod(col("id"), lit(100)) < lit((hotFrac * 100).toLong)
     spark.range(n).select(
       struct(
         struct(
           concat(lit("gen_"), col("id")).as("id"),
-          Kit.randomHexKey().as("transactionId"),
+          // hot key keeps the U13 shape (prefix family + 24 hex)
+          when(hot, lit("E2f0f0f0f0f0f0f0f0f0f0f0f0"))
+            .otherwise(Kit.randomHexKey()).as("transactionId"),
           unix_millis(current_timestamp()).as("nhubTimestamp")).as("event"),
         struct(
-          (col("id") % 1000).cast("string").as("id"),
+          when(hot, lit("7")).otherwise((col("id") % 1000).cast("string"))
+            .as("id"),
           lit(base.customer.fullName.orNull).as("fullName")).as("customer"),
         struct(
           lit(base.notification.id.orNull).as("id"),

@@ -26,23 +26,27 @@ import java.nio.file.Files
 object MediationBench {
 
   /** Returns (rowsOut, seconds, ratePerSec). `rowsOut` must equal `n`:
-    * every generated record is valid and unique-keyed, so each yields
-    * exactly one SENT result. `source="bus"` publishes the records to the
-    * runnable log bus (Avro wire bytes, key-routed partitions) and streams
-    * the pipeline from it — the full unbounded-bus round trip; the default
-    * streams from a parquet file directory. */
+    * every generated record is valid, so each yields exactly one result
+    * (SENT, or SENT_OR_DUPLICATED for later same-key arrivals). `source=
+    * "bus"` publishes the records to the runnable log bus (Avro wire
+    * bytes, key-routed partitions) and streams the pipeline from it — the
+    * full unbounded-bus round trip; the default streams from a parquet
+    * file directory. `hotFrac` > 0 routes that fraction of records to ONE
+    * idempotent key (one state partition, one RocksDB row) — the state-key
+    * skew stress. */
   def run(spark: SparkSession, n: Long, d3: String = "tws",
-      source: String = "file"): (Long, Double, Double) = {
+      source: String = "file", hotFrac: Double = 0.0): (Long, Double, Double) = {
     val base = Files.createTempDirectory("medbench").toString
     val events = s"$base/events"; val out = s"$base/out"
     val toxic = s"$base/toxic"; val ckpt = s"$base/ckpt"
     val stream = source match {
       case "bus" =>
         graft.sources.Bus.logBusAppend(
-          DataGen.mockRecords(spark, n), s"$base/bus", "events", partitions = 4)
+          DataGen.mockRecords(spark, n, hotFrac), s"$base/bus", "events",
+          partitions = 4)
         MediationApp.busStream(spark, s"$base/bus", "events", partitions = 4)
       case _ =>
-        DataGen.mockRecords(spark, n).write.parquet(events)
+        DataGen.mockRecords(spark, n, hotFrac).write.parquet(events)
         MediationApp.fileStream(spark, events)
     }
     val cfg = MediationApp.Config(
@@ -80,10 +84,12 @@ object MediationBench {
 
   /** Prints one JSON line with the composed figure. Env knobs:
     * SPARK_GRAFT_MED_N (records, default 200000), SPARK_GRAFT_CPUS,
-    * SPARK_GRAFT_MED_SOURCE (file|bus). */
+    * SPARK_GRAFT_MED_SOURCE (file|bus), SPARK_GRAFT_MED_HOT (fraction of
+    * records sharing one idempotent key, default 0). */
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_MED_N", "200000").toLong
     val source = sys.env.getOrElse("SPARK_GRAFT_MED_SOURCE", "file")
+    val hotFrac = sys.env.getOrElse("SPARK_GRAFT_MED_HOT", "0").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,8 +97,9 @@ object MediationBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (rows, secs, rate) = run(spark, n, source = source)
+    val (rows, secs, rate) = run(spark, n, source = source, hotFrac = hotFrac)
     println(f"""{"metric":"mediation_e2e","source":"$source","records":$n,""" +
+      f""""hot_frac":$hotFrac,""" +
       f""""rows_out":$rows,"seconds":$secs%.2f,"records_per_sec":$rate%.0f,""" +
       f""""completed":${rows == n},"baseline_per_sec":3333}""")
     spark.stop()

@@ -16,6 +16,20 @@ class DataGenSpec extends SparkSpec {
     assert(recs.forall(_.event.nhubTimestamp.exists(_ > 0L)))
   }
 
+  test("mockRecords hotFrac: exactly ONE idempotent key carries the hot share") {
+    val recs = DataGen.mockRecords(spark, 5000L, hotFrac = 0.2).collect().toSeq
+    assert(recs.size == 5000 && recs.forall(_.isValid))
+    // U13 key shape holds for hot rows too
+    assert(recs.forall(_.event.transactionId.exists(t =>
+      t.length == 26 && (t.startsWith("E2") || t.startsWith("23")))))
+    val byKey = recs.groupBy(_.idempotentKey).view.mapValues(_.size)
+    val (hotKey, hotN) = byKey.maxBy(_._2)
+    assert(hotN == 1000, s"hot key should hold exactly 20%, got $hotN")
+    assert(hotKey == "E2f0f0f0f0f0f0f0f0f0f0f0f0-7")
+    // and the runner-up is a genuine singleton (no accidental second cluster)
+    assert(byKey.filter(_._1 != hotKey).values.max <= 2)
+  }
+
   test("skewedDocuments: deterministic, ~hotFrac viral copies, shingle-able texts") {
     import org.apache.spark.sql.functions._
     val a = DataGen.skewedDocuments(spark, 5000L, hotFrac = 0.2)

@@ -22,6 +22,17 @@ class MediationThroughputSpec extends SparkSpec {
       f"only $rate%.0f records/s end-to-end — below the 3,333/s baseline")
   }
 
+  test("hot-key skew: 20% of records on ONE idempotent key (one RocksDB " +
+    "state row) still clears the baseline (VERDICT r7 item 7)") {
+    val n = 60000L
+    val (rows, secs, rate) = MediationBench.run(spark, n, hotFrac = 0.2)
+    info(f"hot-key end-to-end: $rate%.0f records/s over $n records ($secs%.1f s)")
+    assert(rows == n,
+      s"every arrival must yield one result (SENT or dup-marked), got $rows")
+    assert(rate >= 3333.0,
+      f"only $rate%.0f records/s under state-key skew — below the baseline")
+  }
+
   test("the full unbounded-bus round trip: publish to the log bus, run the " +
     "whole pipeline from it (S1 end-to-end, no connector jar required)") {
     val n = 30000L
