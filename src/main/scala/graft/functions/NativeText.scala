@@ -549,3 +549,54 @@ object SortedContainmentPpm {
     matches * 1000000L / na
   }
 }
+
+/**
+ * Deflate compression ratio in ppm: ⌊10⁶·deflate(utf8(text)).length /
+ * utf8(text).length⌋ — the classic "too compressible = too repetitive,
+ * near-incompressible = noise/binary" corpus-quality signal (the Gopher /
+ * CCNet filter family measures exactly this; the reference has no text
+ * pipeline, so this is engine-extension surface). Raw-deflate (nowrap,
+ * default level) on the JDK's bundled zlib; a Deflater is allocated once
+ * per executor thread and reset per row — zlib's native state setup is
+ * NOT paid per document, so the scan stays scan-speed. Empty text is
+ * 1,000,000 by convention (incompressible). Note small documents can
+ * legitimately exceed 10⁶ (deflate block overhead dominates) — callers
+ * threshold, they don't assume an upper bound.
+ */
+case class DeflateRatioPpm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateRatioPpm.compute(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeflateRatioPpm.compute($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioPpm =
+    copy(child = newChild)
+}
+
+object DeflateRatioPpm {
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+  }
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
+  def compute(bytes: Array[Byte]): Long = {
+    if (bytes.length == 0) return 1000000L
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = buffers.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total * 1000000L / bytes.length
+  }
+}

@@ -123,6 +123,13 @@ object TextKit {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b), minPpm))
 
+  /** Deflate compression ratio in ppm — the too-compressible/too-random
+    * corpus-quality signal; see [[graft.functions.DeflateRatioPpm]]. */
+  def compressionRatioPpm(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DeflateRatioPpm(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** Pushdown barrier for expensive pair filters:
     * `filter(noPushdown(expensive >= θ))` keeps `expensive` in the
     * codegen'd post-join stage instead of letting predicate pushdown

@@ -1500,6 +1500,47 @@ object LlmQueries {
       |  CAST(0 AS BIGINT) AS permutation_mismatch
       |FROM documents""".stripMargin
 
+  // ── compression-ratio quality signal ────────────────────────────────────
+  // Deflate ratio separates REPETITIVE text (LZ77 collapses it) from
+  // high-entropy noise (incompressible): 40 planted boilerplate docs (one
+  // sentence repeated 80×) must land far below 250,000 ppm, 40 planted
+  // hex-noise docs (256 chars of md5 output — a 16-symbol alphabet, so
+  // even an entropy-optimal coder cannot go below 500,000) must land above
+  // 400,000, and non-empty corpus docs must stay positive. The thresholds
+  // hold by construction, SF-independently, so the oracle replays the
+  // counting arithmetic.
+  private val tCompressionRatio: Q = (s, dir) => {
+    val rep = s.range(40).select((col("id") + 3000000L).as("doc_id"),
+      lit("rep").as("cls"),
+      array_join(array_repeat(
+        lit("all work and no play makes jack a dull boy."), 80), " ").as("text"))
+    val noise = s.range(40).select((col("id") + 4000000L).as("doc_id"),
+      lit("noise").as("cls"),
+      concat((0 until 8).map(i =>
+        md5(concat(lit(s"salt$i-"), col("id").cast("string")))): _*).as("text"))
+    val real = Tables.documents(s, dir)
+      .select(col("doc_id"), lit("real").as("cls"), col("text"))
+    real.unionByName(rep).unionByName(noise)
+      .withColumn("ppm", TextKit.compressionRatioPpm(col("text")))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cls") === "rep" && col("ppm") < 250000L, 1L)
+          .otherwise(0L)).as("rep_below"),
+        sum(when(col("cls") === "noise" && col("ppm") > 400000L, 1L)
+          .otherwise(0L)).as("noise_above"),
+        sum(when(length(col("text")) > 0 && col("ppm") <= 0L, 1L)
+          .otherwise(0L)).as("nonpos_violations"),
+        sum(when(length(col("text")) === 0 && col("ppm") =!= 1000000L, 1L)
+          .otherwise(0L)).as("empty_violations"))
+  }
+  private val tCompressionRatioSql =
+    """SELECT CAST(count(*) + 80 AS BIGINT) AS n_docs,
+      |  CAST(40 AS BIGINT) AS rep_below,
+      |  CAST(40 AS BIGINT) AS noise_above,
+      |  CAST(0 AS BIGINT) AS nonpos_violations,
+      |  CAST(0 AS BIGINT) AS empty_violations
+      |FROM documents""".stripMargin
+
   // ── corpus health monitoring (the pipeline-ops dashboard queries) ───────
   // One row per (source, lang): doc/token/char counts and mean quality —
   // the partition-level health table a production ingest job publishes
@@ -2043,6 +2084,7 @@ object LlmQueries {
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
     "t_repetition" -> tRepetition,
+    "t_compression_ratio" -> tCompressionRatio,
     "t_mixture_sample" -> tMixture,
     "dd_line_dedup" -> ddLineDedup,
     "t_pii_redact" -> tPiiRedact,
@@ -2104,6 +2146,7 @@ object LlmQueries {
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
     "t_repetition" -> tRepetitionSql,
+    "t_compression_ratio" -> tCompressionRatioSql,
     "t_mixture_sample" -> tMixtureSql,
     "dd_line_dedup" -> ddLineDedupSql,
     "t_pii_redact" -> tPiiRedactSql,

@@ -127,6 +127,23 @@ class TextKitSpec extends SparkSpec {
     }
   }
 
+  test("compressionRatioPpm: repetitive text collapses, hex noise doesn't, " +
+    "empty is 1e6 by convention, reused Deflater resets cleanly") {
+    val rep = Seq.fill(80)("all work and no play makes jack a dull boy.").mkString(" ")
+    val noise = (0 until 8).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"salt$i".getBytes("UTF-8")).map("%02x".format(_)).mkString).mkString
+    // interleaved so consecutive rows on one thread exercise the reset path
+    val rows = Seq(rep, noise, "", rep, noise)
+    val got = rows.toDF("t")
+      .select(TextKit.compressionRatioPpm(col("t"))).collect().map(_.getLong(0))
+    assert(got(0) < 250000L, s"repetitive ppm ${got(0)}")
+    assert(got(1) > 400000L, s"noise ppm ${got(1)}")
+    assert(got(2) === 1000000L)
+    // determinism + no state bleed between rows
+    assert(got(3) === got(0) && got(4) === got(1))
+  }
+
   test("sortedContainmentPpm: edges — empty left is -1, identity is 1e6, disjoint is -1") {
     val df = Seq(
       (Seq.empty[Long], Seq(1L, 2L)),
