@@ -210,6 +210,42 @@ object Corpus {
   }
 
   /**
+   * n-gram NOVELTY scoring — the dual of [[contaminationCounts]], used for
+   * data selection and crawl freshness: for every corpus document, the
+   * fraction (ppm) of its distinct character `n`-grams NOT present in a
+   * reference corpus, plus the raw counts. Unlike contaminationCounts this
+   * keeps every document (zero-overlap docs are the most novel, not
+   * absent), so it left-joins the shared-gram census back onto a per-doc
+   * gram count that the sketch already carries.
+   *
+   * Scale posture mirrors contaminationCounts: the reference's distinct
+   * gram set broadcasts as 64-bit longs (data-selection references are
+   * benchmark/high-quality sets, small by contract); the corpus side is
+   * one scan, one explode, one hash-shuffle on doc id. Docless of the
+   * reference size, the per-doc output is two longs and a ppm.
+   */
+  def noveltyScores(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val refGrams = reference.repartition(par)
+      .select(explode(TextKit.ngramHashSet(col(textCol), n)).as("g"))
+      .distinct()
+    val sketched = corpus.repartition(par)
+      .select(col(idCol), TextKit.ngramHashSet(col(textCol), n).as("gs"))
+    val shared = sketched
+      .select(col(idCol), explode(col("gs")).as("g"))
+      .join(broadcast(refGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    sketched.select(col(idCol), size(col("gs")).cast("long").as("n_grams"))
+      .join(shared, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("novelty_ppm",
+        when(col("n_grams") === 0L, 0L).otherwise(
+          expr("(n_grams - n_shared) * 1000000 div n_grams")))
+  }
+
+  /**
    * Corpus vocabulary statistics — the aggregation a tokenizer-training /
    * vocab-building pass runs: per token, the number of documents containing
    * it and its total occurrence count. Two shuffles, both with map-side

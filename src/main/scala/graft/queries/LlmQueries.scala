@@ -916,6 +916,39 @@ object LlmQueries {
       |FROM train JOIN bench USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // n-gram novelty — the decontamination machinery's dual: per training
+  // doc, the ppm of its distinct 8-grams ABSENT from the reference set
+  // (every 20th doc), zero-overlap docs included (novelty 1e6). Same
+  // hash-vs-string equivalence argument as dd_decontaminate.
+  private val tNovelty: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Corpus.noveltyScores(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+  private val tNoveltySql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, x, 8) for x in range(1, length(text) - 6)]) AS gs
+      |  FROM documents
+      |), ref AS (
+      |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 20 = 0
+      |), train AS (
+      |  SELECT doc_id, len(gs) AS n_grams FROM g WHERE doc_id % 20 <> 0
+      |), sh AS (
+      |  SELECT doc_id, count(*) AS n_shared
+      |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 20 <> 0) t
+      |  JOIN ref USING (gram) GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(CASE WHEN n_grams = 0 THEN 0
+      |    ELSE (n_grams - coalesce(n_shared, 0)) * 1000000 // n_grams
+      |    END AS BIGINT) AS novelty_ppm
+      |FROM train LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // Sequence packing: per-source shards, whitespace token budget 512,
   // chunk boundaries from the exclusive running total — pure integer
   // window arithmetic, identical in both engines.
@@ -2106,6 +2139,7 @@ object LlmQueries {
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
     "dd_decontaminate" -> ddDecontaminate,
+    "t_novelty" -> tNovelty,
     "t_pack_chunks" -> tPack,
     "t_vocab" -> tVocab)
 
@@ -2168,6 +2202,7 @@ object LlmQueries {
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,
     "dd_decontaminate" -> ddDecontaminateSql,
+    "t_novelty" -> tNoveltySql,
     "t_pack_chunks" -> tPackSql,
     "t_vocab" -> tVocabSql)
 }

@@ -331,4 +331,23 @@ class CorpusSpec extends SparkSpec {
       assert(sentinels * 3L >= nMasked && sentinels <= nMasked)
     }
   }
+
+  test("noveltyScores: hand-computed ppm, zero-overlap docs kept at 1e6, " +
+    "short docs at 0") {
+    import spark.implicits._
+    val reference = Seq((100L, "abcdefgh")).toDF("id", "text") // grams: abc
+    val corpus = Seq(
+      (1L, "abcdefgh"),     // identical: 6 trigrams, all shared -> 0 ppm
+      (2L, "zzzyyyxxx"),    // disjoint: 7 trigrams, 0 shared -> 1e6
+      (3L, "abcxyzqrs"),    // abc shared, 6 of 7 novel -> 857142
+      (4L, "ab"))           // too short: 0 grams -> 0 by convention
+      .toDF("id", "text")
+    val got = Corpus.noveltyScores(corpus, reference, "id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 6L, 6L, 0L),
+      (2L, 7L, 0L, 1000000L),
+      (3L, 7L, 1L, 857142L),
+      (4L, 0L, 0L, 0L)))
+  }
 }
