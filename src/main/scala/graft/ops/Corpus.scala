@@ -138,6 +138,60 @@ object Corpus {
   }
 
   /**
+   * √-temperature mixture sampling — the standard head-source rebalancing
+   * recipe (multilingual/web corpora sample source s with probability
+   * ∝ n_s^α; α = 1/2 is the common setting and the one with an exact
+   * integer derivation): expected output size = `targetPermille`/1000 of
+   * the corpus, split across sources so that p_s ∝ √n_s. Per-source
+   * expected copies w_s = T·p_s/n_s = T·10¹²/(S·r_s) with r_s =
+   * isqrt(n_s·10¹²) (√ quantized to 10⁻⁶) and S = Σr_s — derived entirely
+   * in arbitrary-precision INTEGER arithmetic and quantized to the same
+   * 1/65536 content-hash cells as [[mixtureSample]], so the whole
+   * derivation replays bit-for-bit in any engine (no cross-engine pow/
+   * rounding hazard) and the sample is deterministic in the text content.
+   *
+   * The per-source census collects a KB driver model (sources are a
+   * registry-bounded dimension, not data-scale) — one count aggregate,
+   * then the sampler is the mixtureSample scan shape: per-row md5 cell +
+   * explode, no shuffle.
+   */
+  def temperatureMixture(df: DataFrame, sourceCol: String, textCol: String,
+      targetPermille: Int, salt: String = "", copyName: String = "copy")
+      : DataFrame = {
+    require(targetPermille > 0, "targetPermille must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    if (counts.isEmpty) return df.withColumn(copyName, lit(1L)).limit(0)
+    def isqrt(x: BigInt): BigInt = { // Newton, exact floor(√x)
+      require(x >= 0)
+      if (x < 2) x else {
+        var g = BigInt(1) << ((x.bitLength + 1) / 2)
+        var prev = BigInt(-1)
+        while (g != prev) { prev = g; g = (g + x / g) >> 1 }
+        while (g * g > x) g -= 1
+        while ((g + 1) * (g + 1) <= x) g += 1
+        g
+      }
+    }
+    val e12 = BigInt(10).pow(12)
+    val rs = counts.map { case (s, n) => (s, isqrt(BigInt(n) * e12)) }
+    val bigS = rs.map(_._2).sum
+    val total = counts.map(_._2).map(BigInt(_)).sum
+    val num = BigInt(targetPermille) * total * e12
+    val h = substring(md5(concat(lit(salt), col(textCol)).cast("binary")), 1, 4)
+    val copies = rs.foldRight(lit(0L): Column) { case ((s, r), acc) =>
+      val den = BigInt(1000) * bigS * r
+      val whole = (num / den).toLong
+      val cells = (BigInt(65536) * (num % den) / den).toInt
+      when(col(sourceCol) === s,
+        lit(whole) + when(h < lit(hex4(cells)), 1L).otherwise(0L)).otherwise(acc)
+    }
+    df.withColumn(copyName,
+      explode(when(copies > 0, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /**
    * Cross-document line deduplication (boilerplate removal): drop every
    * line whose exact text appears in at least `minDocs` distinct documents
    * — the CCNet/RefinedWeb-style pass that strips navigation chrome,

@@ -754,6 +754,55 @@ object LlmQueries {
       |FROM c, unnest(range(1, n_copies + 1)) AS u(copy)
       |ORDER BY doc_id, copy""".stripMargin
 
+  // √-temperature mixture: 20% target, p_s ∝ √n_s. The whole weight
+  // derivation is integer arithmetic (isqrt quantized 1e-6, copies
+  // quantized 1/65536) so DuckDB replays it in HUGEINT; the only floating
+  // step in the oracle is floor(sqrt(·)) and a ±1 correction makes that
+  // exact regardless of rounding.
+  private val tTemperatureMixture: Q = (s, dir) => {
+    graft.ops.Corpus.temperatureMixture(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+      "source", "text", targetPermille = 200, salt = "tmix")
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+  private val tTemperatureMixtureSql =
+    """WITH c AS (
+      |  SELECT source, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT sum(n) AS total, CAST(1000000000000 AS HUGEINT) AS e12 FROM c
+      |), r0 AS (
+      |  SELECT source, n, e12,
+      |    CAST(floor(sqrt(CAST(n AS DOUBLE) * 1e12)) AS HUGEINT) AS cand
+      |  FROM c, tot
+      |), r AS (
+      |  SELECT source, n,
+      |    CASE WHEN (cand + 1) * (cand + 1) <= n * e12 THEN cand + 1
+      |         WHEN cand * cand > n * e12 THEN cand - 1
+      |         ELSE cand END AS rs
+      |  FROM r0
+      |), sm AS (
+      |  SELECT sum(rs) AS s FROM r
+      |), w AS (
+      |  SELECT source,
+      |    (200 * total * e12) // (1000 * s * rs) AS whole,
+      |    (65536 * ((200 * total * e12) % (1000 * s * rs)))
+      |      // (1000 * s * rs) AS cells
+      |  FROM r, sm, tot
+      |), j AS (
+      |  SELECT d.doc_id, d.source,
+      |    substring(md5('tmix' || d.text), 1, 4) AS h, w.whole, w.cells
+      |  FROM documents d JOIN w USING (source)
+      |), cc AS (
+      |  SELECT doc_id, source,
+      |    CAST(whole AS BIGINT) + CASE WHEN h < printf('%04x',
+      |      CAST(cells AS BIGINT)) THEN 1 ELSE 0 END AS n_copies
+      |  FROM j
+      |)
+      |SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+      |FROM cc, unnest(range(1, n_copies + 1)) AS u(copy)
+      |ORDER BY doc_id, copy""".stripMargin
+
   // ── cross-document line dedup (boilerplate removal) ─────────────────────
   // The synthetic documents are single-line, so the query plants the
   // real-world shape in BOTH engines: a per-source header (~100 docs each)
@@ -2119,6 +2168,7 @@ object LlmQueries {
     "t_repetition" -> tRepetition,
     "t_compression_ratio" -> tCompressionRatio,
     "t_mixture_sample" -> tMixture,
+    "t_temperature_mixture" -> tTemperatureMixture,
     "dd_line_dedup" -> ddLineDedup,
     "t_pii_redact" -> tPiiRedact,
     "t_url_kit" -> tUrlKit,
@@ -2182,6 +2232,7 @@ object LlmQueries {
     "t_repetition" -> tRepetitionSql,
     "t_compression_ratio" -> tCompressionRatioSql,
     "t_mixture_sample" -> tMixtureSql,
+    "t_temperature_mixture" -> tTemperatureMixtureSql,
     "dd_line_dedup" -> ddLineDedupSql,
     "t_pii_redact" -> tPiiRedactSql,
     "t_url_kit" -> tUrlKitSql,

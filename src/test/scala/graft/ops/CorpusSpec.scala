@@ -332,6 +332,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixture: sqrt-rebalance lifts tail sources, deterministic, " +
+    "expected-size calibrated") {
+    import spark.implicits._
+    // head source 16x the tail: sqrt-temperature gives the tail 1/(4+1)=20%
+    // of the sample instead of its 1/17=5.9% corpus share
+    val docs = (0 until 1600).map(i => ("head", s"hd $i", i.toLong)) ++
+      (0 until 100).map(i => ("tail", s"tl $i", 10000L + i))
+    val df = docs.toDF("source", "text", "id")
+    val out = Corpus.temperatureMixture(df, "source", "text",
+      targetPermille = 500, salt = "s")
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = bySrc.values.sum.toDouble
+    // exact expectations: T = 850, p_head = 40/50, p_tail = 10/50
+    // -> 680 head / 170 tail; Bernoulli cells add +-small noise
+    assert(math.abs(total - 850.0) < 60.0, s"sampled $total of expected 850")
+    val tailShare = bySrc.getOrElse("tail", 0L) / total
+    assert(tailShare > 0.15 && tailShare < 0.25,
+      f"tail share $tailShare%.3f, want ~0.20 (corpus share is 0.059)")
+    // content-hash determinism
+    val again = Corpus.temperatureMixture(df, "source", "text",
+      targetPermille = 500, salt = "s")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("noveltyScores: hand-computed ppm, zero-overlap docs kept at 1e6, " +
     "short docs at 0") {
     import spark.implicits._
