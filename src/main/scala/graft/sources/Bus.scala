@@ -65,7 +65,7 @@ object Bus {
 
   // ── The runnable bus: the log-structured stand-in, same wire format ─────
 
-  private val logBusFmt = "graft.sources.v2.GraftLogBusSource"
+  val logBusFmt = "graft.sources.v2.GraftLogBusSource"
 
   /** Wire-encode + key-route: (partition, value) rows ready to publish.
     * The routing key is the record's idempotent identity (transactionId +
