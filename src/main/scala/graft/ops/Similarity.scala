@@ -113,7 +113,7 @@ object Similarity {
     * same literal-model shape as [[nearestCentroid]]; ties prefer the lower
     * centroid id via the sort comparator.
     */
-  private def probeCells(v: Column, centroids: Seq[(Int, Seq[Double])],
+  private[ops] def probeCells(v: Column, centroids: Seq[(Int, Seq[Double])],
       nProbe: Int): Column = {
     val scored = array(centroids.sortBy(_._1).map { case (i, cv) =>
       struct(VectorKit.cosine(v, typedLit(cv)).as("cs"),

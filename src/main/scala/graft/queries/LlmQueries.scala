@@ -371,6 +371,38 @@ object LlmQueries {
       |  CAST(0 AS BIGINT) AS score_mismatch
       |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
+  // persisted IVF index: build the partition-pruned lakehouse layout, probe
+  // it, and require BIT-IDENTITY with the in-memory ivfTopK at the same
+  // dials (deterministic trainer + shared assignment/probe expressions
+  // make that an equality, not a recall bound). full_outer on (query,
+  // rank): a row on either side without its exact twin is a mismatch.
+  private val simIvfPersisted: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx_gate").toString
+    graft.ops.IvfIndex.build(em, path, nCentroids = 16)
+    val p = graft.ops.IvfIndex.probe(s, path, queries, k = 5, nProbe = 4)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("n_p"), col("cos").as("c_p"))
+    val m = Similarity.ivfTopK(em, queries, k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("n_m"), col("cos").as("c_m"))
+    val cmp = p.join(m, Seq("query_id", "rank"), "full_outer").agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      coalesce(sum(when(col("n_p") === col("n_m")
+        && col("c_p") === col("c_m"), 0L).otherwise(1L)), lit(0L))
+        .as("mismatches"))
+    queries.agg(count(lit(1)).cast("long").as("n_queries")).crossJoin(cmp)
+  }
+  // n_rows = n_queries * 5: every probed query finds a full k at this SF
+  // (16 cells over the corpus leave >= 5 non-self neighbors in any probed
+  // 4-cell union — re-derived by the n_rows equality each run)
+  private val simIvfPersistedSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 5 AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS mismatches
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
+
   private val simIvfPq: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
     val queries = em.filter(col("vec_id") % 25 === 0)
@@ -2145,6 +2177,7 @@ object LlmQueries {
     "sim_topk_bruteforce" -> simTopK,
     "sim_topk_lsh" -> simLsh,
     "sim_topk_ivf" -> simIvf,
+    "sim_topk_ivf_persisted" -> simIvfPersisted,
     "sim_topk_ivfpq" -> simIvfPq,
     "sim_int8_quant" -> simInt8,
     "sim_negatives" -> simNegatives,
@@ -2208,6 +2241,7 @@ object LlmQueries {
     "dd_embedding_threshold" -> ddEmbeddingThresholdSql,
     "sim_topk_bruteforce" -> simTopKSql,
     "sim_topk_ivf" -> simIvfSql,
+    "sim_topk_ivf_persisted" -> simIvfPersistedSql,
     "sim_topk_lsh" -> simLshSql,
     "sim_topk_ivfpq" -> simIvfPqSql,
     "sim_int8_quant" -> simInt8Sql,

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val em = Tables.embeddings(spark, graft.TestSpark.sf0001)
+  private lazy val queries = em.filter(col("vec_id") % 100 === 0)
+
+  private def results(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  test("probe is bit-identical to the in-memory ivfTopK at the same dials, " +
+    "and exact when probing every cell") {
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    IvfIndex.build(em, path, nCentroids = 8)
+    val persisted = results(IvfIndex.probe(spark, path, queries, k = 5, nProbe = 3))
+    val memory = results(Similarity.ivfTopK(em, queries, k = 5,
+      nCentroids = 8, nProbe = 3))
+    assert(persisted == memory,
+      "the persisted index must reproduce the in-memory path exactly " +
+        "(same deterministic trainer, same assignment/probe expressions)")
+    // degenerate dial: probing all cells = the exact search
+    val all = results(IvfIndex.probe(spark, path, queries, k = 5, nProbe = 8))
+    val exact = results(Similarity.bruteForceTopK(em, queries, k = 5))
+    assert(all == exact)
+  }
+
+  test("probing prunes partitions: the cells scan plans only the probed " +
+    "directories") {
+    val path = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    IvfIndex.build(em, path, nCentroids = 8)
+    // one query, one probed cell -> at most 1 of 8 partition dirs scanned
+    val oneQuery = queries.limit(1)
+    val probed = IvfIndex.probe(spark, path, oneQuery, k = 5, nProbe = 1)
+    probed.collect() // execute so scan metrics fill
+    // the probe plan has exchanges, so AQE wraps it — unwrap to the final
+    // physical plan before hunting for the cells scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan) // materialized stages are leaves; the subtree is inside
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(probed.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("cells")))
+      .getOrElse(fail("no cells FileSourceScan in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"static partition filter missing: ${scan.partitionFilters}")
+    // writePartitioned emits one file per partition dir; nProbe=1 with one
+    // query must read exactly one
+    assert(scan.metrics("numFiles").value == 1L,
+      s"pruning read ${scan.metrics("numFiles").value} files of 8 cells")
+  }
+}
