@@ -44,6 +44,35 @@ object IvfIndex {
       s"$path/cells", Seq("centroid_id"))
   }
 
+  /**
+   * Incremental maintenance: assign NEW vectors with the STORED model and
+   * append them into the cell partitions — no retraining, no rewrite of
+   * existing cells (the crawl-grows-daily contract every served ANN index
+   * lives under; FAISS calls this add-without-train). Probe results after
+   * an append are identical to rebuilding the cells from the unioned
+   * corpus with the same model, because assignment is a pure function of
+   * (vector, model) — asserted in `IvfIndexSpec`. Quantizer drift under
+   * heavy growth is the operator's documented limit: retrain via [[build]]
+   * when cell-size skew says so (the census below is the dashboard row).
+   */
+  def append(newVectors: DataFrame, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = loadModel(spark, path)
+    newVectors.select(col(idCol), col(vecCol)).withColumn("centroid_id",
+        Similarity.nearestCentroid(col(vecCol), centroids))
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("append")
+      .parquet(s"$path/cells")
+  }
+
+  /** Per-cell size census — the skew/drift dashboard a served index
+    * watches to decide when [[append]] growth warrants a retrain. */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    Layout.readPartitioned(spark, s"$path/cells")
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("centroid_id"))
+
   /** The KB quantizer model back from disk (sorted by centroid id). */
   def loadModel(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
     spark.read.parquet(s"$path/model").select("centroid_id", "centroid")

@@ -31,6 +31,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(all == exact)
   }
 
+  test("append: new vectors join their cells without retraining; probe " +
+    "equals a same-model rebuild of the cells over the union") {
+    val old = em.filter(col("vec_id") % 3 =!= 0)
+    val fresh = em.filter(col("vec_id") % 3 === 0)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx3").toString
+    IvfIndex.build(old, path, nCentroids = 8)
+    val modelBefore = IvfIndex.loadModel(spark, path)
+    IvfIndex.append(fresh, path)
+    assert(IvfIndex.loadModel(spark, path) == modelBefore,
+      "append must not touch the quantizer")
+    val appended = results(IvfIndex.probe(spark, path, queries, k = 5, nProbe = 3))
+    // reference: same model (trainer is deterministic on `old`), cells
+    // rebuilt in one shot from the UNION — assignment is a pure function
+    // of (vector, model), so the two layouts must probe identically
+    val path2 = java.nio.file.Files.createTempDirectory("ivfidx4").toString
+    IvfIndex.build(old, path2, nCentroids = 8)
+    graft.sources.Layout.writePartitioned(
+      em.select(col("vec_id"), col("embedding")).withColumn("centroid_id",
+        Similarity.nearestCentroid(col("embedding"), modelBefore)),
+      s"$path2/cells", Seq("centroid_id"))
+    val rebuilt = results(IvfIndex.probe(spark, path2, queries, k = 5, nProbe = 3))
+    assert(appended == rebuilt)
+    // census covers the union
+    val total = IvfIndex.cellStats(spark, path)
+      .agg(sum("n_vectors")).collect()(0).getLong(0)
+    assert(total == em.count())
+  }
+
   test("probing prunes partitions: the cells scan plans only the probed " +
     "directories") {
     val path = java.nio.file.Files.createTempDirectory("ivfidx2").toString
