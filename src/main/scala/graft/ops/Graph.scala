@@ -391,7 +391,11 @@ object Graph {
    * and is ~1.7× SLOWER at sf0.1 (9.9 s vs 5.7 s isolated) — the
    * higher-order-function struct allocation loses to the streamed
    * codegen self-join, and both shapes are deg²-per-hub so the cap is
-   * the scale answer either way. Keep the join.
+   * the scale answer either way. Keep the join. Also measured (r8):
+   * persisting `e` to share it between the self-join and the degree agg
+   * is 1.26× slower (6.8 s vs 5.4 s isolated median-of-3) — exchange
+   * reuse already deduplicates the distinct's shuffle, and the cache
+   * write is pure overhead on top. Keep the unpersisted plan.
    */
   def neighborJaccard(edges: DataFrame, leftCol: String, rightCol: String,
       minCommon: Long, maxLeftDegree: Long = Long.MaxValue): DataFrame = {
