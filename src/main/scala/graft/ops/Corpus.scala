@@ -711,12 +711,22 @@ object Corpus {
     val bigrams = docTf.groupBy(col("__w1"), col("__w2"))
       .agg(sum(col("__tf")).as("__cnt"))
     val ctx = bigrams.groupBy(col("__w1")).agg(sum(col("__cnt")).as("__ctx"))
-    docTf.join(bigrams, Seq("__w1", "__w2")).join(ctx, Seq("__w1"))
+    // fold ctx into the bigram model FIRST (a vocab-scale join on w1),
+    // then hit docTf with ONE model join on (w1, w2). Joining ctx after
+    // the pair join would reshuffle the doc-pair-level rows a second
+    // time, on w1 — corpus-scale whenever the vocab outgrows AQE's
+    // broadcast threshold. Measured r8: wall-NEUTRAL at sf0.1
+    // (5.5 vs 5.5 s same-session median-of-3 — AQE broadcasts ctx at
+    // this vocab size, so the hazard shuffle never ran locally); kept
+    // for the one-fewer-corpus-scale-exchange plan shape at 100 TB.
+    val model = bigrams.join(ctx, Seq("__w1"))
+      .select(col("__w1"), col("__w2"),
+        (bitlen(col("__ctx")) - bitlen(col("__cnt"))).as("__bits"))
+    docTf.join(model, Seq("__w1", "__w2"))
       .groupBy(col(idCol))
       .agg(
         sum(col("__tf")).as("n_pairs"),
-        sum(col("__tf") * (bitlen(col("__ctx")) - bitlen(col("__cnt"))))
-          .as("bigram_bits"))
+        sum(col("__tf") * col("__bits")).as("bigram_bits"))
       .withColumn("mean_centibits",
         expr("(bigram_bits * 100) div n_pairs"))
   }
