@@ -703,6 +703,46 @@ object StatsQueries {
       |  CAST(count(*) AS BIGINT) AS n, true AS used_mv
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ── incremental MV maintenance (ops/Mv) ─────────────────────────────────
+  // Build the aggregate view on the base fact, refresh it with a signed
+  // delta (every 10th orderkey inserted, every 7th of the base retracted),
+  // and the refreshed view must equal the direct aggregate over the
+  // effective fact — which the oracle computes from scratch. Refresh cost
+  // is O(|MV| + |delta|); the gate proves it lands on the same answer as
+  // the O(|fact|) rebuild it replaces.
+  private val xMvIncremental: Q = (s, dir) => {
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_mv_inc").toString
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_orderstatus"),
+      Kit.cents(col("o_totalprice")).as("price_c"))
+    val keys = Seq("o_orderpriority", "o_orderstatus")
+    val base = o.filter(col("o_orderkey") % 10 =!= 0)
+    val inserts = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("__s", lit(1L))
+    val deletes = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("__s", lit(-1L))
+    graft.ops.Mv.build(base.drop("o_orderkey"), mvDir, keys, Seq("price_c"))
+    graft.ops.Mv.refresh(s, mvDir,
+      inserts.unionByName(deletes).drop("o_orderkey"),
+      keys, Seq("price_c"), version = 1L, signCol = Some("__s"))
+    graft.ops.Mv.read(s, mvDir)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("price_c_sum").as("sum_price_c"), col("__cnt").as("cnt"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+  private val xMvIncrementalSql =
+    """WITH eff AS (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |  WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+      |     OR o_orderkey % 10 = 0
+      |)
+      |SELECT o_orderpriority, o_orderstatus,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM eff GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ── Hilbert-curve clustering value (native expression) ──────────────────
   // Same gate shape as x_zorder: bucketed aggregates over the index pin
   // every row's value; the oracle replays the 16-round xy2d walk as
@@ -773,6 +813,7 @@ object StatsQueries {
     "x_bootstrap" -> xBootstrap,
     "x_hilbert" -> xHilbert,
     "x_mv_rewrite" -> xMvRewrite,
+    "x_mv_incremental" -> xMvIncremental,
     "x_footer_count" -> xFooterCount,
     "x_topk_agg" -> xTopkAgg,
     "x_hll_incremental" -> xHllIncremental,
@@ -796,6 +837,7 @@ object StatsQueries {
     "x_bootstrap" -> xBootstrapSql,
     "x_hilbert" -> xHilbertSql,
     "x_mv_rewrite" -> xMvRewriteSql,
+    "x_mv_incremental" -> xMvIncrementalSql,
     "x_footer_count" -> xFooterCountSql,
     "x_topk_agg" -> xTopkAggSql,
     "x_hll_incremental" -> xHllIncrementalSql,
