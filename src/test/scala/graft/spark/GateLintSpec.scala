@@ -56,6 +56,9 @@ class GateLintSpec extends SparkSpec {
       // one-row summary-row attaches (assertion scaffolding: counts,
       // planted/found totals, estimate-vs-exact single rows)
       "dd_containment" -> broadcastBaseline,
+      // 1×1 attach of the persisted-vs-memory mismatch summary to the
+      // query count (both sides single aggregate rows)
+      "sim_topk_ivf_persisted" -> broadcastBaseline,
       "x_join_estimate" -> broadcastBaseline,
       "x_bloom_skipping" -> broadcastBaseline,
       "x_file_skipping" -> broadcastBaseline,
