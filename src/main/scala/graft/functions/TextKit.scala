@@ -123,6 +123,40 @@ object TextKit {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b), minPpm))
 
+  /** The Unicode scripts [[scriptProfile]] counts, name → Java regex
+    * character class. BMP-safe (counts are UTF-16 units, and every class
+    * here lives in the BMP); extend with surrogate-aware classes if a
+    * supplementary-plane script is ever routed on. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "arabic" -> "\\p{IsArabic}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "greek" -> "\\p{IsGreek}",
+    "han" -> "\\p{IsHan}",
+    "latin" -> "\\p{IsLatin}",
+    "digits" -> "\\p{Nd}")
+
+  /** Per-script character counts + the dominant script (most characters,
+    * ties by name) — the multilingual corpus-routing signal that decides
+    * which language-ID / tokenizer family a document goes to. Pure
+    * codegen'd regexp counting, zero shuffle; "none" when no counted
+    * class occurs. */
+  def scriptProfile(text: Column): Column = {
+    val counts = scriptClasses.map { case (name, cls) =>
+      name -> length(regexp_replace(text, s"[^$cls]", "")).cast("long")
+    }
+    val ranked = array_sort(
+      array(counts.map { case (n, c) =>
+        struct(c.as("n"), lit(n).as("s")) }: _*),
+      (l, r) => when(l.getField("n") > r.getField("n"), -1)
+        .when(l.getField("n") < r.getField("n"), 1)
+        .otherwise(when(l.getField("s") < r.getField("s"), -1)
+          .when(l.getField("s") > r.getField("s"), 1).otherwise(0)))
+    val top = element_at(ranked, 1)
+    struct((counts.map { case (n, c) => c.as(n) } :+
+      when(top.getField("n") > 0L, top.getField("s")).otherwise(lit("none"))
+        .as("dominant")): _*)
+  }
+
   /** Deflate compression ratio in ppm — the too-compressible/too-random
     * corpus-quality signal; see [[graft.functions.DeflateRatioPpm]]. */
   def compressionRatioPpm(text: Column): Column =

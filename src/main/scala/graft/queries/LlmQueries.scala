@@ -786,6 +786,54 @@ object LlmQueries {
       |FROM c, unnest(range(1, n_copies + 1)) AS u(copy)
       |ORDER BY doc_id, copy""".stripMargin
 
+  // Unicode-script profile: per-script character counts + dominant script
+  // (ties by name, "none" when nothing counted) — the multilingual routing
+  // signal. Planted docs exercise every counted script; the oracle replays
+  // the same script-class counting in RE2 (\p{Script} there, \p{IsScript}
+  // in Java — same BMP classes) and the argmax via a negated-count struct
+  // sort. Fully derived — no pinned constants.
+  private val tScriptProfile: Q = (s, dir) => {
+    val texts = Seq("привет мир как дела сегодня", "καλημέρα κόσμε τι κάνεις",
+      "你好世界今天天气很好", "مرحبا بالعالم كيف الحال",
+      "mixed латиница and 2024 digits", "12345 67890")
+    val planted = s.range(texts.size).select(
+      (col("id") + 5000001L).as("doc_id"),
+      element_at(typedLit(texts), (col("id") + 1).cast("int")).as("text"))
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(col("doc_id"), TextKit.scriptProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p.*"))
+      .orderBy(col("doc_id"))
+  }
+  private val tScriptProfileSql = {
+    val classes = Seq("arabic" -> "Arabic", "cyrillic" -> "Cyrillic",
+      "greek" -> "Greek", "han" -> "Han", "latin" -> "Latin",
+      "digits" -> "Nd")
+    val counts = classes.map { case (n, c) =>
+      s"length(regexp_replace(text, '[^\\p{$c}]', '', 'g')) AS $n" }
+    val structs = classes.map { case (n, _) =>
+      s"{'n': -$n, 's': '$n'}" }
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT 5000001, 'привет мир как дела сегодня'
+       |  UNION ALL SELECT 5000002, 'καλημέρα κόσμε τι κάνεις'
+       |  UNION ALL SELECT 5000003, '你好世界今天天气很好'
+       |  UNION ALL SELECT 5000004, 'مرحبا بالعالم كيف الحال'
+       |  UNION ALL SELECT 5000005, 'mixed латиница and 2024 digits'
+       |  UNION ALL SELECT 5000006, '12345 67890'
+       |), c AS (
+       |  SELECT doc_id, ${counts.mkString(",\n    ")}
+       |  FROM base
+       |)
+       |SELECT doc_id,
+       |  ${classes.map { case (n, _) => s"CAST($n AS BIGINT) AS $n" }
+             .mkString(",\n  ")},
+       |  CASE WHEN greatest(${classes.map(_._1).mkString(", ")}) = 0
+       |    THEN 'none'
+       |    ELSE list_sort([${structs.mkString(", ")}])[1].s END AS dominant
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // √-temperature mixture: 20% target, p_s ∝ √n_s. The whole weight
   // derivation is integer arithmetic (isqrt quantized 1e-6, copies
   // quantized 1/65536) so DuckDB replays it in HUGEINT; the only floating
@@ -2219,6 +2267,7 @@ object LlmQueries {
     "t_domain_quota" -> tDomainQuota,
     "t_cluster_split" -> tClusterSplit,
     "t_lang_id" -> tLang,
+    "t_script_profile" -> tScriptProfile,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
     "dd_decontaminate" -> ddDecontaminate,
@@ -2284,6 +2333,7 @@ object LlmQueries {
     "t_domain_quota" -> tDomainQuotaSql,
     "t_cluster_split" -> tClusterSplitSql,
     "t_lang_id" -> tLangSql,
+    "t_script_profile" -> tScriptProfileSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,
     "dd_decontaminate" -> ddDecontaminateSql,

@@ -127,6 +127,21 @@ class TextKitSpec extends SparkSpec {
     }
   }
 
+  test("scriptProfile: per-script counts, dominant with name tie-break, " +
+    "'none' on empty") {
+    def profile(s: String) = Seq(s).toDF("t")
+      .select(TextKit.scriptProfile(col("t")).as("p")).select("p.*")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().head
+    // (arabic, cyrillic, greek, han, latin, digits, dominant)
+    assert(profile("hello мир 42") == ((0L, 3L, 0L, 0L, 5L, 2L, "latin")))
+    assert(profile("你好 world ok") == ((0L, 0L, 0L, 2L, 7L, 0L, "latin")))
+    assert(profile("你好世界今天好") == ((0L, 0L, 0L, 7L, 0L, 0L, "han")))
+    assert(profile("") == ((0L, 0L, 0L, 0L, 0L, 0L, "none")))
+    assert(profile("!!! ???") == ((0L, 0L, 0L, 0L, 0L, 0L, "none")))
+    // exact tie (2 vs 2) resolves to the lexicographically first name
+    assert(profile("ab мы")._7 == "cyrillic")
+  }
+
   test("compressionRatioPpm: repetitive text collapses, hex noise doesn't, " +
     "empty is 1e6 by convention, reused Deflater resets cleanly") {
     val rep = Seq.fill(80)("all work and no play makes jack a dull boy.").mkString(" ")
