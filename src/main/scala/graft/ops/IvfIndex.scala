@@ -73,6 +73,32 @@ object IvfIndex {
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("centroid_id"))
 
+  /**
+   * Streaming ANN serving: probe the persisted index with every
+   * micro-batch of query vectors and write (query_id, neighbor_id, cos,
+   * rank) into an epoch-keyed OVERWRITE sink (`batch=<epoch>` dirs) — a
+   * replayed epoch rewrites its own directory, so serving is exactly-once
+   * under crash replay (the MediationApp analytics-sink discipline). The
+   * index is the stable side; only the small query batch moves per
+   * trigger, and each batch's scan still partition-prunes to its own
+   * probed cells.
+   */
+  def startServing(queries: DataFrame, path: String, k: Int, nProbe: Int,
+      outPath: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        probe(batch.sparkSession, path, batch, k, nProbe, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$epochId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** The KB quantizer model back from disk (sorted by centroid id). */
   def loadModel(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
     spark.read.parquet(s"$path/model").select("centroid_id", "centroid")

@@ -59,6 +59,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(total == em.count())
   }
 
+  test("streaming serving: per-batch probes equal the batch probe, " +
+    "epoch-keyed sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = java.nio.file.Files.createTempDirectory("ivfserve").toString
+    val out = java.nio.file.Files.createTempDirectory("ivfout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfckpt").toString
+    IvfIndex.build(em, path, nCentroids = 8)
+    val qvecs = queries.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (q1, q2) = qvecs.splitAt(qvecs.size / 2)
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    def drain(): Unit = {
+      val q = IvfIndex.startServing(
+        mem.toDF().toDF("vec_id", "embedding"), path, k = 5, nProbe = 3,
+        out, ckpt)
+      q.awaitTermination()
+    }
+    mem.addData(q1: _*); drain()
+    mem.addData(q2: _*); drain()
+    val served = spark.read.parquet(out)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = results(IvfIndex.probe(spark, path, queries, k = 5, nProbe = 3))
+    assert(served == batch,
+      "streamed per-batch probes must union to the one-shot batch probe")
+  }
+
   test("probing prunes partitions: the cells scan plans only the probed " +
     "directories") {
     val path = java.nio.file.Files.createTempDirectory("ivfidx2").toString
