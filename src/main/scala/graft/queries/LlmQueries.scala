@@ -757,6 +757,90 @@ object LlmQueries {
       |    ELSE 0 END * 1e6, 0) AS BIGINT) AS top_word_ppm
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ── one-scan quality report card ────────────────────────────────────────
+  // The per-document wide quality table a corpus pipeline publishes: token
+  // count, composite quality, word-repetition, language, dominant script,
+  // and PII density — SIX signal families fused into ONE projection over
+  // ONE scan (plan-asserted in QualityCardPlanSpec: a single
+  // FileSourceScan, no joins, no aggregation exchanges). At 100 TB the
+  // scan IS the cost; computing the signals separately multiplies it by
+  // the signal count. Oracle = the composition of the individual gates'
+  // replays (t_token_count, t_quality_score, t_repetition, t_lang_id,
+  // t_script_profile, t_pii_redact), all on the same row.
+  private val tQualityCard: Q = (s, dir) => {
+    val rep = TextKit.repetitionStats(col("text"))
+    val pii = TextKit.piiCount(col("text"), TextKit.emailPattern) +
+      TextKit.piiCount(col("text"), TextKit.phonePattern) +
+      TextKit.piiCount(col("text"), TextKit.ipv4Pattern)
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextKit.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Kit.bps(TextKit.qualityScore(col("text"))).as("quality_bps"),
+        round(rep.getField("dup_word_frac") * 1e6).cast("long")
+          .as("dup_word_ppm"),
+        TextKit.langId(col("text")).as("lang_pred"),
+        TextKit.scriptProfile(col("text")).getField("dominant").as("script"),
+        pii.cast("long").as("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+  private val tQualityCardSql = {
+    val scripts = Seq("arabic" -> "Arabic", "cyrillic" -> "Cyrillic",
+      "greek" -> "Greek", "han" -> "Han", "latin" -> "Latin",
+      "digits" -> "Nd")
+    val scriptCounts = scripts.map { case (n, c) =>
+      s"length(regexp_replace(text, '[^\\p{$c}]', '', 'g')) AS $n" }
+    val scriptStructs = scripts.map { case (n, _) => s"{'n': -$n, 's': '$n'}" }
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws,
+       |    CAST(length(text) AS DOUBLE) AS nchars,
+       |    greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       |      AS DOUBLE), 1.0) AS toks,
+       |    CAST(len(regexp_extract_all(text,
+       |      '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS stops,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS puncts,
+       |    len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) AS s_en,
+       |    len(regexp_extract_all(text, '\\b(el|la|de|que|y)\\b')) AS s_es,
+       |    len(regexp_extract_all(text, '\\b(le|la|de|et|les)\\b')) AS s_fr,
+       |    len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS s_de,
+       |    len(regexp_extract_all(text, '\\b(zh|shi|de|le|bu)\\b')) AS s_zh,
+       |    ${scriptCounts.mkString(",\n    ")},
+       |    len(regexp_extract_all(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |      + len(regexp_extract_all(text,
+       |          '\\+\\d{1,3}[ .-]\\d{3}[ .-]\\d{3}[ .-]\\d{4}'))
+       |      + len(regexp_extract_all(text,
+       |          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_pii
+       |  FROM documents
+       |), g AS (
+       |  SELECT *, list_distinct(ws) AS dws,
+       |    CAST(len(ws) AS DOUBLE) AS nw,
+       |    greatest(s_en, s_es, s_fr, s_de, s_zh) AS best
+       |  FROM f
+       |)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(round((least(nchars / 200.0, 1.0) * 0.5
+       |    + least(stops / toks, 1.0) * 0.3
+       |    + (1.0 - least(puncts / toks, 1.0)) * 0.2) * 10000, 0) AS BIGINT)
+       |    AS quality_bps,
+       |  CAST(round(CASE WHEN nw > 0 THEN (nw - len(dws)) / nw ELSE 0 END
+       |    * 1e6, 0) AS BIGINT) AS dup_word_ppm,
+       |  CASE WHEN best = 0 THEN 'und'
+       |       WHEN s_en = best THEN 'en'
+       |       WHEN s_es = best THEN 'es'
+       |       WHEN s_fr = best THEN 'fr'
+       |       WHEN s_de = best THEN 'de'
+       |       ELSE 'zh' END AS lang_pred,
+       |  CASE WHEN greatest(${scripts.map(_._1).mkString(", ")}) = 0
+       |    THEN 'none'
+       |    ELSE list_sort([${scriptStructs.mkString(", ")}])[1].s
+       |    END AS script,
+       |  CAST(n_pii AS BIGINT) AS n_pii
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   // ── deterministic training-mixture sampling ─────────────────────────────
   // src0 upsampled ×2.5, src1 downsampled to 0.4, everything else to 0.1;
   // both engines carve the same md5 16-bit cells, so the sampled multiset
@@ -2246,6 +2330,7 @@ object LlmQueries {
     "sim_embedding_stats" -> simEmbeddingStats,
     "t_token_count" -> tTokens,
     "t_quality_score" -> tQuality,
+    "t_quality_card" -> tQualityCard,
     "t_repetition" -> tRepetition,
     "t_compression_ratio" -> tCompressionRatio,
     "t_mixture_sample" -> tMixture,
@@ -2312,6 +2397,7 @@ object LlmQueries {
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "t_token_count" -> tTokensSql,
     "t_quality_score" -> tQualitySql,
+    "t_quality_card" -> tQualityCardSql,
     "t_repetition" -> tRepetitionSql,
     "t_compression_ratio" -> tCompressionRatioSql,
     "t_mixture_sample" -> tMixtureSql,
