@@ -50,6 +50,41 @@ class MvSpec extends SparkSpec {
     assert(Mv.versions(spark, path) == Seq(0L))
   }
 
+  test("bus-fed maintenance: a changelog topic on the log bus drives the " +
+    "view end to end") {
+    val root = Files.createTempDirectory("mvbus").toString
+    val path = s"$root/mv"; val ckpt = s"$root/ckpt"
+    // publish a signed changelog: value = "k,m,s" CSV on the wire
+    def publish(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("k", "m", "s")
+        .select(pmod(xxhash64(col("k")), lit(2)).cast("int").as("partition"),
+          concat_ws(",", col("k"), col("m"), col("s")).cast("binary")
+            .as("value"))
+        .write.format(graft.sources.Bus.logBusFmt)
+        .option("root", root).option("topic", "mvlog").option("partitions", "2")
+        .mode("append").save()
+    Mv.build(spark.emptyDataset[(String, Long)].toDF("k", "m"),
+      path, Seq("k"), Seq("m"))
+    def drain(): Unit = {
+      val changes = spark.readStream.format(graft.sources.Bus.logBusFmt)
+        .option("root", root).option("topic", "mvlog").option("partitions", "2")
+        .load()
+        .select(split(col("value").cast("string"), ",").as("f"))
+        .select(col("f").getItem(0).as("k"),
+          col("f").getItem(1).cast("long").as("m"),
+          col("f").getItem(2).cast("long").as("s"))
+      val q = Mv.startMaintenance(changes, path, Seq("k"), Seq("m"), ckpt,
+        signCol = Some("s"))
+      q.awaitTermination()
+    }
+    publish(Seq(("a", 10L, 1L), ("b", 3L, 1L)))
+    drain()
+    publish(Seq(("a", 10L, -1L), ("c", 2L, 1L)))
+    drain()
+    assert(viewOf(path) == Map("b" -> (3L, 1L), "c" -> (2L, 1L)),
+      "the view must track the published changelog exactly")
+  }
+
   test("streaming maintenance: multi-batch refresh equals the full " +
     "aggregate, and a forced epoch replay does not double-apply") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
