@@ -870,6 +870,89 @@ object LlmQueries {
       |FROM c, unnest(range(1, n_copies + 1)) AS u(copy)
       |ORDER BY doc_id, copy""".stripMargin
 
+  // Sentence segmentation stats: segments = non-blank runs between
+  // [.!?]+ terminator runs (no lookbehind — RE2 has none, so the split
+  // form is the engine-portable one), per-doc count / mean token length
+  // (×100 integer-div) / longest sentence. The chunking/packing stages
+  // consume these to pick sentence-aligned boundaries.
+  private val tSentenceSplit: Q = (s, dir) => {
+    val segs = filter(split(col("text"), "[.!?]+"),
+      seg => length(trim(seg)) > 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), segs.as("__segs"))
+      .select(col("doc_id"),
+        size(col("__segs")).cast("long").as("n_sentences"),
+        aggregate(transform(col("__segs"),
+            seg => size(split(trim(seg), "\\s+")).cast("long")),
+          lit(0L), (a, x) => a + x).as("__toks"),
+        coalesce(array_max(transform(col("__segs"),
+          seg => length(trim(seg)))), lit(0)).cast("long")
+          .as("max_sent_chars"))
+      .select(col("doc_id"), col("n_sentences"),
+        when(col("n_sentences") > 0,
+          expr("__toks * 100 div n_sentences")).otherwise(0L)
+          .as("mean_sent_tokens_c"),
+        col("max_sent_chars"))
+      .orderBy(col("doc_id"))
+  }
+  private val tSentenceSplitSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |                s -> len(trim(s)) > 0) AS segs
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(segs) AS BIGINT) AS n_sentences,
+      |  CAST(CASE WHEN len(segs) > 0 THEN
+      |      list_sum(list_transform(segs,
+      |        s -> len(regexp_split_to_array(trim(s), '\s+')))) * 100
+      |      // len(segs)
+      |    ELSE 0 END AS BIGINT) AS mean_sent_tokens_c,
+      |  CAST(coalesce(list_max(list_transform(segs, s -> len(trim(s)))), 0)
+      |    AS BIGINT) AS max_sent_chars
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // Anchor/link extraction from an HTML shell: hrefs pulled with a group
+  // capture — both engines' regexp_extract_all take a group index. The
+  // planted shell wraps each real doc with a doc_id-derived pair of
+  // anchors (plus a third on every 5th doc), so counts and both end
+  // links are fully derived.
+  private val tLinkExtract: Q = (s, dir) => {
+    val html = concat(
+      lit("<a href=\"https://ex"), pmod(col("doc_id"), lit(7)),
+      lit(".com/p\">t</a><p>"), col("text"),
+      lit("</p><a href=\"http://site"), pmod(col("doc_id"), lit(3)),
+      lit(".org/q?x=1\">u</a>"),
+      when(col("doc_id") % 5 === 0,
+        lit("<a href=\"https://extra.net/r\">v</a>")).otherwise(lit("")))
+    val links = regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(links).cast("long").as("n_links"),
+        element_at(links, 1).as("first_link"),
+        element_at(links, -1).as("last_link"))
+      .orderBy(col("doc_id"))
+  }
+  private val tLinkExtractSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<a href="https://ex' || (doc_id % 7) || '.com/p">t</a><p>'
+      |      || text
+      |      || '</p><a href="http://site' || (doc_id % 3)
+      |      || '.org/q?x=1">u</a>'
+      |      || CASE WHEN doc_id % 5 = 0
+      |           THEN '<a href="https://extra.net/r">v</a>' ELSE '' END
+      |      AS html
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id, regexp_extract_all(html, 'href="([^"]+)"', 1) AS links
+      |  FROM h
+      |)
+      |SELECT doc_id, CAST(len(links) AS BIGINT) AS n_links,
+      |  links[1] AS first_link, links[-1] AS last_link
+      |FROM l ORDER BY doc_id""".stripMargin
+
   // Unicode-script profile: per-script character counts + dominant script
   // (ties by name, "none" when nothing counted) — the multilingual routing
   // signal. Planted docs exercise every counted script; the oracle replays
@@ -2353,6 +2436,8 @@ object LlmQueries {
     "t_cluster_split" -> tClusterSplit,
     "t_lang_id" -> tLang,
     "t_script_profile" -> tScriptProfile,
+    "t_sentence_split" -> tSentenceSplit,
+    "t_link_extract" -> tLinkExtract,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_split" -> tSplit,
     "dd_decontaminate" -> ddDecontaminate,
@@ -2420,6 +2505,8 @@ object LlmQueries {
     "t_cluster_split" -> tClusterSplitSql,
     "t_lang_id" -> tLangSql,
     "t_script_profile" -> tScriptProfileSql,
+    "t_sentence_split" -> tSentenceSplitSql,
+    "t_link_extract" -> tLinkExtractSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_split" -> tSplitSql,
     "dd_decontaminate" -> ddDecontaminateSql,
