@@ -47,7 +47,19 @@ object AsyncEnrich {
       burst: Int = 1000,
       maxRetries: Int = 3,
       backoffMillis: Long = 10000L,
-      clientId: String = "default")
+      clientId: String = "default",
+      // circuit breaker (0 = disabled): after `breakerThreshold`
+      // consecutive TRANSPORT failures (post-retry; application-level KO
+      // bodies are endpoint answers and do not count) the breaker opens
+      // and records short-circuit to KO("circuit open") WITHOUT touching
+      // the endpoint for `breakerCooldownMillis` — the
+      // hammering-a-down-dependency guard every production dispatcher
+      // carries. After the cooldown the next sends probe through
+      // (half-open); one success closes it, a failure re-opens a full
+      // cooldown. Per-clientId per-executor state, same scope as the
+      // client itself.
+      breakerThreshold: Int = 0,
+      breakerCooldownMillis: Long = 30000L)
 
   // ── per-JVM (= per-executor) shared resources ──────────────────────────
   private val clients = new ConcurrentHashMap[String, NotificationClient]()
@@ -61,6 +73,28 @@ object AsyncEnrich {
 
   private def clientFor(id: String, factory: () => NotificationClient): NotificationClient =
     clients.computeIfAbsent(id, _ => factory())
+
+  /** Consecutive-transport-failure circuit breaker (see Config). The
+    * open-state check is advisory under concurrency (in-flight sends
+    * race the trip), which is the standard contract — the breaker bounds
+    * sustained hammering, not the last in-flight bundle. */
+  private final class Breaker(threshold: Int, cooldownMillis: Long) {
+    private val consecutiveFails = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var openUntilNanos: Long = 0L
+    def isOpen: Boolean =
+      threshold > 0 && System.nanoTime() < openUntilNanos
+    def onSuccess(): Unit = if (threshold > 0) {
+      consecutiveFails.set(0); openUntilNanos = 0L
+    }
+    def onFailure(): Unit = if (threshold > 0) {
+      if (consecutiveFails.incrementAndGet() >= threshold)
+        openUntilNanos = System.nanoTime() + cooldownMillis * 1000000L
+    }
+  }
+  private val breakers = new ConcurrentHashMap[String, Breaker]()
+  private def breakerFor(cfg: Config): Breaker =
+    breakers.computeIfAbsent(cfg.clientId,
+      _ => new Breaker(cfg.breakerThreshold, cfg.breakerCooldownMillis))
 
   /** Simple token bucket (refill-on-demand), the Spark-side stand-in for
     * akka's throttle(rate, burst, Shaping) (AkkaHttpClient.scala:62). */
@@ -114,15 +148,23 @@ object AsyncEnrich {
       val limiter = new Semaphore(cfg.maxConcurrency)
       val bucket = new TokenBucket(cfg.ratePerSec, cfg.burst)
 
+      val breaker = breakerFor(cfg)
       val futures = it.map { m =>
         if (m.status == Marked.Dup)
           Future.successful(SendResult(m.record, NotificationResponse.SentOrDuplicated))
+        else if (breaker.isOpen)
+          // short-circuit: a tripped breaker contains the failure storm
+          // without burning retries against a down endpoint
+          Future.successful(SendResult(
+            m.record.withSuccess(success = false, "ko: circuit open"),
+            NotificationResponse.ko("circuit open")))
         else {
           limiter.acquire() // backpressure: bounds in-flight sends per task
           bucket.acquire()
           withRetry(cfg.maxRetries, cfg.backoffMillis) { attempt =>
             val rec = (0 until attempt).foldLeft(m.record)((r, _) => r.incRetries)
             client.send(HttpRequest.from(rec)).map { resp =>
+              breaker.onSuccess() // endpoint answered — transport is healthy
               SendResult(
                 rec.withSuccess(resp.isSuccess, if (resp.isSuccess) "SUCESSFUL PUSH" else resp.body),
                 resp)
@@ -131,6 +173,7 @@ object AsyncEnrich {
             // error containment: failures become KO results, never stall the
             // pipeline (StateBaseAsyncDoFn.java:118-147, errors suppressed)
             case NonFatal(e) =>
+              breaker.onFailure() // post-retry transport failure
               SendResult(m.record.withSuccess(success = false, s"ko: ${e.getMessage}"),
                 NotificationResponse.ko(String.valueOf(e.getMessage)))
           }.andThen { case _ => limiter.release() }

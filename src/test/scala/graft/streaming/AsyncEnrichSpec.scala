@@ -53,6 +53,41 @@ class AsyncEnrichSpec extends SparkSpec {
     assert(out.head.record.notification.nhubSuccess.contains(false))
   }
 
+  test("circuit breaker: opens after consecutive transport failures, " +
+    "short-circuits without touching the endpoint, half-open probe closes it") {
+    val records = (0 until 8).map(_ =>
+      Marked(quique.idempotentKey, quique, Marked.Sent))
+    // maxConcurrency=1 serializes dispatch, so by record 3 the first two
+    // post-retry failures have tripped the threshold deterministically
+    BreakerProbe.calls.set(0)
+    val cfg = AsyncEnrich.Config(clientId = "spec-breaker", maxRetries = 0,
+      backoffMillis = 1L, maxConcurrency = 1,
+      breakerThreshold = 2, breakerCooldownMillis = 60000L)
+    val out = AsyncEnrich.enrich(
+      spark.createDataset(records).repartition(1), cfg,
+      () => new CountingClient(failFirstN = 99)).collect().toSeq
+    assert(out.size == 8 && out.forall(!_.response.isSuccess))
+    assert(BreakerProbe.calls.get() == 2,
+      s"open breaker must stop hammering the endpoint, saw ${BreakerProbe.calls.get()} calls")
+    assert(out.count(_.response.body.contains("circuit open")) == 6)
+
+    // half-open after cooldown: a healthy endpoint closes the breaker.
+    // The breaker (and client) are per-clientId, so run the transition on
+    // a fresh id with a short cooldown.
+    BreakerProbe.calls.set(0)
+    val cfg2 = cfg.copy(clientId = "spec-breaker-2", breakerCooldownMillis = 300L)
+    val first = AsyncEnrich.enrich(
+      spark.createDataset(records.take(3)).repartition(1), cfg2,
+      () => new CountingClient(failFirstN = 2)).collect().toSeq
+    assert(first.count(_.response.body.contains("circuit open")) == 1)
+    Thread.sleep(600) // past the cooldown → half-open
+    val second = AsyncEnrich.enrich(
+      spark.createDataset(records.take(2)).repartition(1), cfg2,
+      () => new CountingClient(failFirstN = 0)).collect().toSeq
+    assert(second.forall(_.response.isSuccess),
+      "probe after cooldown must reach the now-healthy endpoint and close the breaker")
+  }
+
   test("throughput: sustains the reference's >200K/min rate against a local stub") {
     // BASELINE.md: >200,000 notifications/min (~3,333/s) on Dataflow with
     // a real HTTPS endpoint. Hermetic analogue: 20k sends through the full
@@ -87,5 +122,23 @@ class AsyncEnrichSpec extends SparkSpec {
       () => new AsyncEnrich.StubClient()).collect()
     assert(out.length == 200)
     assert(out.forall(_.response.id == 101))
+  }
+}
+
+/** File-scope so the enrich factory closure stays serializable (an inner
+  * class would capture the spec); the counter is static — local[*] tests
+  * run in one JVM. */
+private object BreakerProbe {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+private class CountingClient(failFirstN: Int)
+    extends AsyncEnrich.NotificationClient {
+  private val inner = new AsyncEnrich.StubClient(failFirstN = failFirstN)
+  override def send(req: graft.model.HttpRequest)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[graft.model.NotificationResponse] = {
+    BreakerProbe.calls.incrementAndGet()
+    inner.send(req)
   }
 }
