@@ -22,7 +22,7 @@ object ExtensionQueries {
     Tables.orders(s, dir)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"),
         Kit.cents(col("o_totalprice")).as("price_c"))
       .orderBy(col("o_custkey"), col("rnk"))
   }
@@ -1857,7 +1857,7 @@ object ExtensionQueries {
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, dir)
       .select(col("o_orderpriority"), col("o_orderkey"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"),
         Kit.microUnits(percent_rank().over(w)).as("pct_rank_micro"),
         Kit.microUnits(cume_dist().over(w)).as("cume_micro"))
       .orderBy(col("o_orderpriority"), col("o_orderkey"))

@@ -289,7 +289,8 @@ object LlmQueries {
     val queries = em.filter(col("vec_id") % 25 === 0)
     Similarity.bruteForceTopK(em, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"),
-        Kit.microUnits(col("cos")).as("cos_micro"), col("rank"))
+        Kit.microUnits(col("cos")).as("cos_micro"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
   private val simTopKSql =
@@ -677,8 +678,9 @@ object LlmQueries {
   // ── text analysis ───────────────────────────────────────────────────────
   private val tTokens: Q = (s, dir) => {
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextKit.tokenCount(col("text")).as("n_tokens"),
-        TextKit.bpeishCount(col("text")).as("n_bpeish"))
+      .select(col("doc_id"),
+        TextKit.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextKit.bpeishCount(col("text")).cast("long").as("n_bpeish"))
       .orderBy(col("doc_id"))
   }
   private val tTokensSql =
@@ -1935,7 +1937,7 @@ object LlmQueries {
   private val simEmbeddingStats: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
     em.select(posexplode(VectorKit.asDouble(col("embedding"))).as(Seq("dim", "x")))
-      .groupBy(col("dim"))
+      .groupBy(col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
         Kit.microUnits(avg(col("x"))).as("mean_micro"),
         Kit.microUnits(avg(col("x") * col("x"))).as("meansq_micro"))

@@ -41,7 +41,7 @@ object MultimodalQueries {
       .withColumn("media", concat(magicBytes, col("text").cast("binary")))
       .select(col("doc_id"),
         Multimodal.sniffMime(col("media")).as("mime"),
-        octet_length(col("media")).as("n_bytes"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
         Multimodal.pngWidth(col("media")).as("png_width"),
         Multimodal.pngHeight(col("media")).as("png_height"),
         md5(col("text").cast("binary")).as("body_md5"))
@@ -67,8 +67,8 @@ object MultimodalQueries {
         posexplode(Multimodal.frameSample(col("media"),
           frameBytes = 64, strideBytes = 48, maxFrames = 4))
           .as(Seq("frame_idx", "frame")))
-      .select(col("doc_id"), col("frame_idx"),
-        octet_length(col("frame")).as("frame_bytes"),
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
