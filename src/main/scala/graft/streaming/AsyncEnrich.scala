@@ -152,14 +152,19 @@ object AsyncEnrich {
       val futures = it.map { m =>
         if (m.status == Marked.Dup)
           Future.successful(SendResult(m.record, NotificationResponse.SentOrDuplicated))
-        else if (breaker.isOpen)
-          // short-circuit: a tripped breaker contains the failure storm
-          // without burning retries against a down endpoint
-          Future.successful(SendResult(
-            m.record.withSuccess(success = false, "ko: circuit open"),
-            NotificationResponse.ko("circuit open")))
         else {
           limiter.acquire() // backpressure: bounds in-flight sends per task
+          if (breaker.isOpen) {
+            // short-circuit: a tripped breaker contains the failure storm
+            // without burning retries (or rate tokens) against a down
+            // endpoint. Checked AFTER the permit, i.e. at dispatch time —
+            // under maxConcurrency=1 the previous outcome has always
+            // landed, so the trip is observed deterministically.
+            limiter.release()
+            Future.successful(SendResult(
+              m.record.withSuccess(success = false, "ko: circuit open"),
+              NotificationResponse.ko("circuit open")))
+          } else {
           bucket.acquire()
           withRetry(cfg.maxRetries, cfg.backoffMillis) { attempt =>
             val rec = (0 until attempt).foldLeft(m.record)((r, _) => r.incRetries)
@@ -177,6 +182,7 @@ object AsyncEnrich {
               SendResult(m.record.withSuccess(success = false, s"ko: ${e.getMessage}"),
                 NotificationResponse.ko(String.valueOf(e.getMessage)))
           }.andThen { case _ => limiter.release() }
+          }
         }
       }.toVector // dispatch everything in this bundle
 
