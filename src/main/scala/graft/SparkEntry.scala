@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, DecisionSupportQueries, ExtensionQueries, LlmQueries, MultimodalQueries, RelationalQueries, StatsQueries}
+import graft.queries.{AnalyticsQueries, DecisionSupportQueries, ExtensionQueries, LakeQueries, LlmQueries, MultimodalQueries, RelationalQueries, StatsQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ LlmQueries.all ++ ExtensionQueries.all ++
       MultimodalQueries.all ++ StatsQueries.all ++ AnalyticsQueries.all ++
-      DecisionSupportQueries.all
+      DecisionSupportQueries.all ++ LakeQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has an oracle: approximate ops
@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtensionQueries.oracles ++
       MultimodalQueries.oracles ++ StatsQueries.oracles ++ AnalyticsQueries.oracles ++
-      DecisionSupportQueries.oracles
+      DecisionSupportQueries.oracles ++ LakeQueries.oracles
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.functions.Kit
+import graft.sources.Tables
+import graft.sources.lake.GraftLake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Gates for [[graft.sources.lake.GraftLake]], the transaction-log ACID
+ * table layer. Each query builds a lake table under a temp dir from the
+ * `orders` parquet, drives it through DML (append / copy-on-write delete /
+ * merge upsert / time travel / pruned scan), and reads the result back;
+ * the oracle replays the same relational composition directly in DuckDB —
+ * DELETE as a negated filter, MERGE as anti-join ∪ updates — so the log
+ * replay, CoW rewrite, and snapshot isolation are all value-checked, not
+ * just spec-checked.
+ *
+ * Dtype/alias conventions as everywhere: exact-integer cents, BIGINT
+ * casts on both sides, identical aliases, total ORDER BY on a unique key.
+ */
+object LakeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** orders projected to the lake fixture schema (exact-integer money). */
+  private def ordersProjected(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_orderpriority"),
+      Kit.cents(col("o_totalprice")).as("price_c"))
+
+  // ── l1: the full DML lifecycle — create, append, delete, merge ─────────
+  // v0 create (keys %4==0), v1 append (%4==1), v2 CoW delete
+  // (status F ∧ %8==0), v3 merge (update every %20==1 key, insert shifted
+  // %20==2 keys). The final snapshot must equal the oracle's replay of the
+  // same algebra; any fault in log ordering, CoW victim selection, or the
+  // merge anti-join shows up as a row/hash mismatch here.
+  private val l1LakeDml: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_dml").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl)
+    GraftLake.append(
+      p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), tbl)
+    GraftLake.delete(s, tbl,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 8 === 0)
+    val updates =
+      p.filter(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          lit("X").as("o_orderpriority"), (col("price_c") * 2).as("price_c"))
+        .unionByName(
+          p.filter(col("o_orderkey") % 20 === 2)
+            .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+              lit("I").as("o_orderstatus"), lit("Y").as("o_orderpriority"),
+              (col("price_c") + 7).as("price_c")))
+    GraftLake.merge(s, tbl, updates, "o_orderkey")
+    GraftLake.read(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("price_c"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val l1LakeDmlSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |), base AS (
+      |  SELECT * FROM p WHERE o_orderkey % 4 IN (0, 1)
+      |), afterdel AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 8 = 0)
+      |), upd AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, 'X' AS o_orderpriority,
+      |         price_c * 2 AS price_c
+      |  FROM p WHERE o_orderkey % 20 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, 'I', 'Y', price_c + 7
+      |  FROM p WHERE o_orderkey % 20 = 2
+      |), merged AS (
+      |  SELECT a.* FROM afterdel a
+      |  WHERE a.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL
+      |  SELECT * FROM upd
+      |)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c
+      |FROM merged ORDER BY o_orderkey""".stripMargin
+
+  // ── l2: time travel — the snapshot BEFORE the delete ───────────────────
+  // Same build as l1 through v2; reading asOf=1 must resurrect the
+  // pre-delete table even though later commits tombstoned files.
+  private val l2LakeTimeTravel: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_tt").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl)
+    GraftLake.append(
+      p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), tbl)
+    GraftLake.delete(s, tbl,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 8 === 0)
+    GraftLake.read(s, tbl, asOf = Some(1L))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("price_c"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val l2LakeTimeTravelSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       o_orderpriority,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ── l3: footer-stats file pruning — skip proof carried in the gate ─────
+  // 8 range-partitioned files; a tight key range must plan to a strict
+  // subset of them (the `pruned` flag pins it), while the residual filter
+  // keeps the rows exact.
+  private val l3LakePruneScan: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_scan").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(p.repartitionByRange(8, col("o_orderkey")), tbl)
+    val (df, scanned, total) =
+      GraftLake.scanRange(s, tbl, "o_orderkey", 1000L, 2999L)
+    df.select(col("o_orderkey"), col("price_c"),
+        lit(scanned < total).as("pruned"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val l3LakePruneScanSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |       true AS pruned
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "l1_lake_dml" -> l1LakeDml,
+    "l2_lake_time_travel" -> l2LakeTimeTravel,
+    "l3_lake_prune_scan" -> l3LakePruneScan)
+
+  val oracles: Map[String, String] = Map(
+    "l1_lake_dml" -> l1LakeDmlSql,
+    "l2_lake_time_travel" -> l2LakeTimeTravelSql,
+    "l3_lake_prune_scan" -> l3LakePruneScanSql)
+}

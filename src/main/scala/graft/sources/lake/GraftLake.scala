@@ -1,0 +1,611 @@
+package graft.sources.lake
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/**
+ * GraftLake — a transaction-log table format over parquet: the lakehouse
+ * ACID layer (the storage model popularized by Delta Lake / Iceberg,
+ * re-derived here from the public papers' design: an ordered log of
+ * add/remove-file actions whose atomic append IS the commit point).
+ *
+ * Layout:
+ * {{{
+ *   <table>/_log/v%020d.json     one commit per version, immutable
+ *   <table>/data/part-*.parquet  data files, immutable once referenced
+ * }}}
+ *
+ * Commit protocol (single-writer-wins optimistic concurrency):
+ *  1. stage data files under `<table>/_staged/<uuid>/`, move each into
+ *     `data/` under a fresh unique name (invisible to readers — readers
+ *     only see files the log references);
+ *  2. write the full commit JSON to a tmp file, fsync;
+ *  3. `Files.createLink(_log/v<N+1>.json, tmp)` — hard-link creation is
+ *     atomic and fails if the destination exists, so exactly one writer
+ *     wins version N+1 and the linked file is complete by construction
+ *     (no reader can observe a partial commit). Losers reload the log,
+ *     RECOMPUTE their actions against the new snapshot, and retry at the
+ *     next version — recompute-under-the-fence makes delete/merge
+ *     serializable without any conflict matrix.
+ *
+ * A crash anywhere before step 3 leaves only unreferenced data/tmp files;
+ * readers never see them and [[vacuum]] reclaims them. On HDFS/object
+ * stores the same fence is `FileSystem.create(path, overwrite = false)`.
+ *
+ * Per-file column stats (min/max/nullCount) are read from the parquet
+ * FOOTERS at commit time — no data scan — and drive file pruning in
+ * [[scanRange]]/[[scanEq]]: at 100 TB the log + stats are the KB-sized
+ * planning object and a selective range scan opens only the overlapping
+ * files. Footer reads are distributed over executors when a commit
+ * references many files.
+ *
+ * Exactly-once streaming append: [[appendStreamBatch]] stamps the commit
+ * with (appId, epochId); a replayed foreachBatch epoch finds its txn in
+ * the log and becomes a no-op (same fence shape as the log bus sink).
+ */
+object GraftLake {
+
+  final case class ColStats(min: Option[String], max: Option[String],
+      nullCount: Long, kind: String)
+
+  final case class AddFile(path: String, rows: Long, bytes: Long,
+      stats: Map[String, ColStats])
+
+  final case class Commit(version: Long, ts: Long, op: String,
+      txnApp: Option[String], txnEpoch: Option[Long],
+      schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String])
+
+  final case class Snapshot(dir: String, version: Long, schema: StructType,
+      files: Seq[AddFile]) {
+    def activePaths: Seq[String] = files.map(f => s"$dir/${f.path}")
+  }
+
+  /** Thrown when `maxRetries` successive commit attempts all lost the
+    * version fence (pathological contention). */
+  final class LakeContentionException(msg: String) extends RuntimeException(msg)
+
+  private val mapper = new ObjectMapper()
+
+  // ── log dirs / names ─────────────────────────────────────────────────
+
+  private def logDir(dir: String) = new File(dir, "_log")
+  private def dataDir(dir: String) = new File(dir, "data")
+  private def versionFile(dir: String, v: Long) =
+    new File(logDir(dir), f"v$v%020d.json")
+
+  // ── commit (de)serialization ─────────────────────────────────────────
+
+  private def colStatsNode(s: ColStats): ObjectNode = {
+    val n = mapper.createObjectNode()
+    s.min.foreach(n.put("min", _))
+    s.max.foreach(n.put("max", _))
+    n.put("nulls", s.nullCount)
+    n.put("kind", s.kind)
+    n
+  }
+
+  private def commitJson(c: Commit): String = {
+    val n = mapper.createObjectNode()
+    n.put("version", c.version)
+    n.put("ts", c.ts)
+    n.put("op", c.op)
+    c.txnApp.foreach(n.put("txnApp", _))
+    c.txnEpoch.foreach(e => n.put("txnEpoch", e))
+    c.schemaJson.foreach(n.put("schema", _))
+    val adds = n.putArray("adds")
+    c.adds.foreach { a =>
+      val an = adds.addObject()
+      an.put("path", a.path); an.put("rows", a.rows); an.put("bytes", a.bytes)
+      val sn = an.putObject("stats")
+      a.stats.foreach { case (col, st) =>
+        sn.set[com.fasterxml.jackson.databind.JsonNode](col, colStatsNode(st)); ()
+      }
+    }
+    val rem = n.putArray("removes")
+    c.removes.foreach(rem.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def parseCommit(f: File): Commit = {
+    val n = mapper.readTree(f)
+    def optStr(k: String) = Option(n.get(k)).map(_.asText)
+    val adds = n.get("adds").asInstanceOf[ArrayNode].elements().asScala.map { an =>
+      val stats = Option(an.get("stats")).map { sn =>
+        sn.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> ColStats(
+            Option(v.get("min")).map(_.asText),
+            Option(v.get("max")).map(_.asText),
+            v.get("nulls").asLong, v.get("kind").asText)
+        }.toMap
+      }.getOrElse(Map.empty)
+      AddFile(an.get("path").asText, an.get("rows").asLong,
+        an.get("bytes").asLong, stats)
+    }.toSeq
+    val removes = n.get("removes").asInstanceOf[ArrayNode]
+      .elements().asScala.map(_.asText).toSeq
+    Commit(n.get("version").asLong, n.get("ts").asLong, n.get("op").asText,
+      optStr("txnApp"), Option(n.get("txnEpoch")).map(_.asLong),
+      optStr("schema"), adds, removes)
+  }
+
+  /** All committed versions, contiguous from 0 (holes are impossible:
+    * version N+1's fence can only be won after N exists). */
+  private def commits(dir: String): Seq[Commit] = {
+    val ld = logDir(dir)
+    val fs = Option(ld.listFiles((_, n) => n.matches("v\\d{20}\\.json")))
+      .getOrElse(Array.empty[File]).sortBy(_.getName)
+    fs.map(parseCommit).toIndexedSeq
+  }
+
+  def latestVersion(dir: String): Long = commits(dir).lastOption.map(_.version).getOrElse(-1L)
+
+  /** (version, op, ts, adds, removes) per commit — the table's history. */
+  def history(dir: String): Seq[(Long, String, Long, Int, Int)] =
+    commits(dir).map(c => (c.version, c.op, c.ts, c.adds.size, c.removes.size))
+
+  def snapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Snapshot = {
+    val cs0 = commits(dir)
+    require(cs0.nonEmpty, s"not a lake table: $dir")
+    val cs = asOf match {
+      case Some(v) =>
+        require(v >= 0 && v <= cs0.last.version, s"no version $v in $dir")
+        cs0.takeWhile(_.version <= v)
+      case None => cs0
+    }
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    cs.foreach { c =>
+      c.removes.foreach(active.remove)
+      c.adds.foreach(a => active(a.path) = a)
+    }
+    val schemaJson = cs.flatMap(_.schemaJson).last
+    Snapshot(dir, cs.last.version,
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      active.values.toSeq)
+  }
+
+  // ── the atomic commit fence ──────────────────────────────────────────
+
+  /** Attempt to publish `c` as version `c.version`; true iff this writer
+    * won the fence. The linked file is complete before it becomes
+    * visible, so readers never observe a partial commit. */
+  private def tryCommit(dir: String, c: Commit): Boolean = {
+    val ld = logDir(dir); ld.mkdirs()
+    val tmp = new File(ld, s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp.toPath, commitJson(c).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(versionFile(dir, c.version).toPath, tmp.toPath)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+    } finally tmp.delete()
+  }
+
+  // ── footer stats ─────────────────────────────────────────────────────
+
+  /** Min/max/nullCount per column from parquet footers only (no data
+    * scan); distributed when the file list is large. Kinds: "long"
+    * (INT32/INT64), "double" (FLOAT/DOUBLE), "string" (BINARY/UTF8).
+    * Absent or unknown stats stay None — pruning treats that file as
+    * always-overlapping (conservative). */
+  private[lake] def footerStats(spark: SparkSession,
+      paths: Seq[String]): Map[String, (Long, Long, Map[String, ColStats])] = {
+    val conf = new SerializableWritable(spark.sessionState.newHadoopConf())
+    def one(p: String): (String, (Long, Long, Map[String, ColStats])) = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf.value))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val bytes = blocks.map(_.getCompressedSize).sum
+        val perCol = scala.collection.mutable.Map.empty[String, ColStats]
+        blocks.foreach { b =>
+          b.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            val st = cc.getStatistics
+            val kind = cc.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => Some("long")
+              case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("double")
+              case PrimitiveTypeName.BINARY => Some("string")
+              case _ => None
+            }
+            kind.foreach { k =>
+              val nulls = if (st == null || st.getNumNulls < 0) -1L else st.getNumNulls
+              val (mn, mx) =
+                if (st == null || st.isEmpty || !st.hasNonNullValue) (None, None)
+                else k match {
+                  case "string" =>
+                    (Some(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8),
+                     Some(st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+                  case _ => (Some(st.genericGetMin.toString), Some(st.genericGetMax.toString))
+                }
+              val merged = perCol.get(name) match {
+                case None => ColStats(mn, mx, nulls, k)
+                case Some(prev) =>
+                  def m2(a: Option[String], b: Option[String], lt: Boolean) =
+                    (a, b) match {
+                      case (Some(x), Some(y)) =>
+                        Some(if (cmp(k, x, y) < 0 == lt) x else y)
+                      case _ => None // any block without stats poisons the bound
+                    }
+                  ColStats(m2(prev.min, mn, lt = true), m2(prev.max, mx, lt = false),
+                    if (prev.nullCount < 0 || nulls < 0) -1L else prev.nullCount + nulls, k)
+              }
+              perCol(name) = merged
+            }
+          }
+        }
+        p -> ((rows, bytes, perCol.toMap))
+      } finally r.close()
+    }
+    if (paths.size <= 16) paths.map(one).toMap
+    else spark.sparkContext.parallelize(paths, math.min(paths.size, 64)).map(one).collect().toMap
+  }
+
+  private def cmp(kind: String, a: String, b: String): Int = kind match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  // ── staging data files ───────────────────────────────────────────────
+
+  /** Write `df` to a staging dir, move the part files into data/ under
+    * fresh unique names (invisible until the log references them), and
+    * return their AddFile actions with footer stats. */
+  private def stage(df: DataFrame, dir: String, numFiles: Int): Seq[AddFile] = {
+    val spark = df.sparkSession
+    val staged = new File(dir, s"_staged/${UUID.randomUUID()}")
+    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    out.write.mode("overwrite").parquet(staged.getAbsolutePath)
+    val parts = Option(staged.listFiles((_, n) => n.startsWith("part-") && n.endsWith(".parquet")))
+      .getOrElse(Array.empty[File]).sortBy(_.getName)
+    dataDir(dir).mkdirs()
+    val moved = parts.toSeq.map { p =>
+      val rel = s"data/part-${UUID.randomUUID()}.parquet"
+      Files.move(p.toPath, Paths.get(dir, rel), StandardCopyOption.ATOMIC_MOVE)
+      rel
+    }
+    val stats = footerStats(spark, moved.map(r => s"$dir/$r"))
+    deleteRecursively(staged)
+    moved.map { rel =>
+      val (rows, bytes, cs) = stats(s"$dir/$rel")
+      AddFile(rel, rows, bytes, cs)
+    }
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  // ── writes ───────────────────────────────────────────────────────────
+
+  /** Create a new lake table at `dir` (version 0). */
+  def create(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
+    require(!versionFile(dir, 0).exists(), s"lake table already exists: $dir")
+    val adds = stage(df, dir, numFiles)
+    val c = Commit(0L, System.currentTimeMillis(), "create", None, None,
+      Some(df.schema.json), adds, Nil)
+    if (!tryCommit(dir, c))
+      throw new LakeContentionException(s"concurrent create at $dir")
+    0L
+  }
+
+  /** Append-only commit; never conflicts, so losers just re-fence at the
+    * next version. New nullable columns evolve the table schema; a type
+    * conflict on a shared column is rejected. */
+  def append(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
+    val spark = df.sparkSession
+    val adds = stage(df, dir, numFiles)
+    retry(dir, "append") { snap =>
+      val merged = mergeSchemas(snap.schema, df.schema)
+      val schemaJson = if (merged == snap.schema) None else Some(merged.json)
+      Some((Commit(snap.version + 1, System.currentTimeMillis(), "append",
+        None, None, schemaJson, adds, Nil), snap.version + 1))
+    }.get
+  }
+
+  /** Exactly-once streaming append: a replayed (appId, epochId) finds its
+    * txn already in the log and commits nothing. */
+  def appendStreamBatch(df: DataFrame, dir: String, appId: String,
+      epochId: Long, numFiles: Int = 0): Boolean = {
+    val already = commits(dir).exists(c =>
+      c.txnApp.contains(appId) && c.txnEpoch.contains(epochId))
+    if (already) return false
+    val adds = stage(df, dir, numFiles)
+    val committed = retry(dir, "stream-append") { snap =>
+      // re-check under the fence: a racing attempt of the SAME epoch may
+      // have won a version while we staged
+      if (commits(dir).exists(c => c.txnApp.contains(appId) && c.txnEpoch.contains(epochId)))
+        None
+      else
+        Some((Commit(snap.version + 1, System.currentTimeMillis(), "stream-append",
+          Some(appId), Some(epochId), None, adds, Nil), snap.version + 1))
+    }
+    if (committed.isEmpty) adds.foreach(a => new File(dir, a.path).delete())
+    committed.isDefined
+  }
+
+  /** Copy-on-write DELETE: only files whose stats overlap the predicate
+    * are rewritten; everything else is untouched (same physical file).
+    * The rewrite is recomputed from the latest snapshot on every fence
+    * retry, so concurrent appends are never lost. */
+  def delete(spark: SparkSession, dir: String, predicate: Column): Long =
+    rewrite(spark, dir, "delete", predicate) { (hit, _) =>
+      hit.filter(!coalesce(predicate, lit(false)))
+    }
+
+  /** Copy-on-write MERGE (upsert by `key`): files possibly holding an
+    * update key are rewritten with matched rows replaced; all update rows
+    * (matched + new) are written once. Conservative stats pruning keeps
+    * the candidate set sound: a key outside the candidates cannot exist
+    * in the table. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String): Long = {
+    val upd = updates.cache()
+    try {
+      val (lo, hi, n) = {
+        val r = upd.agg(min(col(key)), max(col(key)), count(lit(1))).collect()(0)
+        (Option(r.get(0)), Option(r.get(1)), r.getLong(2))
+      }
+      if (n == 0) return latestVersion(dir)
+      retryRewrite(spark, dir, "merge") { snap =>
+        val candidates = snap.files.filter { f =>
+          f.stats.get(key) match {
+            case Some(st) if st.min.isDefined && st.max.isDefined =>
+              (lo, hi) match {
+                case (Some(l), Some(h)) =>
+                  cmp(st.kind, st.max.get, l.toString) >= 0 &&
+                    cmp(st.kind, st.min.get, h.toString) <= 0
+                case _ => true
+              }
+            case _ => true // no stats — must assume it can hold the key
+          }
+        }
+        val base =
+          if (candidates.isEmpty) emptyDf(spark, snap.schema)
+          else readFiles(spark, snap, candidates.map(f => s"$dir/${f.path}"))
+        val rewritten = base.join(upd.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(upd, allowMissingColumns = true)
+        (candidates, rewritten)
+      }
+    } finally { upd.unpersist(); () }
+  }
+
+  /** Bin-pack small files (< `smallBytes`) into ~`targetBytes` outputs.
+    * Pure layout change: same rows before and after; old files stay on
+    * disk for time travel until [[vacuum]]. */
+  def optimize(spark: SparkSession, dir: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Long =
+    retryRewrite(spark, dir, "optimize") { snap =>
+      val small = snap.files.filter(_.bytes < smallBytes)
+      if (small.size < 2) (Nil, emptyDf(spark, snap.schema))
+      else {
+        val total = small.map(_.bytes).sum
+        val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+        val df = readFiles(spark, snap, small.map(f => s"$dir/${f.path}"))
+          .repartition(nOut)
+        (small, df)
+      }
+    }
+
+  /** Reclaim (a) orphan data files no log version references — debris of
+    * crashed writers — and (b) when `keepHistory` is false, tombstoned
+    * files only old snapshots reference (time travel to those versions is
+    * given up; the latest snapshot is untouched). Returns files deleted. */
+  def vacuum(spark: SparkSession, dir: String, keepHistory: Boolean = true): Int = {
+    val cs = commits(dir)
+    val everReferenced = cs.flatMap(_.adds.map(_.path)).toSet
+    val active = snapshot(spark, dir).files.map(_.path).toSet
+    val onDisk = Option(dataDir(dir).listFiles((_, n) => n.endsWith(".parquet")))
+      .getOrElse(Array.empty[File]).map(f => s"data/${f.getName}").toSet
+    val doomed = (onDisk -- everReferenced) ++
+      (if (keepHistory) Set.empty[String] else (everReferenced -- active) & onDisk)
+    doomed.foreach(rel => new File(dir, rel).delete())
+    // also sweep abandoned staging dirs
+    Option(new File(dir, "_staged").listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    doomed.size
+  }
+
+  // ── reads ────────────────────────────────────────────────────────────
+
+  /** Read the table at the latest (or `asOf`) version. Missing columns in
+    * old files are null-filled to the evolved schema. */
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, asOf)
+    if (snap.files.isEmpty) emptyDf(spark, snap.schema)
+    else readFiles(spark, snap, snap.activePaths)
+  }
+
+  /** Range scan with file-level stats pruning: returns the filtered
+    * DataFrame plus (filesScanned, filesTotal). The residual filter keeps
+    * the result exact; pruning only skips files whose footer bounds prove
+    * no row can match. */
+  def scanRange(spark: SparkSession, dir: String, column: String,
+      lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val snap = snapshot(spark, dir)
+    val hit = snap.files.filter { f =>
+      f.stats.get(column) match {
+        case Some(st) =>
+          if (st.min.isEmpty || st.max.isEmpty)
+            // no value bounds: skippable only if provably all-null
+            !(st.nullCount >= 0 && st.nullCount == f.rows)
+          else cmp(st.kind, st.max.get, lo.toString) >= 0 &&
+            cmp(st.kind, st.min.get, hi.toString) <= 0
+        case None => true
+      }
+    }
+    val df =
+      if (hit.isEmpty) emptyDf(spark, snap.schema)
+      else readFiles(spark, snap, hit.map(f => s"$dir/${f.path}"))
+    (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
+      hit.size, snap.files.size)
+  }
+
+  def scanEq(spark: SparkSession, dir: String, column: String,
+      value: Any): (DataFrame, Int, Int) = scanRange(spark, dir, column, value, value)
+
+  private def readFiles(spark: SparkSession, snap: Snapshot,
+      paths: Seq[String]): DataFrame = {
+    val base = spark.read.option("mergeSchema", "true")
+      .schema(snap.schema) // evolved schema: absent columns null-filled per file
+      .parquet(paths: _*)
+    base.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  // ── shared rewrite/retry machinery ───────────────────────────────────
+
+  /** Fence-retry loop: `build` sees the latest snapshot and returns the
+    * commit to attempt (None = nothing to do). */
+  private def retry[A](dir: String, op: String)(
+      build: Snapshot => Option[(Commit, A)]): Option[A] = {
+    val spark = SparkSession.active
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = snapshot(spark, dir)
+      build(snap) match {
+        case None => return None
+        case Some((c, a)) => if (tryCommit(dir, c)) return Some(a)
+      }
+      attempts += 1
+    }
+    throw new LakeContentionException(s"$op at $dir lost the fence 20 times")
+  }
+
+  /** CoW rewrite with recompute-per-attempt: `plan` picks the files to
+    * replace and the replacement rows FROM THE LATEST SNAPSHOT; stage +
+    * commit; on a lost fence the staged files are discarded and the whole
+    * plan recomputes — serializable by construction. */
+  private def retryRewrite(spark: SparkSession, dir: String, op: String)(
+      plan: Snapshot => (Seq[AddFile], DataFrame)): Long = {
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = snapshot(spark, dir)
+      val (victims, replacement) = plan(snap)
+      if (victims.isEmpty && op != "merge") return snap.version
+      val adds = stage(replacement, dir, 0)
+      val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
+        None, adds, victims.map(_.path))
+      if (tryCommit(dir, c)) return c.version
+      adds.foreach(a => new File(dir, a.path).delete()) // lost: discard staging
+      attempts += 1
+    }
+    throw new LakeContentionException(s"$op at $dir lost the fence 20 times")
+  }
+
+  private def rewrite(spark: SparkSession, dir: String, op: String,
+      predicate: Column)(f: (DataFrame, Snapshot) => DataFrame): Long =
+    retryRewrite(spark, dir, op) { snap =>
+      val hit = overlapping(snap, predicate)
+      if (hit.isEmpty) (Nil, emptyDf(spark, snap.schema))
+      else {
+        val df = readFiles(spark, snap, hit.map(h => s"${snap.dir}/${h.path}"))
+        (hit, f(df, snap))
+      }
+    }
+
+  /** Files whose stats cannot DISPROVE the predicate. Only simple
+    * `col <op> literal` conjuncts prune; anything else keeps the file. */
+  private def overlapping(snap: Snapshot, predicate: Column): Seq[AddFile] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def bounds(e: Expression): Option[(String, String, String)] = e match {
+      case b: BinaryComparison =>
+        (b.left, b.right) match {
+          case (a: Attribute, Literal(v, _)) => Some((a.name, opName(b), String.valueOf(v)))
+          case (UnresolvedAttributeLike(n), Literal(v, _)) => Some((n, opName(b), String.valueOf(v)))
+          case (Literal(v, _), a: Attribute) => Some((a.name, flip(opName(b)), String.valueOf(v)))
+          case (Literal(v, _), UnresolvedAttributeLike(n)) => Some((n, flip(opName(b)), String.valueOf(v)))
+          case _ => None
+        }
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // resolve the predicate against the table schema (the raw Column is an
+    // unresolved node in Spark 4's unified Column API; only the ANALYZED
+    // condition exposes AttributeReference/Literal comparisons to match on)
+    val resolved = {
+      val spark = SparkSession.active
+      emptyDf(spark, snap.schema).filter(predicate)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+    }
+    val preds = resolved.toSeq.flatMap(conjuncts).flatMap(bounds)
+    snap.files.filter { f =>
+      preds.forall { case (name, op, v) =>
+        f.stats.get(name) match {
+          case Some(st) if st.min.isDefined && st.max.isDefined =>
+            val k = st.kind
+            op match {
+              case "=" => cmp(k, st.min.get, v) <= 0 && cmp(k, st.max.get, v) >= 0
+              case "<" => cmp(k, st.min.get, v) < 0
+              case "<=" => cmp(k, st.min.get, v) <= 0
+              case ">" => cmp(k, st.max.get, v) > 0
+              case ">=" => cmp(k, st.max.get, v) >= 0
+              case _ => true
+            }
+          case _ => true
+        }
+      }
+    }
+  }
+
+  private object UnresolvedAttributeLike {
+    def unapply(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] =
+      e match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(u.nameParts.last)
+        case _ => None
+      }
+  }
+
+  private def opName(b: org.apache.spark.sql.catalyst.expressions.BinaryComparison): String =
+    b match {
+      case _: org.apache.spark.sql.catalyst.expressions.EqualTo => "="
+      case _: org.apache.spark.sql.catalyst.expressions.LessThan => "<"
+      case _: org.apache.spark.sql.catalyst.expressions.LessThanOrEqual => "<="
+      case _: org.apache.spark.sql.catalyst.expressions.GreaterThan => ">"
+      case _: org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual => ">="
+      case _ => "?"
+    }
+
+  private def flip(op: String): String = op match {
+    case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+    case other => other
+  }
+
+  private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
+    val baseNames = base.fieldNames.toSet
+    incoming.fields.filter(f => baseNames.contains(f.name)).foreach { f =>
+      val bf = base(f.name)
+      require(bf.dataType == f.dataType,
+        s"schema conflict on '${f.name}': ${bf.dataType} vs ${f.dataType}")
+    }
+    StructType(base.fields ++
+      incoming.fields.filterNot(f => baseNames.contains(f.name))
+        .map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+}

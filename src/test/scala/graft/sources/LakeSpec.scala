@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.io.File
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.SparkSpec
+import graft.sources.lake.GraftLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_lake").toString
+
+  private def kv(ids: Range, tag: String): DataFrame =
+    ids.map(i => (i.toLong, tag, i.toLong * 10)).toDF("id", "tag", "v")
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+
+  test("create + append + read roundtrip; history records the ops") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 100, "a"), dir, numFiles = 4)
+    GraftLake.append(kv(100 until 150, "b"), dir, numFiles = 2)
+    val got = rowsOf(GraftLake.read(spark, dir))
+    assert(got == rowsOf(kv(0 until 150, "x")).map { case (i, _, v) =>
+      (i, if (i < 100) "a" else "b", v) })
+    assert(GraftLake.history(dir).map(h => (h._1, h._2)) ==
+      Seq((0L, "create"), (1L, "append")))
+    assert(GraftLake.snapshot(spark, dir).files.size == 6)
+  }
+
+  test("copy-on-write delete rewrites only stat-overlapping files") {
+    val dir = tmp()
+    // 4 files with disjoint id ranges (repartitionByRange keeps them apart)
+    GraftLake.create(kv(0 until 400, "a").repartitionByRange(4, col("id")), dir)
+    val before = GraftLake.snapshot(spark, dir).files.map(_.path).toSet
+
+    GraftLake.delete(spark, dir, col("id") < 50L)
+    val after = GraftLake.snapshot(spark, dir)
+    // files whose [min,max] can't contain id<50 are physically untouched
+    assert((before & after.files.map(_.path).toSet).size >= 2,
+      "delete rewrote stat-disjoint files")
+    assert(rowsOf(GraftLake.read(spark, dir)) ==
+      rowsOf(kv(50 until 400, "a")))
+  }
+
+  test("merge upserts matched keys and inserts new ones exactly once") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 100, "a")
+      .repartitionByRange(4, col("id")), dir)
+    val updates = Seq((10L, "upd", 111L), (99L, "upd", 999L),
+      (1000L, "new", 1L)).toDF("id", "tag", "v")
+    GraftLake.merge(spark, dir, updates, "id")
+    val got = rowsOf(GraftLake.read(spark, dir))
+    assert(got.count(_._1 == 10L) == 1 && got(((10L, "upd", 111L))))
+    assert(got(((99L, "upd", 999L))) && got(((1000L, "new", 1L))))
+    assert(got.size == 101)
+    assert(got(((11L, "a", 110L)))) // untouched neighbor intact
+  }
+
+  test("time travel reads any prior version; optimize preserves content") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 50, "a"), dir, numFiles = 5) // v0
+    GraftLake.append(kv(50 until 80, "b"), dir, numFiles = 3) // v1
+    GraftLake.delete(spark, dir, col("id") >= 70L) // v2
+    val v1 = rowsOf(GraftLake.read(spark, dir, asOf = Some(1L)))
+    assert(v1.map(_._1) == (0L until 80L).toSet)
+    val latest = rowsOf(GraftLake.read(spark, dir))
+
+    val vOpt = GraftLake.optimize(spark, dir, smallBytes = 1L << 20,
+      targetBytes = 1L << 20)
+    assert(vOpt == 3L)
+    assert(rowsOf(GraftLake.read(spark, dir)) == latest)
+    assert(GraftLake.snapshot(spark, dir).files.size <
+      GraftLake.snapshot(spark, dir, Some(2L)).files.size)
+    // pre-optimize versions still readable (files retained until vacuum)
+    assert(rowsOf(GraftLake.read(spark, dir, asOf = Some(1L))) == v1)
+  }
+
+  test("concurrent appends: every writer lands, versions stay contiguous") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 10, "base"), dir, numFiles = 1)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 8).map { w =>
+        Future(GraftLake.append(
+          kv(100 + w * 10 until 100 + w * 10 + 10, s"w$w"), dir, numFiles = 1))
+      }
+      val versions = Await.result(Future.sequence(fs), 120.seconds)
+      assert(versions.toSet == (1L to 8L).toSet, "each commit won a distinct version")
+    } finally pool.shutdown()
+    assert(GraftLake.read(spark, dir).count() == 10 + 80)
+    assert(GraftLake.latestVersion(dir) == 8L)
+  }
+
+  test("concurrent delete vs append: recompute under the fence loses no rows") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 100, "a").repartitionByRange(4, col("id")), dir)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val del = Future(GraftLake.delete(spark, dir, col("id") < 20L))
+      val app = Future(GraftLake.append(kv(500 until 520, "late"), dir, numFiles = 1))
+      Await.result(Future.sequence(Seq(del, app)), 120.seconds)
+    } finally pool.shutdown()
+    val got = rowsOf(GraftLake.read(spark, dir))
+    assert(got.map(_._1) == ((20L until 100L) ++ (500L until 520L)).toSet)
+  }
+
+  test("crashed-writer debris is invisible; vacuum reclaims it") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 30, "a"), dir, numFiles = 1)
+    // plant an orphan data file (a writer that died before its commit)
+    kv(900 until 910, "ghost").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir-ghost")
+    val ghost = new File(s"$dir-ghost").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val planted = new File(dir, "data/part-orphan.parquet")
+    java.nio.file.Files.copy(ghost.toPath, planted.toPath)
+    assert(planted.exists())
+    assert(GraftLake.read(spark, dir).count() == 30) // readers never see it
+    val removed = GraftLake.vacuum(spark, dir)
+    assert(removed == 1 && !planted.exists())
+    assert(GraftLake.read(spark, dir).count() == 30)
+  }
+
+  test("vacuum without history keeps the latest snapshot exactly readable") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 100, "a").repartitionByRange(4, col("id")), dir)
+    GraftLake.delete(spark, dir, col("id") < 25L)
+    val latest = rowsOf(GraftLake.read(spark, dir))
+    val removed = GraftLake.vacuum(spark, dir, keepHistory = false)
+    assert(removed >= 1) // the tombstoned file(s) actually left disk
+    assert(rowsOf(GraftLake.read(spark, dir)) == latest)
+  }
+
+  test("exactly-once streaming append: a replayed epoch is a no-op") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 10, "a"), dir, numFiles = 1)
+    assert(GraftLake.appendStreamBatch(kv(10 until 20, "e0"), dir, "appX", 0L, 1))
+    assert(GraftLake.appendStreamBatch(kv(20 until 30, "e1"), dir, "appX", 1L, 1))
+    // replay of epoch 1 (driver restart re-runs foreachBatch)
+    assert(!GraftLake.appendStreamBatch(kv(20 until 30, "e1"), dir, "appX", 1L, 1))
+    assert(GraftLake.read(spark, dir).count() == 30)
+    // a different app's epoch 1 is NOT fenced out
+    assert(GraftLake.appendStreamBatch(kv(30 until 40, "y"), dir, "appY", 1L, 1))
+    assert(GraftLake.read(spark, dir).count() == 40)
+  }
+
+  test("stats pruning: range scan opens only overlapping files, result exact") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 1000, "a").repartitionByRange(8, col("id")), dir)
+    val (df, scanned, total) = GraftLake.scanRange(spark, dir, "id", 100L, 149L)
+    assert(total == 8 && scanned < total, s"scanned $scanned of $total")
+    assert(rowsOf(df) == rowsOf(kv(100 until 150, "a")))
+    // string-kind stats prune too
+    val dir2 = tmp()
+    GraftLake.create(
+      kv(0 until 100, "a").withColumn("tag", concat(lit("k"), format_string("%03d", col("id"))))
+        .repartitionByRange(4, col("tag")), dir2)
+    val (df2, s2, t2) = GraftLake.scanRange(spark, dir2, "tag", "k010", "k019")
+    assert(t2 == 4 && s2 < t2)
+    assert(df2.count() == 10)
+  }
+
+  test("schema evolution: appended column null-fills old files") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 10, "a"), dir, numFiles = 1)
+    GraftLake.append(
+      kv(10 until 20, "b").withColumn("lang", lit("en")), dir, numFiles = 1)
+    val got = GraftLake.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "tag", "v", "lang"))
+    assert(got.filter(col("lang").isNull).count() == 10)
+    assert(got.filter(col("lang") === "en").count() == 10)
+    // conflicting type on a shared column is rejected
+    intercept[IllegalArgumentException] {
+      GraftLake.append(Seq((1, 2)).toDF("id", "v"), dir) // id: int vs long
+    }
+  }
+}
