@@ -132,13 +132,70 @@ object LakeQueries {
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── l4: the change feed — file-diff CDC across delete + merge ──────────
+  // Same build as l1; changes(v1 → v3) must emit EXACTLY the rows the
+  // delete removed (old values), the merge's updated keys as
+  // delete(old)+insert(new), and the merge's inserts — with every
+  // CoW-copied survivor cancelled. The oracle derives all four row
+  // classes relationally. (%8==0 keys are even, %20==1 keys odd, so the
+  // delete and update victim sets are provably disjoint.)
+  private val l4LakeChanges: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_cdc").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl)
+    GraftLake.append(
+      p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), tbl)
+    GraftLake.delete(s, tbl,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 8 === 0)
+    val updates =
+      p.filter(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          lit("X").as("o_orderpriority"), (col("price_c") * 2).as("price_c"))
+        .unionByName(
+          p.filter(col("o_orderkey") % 20 === 2)
+            .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+              lit("I").as("o_orderstatus"), lit("Y").as("o_orderpriority"),
+              (col("price_c") + 7).as("price_c")))
+    GraftLake.merge(s, tbl, updates, "o_orderkey")
+    GraftLake.changes(s, tbl, 1L, 3L)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("price_c"), col("change_kind"))
+      .orderBy(col("o_orderkey"), col("change_kind"))
+  }
+  private val l4LakeChangesSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |), base AS (
+      |  SELECT * FROM p WHERE o_orderkey % 4 IN (0, 1)
+      |), deleted AS (
+      |  SELECT *, 'delete' AS change_kind FROM base
+      |  WHERE (o_orderstatus = 'F' AND o_orderkey % 8 = 0)
+      |     OR o_orderkey % 20 = 1
+      |), inserted AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, 'X' AS o_orderpriority,
+      |         price_c * 2 AS price_c, 'insert' AS change_kind
+      |  FROM p WHERE o_orderkey % 20 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, 'I', 'Y', price_c + 7, 'insert'
+      |  FROM p WHERE o_orderkey % 20 = 2
+      |)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c, change_kind
+      |FROM (SELECT * FROM deleted UNION ALL SELECT * FROM inserted)
+      |ORDER BY o_orderkey, change_kind""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l1_lake_dml" -> l1LakeDml,
     "l2_lake_time_travel" -> l2LakeTimeTravel,
-    "l3_lake_prune_scan" -> l3LakePruneScan)
+    "l3_lake_prune_scan" -> l3LakePruneScan,
+    "l4_lake_changes" -> l4LakeChanges)
 
   val oracles: Map[String, String] = Map(
     "l1_lake_dml" -> l1LakeDmlSql,
     "l2_lake_time_travel" -> l2LakeTimeTravelSql,
-    "l3_lake_prune_scan" -> l3LakePruneScanSql)
+    "l3_lake_prune_scan" -> l3LakePruneScanSql,
+    "l4_lake_changes" -> l4LakeChangesSql)
 }

@@ -408,19 +408,32 @@ object GraftLake {
   /** Reclaim (a) orphan data files no log version references — debris of
     * crashed writers — and (b) when `keepHistory` is false, tombstoned
     * files only old snapshots reference (time travel to those versions is
-    * given up; the latest snapshot is untouched). Returns files deleted. */
-  def vacuum(spark: SparkSession, dir: String, keepHistory: Boolean = true): Int = {
+    * given up; the latest snapshot is untouched). Returns files deleted.
+    *
+    * `minAgeMillis` is the concurrent-writer guard (the retention
+    * threshold of the Delta paper): a LIVE writer has a window between
+    * moving files into data/ and winning its commit where those files
+    * look like orphans — vacuum must only reclaim debris old enough that
+    * no in-flight commit can still reference it. Tombstoned files are
+    * age-gated too (an old snapshot's reader may still be scanning them).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepHistory: Boolean = true,
+      minAgeMillis: Long = 60L * 60 * 1000): Int = {
     val cs = commits(dir)
     val everReferenced = cs.flatMap(_.adds.map(_.path)).toSet
     val active = snapshot(spark, dir).files.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    def oldEnough(rel: String): Boolean =
+      new File(dir, rel).lastModified() <= cutoff
     val onDisk = Option(dataDir(dir).listFiles((_, n) => n.endsWith(".parquet")))
       .getOrElse(Array.empty[File]).map(f => s"data/${f.getName}").toSet
-    val doomed = (onDisk -- everReferenced) ++
-      (if (keepHistory) Set.empty[String] else (everReferenced -- active) & onDisk)
+    val doomed = ((onDisk -- everReferenced) ++
+      (if (keepHistory) Set.empty[String] else (everReferenced -- active) & onDisk))
+      .filter(oldEnough)
     doomed.foreach(rel => new File(dir, rel).delete())
-    // also sweep abandoned staging dirs
+    // sweep abandoned staging dirs under the same age guard
     Option(new File(dir, "_staged").listFiles()).getOrElse(Array.empty)
-      .foreach(deleteRecursively)
+      .filter(_.lastModified() <= cutoff).foreach(deleteRecursively)
     doomed.size
   }
 
@@ -461,6 +474,65 @@ object GraftLake {
 
   def scanEq(spark: SparkSession, dir: String, column: String,
       value: Any): (DataFrame, Int, Int) = scanRange(spark, dir, column, value, value)
+
+  /** General pruned scan: every `col <op> literal` conjunct of the
+    * predicate prunes via footer stats (the same machinery CoW victim
+    * selection uses); the full predicate then runs as the residual
+    * filter, so the result is exact whatever the stats covered. */
+  def scanFiltered(spark: SparkSession, dir: String,
+      predicate: Column): (DataFrame, Int, Int) = {
+    val snap = snapshot(spark, dir)
+    val hit = overlapping(snap, predicate)
+    val df =
+      if (hit.isEmpty) emptyDf(spark, snap.schema)
+      else readFiles(spark, snap, hit.map(f => s"$dir/${f.path}"))
+    (df.filter(predicate), hit.size, snap.files.size)
+  }
+
+  /** Row-level change feed between two versions, computed from the FILE
+    * diff alone: files common to both snapshots cancel without being
+    * read, and rows a CoW rewrite merely copied cancel via exceptAll —
+    * so the cost is bounded by the changed-file volume, not the table.
+    * Returns the evolved (toV) schema plus `change_kind` ∈
+    * {insert, delete}; an updated row appears as its old value deleted
+    * and its new value inserted. */
+  def changes(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val from = snapshot(spark, dir, Some(fromV))
+    val to = snapshot(spark, dir, Some(toV))
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    // read BOTH sides with the target schema so evolved columns align
+    def side(paths: Set[String]): DataFrame =
+      if (paths.isEmpty) emptyDf(spark, to.schema)
+      else readFiles(spark, to, paths.toSeq.sorted.map(p => s"$dir/$p"))
+    val added = side(toPaths -- fromPaths)
+    val removed = side(fromPaths -- toPaths)
+    added.exceptAll(removed).withColumn("change_kind", lit("insert"))
+      .unionByName(
+        removed.exceptAll(added).withColumn("change_kind", lit("delete")))
+  }
+
+  /** OPTIMIZE ZORDER BY (x, y): rewrite the active files range-partitioned
+    * and sorted by the Morton interleave of the two columns, so footer
+    * min/max become tight on BOTH — a box predicate then prunes to
+    * O(perimeter) files instead of scanning everything (the lakehouse
+    * two-hot-filter-column clustering; interleave expr shared with
+    * [[graft.sources.Layout.zValue2]]). Pure layout change, same rows. */
+  def optimizeZOrder(spark: SparkSession, dir: String, colX: String,
+      colY: String, numFiles: Int): Long =
+    retryRewrite(spark, dir, "zorder") { snap =>
+      if (snap.files.size < 2) (Nil, emptyDf(spark, snap.schema))
+      else {
+        val z = graft.sources.Layout.zValue2(col(colX), col(colY))
+        val df = readFiles(spark, snap, snap.activePaths)
+          .withColumn("__z", z)
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+        (snap.files, df)
+      }
+    }
 
   private def readFiles(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {

@@ -127,7 +127,10 @@ class LakeSpec extends SparkSpec {
     java.nio.file.Files.copy(ghost.toPath, planted.toPath)
     assert(planted.exists())
     assert(GraftLake.read(spark, dir).count() == 30) // readers never see it
-    val removed = GraftLake.vacuum(spark, dir)
+    // the retention guard: a FRESH orphan may belong to an in-flight
+    // commit, so the default age threshold must leave it alone
+    assert(GraftLake.vacuum(spark, dir) == 0 && planted.exists())
+    val removed = GraftLake.vacuum(spark, dir, minAgeMillis = 0L)
     assert(removed == 1 && !planted.exists())
     assert(GraftLake.read(spark, dir).count() == 30)
   }
@@ -137,7 +140,8 @@ class LakeSpec extends SparkSpec {
     GraftLake.create(kv(0 until 100, "a").repartitionByRange(4, col("id")), dir)
     GraftLake.delete(spark, dir, col("id") < 25L)
     val latest = rowsOf(GraftLake.read(spark, dir))
-    val removed = GraftLake.vacuum(spark, dir, keepHistory = false)
+    val removed = GraftLake.vacuum(spark, dir, keepHistory = false,
+      minAgeMillis = 0L)
     assert(removed >= 1) // the tombstoned file(s) actually left disk
     assert(rowsOf(GraftLake.read(spark, dir)) == latest)
   }
@@ -170,6 +174,50 @@ class LakeSpec extends SparkSpec {
     assert(t2 == 4 && s2 < t2)
     assert(df2.count() == 10)
   }
+
+  test("change feed: file-diff CDC nets out copied rows, updates = delete+insert") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 100, "a").repartitionByRange(4, col("id")), dir) // v0
+    GraftLake.delete(spark, dir, col("id") < 10L) // v1 (CoW: copies 10..~24)
+    GraftLake.merge(spark, dir,
+      Seq((50L, "upd", 500L), (2000L, "new", 1L)).toDF("id", "tag", "v"), "id") // v2
+    val c1 = GraftLake.changes(spark, dir, 0L, 1L)
+    assert(c1.filter(col("change_kind") === "insert").count() == 0,
+      "CoW-copied survivors must cancel out of the feed")
+    assert(c1.filter(col("change_kind") === "delete")
+      .select("id").as[Long].collect().toSet == (0L until 10L).toSet)
+    val c2 = GraftLake.changes(spark, dir, 1L, 2L)
+    val ins = c2.filter(col("change_kind") === "insert")
+      .select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+    val del = c2.filter(col("change_kind") === "delete")
+      .select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+    assert(ins == Set((50L, "upd", 500L), (2000L, "new", 1L)))
+    assert(del == Set((50L, "a", 500L))) // the old value of the updated row
+    // spanning feed composes: v0 -> v2
+    val c02 = GraftLake.changes(spark, dir, 0L, 2L)
+    assert(c02.filter(col("change_kind") === "delete").count() == 11) // 0..9 + old 50
+    assert(c02.filter(col("change_kind") === "insert").count() == 2)
+  }
+
+  test("optimize zorder: box predicate prunes to a corner of the layout") {
+    val dir = tmp()
+    val grid = (0 until 1024).map(i => (i.toLong, (i % 32).toLong, (i / 32).toLong))
+      .toDF("id", "x", "y")
+    GraftLake.create(grid.repartition(16), dir) // random layout: boxes hit everything
+    val box = col("x") >= 0L && col("x") <= 7L && col("y") >= 0L && col("y") <= 7L
+    val (beforeDf, beforeScan, beforeTotal) = GraftLake.scanFiltered(spark, dir, box)
+    val expected = rowsBox(beforeDf)
+    assert(beforeScan == beforeTotal, "row-robin layout: every file overlaps the box")
+
+    GraftLake.optimizeZOrder(spark, dir, "x", "y", numFiles = 16)
+    val (afterDf, afterScan, afterTotal) = GraftLake.scanFiltered(spark, dir, box)
+    assert(afterTotal == 16 && afterScan * 2 <= afterTotal,
+      s"z-clustered layout must prune the box scan (opened $afterScan/$afterTotal)")
+    assert(rowsBox(afterDf) == expected, "clustering is a pure layout change")
+  }
+
+  private def rowsBox(df: DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
 
   test("schema evolution: appended column null-fills old files") {
     val dir = tmp()
