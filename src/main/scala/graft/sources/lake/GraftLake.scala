@@ -57,6 +57,12 @@ import org.apache.spark.sql.types.{StructField, StructType}
  * Exactly-once streaming append: [[appendStreamBatch]] stamps the commit
  * with (appId, epochId); a replayed foreachBatch epoch finds its txn in
  * the log and becomes a no-op (same fence shape as the log bus sink).
+ *
+ * Log checkpoints (the `checkpointEvery` table property): every Nth
+ * commit also persists the folded state — active files, schema, per-app
+ * epoch watermarks — through the same link fence, so a reader folds
+ * O(active files + tail commits) instead of replaying the whole history;
+ * checkpoints are pure acceleration (deleting them only slows reads).
  */
 object GraftLake {
 
@@ -68,7 +74,15 @@ object GraftLake {
 
   final case class Commit(version: Long, ts: Long, op: String,
       txnApp: Option[String], txnEpoch: Option[Long],
-      schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String])
+      schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String],
+      ckptEvery: Option[Int] = None)
+
+  /** Folded log state at one version — what a checkpoint persists: the
+    * active file set, the evolved schema, and the high-water epoch per
+    * streaming appId (the txn fence survives log truncation this way). */
+  private final case class LogState(version: Long, schemaJson: String,
+      files: scala.collection.immutable.ListMap[String, AddFile],
+      txns: Map[String, Long])
 
   final case class Snapshot(dir: String, version: Long, schema: StructType,
       files: Seq[AddFile]) {
@@ -87,6 +101,8 @@ object GraftLake {
   private def dataDir(dir: String) = new File(dir, "data")
   private def versionFile(dir: String, v: Long) =
     new File(logDir(dir), f"v$v%020d.json")
+  private def ckptFile(dir: String, v: Long) =
+    new File(logDir(dir), f"ckpt-v$v%020d.json")
 
   // ── commit (de)serialization ─────────────────────────────────────────
 
@@ -99,32 +115,17 @@ object GraftLake {
     n
   }
 
-  private def commitJson(c: Commit): String = {
-    val n = mapper.createObjectNode()
-    n.put("version", c.version)
-    n.put("ts", c.ts)
-    n.put("op", c.op)
-    c.txnApp.foreach(n.put("txnApp", _))
-    c.txnEpoch.foreach(e => n.put("txnEpoch", e))
-    c.schemaJson.foreach(n.put("schema", _))
-    val adds = n.putArray("adds")
-    c.adds.foreach { a =>
-      val an = adds.addObject()
-      an.put("path", a.path); an.put("rows", a.rows); an.put("bytes", a.bytes)
-      val sn = an.putObject("stats")
-      a.stats.foreach { case (col, st) =>
-        sn.set[com.fasterxml.jackson.databind.JsonNode](col, colStatsNode(st)); ()
-      }
+  private def addFileNode(into: ArrayNode, a: AddFile): Unit = {
+    val an = into.addObject()
+    an.put("path", a.path); an.put("rows", a.rows); an.put("bytes", a.bytes)
+    val sn = an.putObject("stats")
+    a.stats.foreach { case (col, st) =>
+      sn.set[com.fasterxml.jackson.databind.JsonNode](col, colStatsNode(st)); ()
     }
-    val rem = n.putArray("removes")
-    c.removes.foreach(rem.add)
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
-  private def parseCommit(f: File): Commit = {
-    val n = mapper.readTree(f)
-    def optStr(k: String) = Option(n.get(k)).map(_.asText)
-    val adds = n.get("adds").asInstanceOf[ArrayNode].elements().asScala.map { an =>
+  private def parseAddFiles(arr: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] =
+    arr.asInstanceOf[ArrayNode].elements().asScala.map { an =>
       val stats = Option(an.get("stats")).map { sn =>
         sn.properties().asScala.map { e =>
           val v = e.getValue
@@ -137,11 +138,116 @@ object GraftLake {
       AddFile(an.get("path").asText, an.get("rows").asLong,
         an.get("bytes").asLong, stats)
     }.toSeq
+
+  private def commitJson(c: Commit): String = {
+    val n = mapper.createObjectNode()
+    n.put("version", c.version)
+    n.put("ts", c.ts)
+    n.put("op", c.op)
+    c.txnApp.foreach(n.put("txnApp", _))
+    c.txnEpoch.foreach(e => n.put("txnEpoch", e))
+    c.schemaJson.foreach(n.put("schema", _))
+    c.ckptEvery.foreach(n.put("ckptEvery", _))
+    val adds = n.putArray("adds")
+    c.adds.foreach(addFileNode(adds, _))
+    val rem = n.putArray("removes")
+    c.removes.foreach(rem.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def parseCommit(f: File): Commit = {
+    val n = mapper.readTree(f)
+    def optStr(k: String) = Option(n.get(k)).map(_.asText)
     val removes = n.get("removes").asInstanceOf[ArrayNode]
       .elements().asScala.map(_.asText).toSeq
     Commit(n.get("version").asLong, n.get("ts").asLong, n.get("op").asText,
       optStr("txnApp"), Option(n.get("txnEpoch")).map(_.asLong),
-      optStr("schema"), adds, removes)
+      optStr("schema"), parseAddFiles(n.get("adds")), removes,
+      Option(n.get("ckptEvery")).map(_.asInt))
+  }
+
+  // ── log checkpoints: snapshot cost O(active files + tail), not O(log) ─
+
+  private def ckptJson(s: LogState): String = {
+    val n = mapper.createObjectNode()
+    n.put("version", s.version)
+    n.put("schema", s.schemaJson)
+    val tn = n.putObject("txns")
+    s.txns.foreach { case (app, epoch) => tn.put(app, epoch) }
+    val files = n.putArray("files")
+    s.files.values.foreach(addFileNode(files, _))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def parseCkpt(f: File): LogState = {
+    val n = mapper.readTree(f)
+    val txns = Option(n.get("txns")).map { tn =>
+      tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
+    val files = parseAddFiles(n.get("files"))
+    LogState(n.get("version").asLong, n.get("schema").asText,
+      scala.collection.immutable.ListMap(files.map(a => a.path -> a): _*), txns)
+  }
+
+  /** Newest checkpoint at or below `maxV`, if any. Checkpoints are
+    * written through the same link fence as commits, so a parseable
+    * checkpoint file is always complete. */
+  private def latestCheckpointAt(dir: String, maxV: Long): Option[LogState] = {
+    val ld = logDir(dir)
+    Option(ld.listFiles((_, n) => n.matches("ckpt-v\\d{20}\\.json")))
+      .getOrElse(Array.empty[File])
+      .flatMap { f =>
+        val v = f.getName.stripPrefix("ckpt-v").stripSuffix(".json").toLong
+        if (v <= maxV) Some((v, f)) else None
+      }
+      .sortBy(_._1).lastOption.map(p => parseCkpt(p._2))
+  }
+
+  /** Fold the log to `target`, starting from the newest usable checkpoint
+    * — the read path that keeps working when the table has streamed for
+    * weeks: O(active files + tail commits), never O(total history). */
+  private def stateAt(dir: String, target: Long): LogState = {
+    require(target >= 0 && versionFile(dir, target).exists(),
+      s"no version $target in $dir")
+    val base = latestCheckpointAt(dir, target)
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    base.foreach(_.files.foreach { case (p, a) => active(p) = a })
+    var schemaJson: Option[String] = base.map(_.schemaJson)
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    base.foreach(b => txns ++= b.txns)
+    var v = base.map(_.version + 1).getOrElse(0L)
+    while (v <= target) {
+      val c = parseCommit(versionFile(dir, v))
+      c.removes.foreach(active.remove)
+      c.adds.foreach(a => active(a.path) = a)
+      c.schemaJson.foreach(s => schemaJson = Some(s))
+      for (app <- c.txnApp; epoch <- c.txnEpoch)
+        txns(app) = math.max(epoch, txns.getOrElse(app, Long.MinValue))
+      v += 1
+    }
+    LogState(target, schemaJson.getOrElse(
+        sys.error(s"no schema recorded in $dir through v$target")),
+      scala.collection.immutable.ListMap(active.toSeq: _*), txns.toMap)
+  }
+
+  /** Table property from the create commit: checkpoint cadence. */
+  private def checkpointEveryOf(dir: String): Int =
+    parseCommit(versionFile(dir, 0L)).ckptEvery.getOrElse(0)
+
+  /** Write a checkpoint after version `v` when the cadence says so.
+    * Best-effort and race-free: the link fence dedups concurrent writers,
+    * and a crash here loses nothing (readers fall back to older
+    * checkpoints or a from-scratch fold). */
+  private def maybeCheckpoint(dir: String, v: Long): Unit = {
+    val every = checkpointEveryOf(dir)
+    if (every > 0 && v > 0 && v % every == 0 && !ckptFile(dir, v).exists()) {
+      val ld = logDir(dir)
+      val tmp = new File(ld, s".tmp-ckpt-${UUID.randomUUID()}")
+      Files.write(tmp.toPath, ckptJson(stateAt(dir, v)).getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(ckptFile(dir, v).toPath, tmp.toPath)
+      catch { case _: FileAlreadyExistsException => () }
+      finally tmp.delete()
+    }
   }
 
   /** All committed versions, contiguous from 0 (holes are impossible:
@@ -153,7 +259,13 @@ object GraftLake {
     fs.map(parseCommit).toIndexedSeq
   }
 
-  def latestVersion(dir: String): Long = commits(dir).lastOption.map(_.version).getOrElse(-1L)
+  def latestVersion(dir: String): Long = {
+    val ld = logDir(dir)
+    Option(ld.listFiles((_, n) => n.matches("v\\d{20}\\.json")))
+      .getOrElse(Array.empty[File])
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.lastOption.getOrElse(-1L)
+  }
 
   /** (version, op, ts, adds, removes) per commit — the table's history. */
   def history(dir: String): Seq[(Long, String, Long, Int, Int)] =
@@ -161,23 +273,14 @@ object GraftLake {
 
   def snapshot(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): Snapshot = {
-    val cs0 = commits(dir)
-    require(cs0.nonEmpty, s"not a lake table: $dir")
-    val cs = asOf match {
-      case Some(v) =>
-        require(v >= 0 && v <= cs0.last.version, s"no version $v in $dir")
-        cs0.takeWhile(_.version <= v)
-      case None => cs0
-    }
-    val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    cs.foreach { c =>
-      c.removes.foreach(active.remove)
-      c.adds.foreach(a => active(a.path) = a)
-    }
-    val schemaJson = cs.flatMap(_.schemaJson).last
-    Snapshot(dir, cs.last.version,
-      org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      active.values.toSeq)
+    val latest = latestVersion(dir)
+    require(latest >= 0, s"not a lake table: $dir")
+    val target = asOf.getOrElse(latest)
+    require(target >= 0 && target <= latest, s"no version $target in $dir")
+    val st = stateAt(dir, target)
+    Snapshot(dir, target,
+      org.apache.spark.sql.types.DataType.fromJson(st.schemaJson).asInstanceOf[StructType],
+      st.files.values.toSeq)
   }
 
   // ── the atomic commit fence ──────────────────────────────────────────
@@ -296,12 +399,17 @@ object GraftLake {
 
   // ── writes ───────────────────────────────────────────────────────────
 
-  /** Create a new lake table at `dir` (version 0). */
-  def create(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
+  /** Create a new lake table at `dir` (version 0). `checkpointEvery` is a
+    * table property: every Nth commit also persists a fenced log
+    * checkpoint so readers fold O(active files + tail), never the whole
+    * history — without it a long-streamed table's every snapshot would
+    * re-read weeks of log. */
+  def create(df: DataFrame, dir: String, numFiles: Int = 0,
+      checkpointEvery: Int = 10): Long = {
     require(!versionFile(dir, 0).exists(), s"lake table already exists: $dir")
     val adds = stage(df, dir, numFiles)
     val c = Commit(0L, System.currentTimeMillis(), "create", None, None,
-      Some(df.schema.json), adds, Nil)
+      Some(df.schema.json), adds, Nil, ckptEvery = Some(checkpointEvery))
     if (!tryCommit(dir, c))
       throw new LakeContentionException(s"concurrent create at $dir")
     0L
@@ -321,19 +429,21 @@ object GraftLake {
     }.get
   }
 
-  /** Exactly-once streaming append: a replayed (appId, epochId) finds its
-    * txn already in the log and commits nothing. */
+  /** Exactly-once streaming append: the log tracks each appId's
+    * high-water epoch (carried through checkpoints, so the fence survives
+    * log truncation), and a replayed epoch <= that watermark commits
+    * nothing. Epochs must be monotonic per appId — exactly Structured
+    * Streaming's foreachBatch contract. */
   def appendStreamBatch(df: DataFrame, dir: String, appId: String,
       epochId: Long, numFiles: Int = 0): Boolean = {
-    val already = commits(dir).exists(c =>
-      c.txnApp.contains(appId) && c.txnEpoch.contains(epochId))
-    if (already) return false
+    def fenced: Boolean =
+      stateAt(dir, latestVersion(dir)).txns.get(appId).exists(_ >= epochId)
+    if (fenced) return false
     val adds = stage(df, dir, numFiles)
     val committed = retry(dir, "stream-append") { snap =>
       // re-check under the fence: a racing attempt of the SAME epoch may
       // have won a version while we staged
-      if (commits(dir).exists(c => c.txnApp.contains(appId) && c.txnEpoch.contains(epochId)))
-        None
+      if (fenced) None
       else
         Some((Commit(snap.version + 1, System.currentTimeMillis(), "stream-append",
           Some(appId), Some(epochId), None, adds, Nil), snap.version + 1))
@@ -557,7 +667,8 @@ object GraftLake {
       val snap = snapshot(spark, dir)
       build(snap) match {
         case None => return None
-        case Some((c, a)) => if (tryCommit(dir, c)) return Some(a)
+        case Some((c, a)) =>
+          if (tryCommit(dir, c)) { maybeCheckpoint(dir, c.version); return Some(a) }
       }
       attempts += 1
     }
@@ -578,7 +689,7 @@ object GraftLake {
       val adds = stage(replacement, dir, 0)
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         None, adds, victims.map(_.path))
-      if (tryCommit(dir, c)) return c.version
+      if (tryCommit(dir, c)) { maybeCheckpoint(dir, c.version); return c.version }
       adds.foreach(a => new File(dir, a.path).delete()) // lost: discard staging
       attempts += 1
     }

@@ -175,6 +175,36 @@ class LakeSpec extends SparkSpec {
     assert(df2.count() == 10)
   }
 
+  test("log checkpoints: tail-only fold equals full replay at every version") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 10, "a"), dir, numFiles = 1, checkpointEvery = 4)
+    for (w <- 0 until 9)
+      GraftLake.append(kv(10 + w * 10 until 20 + w * 10, s"w$w"), dir, numFiles = 1)
+    val ld = new File(dir, "_log")
+    assert(ld.list().count(_.startsWith("ckpt-v")) == 2, "ckpts at v4 and v8")
+    assert(GraftLake.read(spark, dir).count() == 100)
+    assert(GraftLake.read(spark, dir, Some(3L)).count() == 40) // pre-ckpt fold
+    assert(GraftLake.read(spark, dir, Some(4L)).count() == 50) // exactly at ckpt
+    assert(GraftLake.read(spark, dir, Some(7L)).count() == 80) // ckpt + tail
+    // checkpoints are pure acceleration: deleting them changes nothing
+    ld.listFiles().filter(_.getName.startsWith("ckpt-v")).foreach(_.delete())
+    assert(GraftLake.read(spark, dir).count() == 100)
+    assert(GraftLake.read(spark, dir, Some(7L)).count() == 80)
+  }
+
+  test("txn fence survives log checkpointing (epoch watermark persisted)") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 5, "a"), dir, numFiles = 1, checkpointEvery = 2)
+    for (e <- 0 until 6)
+      GraftLake.appendStreamBatch(
+        kv(100 + e * 10 until 110 + e * 10, s"e$e"), dir, "app", e.toLong, 1)
+    // replays of epochs BELOW the newest checkpoint must still be fenced
+    // (the watermark rides the checkpoint, not just the raw tail)
+    assert(!GraftLake.appendStreamBatch(kv(0 until 99, "x"), dir, "app", 1L, 1))
+    assert(!GraftLake.appendStreamBatch(kv(0 until 99, "x"), dir, "app", 5L, 1))
+    assert(GraftLake.read(spark, dir).count() == 65)
+  }
+
   test("change feed: file-diff CDC nets out copied rows, updates = delete+insert") {
     val dir = tmp()
     GraftLake.create(kv(0 until 100, "a").repartitionByRange(4, col("id")), dir) // v0
