@@ -470,11 +470,18 @@ object GraftLake {
       key: String): Long = {
     val upd = updates.cache()
     try {
-      val (lo, hi, n) = {
-        val r = upd.agg(min(col(key)), max(col(key)), count(lit(1))).collect()(0)
-        (Option(r.get(0)), Option(r.get(1)), r.getLong(2))
+      val (lo, hi, n, nKeys) = {
+        val r = upd.agg(min(col(key)), max(col(key)), count(lit(1)),
+          count_distinct(col(key))).collect()(0)
+        (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3))
       }
       if (n == 0) return latestVersion(dir)
+      // ambiguous-merge guard (same contract as Delta's "multiple source
+      // rows matched"): two update rows with one key would BOTH survive
+      // the anti-join ∪ updates rewrite, silently corrupting key
+      // uniqueness — reject instead
+      require(nKeys == n,
+        s"merge updates contain duplicate '$key' values ($n rows, $nKeys keys)")
       retryRewrite(spark, dir, "merge") { snap =>
         val candidates = snap.files.filter { f =>
           f.stats.get(key) match {

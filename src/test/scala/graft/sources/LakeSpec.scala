@@ -63,6 +63,12 @@ class LakeSpec extends SparkSpec {
     assert(got(((99L, "upd", 999L))) && got(((1000L, "new", 1L))))
     assert(got.size == 101)
     assert(got(((11L, "a", 110L)))) // untouched neighbor intact
+    // ambiguous merge: duplicate keys in the update set are rejected
+    intercept[IllegalArgumentException] {
+      GraftLake.merge(spark, dir,
+        Seq((7L, "x", 1L), (7L, "y", 2L)).toDF("id", "tag", "v"), "id")
+    }
+    assert(rowsOf(GraftLake.read(spark, dir)) == got, "rejected merge committed nothing")
   }
 
   test("time travel reads any prior version; optimize preserves content") {
