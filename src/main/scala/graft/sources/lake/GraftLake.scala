@@ -522,6 +522,31 @@ object GraftLake {
       }
     }
 
+  /** RESTORE: roll the table back to `version` AS A NEW COMMIT — the bad
+    * writes stay in history (auditable, still time-travelable) but the
+    * live table reads as it did then. Only valid while the target
+    * version's files survive on disk (a keepHistory=false vacuum gives
+    * that up — checked here, not discovered later by a failing scan). */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val target = snapshot(spark, dir, Some(version))
+    val missing = target.files.filterNot(f => new File(dir, f.path).exists())
+    require(missing.isEmpty,
+      s"cannot restore $dir to v$version: ${missing.size} file(s) vacuumed, e.g. ${missing.head.path}")
+    retry(dir, "restore") { snap =>
+      if (snap.version == version) None // already there
+      else {
+        val cur = snap.files.map(_.path).toSet
+        val tgt = target.files.map(f => f.path -> f).toMap
+        val adds = target.files.filterNot(f => cur.contains(f.path))
+        val removes = (cur -- tgt.keySet).toSeq.sorted
+        val schemaJson =
+          if (snap.schema == target.schema) None else Some(target.schema.json)
+        Some((Commit(snap.version + 1, System.currentTimeMillis(), "restore",
+          None, None, schemaJson, adds, removes), snap.version + 1))
+      }
+    }.getOrElse(version)
+  }
+
   /** Reclaim (a) orphan data files no log version references — debris of
     * crashed writers — and (b) when `keepHistory` is false, tombstoned
     * files only old snapshots reference (time travel to those versions is

@@ -181,6 +181,32 @@ class LakeSpec extends SparkSpec {
     assert(df2.count() == 10)
   }
 
+  test("restore rolls back as a new auditable commit; vacuumed targets refuse") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 100, "a").repartitionByRange(4, col("id")), dir) // v0
+    GraftLake.delete(spark, dir, col("id") < 30L) // v1: the "bad" write
+    GraftLake.append(kv(500 until 510, "late"), dir, numFiles = 1) // v2
+    val v2 = rowsOf(GraftLake.read(spark, dir))
+
+    val rv = GraftLake.restore(spark, dir, 0L)
+    assert(rv == 3L, "restore is a NEW commit, not history rewriting")
+    assert(rowsOf(GraftLake.read(spark, dir)) == rowsOf(kv(0 until 100, "a")))
+    // the rolled-back state is still in history
+    assert(rowsOf(GraftLake.read(spark, dir, asOf = Some(2L))) == v2)
+    assert(GraftLake.history(dir).map(_._2) ==
+      Seq("create", "delete", "append", "restore"))
+    // restoring to the current state is a no-op (no empty commit)
+    assert(GraftLake.restore(spark, dir, 3L) == 3L &&
+      GraftLake.latestVersion(dir) == 3L)
+
+    // a vacuumed-away target refuses upfront instead of failing mid-scan
+    GraftLake.delete(spark, dir, col("id") < 30L) // v4 tombstones files again
+    GraftLake.vacuum(spark, dir, keepHistory = false, minAgeMillis = 0L)
+    intercept[IllegalArgumentException] {
+      GraftLake.restore(spark, dir, 3L)
+    }
+  }
+
   test("log checkpoints: tail-only fold equals full replay at every version") {
     val dir = tmp()
     GraftLake.create(kv(0 until 10, "a"), dir, numFiles = 1, checkpointEvery = 4)
