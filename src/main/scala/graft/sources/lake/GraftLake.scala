@@ -739,19 +739,61 @@ object GraftLake {
       }
     }
 
-  /** Files whose stats cannot DISPROVE the predicate. Only simple
-    * `col <op> literal` conjuncts prune; anything else keeps the file. */
+  /** Files whose stats cannot DISPROVE the predicate. Simple
+    * `col <op> literal` conjuncts, `IN` lists, and null checks prune;
+    * anything else keeps the file (conservative, never wrong).
+    *
+    * Partitioning posture: there is deliberately NO hive-style partition
+    * scheme here — clustering (repartitionByRange / [[optimizeZOrder]])
+    * plus this footer-stats pruning subsumes it (Iceberg's hidden-
+    * partitioning argument): a date-clustered 100 TB fact prunes a day
+    * predicate to the same file set a dt= directory layout would, with
+    * no small-files explosion on high-cardinality keys and no
+    * partition-column rewrite when the grain changes. */
   private def overlapping(snap: Snapshot, predicate: Column): Seq[AddFile] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def bounds(e: Expression): Option[(String, String, String)] = e match {
+    // range check against one file's footer stats; absent stats → may match
+    def rangeMayMatch(f: AddFile, name: String, op: String, v: String): Boolean =
+      f.stats.get(name) match {
+        case Some(st) if st.min.isDefined && st.max.isDefined =>
+          val k = st.kind
+          op match {
+            case "=" => cmp(k, st.min.get, v) <= 0 && cmp(k, st.max.get, v) >= 0
+            case "<" => cmp(k, st.min.get, v) < 0
+            case "<=" => cmp(k, st.min.get, v) <= 0
+            case ">" => cmp(k, st.max.get, v) > 0
+            case ">=" => cmp(k, st.max.get, v) >= 0
+            case _ => true
+          }
+        case _ => true
+      }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case UnresolvedAttributeLike(n) => Some(n)
+      case _ => None
+    }
+    // one prunable conjunct → a may-match test per file; None = opaque
+    // conjunct, prunes nothing (conservative)
+    def mayMatch(e: Expression): Option[AddFile => Boolean] = e match {
       case b: BinaryComparison =>
         (b.left, b.right) match {
-          case (a: Attribute, Literal(v, _)) => Some((a.name, opName(b), String.valueOf(v)))
-          case (UnresolvedAttributeLike(n), Literal(v, _)) => Some((n, opName(b), String.valueOf(v)))
-          case (Literal(v, _), a: Attribute) => Some((a.name, flip(opName(b)), String.valueOf(v)))
-          case (Literal(v, _), UnresolvedAttributeLike(n)) => Some((n, flip(opName(b)), String.valueOf(v)))
+          case (l, Literal(v, _)) => attrName(l).map(n =>
+            (f: AddFile) => rangeMayMatch(f, n, opName(b), String.valueOf(v)))
+          case (Literal(v, _), r) => attrName(r).map(n =>
+            (f: AddFile) => rangeMayMatch(f, n, flip(opName(b)), String.valueOf(v)))
           case _ => None
         }
+      case In(l, values) if values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
+        attrName(l).map { n => (f: AddFile) =>
+          values.exists { case Literal(v, _) =>
+            rangeMayMatch(f, n, "=", String.valueOf(v)) }
+        }
+      case IsNull(l) => attrName(l).map { n => (f: AddFile) =>
+        f.stats.get(n).forall(st => st.nullCount != 0L) // unknown (-1) keeps
+      }
+      case IsNotNull(l) => attrName(l).map { n => (f: AddFile) =>
+        f.stats.get(n).forall(st => st.nullCount < 0L || st.nullCount < f.rows)
+      }
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -768,24 +810,8 @@ object GraftLake {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }
     }
-    val preds = resolved.toSeq.flatMap(conjuncts).flatMap(bounds)
-    snap.files.filter { f =>
-      preds.forall { case (name, op, v) =>
-        f.stats.get(name) match {
-          case Some(st) if st.min.isDefined && st.max.isDefined =>
-            val k = st.kind
-            op match {
-              case "=" => cmp(k, st.min.get, v) <= 0 && cmp(k, st.max.get, v) >= 0
-              case "<" => cmp(k, st.min.get, v) < 0
-              case "<=" => cmp(k, st.min.get, v) <= 0
-              case ">" => cmp(k, st.max.get, v) > 0
-              case ">=" => cmp(k, st.max.get, v) >= 0
-              case _ => true
-            }
-          case _ => true
-        }
-      }
-    }
+    val preds = resolved.toSeq.flatMap(conjuncts).flatMap(mayMatch)
+    snap.files.filter(f => preds.forall(_(f)))
   }
 
   private object UnresolvedAttributeLike {

@@ -179,7 +179,20 @@ class LakeSpec extends SparkSpec {
     val (df2, s2, t2) = GraftLake.scanRange(spark, dir2, "tag", "k010", "k019")
     assert(t2 == 4 && s2 < t2)
     assert(df2.count() == 10)
+    // IN-list pruning: values all in one file's range open only that file
+    val (dfIn, sIn, tIn) = GraftLake.scanFiltered(spark, dir,
+      col("id").isin(100L, 110L, 120L))
+    assert(tIn == 8 && sIn < tIn, s"IN prune opened $sIn/$tIn")
+    assert(rowsBox2(dfIn) == Set(100L, 110L, 120L))
+    // null-check pruning: no nulls anywhere → IS NULL opens nothing
+    val (dfNull, sNull, _) = GraftLake.scanFiltered(spark, dir, col("id").isNull)
+    assert(sNull == 0 && dfNull.count() == 0, "all-non-null stats prune IS NULL")
+    val (_, sNotNull, tNotNull) = GraftLake.scanFiltered(spark, dir, col("id").isNotNull)
+    assert(sNotNull == tNotNull, "IS NOT NULL keeps everything here")
   }
+
+  private def rowsBox2(df: DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
 
   test("restore rolls back as a new auditable commit; vacuumed targets refuse") {
     val dir = tmp()
