@@ -589,6 +589,15 @@ object GraftLake {
     else readFiles(spark, snap, snap.activePaths)
   }
 
+  /** SQL addressability: register the table (at the latest or a pinned
+    * version) as a temp view, so `spark.sql("SELECT … FROM name")` works.
+    * The view captures the snapshot's FILE SET at registration — stable
+    * reads under concurrent writers (re-register to advance), which is
+    * exactly snapshot isolation. */
+  def registerView(spark: SparkSession, dir: String, name: String,
+      asOf: Option[Long] = None): Unit =
+    read(spark, dir, asOf).createOrReplaceTempView(name)
+
   /** Range scan with file-level stats pruning: returns the filtered
     * DataFrame plus (filesScanned, filesTotal). The residual filter keeps
     * the result exact; pruning only skips files whose footer bounds prove

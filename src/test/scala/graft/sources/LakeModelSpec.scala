@@ -1,0 +1,107 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+import graft.sources.lake.GraftLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based torture test for the ACID layer: a seeded random program of
+ * append / CoW delete / merge / optimize / z-order / restore runs against
+ * the lake AND an in-memory reference model; after every committed
+ * version the table must equal the model exactly, and random past
+ * versions must time-travel to the model's state at that version. A
+ * checkpoint cadence of 3 keeps the log-checkpoint fold in the loop for
+ * essentially every read. This is the test that catches protocol bugs no
+ * single-scenario spec would — victim mis-selection, replay off-by-one,
+ * checkpoint/tail boundary faults, restore against an evolved file set.
+ */
+class LakeModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private type Row3 = (Long, String, Long)
+
+  private def toDf(rows: Seq[Row3]): DataFrame =
+    rows.toDF("id", "tag", "v")
+
+  private def tableRows(dir: String, asOf: Option[Long] = None): Set[Row3] =
+    GraftLake.read(spark, dir, asOf)
+      .select("id", "tag", "v").as[Row3].collect().toSet
+
+  test("30 random DML ops track the reference model at every version") {
+    val rnd = new scala.util.Random(20260815L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_model").toString + "/t"
+    var nextId = 0L
+    def freshRows(n: Int, tag: String): Seq[Row3] = {
+      val rows = (0 until n).map(i => (nextId + i, tag, rnd.nextInt(1000).toLong))
+      nextId += n
+      rows
+    }
+
+    val model = mutable.Map.empty[Long, Row3]
+    val init = freshRows(200, "init")
+    GraftLake.create(toDf(init).repartitionByRange(4, col("id")), dir,
+      checkpointEvery = 3)
+    init.foreach(r => model(r._1) = r)
+    // model state per committed version, for time-travel replay checks
+    val versions = mutable.ArrayBuffer[Map[Long, Row3]](model.toMap)
+
+    def check(op: String): Unit = {
+      val v = GraftLake.latestVersion(dir)
+      if (v == versions.size.toLong) versions += model.toMap
+      assert(v == versions.size - 1, s"version bookkeeping after $op")
+      assert(tableRows(dir) == model.values.toSet, s"model mismatch after $op (v$v)")
+    }
+
+    for (step <- 1 to 30) {
+      rnd.nextInt(6) match {
+        case 0 => // append
+          val rows = freshRows(20 + rnd.nextInt(40), s"a$step")
+          GraftLake.append(toDf(rows), dir, numFiles = 1 + rnd.nextInt(3))
+          rows.foreach(r => model(r._1) = r)
+          check(s"append@$step")
+        case 1 => // CoW delete by modular predicate
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          GraftLake.delete(spark, dir, col("id") % m === r)
+          model.keys.filter(_ % m == r).toSeq.foreach(model.remove)
+          check(s"delete@$step")
+        case 2 => // merge: update a sample of live keys + insert fresh ones
+          val updKeys = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(30))
+          val upd = updKeys.map(k => (k, s"u$step", rnd.nextInt(1000).toLong))
+          val ins = freshRows(rnd.nextInt(10), s"i$step")
+          val all = upd ++ ins
+          if (all.nonEmpty) {
+            GraftLake.merge(spark, dir, toDf(all), "id")
+            all.foreach(r => model(r._1) = r)
+            check(s"merge@$step")
+          }
+        case 3 => // optimize: layout only
+          GraftLake.optimize(spark, dir, smallBytes = 1L << 20, targetBytes = 1L << 20)
+          check(s"optimize@$step")
+        case 4 => // z-order: layout only
+          GraftLake.optimizeZOrder(spark, dir, "id", "v", numFiles = 2 + rnd.nextInt(3))
+          check(s"zorder@$step")
+        case 5 => // restore to a random past version
+          val target = rnd.nextInt(versions.size).toLong
+          GraftLake.restore(spark, dir, target)
+          model.clear(); versions(target.toInt).foreach { case (k, r) => model(k) = r }
+          check(s"restore($target)@$step")
+      }
+      if (step % 5 == 0) { // time travel spot-check against the model history
+        val v = rnd.nextInt(versions.size)
+        assert(tableRows(dir, Some(v.toLong)) == versions(v).values.toSet,
+          s"time travel to v$v diverged from the model at step $step")
+      }
+    }
+    assert(GraftLake.latestVersion(dir) >= 20L, "the program actually committed")
+    // final global audit: every recorded version still replays exactly
+    val sample = rnd.shuffle(versions.indices.toList).take(6)
+    sample.foreach { v =>
+      assert(tableRows(dir, Some(v.toLong)) == versions(v).values.toSet,
+        s"final audit: v$v diverged")
+    }
+  }
+}

@@ -194,6 +194,21 @@ class LakeSpec extends SparkSpec {
   private def rowsBox2(df: DataFrame): Set[Long] =
     df.select("id").as[Long].collect().toSet
 
+  test("registerView: SQL reads a pinned snapshot; re-register advances") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 50, "a"), dir, numFiles = 2)
+    GraftLake.registerView(spark, dir, "lake_sql_t")
+    assert(spark.sql("SELECT count(*) AS n FROM lake_sql_t").head().getLong(0) == 50)
+    GraftLake.delete(spark, dir, col("id") < 10L)
+    // the view captured v0's file set — snapshot isolation under writers
+    assert(spark.sql("SELECT count(*) AS n FROM lake_sql_t").head().getLong(0) == 50)
+    GraftLake.registerView(spark, dir, "lake_sql_t")
+    assert(spark.sql("SELECT count(*) AS n FROM lake_sql_t").head().getLong(0) == 40)
+    GraftLake.registerView(spark, dir, "lake_sql_v0", asOf = Some(0L))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM lake_sql_v0 WHERE id < 10").head().getLong(0) == 10)
+  }
+
   test("restore rolls back as a new auditable commit; vacuumed targets refuse") {
     val dir = tmp()
     GraftLake.create(kv(0 until 100, "a").repartitionByRange(4, col("id")), dir) // v0
