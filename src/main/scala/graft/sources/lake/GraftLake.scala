@@ -291,7 +291,12 @@ object GraftLake {
   private def tryCommit(dir: String, c: Commit): Boolean = {
     val ld = logDir(dir); ld.mkdirs()
     val tmp = new File(ld, s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp.toPath, commitJson(c).getBytes(StandardCharsets.UTF_8))
+    // SYNC: the bytes are durable BEFORE the link makes them visible —
+    // a power cut can lose an uncommitted tmp, never a linked commit
+    Files.write(tmp.toPath, commitJson(c).getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     try {
       Files.createLink(versionFile(dir, c.version).toPath, tmp.toPath)
       true
@@ -365,6 +370,13 @@ object GraftLake {
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _ => a.compareTo(b)
   }
+
+  /** Pruning must FAIL OPEN: a value that doesn't parse against the
+    * stats kind (e.g. a Date rendered "2020-01-01" vs "long" stats)
+    * yields None and the caller keeps the file — never throws, never
+    * wrongly prunes. */
+  private def cmpOpt(kind: String, a: String, b: String): Option[Int] =
+    try Some(cmp(kind, a, b)) catch { case _: NumberFormatException => None }
 
   // ── staging data files ───────────────────────────────────────────────
 
@@ -488,8 +500,10 @@ object GraftLake {
             case Some(st) if st.min.isDefined && st.max.isDefined =>
               (lo, hi) match {
                 case (Some(l), Some(h)) =>
-                  cmp(st.kind, st.max.get, l.toString) >= 0 &&
-                    cmp(st.kind, st.min.get, h.toString) <= 0
+                  (for {
+                    c1 <- cmpOpt(st.kind, st.max.get, l.toString)
+                    c2 <- cmpOpt(st.kind, st.min.get, h.toString)
+                  } yield c1 >= 0 && c2 <= 0).getOrElse(true)
                 case _ => true
               }
             case _ => true // no stats — must assume it can hold the key
@@ -611,8 +625,10 @@ object GraftLake {
           if (st.min.isEmpty || st.max.isEmpty)
             // no value bounds: skippable only if provably all-null
             !(st.nullCount >= 0 && st.nullCount == f.rows)
-          else cmp(st.kind, st.max.get, lo.toString) >= 0 &&
-            cmp(st.kind, st.min.get, hi.toString) <= 0
+          else (for {
+            c1 <- cmpOpt(st.kind, st.max.get, lo.toString)
+            c2 <- cmpOpt(st.kind, st.min.get, hi.toString)
+          } yield c1 >= 0 && c2 <= 0).getOrElse(true)
         case None => true
       }
     }
@@ -766,14 +782,15 @@ object GraftLake {
       f.stats.get(name) match {
         case Some(st) if st.min.isDefined && st.max.isDefined =>
           val k = st.kind
-          op match {
-            case "=" => cmp(k, st.min.get, v) <= 0 && cmp(k, st.max.get, v) >= 0
-            case "<" => cmp(k, st.min.get, v) < 0
-            case "<=" => cmp(k, st.min.get, v) <= 0
-            case ">" => cmp(k, st.max.get, v) > 0
-            case ">=" => cmp(k, st.max.get, v) >= 0
-            case _ => true
-          }
+          (op match {
+            case "=" => for { a <- cmpOpt(k, st.min.get, v); b <- cmpOpt(k, st.max.get, v) }
+              yield a <= 0 && b >= 0
+            case "<" => cmpOpt(k, st.min.get, v).map(_ < 0)
+            case "<=" => cmpOpt(k, st.min.get, v).map(_ <= 0)
+            case ">" => cmpOpt(k, st.max.get, v).map(_ > 0)
+            case ">=" => cmpOpt(k, st.max.get, v).map(_ >= 0)
+            case _ => Some(true)
+          }).getOrElse(true)
         case _ => true
       }
     def attrName(e: Expression): Option[String] = e match {

@@ -189,6 +189,18 @@ class LakeSpec extends SparkSpec {
     assert(sNull == 0 && dfNull.count() == 0, "all-non-null stats prune IS NULL")
     val (_, sNotNull, tNotNull) = GraftLake.scanFiltered(spark, dir, col("id").isNotNull)
     assert(sNotNull == tNotNull, "IS NOT NULL keeps everything here")
+    // fail-open: a value that can't parse against the stats kind (Date
+    // renders "2020-01-05" vs INT32-days "long" stats) must not crash and
+    // must not wrongly prune — all files open, residual filter exact
+    val dirD = tmp()
+    GraftLake.create(
+      kv(0 until 20, "a").withColumn("d",
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int")))
+        .repartitionByRange(4, col("id")), dirD)
+    val (dfD, sD, tD) = GraftLake.scanRange(spark, dirD, "d",
+      java.sql.Date.valueOf("2020-01-05"), java.sql.Date.valueOf("2020-01-10"))
+    assert(sD == tD, "unparseable-vs-kind comparison fails OPEN")
+    assert(dfD.count() == 6, "residual filter still exact")
   }
 
   private def rowsBox2(df: DataFrame): Set[Long] =
