@@ -121,6 +121,23 @@ class LakeSpec extends SparkSpec {
     assert(got.map(_._1) == ((20L until 100L) ++ (500L until 520L)).toSet)
   }
 
+  test("concurrent optimize vs delete: both rewrite, recompute serializes") {
+    val dir = tmp()
+    GraftLake.create(kv(0 until 400, "a").repartitionByRange(8, col("id")), dir)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val opt = Future(GraftLake.optimize(spark, dir,
+        smallBytes = 1L << 20, targetBytes = 1L << 20))
+      val del = Future(GraftLake.delete(spark, dir, col("id") % 4 === 1))
+      Await.result(Future.sequence(Seq(opt, del)), 120.seconds)
+    } finally pool.shutdown()
+    // whichever order the fence picked, the result must be the serial one
+    assert(rowsOf(GraftLake.read(spark, dir)) ==
+      rowsOf(kv(0 until 400, "a")).filterNot(_._1 % 4 == 1))
+    assert(GraftLake.latestVersion(dir) == 2L, "both rewrites committed")
+  }
+
   test("crashed-writer debris is invisible; vacuum reclaims it") {
     val dir = tmp()
     GraftLake.create(kv(0 until 30, "a"), dir, numFiles = 1)
