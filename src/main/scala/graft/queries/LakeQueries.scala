@@ -39,8 +39,11 @@ object LakeQueries {
   private val l1LakeDml: Q = (s, dir) => {
     val tbl = java.nio.file.Files.createTempDirectory("graft_lake_dml").toString + "/t"
     val p = ordersProjected(s, dir)
+    // checkpointEvery=2: the reads below fold through a log checkpoint,
+    // so the ORACLE gates the checkpoint path too, not just the specs
     GraftLake.create(
-      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl)
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl,
+      checkpointEvery = 2)
     GraftLake.append(
       p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), tbl)
     GraftLake.delete(s, tbl,
@@ -93,8 +96,11 @@ object LakeQueries {
   private val l2LakeTimeTravel: Q = (s, dir) => {
     val tbl = java.nio.file.Files.createTempDirectory("graft_lake_tt").toString + "/t"
     val p = ordersProjected(s, dir)
+    // checkpointEvery=2: the reads below fold through a log checkpoint,
+    // so the ORACLE gates the checkpoint path too, not just the specs
     GraftLake.create(
-      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl)
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl,
+      checkpointEvery = 2)
     GraftLake.append(
       p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), tbl)
     GraftLake.delete(s, tbl,
@@ -142,8 +148,11 @@ object LakeQueries {
   private val l4LakeChanges: Q = (s, dir) => {
     val tbl = java.nio.file.Files.createTempDirectory("graft_lake_cdc").toString + "/t"
     val p = ordersProjected(s, dir)
+    // checkpointEvery=2: the reads below fold through a log checkpoint,
+    // so the ORACLE gates the checkpoint path too, not just the specs
     GraftLake.create(
-      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl)
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl,
+      checkpointEvery = 2)
     GraftLake.append(
       p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), tbl)
     GraftLake.delete(s, tbl,
