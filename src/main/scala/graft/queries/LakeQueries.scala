@@ -196,15 +196,40 @@ object LakeQueries {
       |FROM (SELECT * FROM deleted UNION ALL SELECT * FROM inserted)
       |ORDER BY o_orderkey, change_kind""".stripMargin
 
+  // ── l5: the planner-integrated read path — LakeFileIndex under oracle ──
+  // A plain .filter over readPruned: FileSourceStrategy hands the pushed
+  // data filters to the lake's FileIndex, which lists only
+  // stat-overlapping files (LakeFileIndexSpec pins the opened-file count;
+  // this gate pins the VALUES the planner-pruned scan returns).
+  private val l5LakePlannerScan: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_idx").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(p.repartitionByRange(8, col("o_orderkey")), tbl,
+      checkpointEvery = 2)
+    GraftLake.delete(s, tbl, col("o_orderkey") % 10 === 3)
+    graft.sources.lake.LakeFileIndex.readPruned(s, tbl)
+      .filter(col("o_orderkey") >= 3000L && col("o_orderkey") <= 5999L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price_c"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val l5LakePlannerScanSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 3000 AND 5999 AND o_orderkey % 10 <> 3
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l1_lake_dml" -> l1LakeDml,
     "l2_lake_time_travel" -> l2LakeTimeTravel,
     "l3_lake_prune_scan" -> l3LakePruneScan,
-    "l4_lake_changes" -> l4LakeChanges)
+    "l4_lake_changes" -> l4LakeChanges,
+    "l5_lake_planner_scan" -> l5LakePlannerScan)
 
   val oracles: Map[String, String] = Map(
     "l1_lake_dml" -> l1LakeDmlSql,
     "l2_lake_time_travel" -> l2LakeTimeTravelSql,
     "l3_lake_prune_scan" -> l3LakePruneScanSql,
-    "l4_lake_changes" -> l4LakeChangesSql)
+    "l4_lake_changes" -> l4LakeChangesSql,
+    "l5_lake_planner_scan" -> l5LakePlannerScanSql)
 }

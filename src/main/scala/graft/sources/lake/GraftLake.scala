@@ -776,6 +776,23 @@ object GraftLake {
     * no small-files explosion on high-cardinality keys and no
     * partition-column rewrite when the grain changes. */
   private def overlapping(snap: Snapshot, predicate: Column): Seq[AddFile] = {
+    // resolve the predicate against the table schema (the raw Column is an
+    // unresolved node in Spark 4's unified Column API; only the ANALYZED
+    // condition exposes AttributeReference/Literal comparisons to match on)
+    val resolved = {
+      val spark = SparkSession.active
+      emptyDf(spark, snap.schema).filter(predicate)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+    }
+    overlappingResolved(snap, resolved.toSeq)
+  }
+
+  /** The same stats pruning over ALREADY-RESOLVED conjuncts — the form
+    * Spark's planner hands a [[LakeFileIndex]] as `dataFilters`. */
+  private[lake] def overlappingResolved(snap: Snapshot,
+      conjunctsIn: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddFile] = {
     import org.apache.spark.sql.catalyst.expressions._
     // range check against one file's footer stats; absent stats → may match
     def rangeMayMatch(f: AddFile, name: String, op: String, v: String): Boolean =
@@ -826,17 +843,7 @@ object GraftLake {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    // resolve the predicate against the table schema (the raw Column is an
-    // unresolved node in Spark 4's unified Column API; only the ANALYZED
-    // condition exposes AttributeReference/Literal comparisons to match on)
-    val resolved = {
-      val spark = SparkSession.active
-      emptyDf(spark, snap.schema).filter(predicate)
-        .queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }
-    }
-    val preds = resolved.toSeq.flatMap(conjuncts).flatMap(mayMatch)
+    val preds = conjunctsIn.flatMap(conjuncts).flatMap(mayMatch)
     snap.files.filter(f => preds.forall(_(f)))
   }
 
