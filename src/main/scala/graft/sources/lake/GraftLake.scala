@@ -368,7 +368,29 @@ object GraftLake {
   private def cmp(kind: String, a: String, b: String): Int = kind match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _ => a.compareTo(b)
+    case _ => utf8Cmp(a, b)
+  }
+
+  /** Unsigned lexicographic compare of the UTF-8 encodings — the collation
+    * parquet footer min/max for UTF8 BINARY are computed in (code-point
+    * order). Java's `String.compareTo` is UTF-16 code-unit order, which
+    * DISAGREES for strings mixing U+E000–U+FFFF with supplementary-plane
+    * characters (surrogate units 0xD800–0xDFFF sort below 0xE000+ in
+    * UTF-16 but their code points sort above) — comparing footer bounds in
+    * the wrong collation silently wrong-prunes files. Spark's own string
+    * min/max aggregate in UTF8String (binary) order, so this also keeps
+    * [[merge]]'s update-key bounds consistent with file stats. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Pruning must FAIL OPEN: a value that doesn't parse against the
@@ -482,12 +504,21 @@ object GraftLake {
       key: String): Long = {
     val upd = updates.cache()
     try {
-      val (lo, hi, n, nKeys) = {
+      val (lo, hi, n, nKeys, nNullKeys) = {
         val r = upd.agg(min(col(key)), max(col(key)), count(lit(1)),
-          count_distinct(col(key))).collect()(0)
-        (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3))
+          count_distinct(col(key)), count(when(col(key).isNull, 1))).collect()(0)
+        (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3),
+          r.getLong(4))
       }
       if (n == 0) return latestVersion(dir)
+      // NULL merge keys have no defined match semantics (SQL equality
+      // never matches NULL, so a NULL-key "update" could only ever insert
+      // — and count_distinct ignores NULLs, which would otherwise make
+      // the duplicate-key guard below fire with a misleading message).
+      // Reject them explicitly, Delta's behavior for null-unsafe merge keys.
+      require(nNullKeys == 0,
+        s"merge updates contain $nNullKeys NULL '$key' value(s); " +
+          "NULL merge keys are not supported — filter them out or assign keys")
       // ambiguous-merge guard (same contract as Delta's "multiple source
       // rows matched"): two update rows with one key would BOTH survive
       // the anti-join ∪ updates rewrite, silently corrupting key
@@ -574,18 +605,39 @@ object GraftLake {
     * age-gated too (an old snapshot's reader may still be scanning them).
     */
   def vacuum(spark: SparkSession, dir: String, keepHistory: Boolean = true,
-      minAgeMillis: Long = 60L * 60 * 1000): Int = {
+      minAgeMillis: Long = 60L * 60 * 1000): Int =
+    vacuumAt(spark, dir, keepHistory, minAgeMillis, System.currentTimeMillis())
+
+  /** [[vacuum]] with an injectable clock (specs age tombstones without
+    * sleeping). Tombstone age is measured from the REMOVING COMMIT's
+    * timestamp — derived from the log, so no remove-action format change —
+    * never from file mtime: a file written long ago but tombstoned seconds
+    * ago is NOT reclaimable (a reader of the just-superseded snapshot, or
+    * a pending RESTORE, may still scan it), exactly Delta's
+    * `deletionTimestamp` retention rule. Orphans (never referenced by any
+    * commit) have no removing commit and age by mtime, the only signal a
+    * crashed writer's debris carries. */
+  private[lake] def vacuumAt(spark: SparkSession, dir: String,
+      keepHistory: Boolean, minAgeMillis: Long, now: Long): Int = {
     val cs = commits(dir)
     val everReferenced = cs.flatMap(_.adds.map(_.path)).toSet
     val active = snapshot(spark, dir).files.map(_.path).toSet
-    val cutoff = System.currentTimeMillis() - minAgeMillis
-    def oldEnough(rel: String): Boolean =
+    val cutoff = now - minAgeMillis
+    // last commit that tombstoned each path (re-add + re-remove via
+    // RESTORE keeps the newest removal, the conservative choice)
+    val removedTs: Map[String, Long] =
+      cs.foldLeft(Map.empty[String, Long]) { (m, c) =>
+        c.removes.foldLeft(m)((mm, p) => mm.updated(p, c.ts))
+      }
+    def orphanOldEnough(rel: String): Boolean =
       new File(dir, rel).lastModified() <= cutoff
+    def tombstoneOldEnough(rel: String): Boolean =
+      removedTs.get(rel).exists(_ <= cutoff)
     val onDisk = Option(dataDir(dir).listFiles((_, n) => n.endsWith(".parquet")))
       .getOrElse(Array.empty[File]).map(f => s"data/${f.getName}").toSet
-    val doomed = ((onDisk -- everReferenced) ++
-      (if (keepHistory) Set.empty[String] else (everReferenced -- active) & onDisk))
-      .filter(oldEnough)
+    val doomed = (onDisk -- everReferenced).filter(orphanOldEnough) ++
+      (if (keepHistory) Set.empty[String]
+       else ((everReferenced -- active) & onDisk).filter(tombstoneOldEnough))
     doomed.foreach(rel => new File(dir, rel).delete())
     // sweep abandoned staging dirs under the same age guard
     Option(new File(dir, "_staged").listFiles()).getOrElse(Array.empty)

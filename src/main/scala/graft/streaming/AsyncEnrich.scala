@@ -91,10 +91,16 @@ object AsyncEnrich {
         openUntilNanos = System.nanoTime() + cooldownMillis * 1000000L
     }
   }
-  private val breakers = new ConcurrentHashMap[String, Breaker]()
+  // keyed on (clientId, threshold, cooldown), not clientId alone: a later
+  // Config reusing a clientId with different breaker settings (including
+  // threshold=0 = disabled) must get a breaker honoring ITS settings, not
+  // the first-seen ones cached under the id
+  private val breakers =
+    new ConcurrentHashMap[(String, Int, Long), Breaker]()
   private def breakerFor(cfg: Config): Breaker =
-    breakers.computeIfAbsent(cfg.clientId,
-      _ => new Breaker(cfg.breakerThreshold, cfg.breakerCooldownMillis))
+    breakers.computeIfAbsent(
+      (cfg.clientId, cfg.breakerThreshold, cfg.breakerCooldownMillis),
+      k => new Breaker(k._2, k._3))
 
   /** Simple token bucket (refill-on-demand), the Spark-side stand-in for
     * akka's throttle(rate, burst, Shaping) (AkkaHttpClient.scala:62). */

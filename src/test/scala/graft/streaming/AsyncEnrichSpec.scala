@@ -88,6 +88,31 @@ class AsyncEnrichSpec extends SparkSpec {
       "probe after cooldown must reach the now-healthy endpoint and close the breaker")
   }
 
+  test("breaker cache keys on settings: a re-configured clientId is honored") {
+    val records = (0 until 4).map(_ =>
+      Marked(quique.idempotentKey, quique, Marked.Sent))
+    // trip and hold open a breaker under this clientId
+    val armed = AsyncEnrich.Config(clientId = "spec-rekey", maxRetries = 0,
+      backoffMillis = 1L, maxConcurrency = 1,
+      breakerThreshold = 1, breakerCooldownMillis = 600000L)
+    // failFirstN=1: the one failure trips threshold=1; the breaker then
+    // short-circuits the rest, so the CACHED per-clientId client (reused
+    // below) has consumed its failure budget and will succeed
+    val first = AsyncEnrich.enrich(
+      spark.createDataset(records).repartition(1), armed,
+      () => new AsyncEnrich.StubClient(failFirstN = 1)).collect().toSeq
+    assert(first.count(_.response.body.contains("circuit open")) == 3,
+      "armed breaker should be open for records after the first failure")
+    // SAME clientId, breaker now DISABLED: the stale open breaker cached
+    // under the id must not short-circuit these sends
+    val disabled = armed.copy(breakerThreshold = 0)
+    val second = AsyncEnrich.enrich(
+      spark.createDataset(records).repartition(1), disabled,
+      () => new AsyncEnrich.StubClient(failFirstN = 1)).collect().toSeq
+    assert(second.forall(_.response.isSuccess),
+      "disabled-breaker config must reach the endpoint, not the stale open breaker")
+  }
+
   test("throughput: sustains the reference's >200K/min rate against a local stub") {
     // BASELINE.md: >200,000 notifications/min (~3,333/s) on Dataflow with
     // a real HTTPS endpoint. Hermetic analogue: 20k sends through the full
