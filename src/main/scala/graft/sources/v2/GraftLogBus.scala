@@ -38,14 +38,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *  - consumers and producers never coordinate — new segments simply sort
  *    after existing ones.
  *
- * Layout: `<root>/<topic>/p<partition>/s<seq 12d>-t<task 6d>-c<count>.seg`
+ * Layout: `<root>/<topic>/p<partition>/s<seq 12d>-o<start 15d>-c<count>.seg`
  * where seq is a COMMIT-TIME log sequence (maxSeq+1, assigned by the single
  * driver-side committer — the "partition leader" role) shared by every
- * segment of one commit; segment content is length-framed records
- * (`[int32 len][bytes]`*). Record offsets are implicit: segments sort
- * lexicographically by (seq, task) and counts accumulate on top of the
- * partition's log-start offset (`.base`, advanced by retention). `.tmp/`
- * holds uncommitted task-attempt files.
+ * segment of one commit, and `o<start>` is the segment's first record
+ * offset (Kafka's log-segment naming), assigned at the same commit point;
+ * segment content is length-framed records (`[int32 len][bytes]`*). A
+ * segment therefore self-describes its record range [start, start+count) —
+ * offset attribution never pairs a `.base` read with a directory listing,
+ * which is what makes [[GraftLogBus.expire]] atomic for concurrent
+ * readers (`.base` only positions an EMPTY log after full retention).
+ * `.tmp/` holds uncommitted task-attempt files.
  *
  * Commit protocol (atomic visibility + epoch idempotence):
  *  1. tasks write tmp files (invisible — readers only list `s*.seg`);
@@ -65,8 +68,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *
  * Retention: [[GraftLogBus.expire]] drops whole committed segments that
  * lie entirely below a consumer-supplied floor (e.g. the offset a
- * checkpoint has passed) and advances `.base` by the dropped record
- * count, so surviving offsets — and any checkpoint at or above the
+ * checkpoint has passed); surviving segments keep their offset-carrying
+ * names, so surviving offsets — and any checkpoint at or above the
  * floor — stay valid. A checkpoint BEHIND the floor fails fast with
  * "expired by retention" instead of silently skipping records. This also
  * bounds the O(segments) per-trigger listing cost for long-running
@@ -130,7 +133,14 @@ object GraftLogBus {
   private def commitsDirFor(partDir: File): File =
     new File(partDir.getParentFile, ".commits")
 
-  private val SegName = """s(\d{12})-t(\d{6})-c(\d+)\.seg""".r
+  // Segment names carry their START OFFSET (Kafka's log-segment naming):
+  // `s<commit seq>-o<start offset>-c<record count>.seg`. A segment is
+  // fully self-describing — its record range is [start, start+count) by
+  // NAME — so a reader's offset attribution never depends on pairing a
+  // `.base` read with a directory listing, and [[expire]] deleting
+  // segments concurrently with a reader can only shrink what the reader
+  // sees, never SHIFT surviving records to wrong offsets.
+  private val SegName = """s(\d{12})-o(\d{15})-c(\d+)\.seg""".r
   private val MarkName = """c(\d{12})-(.+)\.cmt""".r
   private val StreamKey = """q(.+)-e(\d{12})""".r
 
@@ -153,27 +163,39 @@ object GraftLogBus {
       .iterator.collect { case MarkName(s, _) => s.toLong }.toSet
 
   /** ALL segment files of one partition, marker-committed or not (strays
-    * from a crashed partial commit included), in log order — used only for
-    * sequence assignment and garbage collection, never by readers. */
-  private[v2] def rawSegments(dir: File): Seq[(String, Long, Long)] =
+    * from a crashed partial commit included): (name, seq, start, count),
+    * in offset order — used only for sequence assignment and garbage
+    * collection, never by readers. */
+  private[v2] def rawSegments(dir: File): Seq[(String, Long, Long, Long)] =
     Option(dir.listFiles()).getOrElse(Array.empty[File])
       .iterator.map(_.getName).collect {
-        case n @ SegName(s, _, c) => (n, s.toLong, c.toLong)
-      }.toSeq.sortBy(_._1)
+        case n @ SegName(s, o, c) => (n, s.toLong, o.toLong, c.toLong)
+      }.toSeq.sortBy(t => (t._3, t._2))
 
-  /** Committed segments of one partition in log order: (name, count). */
-  private[v2] def segments(dir: File): Seq[(String, Long)] = {
+  /** Committed segments of one partition in offset order:
+    * (name, start, count). */
+  private[v2] def segments(dir: File): Seq[(String, Long, Long)] = {
     val committed = committedSeqs(commitsDirFor(dir))
-    rawSegments(dir).collect { case (n, s, c) if committed(s) => (n, c) }
+    rawSegments(dir).collect { case (n, s, o, c) if committed(s) => (n, o, c) }
   }
 
-  /** Log-start offset of one partition — the offset of the first retained
-    * record, advanced by [[expire]] so record offsets survive retention. */
-  private[v2] def baseOffset(dir: File): Long = {
+  /** The `.base` marker: log-start offset once ALL segments below it are
+    * expired (an empty partition's position); consulted only when no
+    * committed segment exists — live segments carry their own offsets. */
+  private def storedBase(dir: File): Long = {
     val f = new File(dir, ".base")
     if (f.exists())
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
     else 0L
+  }
+
+  /** Log-start offset of one partition — the offset of the first retained
+    * record. Self-describing when segments exist (their names carry
+    * offsets); `.base` only positions an EMPTY log, so no reader ever
+    * depends on `.base` agreeing with a racing [[expire]]'s listing. */
+  private[v2] def baseOffset(dir: File): Long = {
+    val segs = segments(dir)
+    if (segs.nonEmpty) segs.head._2 else storedBase(dir)
   }
 
   private def writeBase(dir: File, base: Long): Unit = {
@@ -184,8 +206,11 @@ object GraftLogBus {
   }
 
   /** Log-end offset of one partition. */
-  private[v2] def endOffset(dir: File): Long =
-    baseOffset(dir) + segments(dir).map(_._2).sum
+  private[v2] def endOffset(dir: File): Long = {
+    val segs = segments(dir)
+    if (segs.nonEmpty) { val l = segs.last; l._2 + l._3 }
+    else storedBase(dir)
+  }
 
   /** Next free commit sequence: above every segment file (committed or
     * stray) AND every marker, so a crashed partial commit can never be
@@ -198,8 +223,8 @@ object GraftLogBus {
     (segMax ++ markMax).foldLeft(-1L)(math.max)
   }
 
-  private[v2] def segName(seq: Long, task: Long, count: Long): String =
-    f"s$seq%012d-t$task%06d-c$count.seg"
+  private[v2] def segName(seq: Long, start: Long, count: Long): String =
+    f"s$seq%012d-o$start%015d-c$count.seg"
 
   /** What [[expire]] did: counts for observability and spec assertions. */
   case class ExpireStats(segmentsDeleted: Int, recordsDropped: Long,
@@ -208,38 +233,52 @@ object GraftLogBus {
   /**
    * Retention: per partition, delete whole committed segments whose records
    * all lie below `floor(p)` (the offset a consumer's checkpoint has safely
-   * passed) and advance `.base` by the dropped count — offsets of every
-   * surviving record, and every checkpoint at or above the floor, stay
-   * exactly valid. Also garbage-collects (a) stray unmarked segments left
-   * by crashed partial commits and (b) markers whose segments are gone —
-   * EXCEPT each streaming query's highest epoch marker, which is kept as
-   * the replay fence for the one epoch Structured Streaming can still
-   * replay after a restart.
+   * passed) — offsets of every surviving record, and every checkpoint at or
+   * above the floor, stay exactly valid. ATOMIC FOR READERS: segments are
+   * offset-named, so a reader racing the deletes sees some subset of
+   * committed segments, each self-attributing its exact record range — a
+   * surviving segment can never be observed at shifted-down offsets (the
+   * `.base` marker, advanced BEFORE the deletes, only positions the log
+   * once it is empty). Also garbage-collects (a) stray unmarked segments
+   * left by crashed partial commits — AGE-GATED by `strayMinAgeMillis`,
+   * because an in-flight commit's renamed-but-not-yet-marked segments look
+   * exactly like strays (same guard as [[graft.sources.lake.GraftLake.vacuum]]'s
+   * orphan rule) — and (b) markers whose segments are gone, EXCEPT each
+   * streaming query's highest epoch marker, kept as the replay fence for
+   * the one epoch Structured Streaming can still replay after a restart.
    *
    * Call from the single-committer maintenance context (no commit racing),
    * like Kafka's log-cleaner runs inside the partition leader.
    */
   def expire(root: String, topic: String, partitions: Int,
-      floor: Int => Long): ExpireStats = {
+      floor: Int => Long,
+      strayMinAgeMillis: Long = 60L * 60 * 1000): ExpireStats = {
     var segsDel = 0; var recsDropped = 0L; var straysDel = 0
     val commits = commitsDir(root, topic)
     val committed = committedSeqs(commits)
+    val strayCutoff = System.currentTimeMillis() - strayMinAgeMillis
     (0 until partitions).foreach { p =>
       val dir = partDir(root, topic, p)
-      var base = baseOffset(dir)
       val lim = floor(p)
-      var advancing = true
-      rawSegments(dir).foreach { case (name, seq, count) =>
-        if (!committed(seq)) {
-          // stray from a crashed commit: never visible, safe to drop
-          if (new File(dir, name).delete()) straysDel += 1
-        } else if (advancing && base + count <= lim) {
+      val (live, strays) = rawSegments(dir).partition(s => committed(s._2))
+      strays.foreach { case (name, _, _, _) =>
+        val f = new File(dir, name)
+        if (f.lastModified() <= strayCutoff && f.delete()) straysDel += 1
+      }
+      // whole committed segments entirely below the floor, lowest first
+      val doomed = live.takeWhile { case (_, _, start, count) => start + count <= lim }
+      if (doomed.nonEmpty) {
+        val newBase = { val l = doomed.last; l._3 + l._4 }
+        // fence FIRST: once `.base` says the log starts at newBase, deleting
+        // the segments below it is invisible to offset attribution — readers
+        // either still see a (self-describing) doomed segment or don't
+        if (newBase > storedBase(dir)) writeBase(dir, newBase)
+        doomed.foreach { case (name, _, _, count) =>
           if (!new File(dir, name).delete())
             throw new IllegalStateException(s"cannot expire $name in $dir")
-          segsDel += 1; recsDropped += count; base += count
-        } else advancing = false // segments are offset-ordered: stop at first keeper
+          segsDel += 1; recsDropped += count
+        }
       }
-      if (base != baseOffset(dir)) writeBase(dir, base)
     }
     // marker GC: segments all gone AND not a query's latest epoch fence
     val liveSeqs = (0 until partitions).iterator
@@ -442,20 +481,15 @@ case class BusRange(dir: String, partition: Int, start: Long, end: Long)
 class BusReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[BusRange]
-    // walk segments in log order, carrying the cumulative base offset;
-    // open only segments overlapping [start, end)
-    val segs = GraftLogBus.segments(new File(r.dir))
-    val slices = {
-      // cumulative offsets start at the log-start base (post-retention)
-      var base = GraftLogBus.baseOffset(new File(r.dir))
-      val b = Seq.newBuilder[(String, Long, Long, Long)] // (name, segBase, skip, take)
-      segs.foreach { case (name, count) =>
-        val lo = math.max(r.start, base)
-        val hi = math.min(r.end, base + count)
-        if (hi > lo) b += ((name, base, lo - base, hi - lo))
-        base += count
-      }
-      b.result()
+    // open only segments overlapping [start, end); each segment's record
+    // range comes from its NAME, so a concurrent expire can only remove
+    // whole already-consumed segments from this listing — never shift the
+    // offsets attributed to surviving ones
+    val slices = GraftLogBus.segments(new File(r.dir)).flatMap {
+      case (name, segBase, count) => // (name, segBase, skip, take)
+        val lo = math.max(r.start, segBase)
+        val hi = math.min(r.end, segBase + count)
+        if (hi > lo) Some((name, segBase, lo - segBase, hi - lo)) else None
     }
     new PartitionReader[InternalRow] {
       // one segment open at a time; `open` tracked so an early stop
@@ -539,21 +573,32 @@ private object BusCommit {
       case _ => Nil
     }
   /** Two-phase commit, atomic at the marker: rename every attempt's tmp
-    * file to its final segment name, THEN create the single
-    * `c<seq>-<key>.cmt` marker that makes the whole commit visible. */
+    * file to its final OFFSET-NAMED segment, THEN create the single
+    * `c<seq>-<key>.cmt` marker that makes the whole commit visible. The
+    * single driver-side committer (the "partition leader") assigns each
+    * segment its start offset — the partition's committed log end, then
+    * cumulative in task order — so segments self-describe their record
+    * ranges. A crashed attempt's renamed-but-unmarked segments are never
+    * reader-visible; the re-commit under a fresh seq re-reads the
+    * COMMITTED end, so offsets never double-allocate. */
   def commit(root: String, topic: String, seq: Long, key: String,
       messages: Array[WriterCommitMessage]): Unit = {
     var any = false
-    flatten(messages).foreach { case BusSegMessage(p, task, count, tmpPath) =>
-      if (count > 0) {
+    flatten(messages).groupBy(_.partition).toSeq.sortBy(_._1)
+      .foreach { case (p, msgs) =>
         val dir = GraftLogBus.partDir(root, topic, p)
         dir.mkdirs()
-        val target = new File(dir, GraftLogBus.segName(seq, task, count))
-        if (!new File(tmpPath).renameTo(target) && !target.exists())
-          throw new IllegalStateException(s"bus commit failed: $tmpPath -> $target")
-        any = true
-      } else new File(tmpPath).delete()
-    }
+        var start = GraftLogBus.endOffset(dir)
+        msgs.sortBy(_.taskId).foreach { case BusSegMessage(_, _, count, tmpPath) =>
+          if (count > 0) {
+            val target = new File(dir, GraftLogBus.segName(seq, start, count))
+            if (!new File(tmpPath).renameTo(target) && !target.exists())
+              throw new IllegalStateException(s"bus commit failed: $tmpPath -> $target")
+            start += count
+            any = true
+          } else new File(tmpPath).delete()
+        }
+      }
     if (any) {
       val commits = GraftLogBus.commitsDir(root, topic)
       commits.mkdirs()

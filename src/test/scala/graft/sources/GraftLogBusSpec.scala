@@ -202,7 +202,7 @@ class GraftLogBusSpec extends SparkSpec {
     val seg0 = crashed.segs.find(_.partition === 0).get
     val p0 = new File(new File(root, "t8"), "p0"); p0.mkdirs()
     assert(new File(seg0.tmpPath).renameTo(
-      new File(p0, f"s${0L}%012d-t${0L}%06d-c${seg0.count}.seg")))
+      new File(p0, f"s${0L}%012d-o${0L}%015d-c${seg0.count}.seg")))
     // atomicity: the half-renamed epoch is INVISIBLE (no marker)
     assert(readAll(root, "t8", 2).count() === 0,
       "a partial commit must not be reader-visible")
@@ -212,8 +212,12 @@ class GraftLogBusSpec extends SparkSpec {
       .select(col("value").cast("string")).collect().map(_.getString(0)).sorted
     assert(vs.toSeq === (0 until 10).map(i => s"e$i").sorted,
       "replay after a partial commit must publish every record exactly once")
-    // the crashed attempt's stray segment is swept by retention GC
-    val stats = GraftLogBus.expire(root, "t8", 2, _ => 0L)
+    // the crashed attempt's stray segment is swept by retention GC — but
+    // only once old enough that no in-flight commit can still own it
+    val aged = GraftLogBus.expire(root, "t8", 2, _ => 0L)
+    assert(aged.straysDeleted === 0,
+      "a FRESH unmarked segment may be a live commit mid-rename; default age gate must keep it")
+    val stats = GraftLogBus.expire(root, "t8", 2, _ => 0L, strayMinAgeMillis = 0L)
     assert(stats.straysDeleted === 1)
     assert(readAll(root, "t8", 2).count() === 10)
   }
@@ -364,6 +368,57 @@ class GraftLogBusSpec extends SparkSpec {
         .as("r"))
       .select(col("r.id")).collect().map(_.getLong(0)).sorted
     assert(back.toSeq === (0L until 80L))
+  }
+
+  test("expire is atomic for readers: surviving offsets never shift, torn states attribute exactly") {
+    val root = newRoot()
+    produceIds(root, "t12", 0, 100)
+    produceIds(root, "t12", 100, 200)
+    produceIds(root, "t12", 200, 300)
+    def snapshot() = readAll(root, "t12")
+      .select(col("partition"), col("offset"), col("value").cast("string").as("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    val before = snapshot()
+    assert(before.size === 300)
+
+    // A reader racing expire can observe ANY subset of the committed
+    // segments (deletes are not transactional across files). Simulate the
+    // harshest interleaving: the lowest segment of p0 is gone but NOTHING
+    // else — not even `.base` — has been updated. Offset-named segments
+    // must keep every surviving record at its original offset (the old
+    // cumulative-count scheme shifted them all down by the dropped count).
+    val p0 = new File(new File(root, "t12"), "p0")
+    val SegName = """s(\d{12})-o(\d{15})-c(\d+)\.seg""".r
+    val segs = p0.listFiles().filter(f => SegName.matches(f.getName)).sortBy(_.getName)
+    // one segment per (publish, writing task) that touched p0
+    assert(segs.length >= 2)
+    val droppedCount = segs.head.getName match { case SegName(_, _, c) => c.toLong }
+    assert(segs.head.delete())
+
+    val torn = snapshot()
+    assert(torn.size === 300 - droppedCount)
+    torn.foreach { case (key, v) =>
+      assert(before(key) === v,
+        s"surviving record at $key changed value after a torn expire — offsets shifted")
+    }
+    // p0's survivors resume exactly where the dropped segment ended
+    val p0Offsets = torn.keys.filter(_._1 == 0).map(_._2)
+    assert(p0Offsets.min === droppedCount)
+
+    // a REAL expire over the remaining partitions preserves attribution too
+    val floors = before.keys.groupBy(_._1).map { case (p, ks) =>
+      // floor = past each partition's first segment (p0's is already gone)
+      p -> (if (p == 0) droppedCount else ks.map(_._2).min + 40)
+    }
+    GraftLogBus.expire(root, "t12", 4, p => floors.getOrElse(p, 0L),
+      strayMinAgeMillis = 0L)
+    val after = snapshot()
+    after.foreach { case (key, v) =>
+      assert(before(key) === v, s"record at $key shifted across expire")
+    }
+    // floors only drop WHOLE segments: every floor-passed record whose
+    // segment straddles the floor is still present and correctly placed
+    assert(after.keys.filter(_._1 == 0).map(_._2).min === droppedCount)
   }
 
   test("e2e: mock records through the bus wire format round-trip typed") {
