@@ -17,6 +17,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // testdata parquet carries TIMESTAMP(NANOS) — read as raw longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query SHAPE on the tiny sf first: whole-stage codegen

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // testdata parquet carries TIMESTAMP(NANOS) — read as raw longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // lake SQL DML (LakeDmlRule) is a resolution rule — session-build only
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -219,8 +219,54 @@ object LakeQueries {
       |WHERE o_orderkey BETWEEN 3000 AND 5999 AND o_orderkey % 10 <> 3
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── l6: catalog/DDL addressing — the lake driven by SQL ALONE ──────────
+  // CTAS creates the table, INSERT INTO appends, UPDATE and DELETE run as
+  // copy-on-write commits through LakeDmlRule, and the final SELECT reads
+  // via spark.table's planner-pruned scan. The history assertion inside
+  // the query pins that every statement was a LOG commit (a raw-parquet
+  // insert bypassing the log would break both it and the row values).
+  private val l6LakeSqlDdl: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_sql").toString + "/t"
+    ordersProjected(s, dir).createOrReplaceTempView("l6_orders_src")
+    s.sql("DROP TABLE IF EXISTS graft_l6")
+    s.sql(
+      s"""CREATE TABLE graft_l6 USING `graft-lake` OPTIONS (path '$tbl')
+         |AS SELECT * FROM l6_orders_src WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql("INSERT INTO graft_l6 SELECT * FROM l6_orders_src WHERE o_orderkey % 4 = 1")
+    s.sql("UPDATE graft_l6 SET o_orderpriority = 'X', price_c = price_c * 2 " +
+      "WHERE o_orderkey % 20 = 1")
+    s.sql("DELETE FROM graft_l6 WHERE o_orderstatus = 'F' AND o_orderkey % 8 = 0")
+    require(GraftLake.history(tbl).map(_._2) ==
+      Seq("create", "append", "update", "delete"),
+      "SQL DML must land as one log commit per statement")
+    s.sql("SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c " +
+      "FROM graft_l6 ORDER BY o_orderkey")
+  }
+  private val l6LakeSqlDdlSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |), base AS (
+      |  SELECT * FROM p WHERE o_orderkey % 4 IN (0, 1)
+      |), upd AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 20 = 1 THEN 'X' ELSE o_orderpriority END
+      |           AS o_orderpriority,
+      |         CASE WHEN o_orderkey % 20 = 1 THEN price_c * 2 ELSE price_c END
+      |           AS price_c
+      |  FROM base
+      |), afterdel AS (
+      |  SELECT * FROM upd
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 8 = 0)
+      |)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c
+      |FROM afterdel ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l1_lake_dml" -> l1LakeDml,
+    "l6_lake_sql_ddl" -> l6LakeSqlDdl,
     "l2_lake_time_travel" -> l2LakeTimeTravel,
     "l3_lake_prune_scan" -> l3LakePruneScan,
     "l4_lake_changes" -> l4LakeChanges,
@@ -228,6 +274,7 @@ object LakeQueries {
 
   val oracles: Map[String, String] = Map(
     "l1_lake_dml" -> l1LakeDmlSql,
+    "l6_lake_sql_ddl" -> l6LakeSqlDdlSql,
     "l2_lake_time_travel" -> l2LakeTimeTravelSql,
     "l3_lake_prune_scan" -> l3LakePruneScanSql,
     "l4_lake_changes" -> l4LakeChangesSql,

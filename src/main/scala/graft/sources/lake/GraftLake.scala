@@ -463,6 +463,44 @@ object GraftLake {
     }.get
   }
 
+  /** INSERT OVERWRITE / SaveMode.Overwrite: one commit replaces the whole
+    * active file set with the staged data. History is kept (the replaced
+    * snapshot stays time-travelable until vacuum). Schema follows the
+    * same evolution rule as [[append]]: new nullable columns widen the
+    * table, a type conflict on a shared column is rejected. */
+  def overwrite(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
+    val adds = stage(df, dir, numFiles)
+    retry(dir, "overwrite") { snap =>
+      val merged = mergeSchemas(snap.schema, df.schema)
+      val schemaJson = if (merged == snap.schema) None else Some(merged.json)
+      Some((Commit(snap.version + 1, System.currentTimeMillis(), "overwrite",
+        None, None, schemaJson, adds, snap.files.map(_.path)), snap.version + 1))
+    }.get
+  }
+
+  /** Copy-on-write UPDATE: rows matching `predicate` get each `set`
+    * column replaced (all assignment values evaluate against the PRE-update
+    * row, SQL UPDATE semantics); only stat-overlapping files rewrite.
+    * Values are cast to the column's declared type. */
+  def update(spark: SparkSession, dir: String, predicate: Column,
+      set: Seq[(String, Column)]): Long = {
+    rewrite(spark, dir, "update", predicate) { (hit, snap) =>
+      val byName = set.toMap
+      set.foreach { case (name, _) =>
+        require(snap.schema.fieldNames.contains(name),
+          s"UPDATE sets unknown column '$name'")
+      }
+      val matched = coalesce(predicate, lit(false))
+      hit.select(snap.schema.fields.toIndexedSeq.map { f =>
+        byName.get(f.name) match {
+          case Some(v) =>
+            when(matched, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }
+  }
+
   /** Exactly-once streaming append: the log tracks each appId's
     * high-water epoch (carried through checkpoints, so the fence survives
     * log truncation), and a replayed epoch <= that watermark commits

@@ -1,0 +1,75 @@
+package graft.sources.lake
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+/**
+ * Catalog/DDL addressing for [[GraftLake]] tables — `format("graft-lake")`
+ * and `CREATE TABLE ... USING `graft-lake``, the surface every
+ * Delta/Iceberg user expects (reference: the engine's tables are plain
+ * catalog objects; here the lakehouse layer joins the catalog the same
+ * way).
+ *
+ *  - READS resolve to the planner-integrated [[LakeFileIndex]] relation:
+ *    `spark.table("t")` / `SELECT ... FROM t` plan a FileSourceScan whose
+ *    file listing is footer-stats pruned by the pushed filters — the
+ *    identical plan shape `LakeFileIndex.readPruned` produces. Option
+ *    `versionAsOf` pins time travel.
+ *  - WRITES (`df.write.format("graft-lake")`, `CREATE TABLE ... AS
+ *    SELECT`, `saveAsTable`) map SaveModes onto the log: ErrorIfExists →
+ *    create, Append → append (create if absent), Overwrite → one commit
+ *    replacing the active file set, Ignore → no-op when present.
+ *  - SQL DML (`INSERT INTO/OVERWRITE`, `UPDATE`, `DELETE FROM`) is
+ *    rewritten onto the transactional GraftLake operations by
+ *    [[graft.spark.LakeDmlRule]] (injected via GraftExtensions) — a
+ *    direct parquet write into the table directory would bypass the log.
+ *
+ * An EXTERNAL `CREATE TABLE ... USING `graft-lake` OPTIONS (path ...)`
+ * (no AS SELECT) requires the lake table to already exist at the path —
+ * schema inference reads the log, as Delta does.
+ */
+class GraftLakeSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def pathOf(parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-lake requires a 'path' option (or LOCATION)"))
+    // the catalog qualifies locations to file: URIs; the lake's log and
+    // commit fence are java.io.File-based, so bring those back to plain
+    // local paths (one canonical spelling also keeps the log, the data
+    // files, and the DML rule's idx.dir matching)
+    if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val dir = pathOf(parameters)
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    LakeFileIndex.relation(sqlContext.sparkSession, dir, asOf)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val dir = pathOf(parameters)
+    val numFiles = parameters.get("numFiles").map(_.toInt).getOrElse(0)
+    val exists = GraftLake.latestVersion(dir) >= 0
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        if (exists)
+          throw new IllegalArgumentException(s"lake table already exists: $dir")
+        GraftLake.create(data, dir, numFiles)
+      case SaveMode.Ignore =>
+        if (!exists) GraftLake.create(data, dir, numFiles)
+      case SaveMode.Append =>
+        if (exists) GraftLake.append(data, dir, numFiles)
+        else GraftLake.create(data, dir, numFiles)
+      case SaveMode.Overwrite =>
+        if (exists) GraftLake.overwrite(data, dir, numFiles)
+        else GraftLake.create(data, dir, numFiles)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}

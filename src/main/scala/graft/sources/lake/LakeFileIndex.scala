@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
  * construction (snapshot isolation under concurrent writers; build a
  * new one to advance).
  */
-final class LakeFileIndex(spark: SparkSession, dir: String,
+final class LakeFileIndex(spark: SparkSession, val dir: String,
     asOf: Option[Long] = None) extends FileIndex {
 
   private val snap: GraftLake.Snapshot = GraftLake.snapshot(spark, dir, asOf)
@@ -53,19 +53,25 @@ final class LakeFileIndex(spark: SparkSession, dir: String,
 
 object LakeFileIndex {
 
-  /** A DataFrame whose scan plans through [[LakeFileIndex]]: filters
-    * prune files at planning time, automatically. Old files missing an
-    * evolved column null-fill via mergeSchema, as in [[GraftLake.read]]. */
-  def readPruned(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): DataFrame = {
+  /** The planner-integrated relation itself — what [[readPruned]] wraps
+    * and what [[GraftLakeSource]] hands the catalog, so `spark.table` /
+    * `SELECT ... FROM t` plan the same pruned FileSourceScan. */
+  def relation(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): HadoopFsRelation = {
     val idx = new LakeFileIndex(spark, dir, asOf)
-    val rel = HadoopFsRelation(
+    HadoopFsRelation(
       location = idx,
       partitionSchema = new StructType(),
       dataSchema = idx.schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map("mergeSchema" -> "true"))(spark)
-    spark.baseRelationToDataFrame(rel)
   }
+
+  /** A DataFrame whose scan plans through [[LakeFileIndex]]: filters
+    * prune files at planning time, automatically. Old files missing an
+    * evolved column null-fill via mergeSchema, as in [[GraftLake.read]]. */
+  def readPruned(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, dir, asOf))
 }

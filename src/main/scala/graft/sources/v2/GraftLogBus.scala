@@ -81,7 +81,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * format stays the engine's Avro codec either way
  * ([[graft.functions.AvroKit]]), so swapping transports is config-only.
  */
-class GraftLogBusSource extends TableProvider {
+class GraftLogBusSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-bus"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftLogBus.readSchema
   override def supportsExternalMetadata(): Boolean = true

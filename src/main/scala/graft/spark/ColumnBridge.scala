@@ -12,3 +12,13 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Same access-only bridge for `Dataset.ofRows` — turns an analyzed
+  * LogicalPlan back into a DataFrame inside a RunnableCommand (the lake
+  * DML commands execute their rewritten INSERT/UPDATE/DELETE queries
+  * through the engine's public GraftLake API, which takes DataFrames). */
+object GraftDatasetBridge {
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RangeJoinChunkRule)
     ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectPlannerStrategy(_ => FooterCountStrategy)
+    // SQL DML (INSERT/UPDATE/DELETE) over graft-lake catalog tables: the
+    // rule that keeps them on the transaction log. Resolution rules can
+    // only be injected at session build (no registerAll equivalent), so
+    // lake SQL DML REQUIRES the spark.sql.extensions config.
+    ext.injectPostHocResolutionRule(_ => LakeDmlRule)
   }
 }
 

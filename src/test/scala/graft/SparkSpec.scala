@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // lake SQL DML (LakeDmlRule) is a resolution rule — session-build only
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       // the CI box freezes for tens of seconds under load; with the 10s
       // defaults the local-mode executor declares the driver dead and
       // System.exit(56)s the whole suite JVM mid-run
