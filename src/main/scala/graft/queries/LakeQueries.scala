@@ -264,9 +264,35 @@ object LakeQueries {
       |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c
       |FROM afterdel ORDER BY o_orderkey""".stripMargin
 
+  // ── l7: schema evolution — rename + drop via field ids ────────────────
+  // Rename and drop are pure metadata commits (parquet field ids are the
+  // column identity): after renaming the key column and dropping another,
+  // every pre-DDL data file still serves the renamed column, and a tight
+  // range on the NEW name still stats-prunes to a strict file subset (the
+  // `pruned` flag pins it — stats are id-keyed, so the old files' bounds
+  // keep working under the new name).
+  private val l7LakeRename: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_evo").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(p.repartitionByRange(8, col("o_orderkey")), tbl)
+    GraftLake.renameColumn(s, tbl, "o_orderkey", "order_id")
+    GraftLake.dropColumn(s, tbl, "o_orderpriority")
+    val (df, scanned, total) = GraftLake.scanRange(s, tbl, "order_id", 1000L, 2999L)
+    df.select(col("order_id"), col("o_orderstatus"), col("price_c"),
+        lit(scanned < total).as("pruned"))
+      .orderBy(col("order_id"))
+  }
+  private val l7LakeRenameSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS order_id, o_orderstatus,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |       true AS pruned
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+      |ORDER BY order_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l1_lake_dml" -> l1LakeDml,
     "l6_lake_sql_ddl" -> l6LakeSqlDdl,
+    "l7_lake_rename_scan" -> l7LakeRename,
     "l2_lake_time_travel" -> l2LakeTimeTravel,
     "l3_lake_prune_scan" -> l3LakePruneScan,
     "l4_lake_changes" -> l4LakeChanges,
@@ -275,6 +301,7 @@ object LakeQueries {
   val oracles: Map[String, String] = Map(
     "l1_lake_dml" -> l1LakeDmlSql,
     "l6_lake_sql_ddl" -> l6LakeSqlDdlSql,
+    "l7_lake_rename_scan" -> l7LakeRenameSql,
     "l2_lake_time_travel" -> l2LakeTimeTravelSql,
     "l3_lake_prune_scan" -> l3LakePruneScanSql,
     "l4_lake_changes" -> l4LakeChangesSql,

@@ -75,17 +75,25 @@ object GraftLake {
   final case class Commit(version: Long, ts: Long, op: String,
       txnApp: Option[String], txnEpoch: Option[Long],
       schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String],
-      ckptEvery: Option[Int] = None)
+      ckptEvery: Option[Int] = None, maxColId: Option[Int] = None,
+      retiredNames: Seq[(String, Long)] = Nil)
 
   /** Folded log state at one version — what a checkpoint persists: the
-    * active file set, the evolved schema, and the high-water epoch per
-    * streaming appId (the txn fence survives log truncation this way). */
+    * active file set, the evolved schema, the high-water epoch per
+    * streaming appId (the txn fence survives log truncation this way),
+    * the highest column id EVER assigned (ids are never reused, so a
+    * re-added column can't resurrect a dropped column's data), and the
+    * names retired by rename/drop with the id they had (data files still
+    * carry those column names, so reusing one for a DIFFERENT id would
+    * let parquet's name-keyed row-group pushdown bind a filter to dead
+    * data — rejected at DDL/evolution time instead). */
   private final case class LogState(version: Long, schemaJson: String,
       files: scala.collection.immutable.ListMap[String, AddFile],
-      txns: Map[String, Long])
+      txns: Map[String, Long], maxColId: Int, retired: Map[String, Long])
 
   final case class Snapshot(dir: String, version: Long, schema: StructType,
-      files: Seq[AddFile]) {
+      files: Seq[AddFile], maxColId: Int = 0,
+      retired: Map[String, Long] = Map.empty) {
     def activePaths: Seq[String] = files.map(f => s"$dir/${f.path}")
   }
 
@@ -148,6 +156,11 @@ object GraftLake {
     c.txnEpoch.foreach(e => n.put("txnEpoch", e))
     c.schemaJson.foreach(n.put("schema", _))
     c.ckptEvery.foreach(n.put("ckptEvery", _))
+    c.maxColId.foreach(n.put("maxColId", _))
+    if (c.retiredNames.nonEmpty) {
+      val rn = n.putObject("retired")
+      c.retiredNames.foreach { case (name, id) => rn.put(name, id) }
+    }
     val adds = n.putArray("adds")
     c.adds.foreach(addFileNode(adds, _))
     val rem = n.putArray("removes")
@@ -163,7 +176,10 @@ object GraftLake {
     Commit(n.get("version").asLong, n.get("ts").asLong, n.get("op").asText,
       optStr("txnApp"), Option(n.get("txnEpoch")).map(_.asLong),
       optStr("schema"), parseAddFiles(n.get("adds")), removes,
-      Option(n.get("ckptEvery")).map(_.asInt))
+      Option(n.get("ckptEvery")).map(_.asInt),
+      Option(n.get("maxColId")).map(_.asInt),
+      Option(n.get("retired")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toSeq).getOrElse(Nil))
   }
 
   // ── log checkpoints: snapshot cost O(active files + tail), not O(log) ─
@@ -172,6 +188,11 @@ object GraftLake {
     val n = mapper.createObjectNode()
     n.put("version", s.version)
     n.put("schema", s.schemaJson)
+    n.put("maxColId", s.maxColId)
+    if (s.retired.nonEmpty) {
+      val rn = n.putObject("retired")
+      s.retired.foreach { case (name, id) => rn.put(name, id) }
+    }
     val tn = n.putObject("txns")
     s.txns.foreach { case (app, epoch) => tn.put(app, epoch) }
     val files = n.putArray("files")
@@ -186,7 +207,10 @@ object GraftLake {
     }.getOrElse(Map.empty[String, Long])
     val files = parseAddFiles(n.get("files"))
     LogState(n.get("version").asLong, n.get("schema").asText,
-      scala.collection.immutable.ListMap(files.map(a => a.path -> a): _*), txns)
+      scala.collection.immutable.ListMap(files.map(a => a.path -> a): _*), txns,
+      Option(n.get("maxColId")).map(_.asInt).getOrElse(0),
+      Option(n.get("retired")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty))
   }
 
   /** Newest checkpoint at or below `maxV`, if any. Checkpoints are
@@ -215,19 +239,25 @@ object GraftLake {
     var schemaJson: Option[String] = base.map(_.schemaJson)
     val txns = scala.collection.mutable.Map.empty[String, Long]
     base.foreach(b => txns ++= b.txns)
+    var maxColId = base.map(_.maxColId).getOrElse(0)
+    val retired = scala.collection.mutable.Map.empty[String, Long]
+    base.foreach(b => retired ++= b.retired)
     var v = base.map(_.version + 1).getOrElse(0L)
     while (v <= target) {
       val c = parseCommit(versionFile(dir, v))
       c.removes.foreach(active.remove)
       c.adds.foreach(a => active(a.path) = a)
       c.schemaJson.foreach(s => schemaJson = Some(s))
+      c.maxColId.foreach(m => maxColId = math.max(maxColId, m))
+      retired ++= c.retiredNames
       for (app <- c.txnApp; epoch <- c.txnEpoch)
         txns(app) = math.max(epoch, txns.getOrElse(app, Long.MinValue))
       v += 1
     }
     LogState(target, schemaJson.getOrElse(
         sys.error(s"no schema recorded in $dir through v$target")),
-      scala.collection.immutable.ListMap(active.toSeq: _*), txns.toMap)
+      scala.collection.immutable.ListMap(active.toSeq: _*), txns.toMap, maxColId,
+      retired.toMap)
   }
 
   /** Table property from the create commit: checkpoint cadence. */
@@ -278,9 +308,11 @@ object GraftLake {
     val target = asOf.getOrElse(latest)
     require(target >= 0 && target <= latest, s"no version $target in $dir")
     val st = stateAt(dir, target)
-    Snapshot(dir, target,
-      org.apache.spark.sql.types.DataType.fromJson(st.schemaJson).asInstanceOf[StructType],
-      st.files.values.toSeq)
+    val schema =
+      org.apache.spark.sql.types.DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    Snapshot(dir, target, schema, st.files.values.toSeq,
+      math.max(st.maxColId, schema.fields.flatMap(idOf).foldLeft(0L)(math.max).toInt),
+      st.retired)
   }
 
   // ── the atomic commit fence ──────────────────────────────────────────
@@ -400,15 +432,73 @@ object GraftLake {
   private def cmpOpt(kind: String, a: String, b: String): Option[Int] =
     try Some(cmp(kind, a, b)) catch { case _: NumberFormatException => None }
 
+  // ── column identity: parquet field ids (Iceberg semantics) ──────────
+  //
+  // Every table column carries a stable integer id, stamped into the
+  // schema metadata under Spark's own `parquet.field.id` key and written
+  // into every data file's parquet schema. Readers run with
+  // `spark.sql.parquet.fieldId.read.enabled`, so columns resolve BY ID,
+  // not by name — which is what makes [[renameColumn]] a pure metadata
+  // commit (old files keep serving the renamed column) and [[dropColumn]]
+  // safe against resurrection (ids are never reused; a re-added column of
+  // the same name gets a fresh id and old files null-fill it). Per-file
+  // stats are keyed by the id too, so footer pruning on a renamed column
+  // still skips files written under the old name.
+
+  private val FieldIdKey = "parquet.field.id"
+
+  private[lake] def idOf(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private def withId(f: StructField, id: Int): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
+
+  /** Fresh ids 1..n for a new table (any inherited id metadata — e.g. a
+    * CTAS from another lake table — is overridden). */
+  private def assignIds(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1) })
+
+  /** Stamp the target schema's field ids onto `df`'s columns (by name)
+    * so the staged parquet files carry them; unknown columns pass
+    * through. */
+  private def stampIds(df: DataFrame, target: StructType): DataFrame = {
+    val byName = target.fields.map(f => f.name -> f).toMap
+    df.select(df.columns.toIndexedSeq.map { c =>
+      byName.get(c).flatMap(idOf) match {
+        case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(FieldIdKey, id).build())
+        case None => col(c)
+      }
+    }: _*)
+  }
+
+  /** The key a column's footer stats live under in AddFile.stats: its
+    * field id when assigned (rename-stable), else the name (legacy). */
+  private[lake] def statsKey(schema: StructType, logical: String): String =
+    schema.fields.find(_.name == logical).flatMap(idOf)
+      .map(_.toString).getOrElse(logical)
+
+  /** Field-id column resolution is conf-gated in Spark; flip it on for
+    * any session about to read lake files. Benign globally: schemas
+    * without id metadata resolve by name exactly as before. */
+  private[lake] def ensureFieldIdRead(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   // ── staging data files ───────────────────────────────────────────────
 
-  /** Write `df` to a staging dir, move the part files into data/ under
-    * fresh unique names (invisible until the log references them), and
-    * return their AddFile actions with footer stats. */
-  private def stage(df: DataFrame, dir: String, numFiles: Int): Seq[AddFile] = {
+  /** Write `df` to a staging dir with the target schema's field ids
+    * stamped into the parquet schema, move the part files into data/
+    * under fresh unique names (invisible until the log references them),
+    * and return their AddFile actions with footer stats keyed by field
+    * id (rename-stable). */
+  private def stage(df: DataFrame, dir: String, numFiles: Int,
+      target: StructType): Seq[AddFile] = {
     val spark = df.sparkSession
     val staged = new File(dir, s"_staged/${UUID.randomUUID()}")
-    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    val stamped = stampIds(df, target)
+    val out = if (numFiles > 0) stamped.repartition(numFiles) else stamped
     out.write.mode("overwrite").parquet(staged.getAbsolutePath)
     val parts = Option(staged.listFiles((_, n) => n.startsWith("part-") && n.endsWith(".parquet")))
       .getOrElse(Array.empty[File]).sortBy(_.getName)
@@ -420,9 +510,13 @@ object GraftLake {
     }
     val stats = footerStats(spark, moved.map(r => s"$dir/$r"))
     deleteRecursively(staged)
+    // stats come keyed by the parquet column NAME at write time; re-key
+    // to the field id so pruning survives later renames
+    val keyOf: Map[String, String] =
+      target.fields.flatMap(f => idOf(f).map(id => f.name -> id.toString)).toMap
     moved.map { rel =>
       val (rows, bytes, cs) = stats(s"$dir/$rel")
-      AddFile(rel, rows, bytes, cs)
+      AddFile(rel, rows, bytes, cs.map { case (n, s) => keyOf.getOrElse(n, n) -> s })
     }
   }
 
@@ -441,27 +535,56 @@ object GraftLake {
   def create(df: DataFrame, dir: String, numFiles: Int = 0,
       checkpointEvery: Int = 10): Long = {
     require(!versionFile(dir, 0).exists(), s"lake table already exists: $dir")
-    val adds = stage(df, dir, numFiles)
+    val schema = assignIds(df.schema)
+    val adds = stage(df, dir, numFiles, schema)
     val c = Commit(0L, System.currentTimeMillis(), "create", None, None,
-      Some(df.schema.json), adds, Nil, ckptEvery = Some(checkpointEvery))
+      Some(schema.json), adds, Nil, ckptEvery = Some(checkpointEvery),
+      maxColId = Some(schema.fields.length))
     if (!tryCommit(dir, c))
       throw new LakeContentionException(s"concurrent create at $dir")
     0L
   }
 
   /** Append-only commit; never conflicts, so losers just re-fence at the
-    * next version. New nullable columns evolve the table schema; a type
-    * conflict on a shared column is rejected. */
+    * next version. New nullable columns evolve the table schema (each
+    * assigned a fresh, never-reused field id); a type conflict on a
+    * shared column is rejected. */
   def append(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
     val spark = df.sparkSession
-    val adds = stage(df, dir, numFiles)
+    val pre = snapshot(spark, dir)
+    val merged0 = mergeSchemas(pre.schema, df.schema, pre.maxColId, pre.retired)
+    val adds = stage(df, dir, numFiles, merged0)
     retry(dir, "append") { snap =>
-      val merged = mergeSchemas(snap.schema, df.schema)
+      val merged = mergedUnderFence(snap, df.schema, merged0, "append")
       val schemaJson = if (merged == snap.schema) None else Some(merged.json)
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "append",
-        None, None, schemaJson, adds, Nil), snap.version + 1))
+        None, None, schemaJson, adds, Nil,
+        maxColId = Some(maxIdOf(merged, snap.maxColId))), snap.version + 1))
     }.get
   }
+
+  /** Recompute the evolved schema from the LATEST snapshot while keeping
+    * the ids the already-staged files were stamped with; a racing commit
+    * that bound one of this writer's new columns (or ids) differently is
+    * unrecoverable without restaging, so fail loudly instead of
+    * committing files whose ids would resolve to the wrong column. */
+  private def mergedUnderFence(snap: Snapshot, incoming: StructType,
+      staged: StructType, op: String): StructType = {
+    val merged = mergeSchemas(snap.schema, incoming, snap.maxColId, snap.retired, pinned = staged)
+    incoming.fieldNames.foreach { n =>
+      if (statsKey(merged, n) != statsKey(staged, n))
+        throw new LakeContentionException(
+          s"$op: column '$n' was concurrently bound to a different field id; retry")
+    }
+    val ids = merged.fields.flatMap(idOf)
+    if (ids.distinct.length != ids.length)
+      throw new LakeContentionException(
+        s"$op: concurrent schema evolution produced a field-id collision; retry")
+    merged
+  }
+
+  private def maxIdOf(schema: StructType, floor: Int): Int =
+    math.max(floor, schema.fields.flatMap(idOf).foldLeft(0L)(math.max).toInt)
 
   /** INSERT OVERWRITE / SaveMode.Overwrite: one commit replaces the whole
     * active file set with the staged data. History is kept (the replaced
@@ -469,12 +592,16 @@ object GraftLake {
     * same evolution rule as [[append]]: new nullable columns widen the
     * table, a type conflict on a shared column is rejected. */
   def overwrite(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
-    val adds = stage(df, dir, numFiles)
+    val spark = df.sparkSession
+    val pre = snapshot(spark, dir)
+    val merged0 = mergeSchemas(pre.schema, df.schema, pre.maxColId, pre.retired)
+    val adds = stage(df, dir, numFiles, merged0)
     retry(dir, "overwrite") { snap =>
-      val merged = mergeSchemas(snap.schema, df.schema)
+      val merged = mergedUnderFence(snap, df.schema, merged0, "overwrite")
       val schemaJson = if (merged == snap.schema) None else Some(merged.json)
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "overwrite",
-        None, None, schemaJson, adds, snap.files.map(_.path)), snap.version + 1))
+        None, None, schemaJson, adds, snap.files.map(_.path),
+        maxColId = Some(maxIdOf(merged, snap.maxColId))), snap.version + 1))
     }.get
   }
 
@@ -511,7 +638,7 @@ object GraftLake {
     def fenced: Boolean =
       stateAt(dir, latestVersion(dir)).txns.get(appId).exists(_ >= epochId)
     if (fenced) return false
-    val adds = stage(df, dir, numFiles)
+    val adds = stage(df, dir, numFiles, snapshot(df.sparkSession, dir).schema)
     val committed = retry(dir, "stream-append") { snap =>
       // re-check under the fence: a racing attempt of the SAME epoch may
       // have won a version while we staged
@@ -565,7 +692,7 @@ object GraftLake {
         s"merge updates contain duplicate '$key' values ($n rows, $nKeys keys)")
       retryRewrite(spark, dir, "merge") { snap =>
         val candidates = snap.files.filter { f =>
-          f.stats.get(key) match {
+          f.stats.get(statsKey(snap.schema, key)) match {
             case Some(st) if st.min.isDefined && st.max.isDefined =>
               (lo, hi) match {
                 case (Some(l), Some(h)) =>
@@ -604,6 +731,54 @@ object GraftLake {
         (small, df)
       }
     }
+
+  /** ALTER TABLE ... RENAME COLUMN as a pure metadata commit: the field
+    * id is the column's identity, so every existing data file keeps
+    * serving the renamed column (no rewrite), filters on the new name
+    * still stats-prune (stats are id-keyed), and time travel to
+    * pre-rename versions shows the old name. */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+      newName: String): Long =
+    retry(dir, "rename-column") { snap =>
+      require(snap.schema.fieldNames.contains(oldName), s"no column '$oldName' in $dir")
+      require(!snap.schema.fieldNames.contains(newName),
+        s"column '$newName' already exists in $dir")
+      require(snap.schema.fields.forall(f => idOf(f).isDefined),
+        s"table $dir predates field ids; cannot rename")
+      val movingId = idOf(snap.schema(oldName)).get
+      // a retired name may only come back for the SAME field id (data
+      // files still carry that column name; binding it to a different id
+      // would mislead parquet's name-keyed row-group pushdown)
+      require(snap.retired.get(newName).forall(_ == movingId),
+        s"column name '$newName' was retired by an earlier rename/drop " +
+          s"(field id ${snap.retired(newName)}) and old data files still " +
+          "carry it; pick a different name")
+      val fields = snap.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)
+      Some((Commit(snap.version + 1, System.currentTimeMillis(), "rename-column",
+        None, None, Some(StructType(fields).json), Nil, Nil,
+        retiredNames = Seq(oldName -> movingId)),
+        snap.version + 1))
+    }.get
+
+  /** ALTER TABLE ... DROP COLUMN as a pure metadata commit: the field id
+    * is retired (never reused — maxColId keeps counting past it), so the
+    * column's data stays untouched in existing files but is invisible.
+    * The NAME is retired too: re-adding it would alias dead data under
+    * parquet's name-keyed row-group pushdown, so later evolution rejects
+    * it (Iceberg readers allow the reuse because their filter evaluation
+    * is id-keyed end-to-end; Spark's parquet pushdown is not). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long =
+    retry(dir, "drop-column") { snap =>
+      require(snap.schema.fieldNames.contains(name), s"no column '$name' in $dir")
+      require(snap.schema.fields.length > 1, s"cannot drop the only column of $dir")
+      val fields = snap.schema.fields.filterNot(_.name == name)
+      Some((Commit(snap.version + 1, System.currentTimeMillis(), "drop-column",
+        None, None, Some(StructType(fields).json), Nil, Nil,
+        maxColId = Some(snap.maxColId),
+        retiredNames = Seq(name -> idOf(snap.schema(name)).getOrElse(-1L))),
+        snap.version + 1))
+    }.get
 
   /** RESTORE: roll the table back to `version` AS A NEW COMMIT — the bad
     * writes stay in history (auditable, still time-travelable) but the
@@ -710,7 +885,7 @@ object GraftLake {
       lo: Any, hi: Any): (DataFrame, Int, Int) = {
     val snap = snapshot(spark, dir)
     val hit = snap.files.filter { f =>
-      f.stats.get(column) match {
+      f.stats.get(statsKey(snap.schema, column)) match {
         case Some(st) =>
           if (st.min.isEmpty || st.max.isEmpty)
             // no value bounds: skippable only if provably all-null
@@ -793,6 +968,7 @@ object GraftLake {
 
   private def readFiles(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {
+    ensureFieldIdRead(spark) // columns resolve by field id (rename-stable)
     val base = spark.read.option("mergeSchema", "true")
       .schema(snap.schema) // evolved schema: absent columns null-filled per file
       .parquet(paths: _*)
@@ -833,7 +1009,7 @@ object GraftLake {
       val snap = snapshot(spark, dir)
       val (victims, replacement) = plan(snap)
       if (victims.isEmpty && op != "merge") return snap.version
-      val adds = stage(replacement, dir, 0)
+      val adds = stage(replacement, dir, 0, snap.schema)
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         None, adds, victims.map(_.path))
       if (tryCommit(dir, c)) { maybeCheckpoint(dir, c.version); return c.version }
@@ -885,8 +1061,9 @@ object GraftLake {
       conjunctsIn: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddFile] = {
     import org.apache.spark.sql.catalyst.expressions._
     // range check against one file's footer stats; absent stats → may match
+    // (stats are keyed by FIELD ID, so a renamed column keeps pruning)
     def rangeMayMatch(f: AddFile, name: String, op: String, v: String): Boolean =
-      f.stats.get(name) match {
+      f.stats.get(statsKey(snap.schema, name)) match {
         case Some(st) if st.min.isDefined && st.max.isDefined =>
           val k = st.kind
           (op match {
@@ -922,10 +1099,12 @@ object GraftLake {
             rangeMayMatch(f, n, "=", String.valueOf(v)) }
         }
       case IsNull(l) => attrName(l).map { n => (f: AddFile) =>
-        f.stats.get(n).forall(st => st.nullCount != 0L) // unknown (-1) keeps
+        f.stats.get(statsKey(snap.schema, n))
+          .forall(st => st.nullCount != 0L) // unknown (-1) keeps
       }
       case IsNotNull(l) => attrName(l).map { n => (f: AddFile) =>
-        f.stats.get(n).forall(st => st.nullCount < 0L || st.nullCount < f.rows)
+        f.stats.get(statsKey(snap.schema, n))
+          .forall(st => st.nullCount < 0L || st.nullCount < f.rows)
       }
       case _ => None
     }
@@ -961,15 +1140,33 @@ object GraftLake {
     case other => other
   }
 
-  private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
+  /** Evolve `base` with `incoming`'s new columns, each assigned a fresh
+    * field id above `maxEverId` (never a reused one — a dropped column's
+    * id stays retired so its data can't resurrect). `pinned` re-applies
+    * ids a prior computation already stamped into staged files. */
+  private def mergeSchemas(base: StructType, incoming: StructType,
+      maxEverId: Int, retired: Map[String, Long],
+      pinned: StructType = new StructType()): StructType = {
     val baseNames = base.fieldNames.toSet
     incoming.fields.filter(f => baseNames.contains(f.name)).foreach { f =>
       val bf = base(f.name)
       require(bf.dataType == f.dataType,
         s"schema conflict on '${f.name}': ${bf.dataType} vs ${f.dataType}")
     }
+    var next = maxEverId
     StructType(base.fields ++
       incoming.fields.filterNot(f => baseNames.contains(f.name))
-        .map(f => StructField(f.name, f.dataType, nullable = true)))
+        .map { f =>
+          require(!retired.contains(f.name),
+            s"column name '${f.name}' was retired by an earlier rename/drop " +
+              "and old data files still carry it; adding it back would alias " +
+              "dead data under parquet's name-keyed pushdown — use a new name")
+          pinned.fields.find(p => p.name == f.name && idOf(p).isDefined) match {
+            case Some(p) => StructField(f.name, f.dataType, nullable = true, p.metadata)
+            case None =>
+              next += 1
+              withId(StructField(f.name, f.dataType, nullable = true), next)
+          }
+        })
   }
 }

@@ -26,6 +26,10 @@ final class LakeFileIndex(spark: SparkSession, val dir: String,
 
   private val snap: GraftLake.Snapshot = GraftLake.snapshot(spark, dir, asOf)
 
+  // any scan planned over this index resolves parquet columns by field id
+  // (rename-stable); enabling the conf is benign for id-less schemas
+  GraftLake.ensureFieldIdRead(spark)
+
   def schema: StructType = snap.schema
 
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
