@@ -395,7 +395,17 @@ object Graph {
    * persisting `e` to share it between the self-join and the degree agg
    * is 1.26× slower (6.8 s vs 5.4 s isolated median-of-3) — exchange
    * reuse already deduplicates the distinct's shuffle, and the cache
-   * write is pure overhead on top. Keep the unpersisted plan.
+   * write is pure overhead on top. Keep the unpersisted plan. Also
+   * measured (r10): the BUCKETED array-pairs variant — rights hashed
+   * into B buckets per left, one sorted collect_list per (l, bucket),
+   * pairs from per-array HOFs (intra) plus a bucket-pair cross join
+   * (inter), hoping ~deg/B arrays would dodge the r7 allocation blowup —
+   * is 2.0× SLOWER at B=8 (14.4 s vs 7.2 s isolated median-of-3 at
+   * sf0.1) and 2.6× at B=4 (18.9 s): the groupBy(l,bkt) adds a full
+   * extra shuffle of the edge list, the HOF struct allocation returns
+   * per bucket, and the B²/2 inter-bucket join rows per l cost more
+   * than the streamed join ever did. Same oracle output (value-checked
+   * at sf0.01 before measuring). The codegen self-join stays.
    */
   def neighborJaccard(edges: DataFrame, leftCol: String, rightCol: String,
       minCommon: Long, maxLeftDegree: Long = Long.MaxValue): DataFrame = {
