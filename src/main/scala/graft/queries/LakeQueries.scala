@@ -289,10 +289,48 @@ object LakeQueries {
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
       |ORDER BY order_id""".stripMargin
 
+  // ── l8: the lake as a STREAMING SOURCE — version-offset changelog ──────
+  // readStream.format("graft-lake"): first drain delivers the snapshot at
+  // stream start (create + first append), a commit lands between drains,
+  // and the checkpointed resume delivers EXACTLY the new append — the
+  // oracle's replay of all three slices value-checks initial-snapshot
+  // semantics, offset resume, and no-loss/no-dup delivery in one gate.
+  private val l8LakeStreamFeed: Q = (s, dir) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_stream")
+    val tbl = s"$base/t"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), tbl)
+    GraftLake.append(
+      p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), tbl)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake").option("path", tbl).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // snapshot: %4 in (0,1)
+    GraftLake.append(
+      p.filter(col("o_orderkey") % 4 === 2).repartitionByRange(4, col("o_orderkey")), tbl)
+    drain() // resume: exactly the %4==2 append
+    s.read.parquet(out)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("price_c"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val l8LakeStreamFeedSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       o_orderpriority,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l1_lake_dml" -> l1LakeDml,
     "l6_lake_sql_ddl" -> l6LakeSqlDdl,
     "l7_lake_rename_scan" -> l7LakeRename,
+    "l8_lake_stream_feed" -> l8LakeStreamFeed,
     "l2_lake_time_travel" -> l2LakeTimeTravel,
     "l3_lake_prune_scan" -> l3LakePruneScan,
     "l4_lake_changes" -> l4LakeChanges,
@@ -302,6 +340,7 @@ object LakeQueries {
     "l1_lake_dml" -> l1LakeDmlSql,
     "l6_lake_sql_ddl" -> l6LakeSqlDdlSql,
     "l7_lake_rename_scan" -> l7LakeRenameSql,
+    "l8_lake_stream_feed" -> l8LakeStreamFeedSql,
     "l2_lake_time_travel" -> l2LakeTimeTravelSql,
     "l3_lake_prune_scan" -> l3LakePruneScanSql,
     "l4_lake_changes" -> l4LakeChangesSql,

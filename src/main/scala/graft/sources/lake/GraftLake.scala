@@ -282,7 +282,7 @@ object GraftLake {
 
   /** All committed versions, contiguous from 0 (holes are impossible:
     * version N+1's fence can only be won after N exists). */
-  private def commits(dir: String): Seq[Commit] = {
+  private[lake] def commits(dir: String): Seq[Commit] = {
     val ld = logDir(dir)
     val fs = Option(ld.listFiles((_, n) => n.matches("v\\d{20}\\.json")))
       .getOrElse(Array.empty[File]).sortBy(_.getName)
@@ -966,7 +966,7 @@ object GraftLake {
       }
     }
 
-  private def readFiles(spark: SparkSession, snap: Snapshot,
+  private[lake] def readFiles(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {
     ensureFieldIdRead(spark) // columns resolve by field id (rename-stable)
     val base = spark.read.option("mergeSchema", "true")

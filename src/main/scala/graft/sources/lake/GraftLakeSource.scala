@@ -1,7 +1,9 @@
 package graft.sources.lake
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Catalog/DDL addressing for [[GraftLake]] tables — `format("graft-lake")`
@@ -29,9 +31,21 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
  * schema inference reads the log, as Delta does.
  */
 class GraftLakeSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  // ── streaming read: the table as a version-offset changelog ──────────
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      GraftLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
 
   private def pathOf(parameters: Map[String, String]): String = {
     val raw = parameters.getOrElse("path",

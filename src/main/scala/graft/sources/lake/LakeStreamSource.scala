@@ -1,0 +1,104 @@
+package graft.sources.lake
+
+import org.apache.spark.sql.{DataFrame, GraftDatasetBridge, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/**
+ * The lake as a STREAMING SOURCE — `spark.readStream.format("graft-lake")`
+ * — the Delta-style "table as a stream" read: the transaction log IS the
+ * changelog, so a consumer's offset is simply a table VERSION and a
+ * micro-batch is the data added by a contiguous version range. Built on
+ * the V1 `Source` seam (the one Delta's own DeltaSource uses): offsets
+ * are replayable version numbers, so Structured Streaming's checkpoint
+ * gives exactly-once delivery of every appended row with no extra state.
+ *
+ *  - The FIRST batch is the whole table as of stream start (Delta's
+ *    default); `startingVersion` overrides it — `latest` tails only
+ *    commits after stream start, a number N starts the changelog at
+ *    version N (initial snapshot skipped).
+ *  - Subsequent batches read exactly the files ADDED by append /
+ *    stream-append / overwrite commits in `(lastVersion, latest]` —
+ *    bounded by changed-file volume, never a table rescan.
+ *  - Change commits (delete / merge / update / restore) REWRITE rows;
+ *    emitting their adds would duplicate or resurrect data, so the
+ *    source fails fast on them unless `skipChangeCommits=true` (Delta's
+ *    option of the same name) skips them entirely. Pure layout commits
+ *    (optimize / zorder) and metadata commits (rename-column /
+ *    drop-column / checkpoints) are always skipped — same rows, no new
+ *    data.
+ *  - The schema is pinned at stream start; later-evolved columns are
+ *    projected away and renamed columns keep resolving via field ids.
+ *
+ * Scale: a micro-batch plans one parquet scan over just the committed
+ * files of its version range — at 100 TB the per-trigger cost tracks the
+ * ingest rate, not the table size, and the log fold that computes the
+ * range is the KB-sized checkpointed state.
+ */
+final class LakeStreamSource(spark: SparkSession, dir: String,
+    options: Map[String, String]) extends Source {
+
+  require(GraftLake.latestVersion(dir) >= 0, s"not a lake table: $dir")
+
+  private val pinned: GraftLake.Snapshot = GraftLake.snapshot(spark, dir)
+  private val skipChangeCommits =
+    options.getOrElse("skipChangeCommits", "false").toBoolean
+  // commits at or below this version never enter the changelog; None =
+  // emit the initial snapshot as the first batch (Delta's default)
+  private val startingVersion: Option[Long] =
+    options.get("startingVersion").map {
+      case "latest" => pinned.version
+      case v => v.toLong - 1
+    }
+
+  override def schema: StructType = pinned.schema
+
+  override def getOffset: Option[Offset] = {
+    val v = GraftLake.latestVersion(dir)
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json().trim.toLong // SerializedOffset after restart
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = versionOf(end)
+    val df = start.map(versionOf).orElse(startingVersion) match {
+      case None =>
+        // initial batch: the whole table as of `to`
+        GraftLake.read(spark, dir, asOf = Some(to))
+          .select(pinned.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+      case Some(from) =>
+        val adds = GraftLake.commits(dir)
+          .filter(c => c.version > from && c.version <= to)
+          .flatMap { c =>
+            c.op match {
+              case "append" | "stream-append" | "create" | "overwrite" => c.adds
+              case "optimize" | "zorder" | "rename-column" | "drop-column" => Nil
+              case changeOp =>
+                if (skipChangeCommits) Nil
+                else throw new IllegalStateException(
+                  s"lake stream at $dir hit a '$changeOp' commit (v${c.version}): " +
+                    "row-rewriting commits cannot be streamed as appends — set " +
+                    "option skipChangeCommits=true to skip them, or consume " +
+                    "row-level changes via GraftLake.changes")
+            }
+          }
+        if (adds.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned.schema)
+        else
+          GraftLake.readFiles(spark,
+            pinned.copy(version = to, files = adds),
+            adds.map(a => s"$dir/${a.path}"))
+    }
+    GraftDatasetBridge.asStreaming(df)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

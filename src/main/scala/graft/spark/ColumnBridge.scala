@@ -21,4 +21,13 @@ object GraftDatasetBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as a STREAMING one — what a V1 streaming
+    * `Source.getBatch` must return (`FileStreamSource` does exactly this
+    * through the same `internalCreateDataFrame(isStreaming = true)`). */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,106 @@
+package graft.sources.lake
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * `readStream.format("graft-lake")` — the table as a version-offset
+ * changelog: initial snapshot, append tailing, exactly-once resume from
+ * the streaming checkpoint, fail-fast (or skip) on row-rewriting
+ * commits, and `startingVersion` control.
+ */
+class LakeStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def drain(dir: String, out: String, ckpt: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("graft-lake").option("path", dir)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("initial snapshot + append tailing, exactly-once across restarts") {
+    val dir = tmp("lakestream") + "/t"
+    val out = tmp("lakestream_out"); val ckpt = tmp("lakestream_ck")
+    GraftLake.create((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      dir, numFiles = 2)
+    GraftLake.append((50 until 70).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      dir, numFiles = 1)
+
+    drain(dir, out, ckpt) // batch 0 = snapshot at stream start (v0+v1)
+    assert(spark.read.parquet(out).count() == 70)
+
+    // two more commits; a RESTARTED query reads exactly the new rows
+    GraftLake.append((70 until 80).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      dir, numFiles = 1)
+    GraftLake.appendStreamBatch(
+      (80 until 90).map(i => (i.toLong, s"v$i")).toDF("id", "s"), dir, "app", 0L, 1)
+    drain(dir, out, ckpt)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 90, "resume must deliver each appended row exactly once")
+    assert(all.select("id").as[Long].collect().sorted.toSeq == (0L until 90L))
+
+    // nothing new -> nothing delivered
+    drain(dir, out, ckpt)
+    assert(spark.read.parquet(out).count() == 90)
+  }
+
+  test("row-rewriting commits fail fast; skipChangeCommits skips them") {
+    val dir = tmp("lakestream2") + "/t"
+    val out = tmp("lakestream2_out"); val ckpt = tmp("lakestream2_ck")
+    GraftLake.create((0 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      dir, numFiles = 1)
+    drain(dir, out, ckpt)
+    assert(spark.read.parquet(out).count() == 30)
+
+    GraftLake.delete(spark, dir, col("id") < 10L) // a change commit
+    GraftLake.append((100 until 105).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      dir, numFiles = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir, out, ckpt)
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("skipChangeCommits"), "change commit must fail with guidance")
+
+    // with the option: the delete is skipped, the append flows through
+    drain(dir, out, ckpt, Map("skipChangeCommits" -> "true"))
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 30L) ++ (100L until 105L)),
+      s"skipChangeCommits must deliver only true appends, got ${ids.size} rows")
+  }
+
+  test("startingVersion: latest tails only post-start commits; N starts mid-log") {
+    val dir = tmp("lakestream3") + "/t"
+    GraftLake.create((0 until 10).map(i => (i.toLong, "a")).toDF("id", "s"),
+      dir, numFiles = 1) // v0
+    GraftLake.append((10 until 20).map(i => (i.toLong, "b")).toDF("id", "s"),
+      dir, numFiles = 1) // v1
+
+    // latest: the pre-existing 20 rows are NOT replayed
+    val out = tmp("lakestream3_out"); val ckpt = tmp("lakestream3_ck")
+    drain(dir, out, ckpt, Map("startingVersion" -> "latest"))
+    assert(!new java.io.File(out).exists() || spark.read.parquet(out).count() == 0)
+    GraftLake.append((20 until 25).map(i => (i.toLong, "c")).toDF("id", "s"),
+      dir, numFiles = 1) // v2
+    drain(dir, out, ckpt, Map("startingVersion" -> "latest"))
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq ==
+      (20L until 25L))
+
+    // numeric: changelog from version 1 (the v1 append included)
+    val out2 = tmp("lakestream3_out2"); val ckpt2 = tmp("lakestream3_ck2")
+    drain(dir, out2, ckpt2, Map("startingVersion" -> "1"))
+    assert(spark.read.parquet(out2).select("id").as[Long].collect().sorted.toSeq ==
+      (10L until 25L))
+  }
+}
