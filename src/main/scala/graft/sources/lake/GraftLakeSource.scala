@@ -1,8 +1,9 @@
 package graft.sources.lake
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -31,7 +32,18 @@ import org.apache.spark.sql.types.StructType
  * schema inference reads the log, as Delta does.
  */
 class GraftLakeSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-lake sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-lake sink does not take partitionBy (clustering is the lake's " +
+        "layout tool: optimize / optimizeZOrder)")
+    new LakeStreamSink(sqlContext.sparkSession, pathOf(parameters), parameters)
+  }
 
   override def shortName(): String = "graft-lake"
 

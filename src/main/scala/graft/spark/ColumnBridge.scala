@@ -30,4 +30,16 @@ object GraftDatasetBridge {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The reverse bridge for a V1 streaming `Sink.addBatch`: the incoming
+    * micro-batch DataFrame is backed by the query's IncrementalExecution —
+    * planning a NEW action over it (e.g. `.write`) trips "queries with
+    * streaming sources must be executed with writeStream.start()". Pin its
+    * already-planned RDD into a plain batch DataFrame instead (the same
+    * move console/community sinks make). */
+  def pinAsBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

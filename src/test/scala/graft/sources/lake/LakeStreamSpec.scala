@@ -80,6 +80,47 @@ class LakeStreamSpec extends SparkSpec {
       s"skipChangeCommits must deliver only true appends, got ${ids.size} rows")
   }
 
+  test("streaming sink: batches land as fenced commits; crash replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp("lakesink") + "/t"
+    val ckpt = tmp("lakesink_ck")
+    val mem = MemoryStream[(Long, String)](spark)
+    def sinkDrain(): Unit = {
+      val q = mem.toDF().toDF("id", "s")
+        .writeStream.format("graft-lake")
+        .option("path", dir).option("appId", "sinkspec")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData((0L, "a"), (1L, "b"))
+    sinkDrain()
+    assert(GraftLake.read(spark, dir).count() == 2,
+      "first batch creates the table and lands its rows")
+    mem.addData((2L, "c"))
+    sinkDrain()
+    assert(GraftLake.read(spark, dir).count() == 3)
+    val versionAfter = GraftLake.latestVersion(dir)
+
+    // crash replay: drop the LAST streaming commit (and its crc) so the
+    // engine re-runs the epoch — the (appId, batchId) fence must make the
+    // replayed addBatch a no-op
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
+    val last = commits.last
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    assert(last.delete())
+    sinkDrain()
+    assert(GraftLake.read(spark, dir).count() == 3,
+      "replayed epoch must commit nothing twice")
+    assert(GraftLake.latestVersion(dir) == versionAfter,
+      "replay must not even add an empty commit")
+
+    // round trip: the sink's table serves the source
+    assert(spark.read.format("graft-lake").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("startingVersion: latest tails only post-start commits; N starts mid-log") {
     val dir = tmp("lakestream3") + "/t"
     GraftLake.create((0 until 10).map(i => (i.toLong, "a")).toDF("id", "s"),
