@@ -18,6 +18,8 @@ object Bench {
       // testdata parquet carries TIMESTAMP(NANOS) — read as raw longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.lake.GraftLakeCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query SHAPE on the tiny sf first: whole-stage codegen

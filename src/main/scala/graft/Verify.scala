@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // lake SQL DML (LakeDmlRule) is a resolution rule — session-build only
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      // lake ALTER TABLE / MERGE INTO / time travel need the v2 catalog
+      // face (delegating: non-lake tables untouched)
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.lake.GraftLakeCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -715,6 +715,199 @@ object GraftLake {
     } finally { upd.unpersist(); () }
   }
 
+  // ── general MERGE INTO (SQL MERGE semantics) ─────────────────────────
+
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE` clause.
+    * Conditions and SET values reference target columns as `t.<col>` and
+    * source columns as `s.<col>` (the frames are aliased internally). */
+  sealed trait MatchedClause
+  final case class MatchedUpdate(condition: Option[Column],
+      set: Seq[(String, Column)]) extends MatchedClause
+  final case class MatchedDelete(condition: Option[Column] = None)
+      extends MatchedClause
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (...)`;
+    * unassigned target columns insert NULL. Values reference `s.<col>`. */
+  final case class NotMatchedInsert(condition: Option[Column],
+      values: Seq[(String, Column)])
+
+  /** General copy-on-write MERGE INTO — full SQL MERGE semantics over an
+    * arbitrary join condition, the operation `merge` (upsert-by-key)
+    * cannot express. Clause semantics follow the standard (and Delta):
+    * the FIRST clause of the applicable class whose condition holds fires;
+    * a target row matched by MORE than one source row while any matched
+    * clause exists is an error (ambiguous merge — which update wins would
+    * be nondeterministic); `notMatchedBySource` clauses fire for target
+    * rows with no source match.
+    *
+    * Scale shape (Delta's two-phase plan): victim files are found by a
+    * stats prune on the first `t.k = s.k` equi-conjunct's source bounds,
+    * then an exact `input_file_name` semi-join over just the candidates —
+    * only files PROVABLY holding a matched row rewrite (all active files
+    * when `notMatchedBySource` forces a whole-table pass). The rewrite is
+    * ONE full-outer join of victims × source projected through the clause
+    * chain in a single pass — no per-clause scans. The per-target-row
+    * match count rides a window keyed (tid, sid-for-inserts) so unmatched
+    * source rows never collapse into one null partition.
+    *
+    * Reference semantics: SQL:2003 MERGE; the conflict contract matches
+    * Delta's multipleSourceRowMatchingTargetRowInMergeException. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      condition: Column, matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedInsert],
+      notMatchedBySource: Seq[MatchedClause] = Nil): Long = {
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE INTO needs at least one WHEN clause")
+    val src = source.cache()
+    try {
+      retryRewrite(spark, dir, "merge-into") { snap =>
+        val fields = snap.schema.fields.toIndexedSeq
+        val names = fields.map(_.name).toSet
+        (matched ++ notMatchedBySource).foreach {
+          case MatchedUpdate(_, set) => set.foreach { case (n, _) =>
+            require(names.contains(n), s"MERGE UPDATE sets unknown column '$n'") }
+          case _ => ()
+        }
+        notMatched.foreach(c => c.values.foreach { case (n, _) =>
+          require(names.contains(n), s"MERGE INSERT targets unknown column '$n'") })
+
+        // phase 1: victim files. Stats-prune candidates on the first
+        // target=source equi-conjunct, then the exact touched set via an
+        // input_file_name semi-join (candidate files only are scanned).
+        val victims: Seq[AddFile] =
+          if (notMatchedBySource.nonEmpty) snap.files
+          else {
+            val cand = mergeCandidates(spark, snap, src, condition)
+            if (cand.isEmpty) Nil
+            else {
+              def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+              val touched = readFiles(spark, snap, cand.map(f => s"$dir/${f.path}"))
+                .withColumn("__gl_file", input_file_name()).alias("t")
+                .join(src.alias("s"), condition, "left_semi")
+                .select(col("__gl_file")).distinct()
+                .collect().map(r => baseName(r.getString(0))).toSet
+              cand.filter(f => touched.contains(baseName(f.path)))
+            }
+          }
+
+        // phase 2: one full-outer join of victims × source, projected
+        // through the clause chains in a single pass.
+        val rowT = StructType(fields.map(f =>
+          StructField(f.name, f.dataType, nullable = true)))
+        def keepStruct = struct(fields.map(f => col(s"t.${f.name}").as(f.name)): _*)
+        val nullRow = lit(null).cast(rowT)
+        def chain(cs: Seq[MatchedClause]): Column =
+          cs.foldRight(keepStruct) { (c, els) =>
+            c match {
+              case MatchedUpdate(cond, set) =>
+                val byName = set.toMap
+                val updated = struct(fields.map { f =>
+                  byName.get(f.name).map(_.cast(f.dataType))
+                    .getOrElse(col(s"t.${f.name}")).as(f.name)
+                }: _*)
+                when(cond.getOrElse(lit(true)), updated).otherwise(els)
+              case MatchedDelete(cond) =>
+                when(cond.getOrElse(lit(true)), nullRow).otherwise(els)
+            }
+          }
+        val insertChain: Column =
+          notMatched.foldRight(nullRow) { (c, els) =>
+            val byName = c.values.toMap
+            val ins = struct(fields.map { f =>
+              byName.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+            }: _*)
+            when(c.condition.getOrElse(lit(true)), ins).otherwise(els)
+          }
+
+        val tgt0 =
+          if (victims.isEmpty) emptyDf(spark, snap.schema)
+          else readFiles(spark, snap, victims.map(f => s"$dir/${f.path}"))
+        val t = tgt0.withColumn("__gl_tid", monotonically_increasing_id()).alias("t")
+        val s2 = src.withColumn("__gl_sid", monotonically_increasing_id()).alias("s")
+        val joined = t.join(s2, condition, "full_outer")
+        val isMatched = col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNotNull
+
+        // ambiguity guard: >1 source match for one target row while any
+        // matched clause exists is nondeterministic — reject. Unmatched
+        // source rows get their own window partition via sid (a shared
+        // null-tid partition would serialize every insert through one task).
+        val guarded =
+          if (matched.isEmpty) joined
+          else {
+            val w = org.apache.spark.sql.expressions.Window.partitionBy(
+              col("t.__gl_tid"),
+              when(col("t.__gl_tid").isNull, col("s.__gl_sid")).otherwise(lit(0L)))
+            joined
+              .withColumn("__gl_n", sum(when(isMatched, 1L).otherwise(0L)).over(w))
+              .where(when(isMatched && col("__gl_n") > 1L,
+                assert_true(lit(false), lit(s"MERGE INTO $dir: a target row " +
+                  "matched multiple source rows; make the ON condition more " +
+                  "selective or deduplicate the source")).isNotNull)
+                .otherwise(lit(true)))
+          }
+
+        val result = when(isMatched, chain(matched))
+          .when(col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNull,
+            if (notMatchedBySource.isEmpty) keepStruct else chain(notMatchedBySource))
+          .otherwise(insertChain)
+        val replacement = guarded.select(result.as("__gl_r"))
+          .where(col("__gl_r").isNotNull)
+          .select("__gl_r.*")
+        (victims, replacement)
+      }
+    } finally { src.unpersist(); () }
+  }
+
+  /** Candidate victim files for [[mergeInto]]: resolve the merge condition
+    * against empty aliased frames, find the first `t.col = s.col`
+    * equi-conjunct, and stats-prune on the SOURCE side's min/max of that
+    * key (one tiny agg). No equi-conjunct → all active files (the exact
+    * semi-join still narrows to truly touched ones). */
+  private def mergeCandidates(spark: SparkSession, snap: Snapshot,
+      src: DataFrame, condition: Column): Seq[AddFile] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val equi: Option[(String, String)] = {
+      val j = emptyDf(spark, snap.schema).alias("t")
+        .join(emptyDf(spark, StructType(src.schema.fields)).alias("s"), condition, "inner")
+        .queryExecution.analyzed.collectFirst {
+          case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+        }
+      j.flatMap { jn =>
+        val left = jn.left.outputSet
+        val right = jn.right.outputSet
+        jn.condition.toSeq.flatMap(conjuncts).collectFirst {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if left.contains(a) && right.contains(b) => (a.name, b.name)
+          case EqualTo(b: AttributeReference, a: AttributeReference)
+              if right.contains(b) && left.contains(a) => (a.name, b.name)
+        }
+      }
+    }
+    equi match {
+      case Some((tCol, sCol)) =>
+        val r = src.agg(min(col(sCol)), max(col(sCol))).collect()(0)
+        (Option(r.get(0)), Option(r.get(1))) match {
+          case (Some(lo), Some(hi)) =>
+            snap.files.filter { f =>
+              f.stats.get(statsKey(snap.schema, tCol)) match {
+                case Some(st) if st.min.isDefined && st.max.isDefined =>
+                  (for {
+                    c1 <- cmpOpt(st.kind, st.max.get, lo.toString)
+                    c2 <- cmpOpt(st.kind, st.min.get, hi.toString)
+                  } yield c1 >= 0 && c2 <= 0).getOrElse(true)
+                case _ => true
+              }
+            }
+          case _ => snap.files // all-null or empty source keys: no pruning
+        }
+      case None => snap.files
+    }
+  }
+
   /** Bin-pack small files (< `smallBytes`) into ~`targetBytes` outputs.
     * Pure layout change: same rows before and after; old files stay on
     * disk for time travel until [[vacuum]]. */
@@ -779,6 +972,41 @@ object GraftLake {
         retiredNames = Seq(name -> idOf(snap.schema(name)).getOrElse(-1L))),
         snap.version + 1))
     }.get
+
+  /** ALTER TABLE ... ADD COLUMN as a pure metadata commit: the new column
+    * gets a FRESH field id (maxColId + 1 — never a reused one), existing
+    * files null-fill it, and new writes carry it. Nullable by contract
+    * (existing rows have no value to give it). A name retired by an
+    * earlier rename/drop is rejected: old data files still carry that
+    * column name, and parquet's name-keyed row-group pushdown would bind
+    * filters on the re-added column to the dead data. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long =
+    retry(dir, "add-column") { snap =>
+      require(!snap.schema.fieldNames.contains(name),
+        s"column '$name' already exists in $dir")
+      require(!snap.retired.contains(name),
+        s"column name '$name' was retired by an earlier rename/drop " +
+          s"(field id ${snap.retired.get(name).orNull}) and old data files " +
+          "still carry it; pick a different name")
+      val f = withId(StructField(name, dataType, nullable = true), snap.maxColId + 1)
+      Some((Commit(snap.version + 1, System.currentTimeMillis(), "add-column",
+        None, None, Some(StructType(snap.schema.fields :+ f).json), Nil, Nil,
+        maxColId = Some(snap.maxColId + 1)), snap.version + 1))
+    }.get
+
+  /** The latest version whose commit timestamp is <= `tsMillis` —
+    * `TIMESTAMP AS OF` resolution (Delta's semantics: the snapshot a
+    * reader at that wall-clock instant would have seen). */
+  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+    val cs = commits(dir)
+    require(cs.nonEmpty, s"no lake table at $dir")
+    val eligible = cs.filter(_.ts <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no snapshot of $dir at or before timestamp $tsMillis " +
+        s"(earliest commit is at ${cs.map(_.ts).min})")
+    eligible.map(_.version).max
+  }
 
   /** RESTORE: roll the table back to `version` AS A NEW COMMIT — the bad
     * writes stay in history (auditable, still time-travelable) but the
@@ -1008,7 +1236,9 @@ object GraftLake {
     while (attempts < 20) {
       val snap = snapshot(spark, dir)
       val (victims, replacement) = plan(snap)
-      if (victims.isEmpty && op != "merge") return snap.version
+      // merge ops can commit with zero victims (insert-only merges); every
+      // other rewrite with nothing to replace is a no-op
+      if (victims.isEmpty && op != "merge" && op != "merge-into") return snap.version
       val adds = stage(replacement, dir, 0, snap.schema)
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         None, adds, victims.map(_.path))

@@ -1,0 +1,142 @@
+package graft.sources.lake
+
+import java.util.Collections
+
+import org.apache.spark.sql.{GraftCatalogBridge, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension, Identifier, Table, TableCapability, TableChange}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * DSv2 session-catalog extension for GraftLake tables — the seam Delta's
+ * DeltaCatalog uses. Configure with
+ * `spark.sql.catalog.spark_catalog=graft.sources.lake.GraftLakeCatalog`
+ * (plus `spark.sql.extensions=graft.spark.GraftExtensions`): every
+ * catalog lookup of a `USING graft-lake` table then resolves to a v2
+ * [[GraftLakeTable]] instead of the session catalog's V1Table, which is
+ * what lets SQL reach the lake's transactional DDL/DML:
+ *
+ *  - `ALTER TABLE ... RENAME/DROP/ADD COLUMN` — v1 session-catalog tables
+ *    are REJECTED during resolution (`UNSUPPORTED_FEATURE.TABLE_OPERATION`,
+ *    before any injectable rule runs), so a v2 table is the only way in.
+ *    Changes land as the lake's field-id metadata commits
+ *    ([[GraftLake.renameColumn]]/[[GraftLake.dropColumn]]/
+ *    [[GraftLake.addColumn]]) and are mirrored into the metastore schema
+ *    so DESCRIBE stays truthful.
+ *  - `MERGE INTO` — resolves against the v2 relation; the post-hoc
+ *    [[graft.spark.LakeDmlRule]] then rewrites it onto
+ *    [[GraftLake.mergeInto]]'s copy-on-write commit.
+ *  - `SELECT ... VERSION AS OF v / TIMESTAMP AS OF ts` — the time-travel
+ *    `loadTable` overloads pin the snapshot version.
+ *
+ * READS stay on the v1 planner-integrated path: [[GraftLakeTable]]
+ * carries no scan capability, and LakeDmlRule swaps the naked v2
+ * relation for the [[LakeFileIndex]] LogicalRelation (exprId-preserving),
+ * so `SELECT` keeps planning the same footer-stats-pruned
+ * FileSourceScan as before. All non-lake tables delegate untouched.
+ *
+ * Reference: the engine's tables are plain catalog objects
+ * (reference queries address tables by name throughout); here the
+ * lakehouse layer joins the catalog the way Delta/Iceberg users expect.
+ */
+class GraftLakeCatalog extends DelegatingCatalogExtension {
+
+  private def spark = SparkSession.active
+
+  /** The lake root dir behind a catalog table, if it IS a lake table. */
+  private def lakeDir(ct: CatalogTable): Option[String] =
+    if (!ct.provider.exists(_.equalsIgnoreCase("graft-lake"))) None
+    else ct.storage.properties.get("path")
+      .orElse(ct.storage.locationUri.map(_.toString))
+      .map(GraftLakeSource.normalizePath)
+
+  private def asLake(t: Table, asOf: Option[Long]): Option[GraftLakeTable] =
+    for {
+      ct <- GraftCatalogBridge.v1CatalogTable(t)
+      dir <- lakeDir(ct)
+    } yield GraftLakeTable(ct, dir, asOf)
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = super.loadTable(ident)
+    asLake(t, None).getOrElse(t)
+  }
+
+  /** `VERSION AS OF v` — the catalog API's String-version overload. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = super.loadTable(ident)
+    asLake(t, Some(version.toLong))
+      .getOrElse(super.loadTable(ident, version))
+  }
+
+  /** `TIMESTAMP AS OF ts` — micros since epoch, resolved to the latest
+    * version committed at or before that instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = super.loadTable(ident)
+    GraftCatalogBridge.v1CatalogTable(t).flatMap(lakeDir) match {
+      case Some(dir) =>
+        val v = GraftLake.versionAtTimestamp(dir, timestampMicros / 1000L)
+        asLake(t, Some(v)).get
+      case None => super.loadTable(ident, timestampMicros)
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val cur = super.loadTable(ident)
+    GraftCatalogBridge.v1CatalogTable(cur).flatMap(lakeDir) match {
+      case Some(dir) =>
+        changes.foreach {
+          case r: TableChange.RenameColumn =>
+            require(r.fieldNames.length == 1,
+              "graft-lake ALTER TABLE supports top-level columns only")
+            GraftLake.renameColumn(spark, dir, r.fieldNames()(0), r.newName)
+          case d: TableChange.DeleteColumn =>
+            require(d.fieldNames.length == 1,
+              "graft-lake ALTER TABLE supports top-level columns only")
+            GraftLake.dropColumn(spark, dir, d.fieldNames()(0))
+          case a: TableChange.AddColumn =>
+            require(a.fieldNames.length == 1,
+              "graft-lake ALTER TABLE supports top-level columns only")
+            GraftLake.addColumn(spark, dir, a.fieldNames()(0), a.dataType)
+          case other => throw new UnsupportedOperationException(
+            s"graft-lake ALTER TABLE does not support change $other " +
+              "(supported: RENAME COLUMN, DROP COLUMN, ADD COLUMN)")
+        }
+        // mirror into the metastore schema so DESCRIBE / SHOW stay
+        // truthful (the lake LOG remains the source of truth for reads)
+        super.alterTable(ident, changes: _*)
+        loadTable(ident)
+      case None => super.alterTable(ident, changes: _*)
+    }
+  }
+}
+
+/**
+ * The v2 face of one lake table (at one optional time-travel version).
+ * Deliberately capability-FREE: it exists so DDL/DML resolve against a
+ * v2 table, while every actual read is rerouted by LakeDmlRule onto the
+ * v1 [[LakeFileIndex]] relation before planning (Delta's
+ * DeltaTableV2-with-v1-fallback shape). Schema comes from the lake LOG
+ * snapshot (field-id metadata included), not the metastore copy.
+ */
+final case class GraftLakeTable(ct: CatalogTable, dir: String,
+    asOf: Option[Long]) extends Table {
+
+  /** One consistent snapshot per catalog lookup. */
+  val snapshotSchema: StructType =
+    GraftLake.snapshot(SparkSession.active, dir, asOf).schema
+
+  override def name(): String = ct.identifier.unquotedString
+
+  override def schema(): StructType = snapshotSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.emptySet()
+
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft-lake")
+    m.put("location", dir)
+    asOf.foreach(v => m.put("versionAsOf", v.toString))
+    m
+  }
+}

@@ -59,19 +59,18 @@ class GraftLakeSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): Source =
     new LakeStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
 
-  private def pathOf(parameters: Map[String, String]): String = {
-    val raw = parameters.getOrElse("path",
+  private def pathOf(parameters: Map[String, String]): String =
+    GraftLakeSource.normalizePath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft-lake requires a 'path' option (or LOCATION)"))
-    // the catalog qualifies locations to file: URIs; the lake's log and
-    // commit fence are java.io.File-based, so bring those back to plain
-    // local paths (one canonical spelling also keeps the log, the data
-    // files, and the DML rule's idx.dir matching)
-    if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
-  }
+        "graft-lake requires a 'path' option (or LOCATION)")))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
+    // (path normalization note: the catalog qualifies locations to file:
+    // URIs; the lake's log and commit fence are java.io.File-based, so
+    // normalizePath brings those back to plain local paths — one canonical
+    // spelling keeps the log, the data files, and the DML rule's idx.dir
+    // matching)
     val dir = pathOf(parameters)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
     LakeFileIndex.relation(sqlContext.sparkSession, dir, asOf)
@@ -98,4 +97,13 @@ class GraftLakeSource extends RelationProvider with CreatableRelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+object GraftLakeSource {
+  /** The catalog qualifies table locations to `file:` URIs; the lake's
+    * log and commit fence are `java.io.File`-based, so bring those back
+    * to plain local paths. One canonical spelling keeps the log, the
+    * data files, and the DML rule's `idx.dir` matching. */
+  def normalizePath(raw: String): String =
+    if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
 }

@@ -13,6 +13,19 @@ object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
 
+/** Access bridge for the `private[sql]` V1Table wrapper the session
+  * catalog returns for metastore tables — the graft-lake DSv2 catalog
+  * needs to unwrap it to decide whether a loaded table is a lake table
+  * (the same unwrap Delta's DeltaCatalog does from its own sql
+  * subpackage). */
+object GraftCatalogBridge {
+  def v1CatalogTable(t: connector.catalog.Table)
+      : Option[catalyst.catalog.CatalogTable] = t match {
+    case v1: connector.catalog.V1Table => Some(v1.v1Table)
+    case _ => None
+  }
+}
+
 /** Same access-only bridge for `Dataset.ofRows` — turns an analyzed
   * LogicalPlan back into a DataFrame inside a RunnableCommand (the lake
   * DML commands execute their rewritten INSERT/UPDATE/DELETE queries

@@ -1,61 +1,104 @@
 package graft.spark
 
-import graft.sources.lake.{GraftLake, LakeFileIndex}
+import graft.sources.lake.{GraftLake, GraftLakeTable, LakeFileIndex}
 import org.apache.spark.sql.{Column, GraftColumnBridge, GraftDatasetBridge, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
 
 /**
- * SQL DML over [[graft.sources.lake.GraftLakeSource]] tables, the seam
- * Delta's DeltaAnalysis rule uses: a post-hoc resolution rule that
- * re-routes DML plans whose target resolves to a [[LakeFileIndex]]
- * relation onto the TRANSACTIONAL lake operations.
+ * SQL DML over graft-lake catalog tables, the seam Delta's DeltaAnalysis
+ * rule uses: a post-hoc resolution rule that re-routes DML plans whose
+ * target is a lake table onto the TRANSACTIONAL lake operations.
  *
- *  - `INSERT INTO` / `INSERT OVERWRITE`: Spark's DataSourceAnalysis turns
- *    these into a direct parquet write into the relation's root path
- *    (`InsertIntoHadoopFsRelationCommand`) — which would land files the
- *    log never references (silently invisible rows) — so the rule matches
- *    the converted command (and the pre-conversion statement, whichever
- *    this batch sees first) and replaces it with a log-fenced
- *    append/overwrite commit.
- *  - `DELETE FROM` / `UPDATE`: the parser produces v2-only plans that
- *    would fail analysis for a v1 relation; the rule rewrites them into
- *    the lake's copy-on-write delete/update, resolved-attribute
- *    conditions mapped back to by-name columns (the rewrite re-reads the
- *    victim files, so the original exprIds do not survive).
+ * Lake targets arrive in two shapes:
+ *  - a v1 `LogicalRelation` over [[LakeFileIndex]] (plain
+ *    `format("graft-lake")` reads, sessions without the DSv2 catalog);
+ *  - a `DataSourceV2Relation` over [[GraftLakeTable]] (sessions with
+ *    `spark.sql.catalog.spark_catalog=graft.sources.lake.GraftLakeCatalog`)
+ *    — required for ALTER TABLE and MERGE INTO, which Spark rejects for
+ *    v1 tables during resolution.
+ *
+ * Rewrites (matched parent-first, so write/DML nodes capture their target
+ * before the naked-relation fallback below converts it):
+ *  - `INSERT INTO` / `INSERT OVERWRITE`: v1 arrives as Spark's converted
+ *    raw-parquet write (`InsertIntoHadoopFsRelationCommand`) — which would
+ *    land files the log never references — v2 as `AppendData` /
+ *    `OverwriteByExpression`; both become log-fenced append/overwrite
+ *    commits.
+ *  - `DELETE FROM` / `UPDATE`: rewritten into the lake's copy-on-write
+ *    delete/update, resolved-attribute conditions mapped back to by-name
+ *    columns (the rewrite re-reads the victim files, so the original
+ *    exprIds do not survive).
+ *  - `MERGE INTO`: full clause set (matched update/delete, not-matched
+ *    insert, not-matched-by-source update/delete, star forms, per-clause
+ *    conditions) onto [[GraftLake.mergeInto]]'s single-join CoW commit.
+ *  - naked v2 lake relations (SELECT paths) fall back to the
+ *    planner-integrated [[LakeFileIndex]] v1 relation — exprId-preserving,
+ *    so the surrounding resolved plan is untouched — keeping every read on
+ *    the footer-stats-pruned FileSourceScan.
  *
  * Inject via `spark.sql.extensions=graft.spark.GraftExtensions`.
  */
 object LakeDmlRule extends Rule[LogicalPlan] {
 
-  /** The lake table behind a resolved relation plan, if any. */
+  /** The lake table behind a resolved relation plan (either shape). */
   private def lakeTarget(plan: LogicalPlan): Option[(String, Option[CatalogTable])] =
     EliminateSubqueryAliases(plan) match {
       case LogicalRelation(r: HadoopFsRelation, _, table, _, _) =>
         r.location match {
-          case idx: LakeFileIndex => Some((idx.dir, table))
+          case idx: graft.sources.lake.LakeFileIndex => Some((idx.dir, table))
           case _ => None
         }
+      case DataSourceV2Relation(t: GraftLakeTable, _, _, _, _, _) =>
+        Some((t.dir, Some(t.ct)))
       case _ => None
     }
 
+  /** Swap a v2 lake relation for the v1 [[LakeFileIndex]] relation with
+    * the SAME output attributes — the resolved plan above it never
+    * notices (Delta's DeltaTableV2 → v1 fallback shape). */
+  private def toV1(r: DataSourceV2Relation, t: GraftLakeTable): LogicalRelation =
+    new LogicalRelation(
+      LakeFileIndex.relation(SparkSession.active, t.dir, t.asOf),
+      r.output, Some(t.ct), false, None)
+
+  /** Convert every naked v2 lake relation inside `plan` (used on command
+    * QUERIES too — commands hold them as innerChildren, which transforms
+    * never descend into, so conversion must happen at capture time). */
+  private def convert(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case r @ DataSourceV2Relation(t: GraftLakeTable, _, _, _, _, _) => toV1(r, t)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    // normal path: DataSourceAnalysis (earlier in the post-hoc batch) has
-    // already converted the insert; intercept the raw-parquet write
+    // ── INSERT, v1 path: DataSourceAnalysis (earlier in the post-hoc
+    // batch) has already converted the insert; intercept the raw-parquet
+    // write
     case InsertIntoHadoopFsRelationCommand(_, _, _, _, _, _, _, query, mode,
-        table, Some(idx: LakeFileIndex), _) =>
-      LakeInsertCommand(idx.dir, query, mode == SaveMode.Overwrite, table)
+        table, Some(idx: graft.sources.lake.LakeFileIndex), _) =>
+      LakeInsertCommand(idx.dir, convert(query), mode == SaveMode.Overwrite, table)
     // defensive twin in case the statement reaches us unconverted
-    case i @ InsertIntoStatement(target, _, _, query, overwrite, _, _)
+    case InsertIntoStatement(target, _, _, query, overwrite, _, _)
         if query.resolved && lakeTarget(target).isDefined =>
       val (dir, table) = lakeTarget(target).get
-      LakeInsertCommand(dir, query, overwrite, table)
+      LakeInsertCommand(dir, convert(query), overwrite, table)
+    // ── INSERT, v2 path (DSv2 catalog): ResolveInsertInto produced v2
+    // write nodes over the capability-free GraftLakeTable
+    case AppendData(r: DataSourceV2Relation, query, _, _, _, _)
+        if r.table.isInstanceOf[GraftLakeTable] =>
+      val t = r.table.asInstanceOf[GraftLakeTable]
+      LakeInsertCommand(t.dir, convert(query), overwrite = false, Some(t.ct))
+    case OverwriteByExpression(r: DataSourceV2Relation, _, query, _, _, _, _)
+        if r.table.isInstanceOf[GraftLakeTable] =>
+      val t = r.table.asInstanceOf[GraftLakeTable]
+      LakeInsertCommand(t.dir, convert(query), overwrite = true, Some(t.ct))
+    // ── DELETE / UPDATE (either relation shape)
     case DeleteFromTable(target, condition) if lakeTarget(target).isDefined =>
       val (dir, table) = lakeTarget(target).get
       LakeDeleteCommand(dir, condition, table)
@@ -68,6 +111,21 @@ object LakeDmlRule extends Rule[LogicalPlan] {
           s"graft-lake UPDATE supports top-level columns only, got $other")
       }
       LakeUpdateCommand(dir, sets, condition, table)
+    // ── MERGE INTO (v2 catalog target; Spark rejects v1 merge targets
+    // during resolution)
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, nmbs,
+        schemaEvolution) if m.resolved && lakeTarget(target).isDefined =>
+      if (schemaEvolution) throw new UnsupportedOperationException(
+        "graft-lake MERGE INTO does not support WITH SCHEMA EVOLUTION; " +
+          "evolve the table first (ALTER TABLE ... ADD COLUMN is a pure " +
+          "metadata commit)")
+      val (dir, table) = lakeTarget(target).get
+      LakeMergeCommand(dir, target.output.collect { case a: AttributeReference => a },
+        convert(source), cond, matched, notMatched, nmbs, table)
+    // ── naked v2 lake relations (SELECT paths): v1 fallback. Parent
+    // nodes were matched above first, so only pure-read relations remain.
+    case r @ DataSourceV2Relation(t: GraftLakeTable, _, _, _, _, _) =>
+      toV1(r, t)
   }
 
   /** Resolved exprIds don't survive the CoW re-read of victim files —
@@ -116,6 +174,62 @@ case class LakeUpdateCommand(dir: String, sets: Seq[(String, Expression)],
     GraftLake.update(spark, dir,
       condition.map(LakeDmlRule.byName).getOrElse(lit(true)),
       sets.map { case (n, v) => n -> LakeDmlRule.byName(v) })
+    LakeDmlRule.refresh(spark, table)
+    Seq.empty
+  }
+}
+
+/** MERGE INTO as [[GraftLake.mergeInto]]'s copy-on-write commit. The
+  * resolved condition/clause expressions reference target and source by
+  * exprId; `tx` maps them onto the `t.` / `s.` aliases mergeInto joins
+  * under (by-name, since the CoW re-read mints fresh exprIds). */
+case class LakeMergeCommand(dir: String, targetAttrs: Seq[AttributeReference],
+    source: LogicalPlan, condition: Expression,
+    matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+    notMatchedBySource: Seq[MergeAction], table: Option[CatalogTable])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tSet = AttributeSet(targetAttrs)
+    val sSet = AttributeSet(source.output)
+    def tx(e: Expression): Column = GraftColumnBridge.column(e.transform {
+      case a: AttributeReference if tSet.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sSet.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    })
+    def assignName(a: Assignment): String = a.key match {
+      case k: AttributeReference => k.name
+      case other => throw new IllegalArgumentException(
+        s"graft-lake MERGE supports top-level columns only, got $other")
+    }
+    val targetCols = targetAttrs.map(_.name)
+    def matchedClause(a: MergeAction): GraftLake.MatchedClause = a match {
+      case UpdateAction(cond, assigns, _) =>
+        GraftLake.MatchedUpdate(cond.map(tx),
+          assigns.map(as => assignName(as) -> tx(as.value)))
+      case DeleteAction(cond) => GraftLake.MatchedDelete(cond.map(tx))
+      case UpdateStarAction(cond) =>
+        GraftLake.MatchedUpdate(cond.map(tx),
+          targetCols.map(n => n -> col(s"s.$n")))
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake MERGE: unsupported matched action $other")
+    }
+    def insertClause(a: MergeAction): GraftLake.NotMatchedInsert = a match {
+      case InsertAction(cond, assigns) =>
+        GraftLake.NotMatchedInsert(cond.map(tx),
+          assigns.map(as => assignName(as) -> tx(as.value)))
+      case InsertStarAction(cond) =>
+        GraftLake.NotMatchedInsert(cond.map(tx),
+          targetCols.map(n => n -> col(s"s.$n")))
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake MERGE: unsupported not-matched action $other")
+    }
+    val srcDf = GraftDatasetBridge.ofRows(spark, source)
+    GraftLake.mergeInto(spark, dir, srcDf, tx(condition),
+      matched.map(matchedClause), notMatched.map(insertClause),
+      notMatchedBySource.map(matchedClause))
     LakeDmlRule.refresh(spark, table)
     Seq.empty
   }
