@@ -326,7 +326,123 @@ object LakeQueries {
       |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── l9: the DSv2 catalog face — ALTER TABLE + evolved INSERT, SQL only ─
+  // RENAME/DROP/ADD COLUMN land as field-id metadata commits through
+  // GraftLakeCatalog (v1 session-catalog tables are rejected for these
+  // during resolution — the v2 table is the only way in), then an INSERT
+  // writes rows carrying the evolved schema. Every pre-DDL file still
+  // serves the renamed key, the added column null-fills old rows, and the
+  // history assertion pins one log commit per statement. The pruning
+  // require proves a tight range on the RENAMED key still plans a strict
+  // file-subset scan (stats are id-keyed).
+  private val l9LakeSqlAlter: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_alter").toString + "/t"
+    ordersProjected(s, dir).repartitionByRange(8, col("o_orderkey"))
+      .createOrReplaceTempView("l9_orders_src")
+    s.sql("DROP TABLE IF EXISTS graft_l9")
+    s.sql(
+      s"""CREATE TABLE graft_l9 USING `graft-lake` OPTIONS (path '$tbl')
+         |AS SELECT * FROM l9_orders_src""".stripMargin)
+    s.sql("ALTER TABLE graft_l9 RENAME COLUMN o_orderkey TO order_id")
+    s.sql("ALTER TABLE graft_l9 DROP COLUMN o_orderpriority")
+    s.sql("ALTER TABLE graft_l9 ADD COLUMN note STRING")
+    s.sql("INSERT INTO graft_l9 SELECT o_orderkey + 1000000000, o_orderstatus, " +
+      "price_c, 'new' FROM l9_orders_src WHERE o_orderkey % 100 = 7")
+    require(GraftLake.history(tbl).map(_._2) ==
+      Seq("create", "rename-column", "drop-column", "add-column", "append"),
+      "SQL DDL must land as one metadata commit per statement")
+    // planner proof: a tight range on the renamed key scans < all files
+    val probe = s.sql(
+      "SELECT order_id FROM graft_l9 WHERE order_id BETWEEN 1000 AND 2999")
+    probe.collect()
+    val scanned = probe.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metrics("numFiles").value
+    }.sum
+    require(scanned >= 1 && scanned < 8,
+      s"range on renamed key must stats-prune to a strict file subset, scanned $scanned")
+    s.sql("SELECT order_id, o_orderstatus, price_c, note FROM graft_l9 " +
+      "ORDER BY order_id")
+  }
+  private val l9LakeSqlAlterSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |SELECT o_orderkey AS order_id, o_orderstatus, price_c,
+      |       CAST(NULL AS VARCHAR) AS note
+      |FROM p
+      |UNION ALL
+      |SELECT o_orderkey + 1000000000, o_orderstatus, price_c, 'new'
+      |FROM p WHERE o_orderkey % 100 = 7
+      |ORDER BY order_id""".stripMargin
+
+  // ── l10: SQL MERGE INTO — full clause set as ONE CoW commit ───────────
+  // Conditional matched update, matched delete, conditional not-matched
+  // insert, driven through GraftLakeCatalog + LakeDmlRule onto
+  // GraftLake.mergeInto: victims via equi-conjunct stats prune + exact
+  // input_file_name semi-join, rewrite as a single full-outer join
+  // through the clause chain. The oracle replays the merge algebra
+  // relationally; the history assertion pins exactly one commit.
+  private val l10LakeSqlMerge: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_merge").toString + "/t"
+    ordersProjected(s, dir).createOrReplaceTempView("l10_orders_src")
+    s.sql("DROP TABLE IF EXISTS graft_l10")
+    s.sql(
+      s"""CREATE TABLE graft_l10 USING `graft-lake` OPTIONS (path '$tbl')
+         |AS SELECT * FROM l10_orders_src WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMP VIEW l10_updates AS
+        |SELECT o_orderkey, price_c * 3 AS sv, o_orderkey % 8 = 0 AS flag
+        |FROM l10_orders_src WHERE o_orderkey % 10 IN (0, 3)""".stripMargin)
+    s.sql(
+      """MERGE INTO graft_l10 t USING l10_updates s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.flag THEN UPDATE SET o_orderpriority = 'M',
+        |  price_c = s.sv
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.sv % 2 = 1 THEN INSERT
+        |  (o_orderkey, o_orderstatus, o_orderpriority, price_c)
+        |  VALUES (s.o_orderkey, 'N', 'I', s.sv)""".stripMargin)
+    require(GraftLake.history(tbl).map(_._2) == Seq("create", "merge-into"),
+      "SQL MERGE must land as exactly one log commit")
+    s.sql("SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c " +
+      "FROM graft_l10 ORDER BY o_orderkey")
+  }
+  private val l10LakeSqlMergeSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |), tgt AS (
+      |  SELECT * FROM p WHERE o_orderkey % 4 = 0
+      |), src AS (
+      |  SELECT o_orderkey, price_c * 3 AS sv, o_orderkey % 8 = 0 AS flag
+      |  FROM p WHERE o_orderkey % 10 IN (0, 3)
+      |), kept AS (
+      |  SELECT * FROM tgt
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |), updated AS (
+      |  SELECT t.o_orderkey, t.o_orderstatus, 'M' AS o_orderpriority,
+      |         s.sv AS price_c
+      |  FROM tgt t JOIN src s USING (o_orderkey) WHERE s.flag
+      |), inserted AS (
+      |  SELECT s.o_orderkey, 'N' AS o_orderstatus, 'I' AS o_orderpriority,
+      |         s.sv AS price_c
+      |  FROM src s
+      |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+      |    AND s.sv % 2 = 1
+      |)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c FROM kept
+      |UNION ALL SELECT * FROM updated
+      |UNION ALL SELECT * FROM inserted
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "l9_lake_sql_alter" -> l9LakeSqlAlter,
+    "l10_lake_sql_merge" -> l10LakeSqlMerge,
     "l1_lake_dml" -> l1LakeDml,
     "l6_lake_sql_ddl" -> l6LakeSqlDdl,
     "l7_lake_rename_scan" -> l7LakeRename,
@@ -337,6 +453,8 @@ object LakeQueries {
     "l5_lake_planner_scan" -> l5LakePlannerScan)
 
   val oracles: Map[String, String] = Map(
+    "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
+    "l10_lake_sql_merge" -> l10LakeSqlMergeSql,
     "l1_lake_dml" -> l1LakeDmlSql,
     "l6_lake_sql_ddl" -> l6LakeSqlDdlSql,
     "l7_lake_rename_scan" -> l7LakeRenameSql,
