@@ -440,9 +440,47 @@ object LakeQueries {
       |UNION ALL SELECT * FROM inserted
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── l11: maintenance grammar — OPTIMIZE/RESTORE/VACUUM/HISTORY by SQL ─
+  // The injected parser's statement family end-to-end: OPTIMIZE bin-packs
+  // (pure layout, same rows), DELETE mutates, RESTORE rolls back to the
+  // optimized snapshot as a new auditable commit, VACUUM RETAIN 0 HOURS
+  // reclaims the packed-away originals, and DESCRIBE HISTORY pins the
+  // whole trail — then the final read must still equal the pre-delete
+  // table exactly (the oracle replays it), proving restore semantics and
+  // that vacuum only touched dead files.
+  private val l11LakeSqlMaintenance: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_maint").toString + "/t"
+    ordersProjected(s, dir).repartition(8)
+      .createOrReplaceTempView("l11_orders_src")
+    s.sql("DROP TABLE IF EXISTS graft_l11")
+    s.sql(
+      s"""CREATE TABLE graft_l11 USING `graft-lake` OPTIONS (path '$tbl')
+         |AS SELECT * FROM l11_orders_src""".stripMargin)
+    s.sql("OPTIMIZE graft_l11")
+    require(GraftLake.snapshot(s, tbl).files.size < 8,
+      "OPTIMIZE must bin-pack the 8 small files")
+    s.sql("DELETE FROM graft_l11 WHERE o_orderkey % 5 = 0")
+    s.sql("RESTORE TABLE graft_l11 TO VERSION AS OF 1")
+    val reclaimed = s.sql("VACUUM graft_l11 RETAIN 0 HOURS").head().getInt(0)
+    require(reclaimed >= 8,
+      s"VACUUM must reclaim the packed-away originals, got $reclaimed")
+    val ops = s.sql("DESCRIBE HISTORY graft_l11")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    require(ops == Seq("restore", "delete", "optimize", "create"),
+      s"history must list the full trail newest-first, got $ops")
+    s.sql("SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c " +
+      "FROM graft_l11 ORDER BY o_orderkey")
+  }
+  private val l11LakeSqlMaintenanceSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       o_orderpriority,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l9_lake_sql_alter" -> l9LakeSqlAlter,
     "l10_lake_sql_merge" -> l10LakeSqlMerge,
+    "l11_lake_sql_maintenance" -> l11LakeSqlMaintenance,
     "l1_lake_dml" -> l1LakeDml,
     "l6_lake_sql_ddl" -> l6LakeSqlDdl,
     "l7_lake_rename_scan" -> l7LakeRename,
@@ -455,6 +493,7 @@ object LakeQueries {
   val oracles: Map[String, String] = Map(
     "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
     "l10_lake_sql_merge" -> l10LakeSqlMergeSql,
+    "l11_lake_sql_maintenance" -> l11LakeSqlMaintenanceSql,
     "l1_lake_dml" -> l1LakeDmlSql,
     "l6_lake_sql_ddl" -> l6LakeSqlDdlSql,
     "l7_lake_rename_scan" -> l7LakeRenameSql,

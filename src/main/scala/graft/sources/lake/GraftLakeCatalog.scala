@@ -45,10 +45,7 @@ class GraftLakeCatalog extends DelegatingCatalogExtension {
 
   /** The lake root dir behind a catalog table, if it IS a lake table. */
   private def lakeDir(ct: CatalogTable): Option[String] =
-    if (!ct.provider.exists(_.equalsIgnoreCase("graft-lake"))) None
-    else ct.storage.properties.get("path")
-      .orElse(ct.storage.locationUri.map(_.toString))
-      .map(GraftLakeSource.normalizePath)
+    GraftLakeSource.lakeDirOf(ct)
 
   private def asLake(t: Table, asOf: Option[Long]): Option[GraftLakeTable] =
     for {

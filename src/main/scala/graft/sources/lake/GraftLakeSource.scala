@@ -106,4 +106,14 @@ object GraftLakeSource {
     * data files, and the DML rule's `idx.dir` matching. */
   def normalizePath(raw: String): String =
     if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+
+  /** The lake root dir behind a catalog table, if it IS a graft-lake
+    * table (CREATE TABLE stores the path in the storage options; an
+    * explicit LOCATION lands in locationUri). */
+  def lakeDirOf(ct: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Option[String] =
+    if (!ct.provider.exists(_.equalsIgnoreCase("graft-lake"))) None
+    else ct.storage.properties.get("path")
+      .orElse(ct.storage.locationUri.map(_.toString))
+      .map(normalizePath)
 }

@@ -33,11 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RangeJoinChunkRule)
     ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectPlannerStrategy(_ => FooterCountStrategy)
-    // SQL DML (INSERT/UPDATE/DELETE) over graft-lake catalog tables: the
-    // rule that keeps them on the transaction log. Resolution rules can
-    // only be injected at session build (no registerAll equivalent), so
-    // lake SQL DML REQUIRES the spark.sql.extensions config.
+    // SQL DML (INSERT/UPDATE/DELETE/MERGE) over graft-lake catalog
+    // tables: the rule that keeps them on the transaction log. Resolution
+    // rules can only be injected at session build (no registerAll
+    // equivalent), so lake SQL DML REQUIRES the spark.sql.extensions
+    // config.
     ext.injectPostHocResolutionRule(_ => LakeDmlRule)
+    // maintenance grammar (VACUUM / OPTIMIZE [ZORDER BY] / RESTORE /
+    // DESCRIBE HISTORY) — statements vanilla Spark SQL cannot parse
+    ext.injectParser((_, parser) => new GraftSqlParser(parser))
   }
 }
 

@@ -1,0 +1,173 @@
+package graft.spark
+
+import graft.sources.lake.{GraftLake, GraftLakeSource}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
+
+/**
+ * SQL grammar for the lake's MAINTENANCE operations — the statements
+ * Delta adds through its own parser extension, with the same shapes:
+ *
+ * {{{
+ *   VACUUM tbl [RETAIN n HOURS]
+ *   OPTIMIZE tbl [ZORDER BY (x, y) [INTO n FILES]]
+ *   RESTORE [TABLE] tbl [TO] VERSION AS OF n
+ *   DESCRIBE HISTORY tbl
+ * }}}
+ *
+ * `tbl` is a catalog table (`USING graft-lake`) or a quoted path
+ * (`'/data/corpus'`). None of these parse in vanilla Spark SQL, so the
+ * delegating parser intercepts exactly this family and hands everything
+ * else — including every standard statement — to the session parser.
+ * Injected via `spark.sql.extensions=graft.spark.GraftExtensions`
+ * (`injectParser`).
+ */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Vacuum(target, hours) =>
+      LakeVacuumCommand(target,
+        Option(hours).map(_.toLong).getOrElse(168L)) // Delta's 7-day default
+    case Optimize(target, zx, zy, n) =>
+      LakeOptimizeCommand(target, Option(zx).map(x => (strip(x), strip(zy))),
+        Option(n).map(_.toInt).getOrElse(0))
+    case Restore(target, version) =>
+      LakeRestoreCommand(target, version.toLong)
+    case History(target) =>
+      LakeHistoryCommand(target)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan = sqlText match {
+    case Vacuum(_, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) =>
+      parsePlan(sqlText)
+    case _ => delegate.parsePlanWithParameters(sqlText, ctx)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // target = a (possibly backquoted, possibly qualified) identifier or a
+  // quoted path literal
+  private val T = """([\w.`]+|'[^']+'|"[^"]+")"""
+  private val Vacuum =
+    ("""(?is)\s*VACUUM\s+""" + T + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
+  private val Optimize =
+    ("""(?is)\s*OPTIMIZE\s+""" + T +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*""").r
+  private val Restore =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val History =
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
+
+  private[spark] def strip(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 &&
+      ((t.head == '`' && t.last == '`') || (t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"'))) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Resolve a maintenance-statement target to a lake root dir: a quoted
+    * absolute path as-is, a table name through the session catalog. */
+  private[spark] def dirOf(spark: SparkSession, target: String): String = {
+    val t = strip(target)
+    if (t.startsWith("/") || t.startsWith("file:")) GraftLakeSource.normalizePath(t)
+    else {
+      val ti = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      val ct = spark.sessionState.catalog.getTableMetadata(ti)
+      GraftLakeSource.lakeDirOf(ct).getOrElse(throw new IllegalArgumentException(
+        s"$t is not a graft-lake table (provider ${ct.provider.orNull})"))
+    }
+  }
+}
+
+/** VACUUM: reclaim orphan debris and tombstoned files older than the
+  * retention window (history to those versions is given up — Delta's
+  * contract). Returns the number of files deleted. */
+case class LakeVacuumCommand(target: String, retainHours: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = GraftLake.vacuum(spark, GraftSqlParser.dirOf(spark, target),
+      keepHistory = false, minAgeMillis = retainHours * 3600L * 1000L)
+    Seq(Row(n))
+  }
+}
+
+/** OPTIMIZE [ZORDER BY]: bin-pack small files, or rewrite the table
+  * Morton-clustered on two columns. Returns the committed version. */
+case class LakeOptimizeCommand(target: String, zorder: Option[(String, String)],
+    numFiles: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(spark, target)
+    val v = zorder match {
+      case Some((x, y)) =>
+        val n =
+          if (numFiles > 0) numFiles
+          else { // default: ~128 MB targets over the current active bytes
+            val bytes = GraftLake.snapshot(spark, dir).files.map(_.bytes).sum
+            math.max(1, math.ceil(bytes.toDouble / (128L << 20)).toInt)
+          }
+        GraftLake.optimizeZOrder(spark, dir, x, y, n)
+      case None => GraftLake.optimize(spark, dir)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** RESTORE TABLE t TO VERSION AS OF n — roll back as a new auditable
+  * commit. Returns the committed version. */
+case class LakeRestoreCommand(target: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = GraftLake.restore(spark, GraftSqlParser.dirOf(spark, target), version)
+    Seq(Row(v))
+  }
+}
+
+/** DESCRIBE HISTORY t — the commit log as a result set (newest first,
+  * Delta's ordering). */
+case class LakeHistoryCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = false)(),
+    AttributeReference("num_added_files", IntegerType, nullable = false)(),
+    AttributeReference("num_removed_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftLake.history(GraftSqlParser.dirOf(spark, target)).reverse.map {
+      case (v, op, ts, adds, removes) =>
+        Row(v, op, new java.sql.Timestamp(ts), adds, removes)
+    }
+}

@@ -1,0 +1,88 @@
+package graft.sources.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * The maintenance SQL grammar ([[graft.spark.GraftSqlParser]]): VACUUM,
+ * OPTIMIZE [ZORDER BY], RESTORE ... VERSION AS OF, DESCRIBE HISTORY —
+ * Delta's statement family, parsed by the injected delegating parser and
+ * executed as lake commits. Standard SQL must keep parsing untouched.
+ */
+class LakeMaintenanceSqlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_lake_maint").toString + "/t"
+
+  test("OPTIMIZE bin-packs, RESTORE rolls back, DESCRIBE HISTORY lists, " +
+    "VACUUM reclaims — all through SQL, on a catalog table") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_maint_t")
+    spark.range(0, 400).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(8) // 8 small files → OPTIMIZE has work
+      .createOrReplaceTempView("lake_maint_src")
+    spark.sql(
+      s"""CREATE TABLE lake_maint_t USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_maint_src""".stripMargin)
+
+    // OPTIMIZE: pure layout change, same rows, fewer files
+    val v1 = spark.sql("OPTIMIZE lake_maint_t").head().getLong(0)
+    assert(v1 == 1L)
+    assert(spark.table("lake_maint_t").count() == 400)
+    assert(GraftLake.snapshot(spark, dir).files.size < 8)
+
+    // DELETE then RESTORE: the table reads as before the delete
+    spark.sql("DELETE FROM lake_maint_t WHERE id < 100")
+    assert(spark.table("lake_maint_t").count() == 300)
+    val v3 = spark.sql("RESTORE TABLE lake_maint_t TO VERSION AS OF 1")
+      .head().getLong(0)
+    assert(v3 == 3L)
+    assert(spark.table("lake_maint_t").count() == 400)
+
+    // DESCRIBE HISTORY: newest first, full op trail
+    val hist = spark.sql("DESCRIBE HISTORY lake_maint_t")
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(hist == Seq((3L, "restore"), (2L, "delete"), (1L, "optimize"),
+      (0L, "create")))
+
+    // VACUUM RETAIN 0 HOURS: the optimize-replaced originals (referenced
+    // only by v0) are reclaimable; the live snapshot is untouched
+    val deleted = spark.sql("VACUUM lake_maint_t RETAIN 0 HOURS")
+      .head().getInt(0)
+    assert(deleted >= 8, s"expected the 8 packed-away originals, got $deleted")
+    assert(spark.table("lake_maint_t").count() == 400)
+
+    spark.sql("DROP TABLE lake_maint_t")
+  }
+
+  test("OPTIMIZE ZORDER BY through SQL clusters on the Morton interleave " +
+    "and a quoted-path target works") {
+    val dir = tmp()
+    spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+        col("id").as("payload"))
+      .repartition(4)
+      .write.format("graft-lake").save(dir)
+
+    val v = spark.sql(s"OPTIMIZE '$dir' ZORDER BY (x, y) INTO 16 FILES")
+      .head().getLong(0)
+    assert(v == 1L)
+    val snap = GraftLake.snapshot(spark, dir)
+    assert(snap.files.size == 16)
+    assert(spark.read.format("graft-lake").load(dir).count() == 4096)
+
+    // clustering proof: a box predicate stats-prunes to a strict subset
+    val box = col("x") >= 0L && col("x") <= 7L && col("y") >= 0L && col("y") <= 7L
+    val (_, scanned, total) = GraftLake.scanFiltered(spark, dir, box)
+    assert(scanned < total, s"z-order box scan must prune, got $scanned/$total")
+  }
+
+  test("standard SQL statements pass through the delegating parser untouched") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    assert(spark.range(3).count() == 3)
+    // a parse ERROR still surfaces as one
+    intercept[Exception](spark.sql("SELEKT banana"))
+  }
+}
