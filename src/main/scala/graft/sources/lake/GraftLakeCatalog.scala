@@ -116,11 +116,17 @@ class GraftLakeCatalog extends DelegatingCatalogExtension {
  * snapshot (field-id metadata included), not the metastore copy.
  */
 final case class GraftLakeTable(ct: CatalogTable, dir: String,
-    asOf: Option[Long]) extends Table {
+    asOf: Option[Long]) extends Table
+    with org.apache.spark.sql.GraftV1FallbackTable {
 
   /** One consistent snapshot per catalog lookup. */
   val snapshotSchema: StructType =
     GraftLake.snapshot(SparkSession.active, dir, asOf).schema
+
+  /** The streaming fallback seam: `spark.readStream.table("t")` resolves
+    * this CatalogTable's v1 provider (graft-lake) and plans the
+    * version-offset changelog [[LakeStreamSource]]. */
+  override def v1Table: CatalogTable = ct
 
   override def name(): String = ct.identifier.unquotedString
 

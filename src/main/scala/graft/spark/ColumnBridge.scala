@@ -26,6 +26,15 @@ object GraftCatalogBridge {
   }
 }
 
+/** Public face of the `private[sql]` V2TableWithV1Fallback trait: a v2
+  * table extending this exposes its v1 CatalogTable, which is the seam
+  * Spark's streaming resolution uses to fall back to a V1
+  * StreamSourceProvider — `spark.readStream.table("t")` on a lake table
+  * then rides the same version-offset changelog source as
+  * `readStream.format("graft-lake")` (Delta's DeltaTableV2 uses the
+  * same trait for the same reason). */
+trait GraftV1FallbackTable extends connector.catalog.V2TableWithV1Fallback
+
 /** Same access-only bridge for `Dataset.ofRows` — turns an analyzed
   * LogicalPlan back into a DataFrame inside a RunnableCommand (the lake
   * DML commands execute their rewritten INSERT/UPDATE/DELETE queries

@@ -188,6 +188,71 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake_cat_m3")
   }
 
+  test("DataFrameWriterV2: writeTo(...).append() / .overwrite(true) land " +
+    "as log commits") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_cat_w2")
+    spark.sql(
+      s"""CREATE TABLE lake_cat_w2 USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT id, id * 2 AS v FROM range(10)""".stripMargin)
+    spark.range(10, 20).select(col("id"), (col("id") * 2).as("v"))
+      .writeTo("lake_cat_w2").append()
+    assert(spark.table("lake_cat_w2").count() == 20)
+    spark.range(5).select(col("id"), (col("id") * 7).as("v"))
+      .writeTo("lake_cat_w2").overwrite(lit(true))
+    assert(spark.table("lake_cat_w2").select(sum("v")).head().getLong(0) ==
+      (0 until 5).map(_ * 7).sum)
+    assert(GraftLake.history(dir).map(_._2) ==
+      Seq("create", "append", "overwrite"))
+    spark.sql("DROP TABLE lake_cat_w2")
+  }
+
+  test("MERGE INTO with ANOTHER lake catalog table as source") {
+    val dirT = tmp(); val dirS = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_cat_mt")
+    spark.sql("DROP TABLE IF EXISTS lake_cat_ms")
+    spark.sql(
+      s"""CREATE TABLE lake_cat_mt USING `graft-lake` OPTIONS (path '$dirT')
+         |AS SELECT id, CAST(0 AS BIGINT) AS v FROM range(10)""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE lake_cat_ms USING `graft-lake` OPTIONS (path '$dirS')
+         |AS SELECT id, CAST(id * 5 AS BIGINT) AS v FROM range(5, 15)""".stripMargin)
+    spark.sql(
+      """MERGE INTO lake_cat_mt t USING lake_cat_ms s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.table("lake_cat_mt").select("id", "v")
+      .as[(Long, Long)].collect().toSet
+    assert(got == ((0L until 5L).map(i => (i, 0L)) ++
+      (5L until 15L).map(i => (i, i * 5))).toSet)
+    spark.sql("DROP TABLE lake_cat_mt"); spark.sql("DROP TABLE lake_cat_ms")
+  }
+
+  test("spark.readStream.table on a lake catalog table rides the " +
+    "version-offset changelog source") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_rst")
+    val dir = s"$base/t"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    spark.sql("DROP TABLE IF EXISTS lake_cat_stream")
+    spark.sql(
+      s"""CREATE TABLE lake_cat_stream USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT id, id * 2 AS v FROM range(100)""".stripMargin)
+    def drain(): Unit = {
+      val q = spark.readStream.table("lake_cat_stream")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // initial snapshot
+    assert(spark.read.parquet(out).count() == 100)
+    spark.sql("INSERT INTO lake_cat_stream SELECT id, id * 2 FROM range(100, 150)")
+    drain() // resume: exactly the appended slice
+    assert(spark.read.parquet(out).count() == 150)
+    assert(spark.read.parquet(out).select(sum("v")).head().getLong(0) ==
+      (0L until 150L).map(_ * 2).sum)
+    spark.sql("DROP TABLE lake_cat_stream")
+  }
+
   test("insert-only MERGE with no matches commits and only touched files " +
     "rewrite on a matched merge") {
     val dir = tmp()
