@@ -758,6 +758,19 @@ object GraftLake {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE INTO needs at least one WHEN clause")
     val src = source.cache()
+    // one agg per distinct equi source column across fence retries:
+    // (min, max, rows, distinct keys) — bounds drive the stats prune,
+    // rows==distinct proves each target row can match at most ONE source
+    // row (extra conjuncts only ever REMOVE matches), which lets the
+    // ambiguity window — a whole extra shuffle of victims × source — be
+    // skipped in the dominant unique-key-merge case
+    val srcAgg = scala.collection.mutable.Map.empty[String, (Option[Any], Option[Any], Long, Long)]
+    def aggOf(sCol: String): (Option[Any], Option[Any], Long, Long) =
+      srcAgg.getOrElseUpdate(sCol, {
+        val r = src.agg(min(col(sCol)), max(col(sCol)), count(lit(1)),
+          count_distinct(col(sCol))).collect()(0)
+        (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3))
+      })
     try {
       retryRewrite(spark, dir, "merge-into") { snap =>
         val fields = snap.schema.fields.toIndexedSeq
@@ -770,13 +783,37 @@ object GraftLake {
         notMatched.foreach(c => c.values.foreach { case (n, _) =>
           require(names.contains(n), s"MERGE INSERT targets unknown column '$n'") })
 
+        val equi = mergeEquiCol(spark, snap, src, condition)
+        val uniqueMatch = equi.exists { case (_, sCol) =>
+          val (_, _, n, d) = aggOf(sCol); n == d
+        }
+
         // phase 1: victim files. Stats-prune candidates on the first
-        // target=source equi-conjunct, then the exact touched set via an
-        // input_file_name semi-join (candidate files only are scanned).
+        // target=source equi-conjunct's source bounds, then the exact
+        // touched set via an input_file_name semi-join (candidate files
+        // only are scanned; the semi-join broadcasts a small source).
         val victims: Seq[AddFile] =
           if (notMatchedBySource.nonEmpty) snap.files
           else {
-            val cand = mergeCandidates(spark, snap, src, condition)
+            val cand = equi match {
+              case Some((tCol, sCol)) =>
+                val (lo, hi, _, _) = aggOf(sCol)
+                (lo, hi) match {
+                  case (Some(l), Some(h)) =>
+                    snap.files.filter { f =>
+                      f.stats.get(statsKey(snap.schema, tCol)) match {
+                        case Some(st) if st.min.isDefined && st.max.isDefined =>
+                          (for {
+                            c1 <- cmpOpt(st.kind, st.max.get, l.toString)
+                            c2 <- cmpOpt(st.kind, st.min.get, h.toString)
+                          } yield c1 >= 0 && c2 <= 0).getOrElse(true)
+                        case _ => true
+                      }
+                    }
+                  case _ => snap.files // all-null or empty source keys
+                }
+              case None => snap.files
+            }
             if (cand.isEmpty) Nil
             else {
               def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
@@ -828,11 +865,14 @@ object GraftLake {
         val isMatched = col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNotNull
 
         // ambiguity guard: >1 source match for one target row while any
-        // matched clause exists is nondeterministic — reject. Unmatched
+        // matched clause exists is nondeterministic — reject. Skipped
+        // when no matched clause needs it OR the equi key is distinct in
+        // the source (each target row then matches at most once — the
+        // window's shuffle of victims × source is pure cost). Unmatched
         // source rows get their own window partition via sid (a shared
         // null-tid partition would serialize every insert through one task).
         val guarded =
-          if (matched.isEmpty) joined
+          if (matched.isEmpty || uniqueMatch) joined
           else {
             val w = org.apache.spark.sql.expressions.Window.partitionBy(
               col("t.__gl_tid"),
@@ -858,13 +898,13 @@ object GraftLake {
     } finally { src.unpersist(); () }
   }
 
-  /** Candidate victim files for [[mergeInto]]: resolve the merge condition
-    * against empty aliased frames, find the first `t.col = s.col`
-    * equi-conjunct, and stats-prune on the SOURCE side's min/max of that
-    * key (one tiny agg). No equi-conjunct → all active files (the exact
-    * semi-join still narrows to truly touched ones). */
-  private def mergeCandidates(spark: SparkSession, snap: Snapshot,
-      src: DataFrame, condition: Column): Seq[AddFile] = {
+  /** The first `t.col = s.col` equi-conjunct of a merge condition, found
+    * by resolving it against empty aliased frames: drives the victim
+    * stats prune AND the unique-source-key proof that elides the
+    * ambiguity window. None → no equi linkage (the exact semi-join still
+    * narrows victims to truly touched files). */
+  private def mergeEquiCol(spark: SparkSession, snap: Snapshot,
+      src: DataFrame, condition: Column): Option[(String, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -887,25 +927,7 @@ object GraftLake {
         }
       }
     }
-    equi match {
-      case Some((tCol, sCol)) =>
-        val r = src.agg(min(col(sCol)), max(col(sCol))).collect()(0)
-        (Option(r.get(0)), Option(r.get(1))) match {
-          case (Some(lo), Some(hi)) =>
-            snap.files.filter { f =>
-              f.stats.get(statsKey(snap.schema, tCol)) match {
-                case Some(st) if st.min.isDefined && st.max.isDefined =>
-                  (for {
-                    c1 <- cmpOpt(st.kind, st.max.get, lo.toString)
-                    c2 <- cmpOpt(st.kind, st.min.get, hi.toString)
-                  } yield c1 >= 0 && c2 <= 0).getOrElse(true)
-                case _ => true
-              }
-            }
-          case _ => snap.files // all-null or empty source keys: no pruning
-        }
-      case None => snap.files
-    }
+    equi
   }
 
   /** Bin-pack small files (< `smallBytes`) into ~`targetBytes` outputs.
