@@ -605,6 +605,34 @@ object GraftLake {
     }.get
   }
 
+  /** CREATE OR REPLACE TABLE ... AS SELECT: ONE atomic commit that
+    * replaces both the active file set AND the table definition — the
+    * new schema is a RESET (old columns are not carried or null-filled),
+    * with fresh field ids continuing past `maxColId` so no id is ever
+    * reused. Old snapshots stay time-travelable under their own schemas
+    * (no current-snapshot read ever touches a pre-replace file, which is
+    * why new columns may freely reuse pre-replace names). A racing
+    * commit that advances the id space fails the fence loudly — the
+    * staged files would carry colliding ids. */
+  def replaceTable(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
+    val spark = df.sparkSession
+    val pre = snapshot(spark, dir)
+    val firstId = pre.maxColId + 1
+    val schema = StructType(df.schema.fields.zipWithIndex.map {
+      case (f, i) => withId(f, firstId + i)
+    })
+    val adds = stage(df, dir, numFiles, schema)
+    retry(dir, "replace") { snap =>
+      if (snap.maxColId >= firstId)
+        throw new LakeContentionException(
+          s"replace at $dir raced a schema-evolving commit; retry")
+      Some((Commit(snap.version + 1, System.currentTimeMillis(), "replace",
+        None, None, Some(schema.json), adds, snap.files.map(_.path),
+        maxColId = Some(firstId + df.schema.fields.length - 1)),
+        snap.version + 1))
+    }.get
+  }
+
   /** Copy-on-write UPDATE: rows matching `predicate` get each `set`
     * column replaced (all assignment values evaluate against the PRE-update
     * row, SQL UPDATE semantics); only stat-overlapping files rewrite.

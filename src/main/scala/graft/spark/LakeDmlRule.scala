@@ -63,7 +63,12 @@ object LakeDmlRule extends Rule[LogicalPlan] {
 
   /** Swap a v2 lake relation for the v1 [[LakeFileIndex]] relation with
     * the SAME output attributes — the resolved plan above it never
-    * notices (Delta's DeltaTableV2 → v1 fallback shape). */
+    * notices (Delta's DeltaTableV2 → v1 fallback shape). Reader-option
+    * time travel (`spark.read.option("versionAsOf", 3).table("t")`)
+    * needs no handling here: Spark turns those options into a
+    * TimeTravelSpec and calls the catalog's time-travel `loadTable`, so
+    * `t.asOf` already carries the pinned version AND the plan resolved
+    * under that snapshot's schema (rename-safe by construction). */
   private def toV1(r: DataSourceV2Relation, t: GraftLakeTable): LogicalRelation =
     new LogicalRelation(
       LakeFileIndex.relation(SparkSession.active, t.dir, t.asOf),

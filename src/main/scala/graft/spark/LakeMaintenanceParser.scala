@@ -1,11 +1,13 @@
 package graft.spark
 
 import graft.sources.lake.{GraftLake, GraftLakeSource}
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{GraftDatasetBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ReplaceTableAsSelect, UnresolvedTableSpec}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
 
@@ -41,14 +43,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakeRestoreCommand(target, version.toLong)
     case History(target) =>
       LakeHistoryCommand(target)
-    case _ => delegate.parsePlan(sqlText)
+    case _ => postProcess(delegate.parsePlan(sqlText))
   }
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
     case Vacuum(_, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) =>
       parsePlan(sqlText)
-    case _ => delegate.parsePlanWithParameters(sqlText, ctx)
+    case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
+  }
+
+  /** CREATE OR REPLACE TABLE ... USING graft-lake AS SELECT: the
+    * session-catalog resolver rejects REPLACE for v1 providers during
+    * resolution (before any injectable rule can run), so the intercept
+    * lives here, on the freshly parsed plan — rewritten into ONE atomic
+    * lake `replace` commit instead of v2's non-atomic drop+create.
+    * (PARTITIONED BY falls through: clustering is the lake's layout
+    * tool, and the resolver's own error says so.) */
+  private def postProcess(plan: LogicalPlan): LogicalPlan = plan match {
+    case ReplaceTableAsSelect(
+        UnresolvedIdentifier(nameParts, _), Seq(), query,
+        spec: UnresolvedTableSpec, _, orCreate, _)
+        if spec.provider.exists(_.equalsIgnoreCase("graft-lake")) =>
+      LakeReplaceTableCommand(nameParts, GraftSqlParser.pathOf(spec),
+        query, orCreate)
+    case p => p
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -92,6 +111,20 @@ object GraftSqlParser {
         (t.head == '"' && t.last == '"'))) t.substring(1, t.length - 1)
     else t
   }
+
+  /** The explicit table location of a CREATE OR REPLACE spec: LOCATION
+    * clause, or a literal `path` option. None → derive from the existing
+    * table / the warehouse default at run time. */
+  private[spark] def pathOf(spec: UnresolvedTableSpec): Option[String] =
+    spec.location.orElse(spec.optionExpression.options.collectFirst {
+      case (k, e) if k.equalsIgnoreCase("path") =>
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            String.valueOf(v)
+          case other => throw new IllegalArgumentException(
+            s"graft-lake path option must be a literal, got $other")
+        }
+    }).map(GraftLakeSource.normalizePath)
 
   /** Resolve a maintenance-statement target to a lake root dir: a quoted
     * absolute path as-is, a table name through the session catalog. */
@@ -153,6 +186,59 @@ case class LakeRestoreCommand(target: String, version: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val v = GraftLake.restore(spark, GraftSqlParser.dirOf(spark, target), version)
     Seq(Row(v))
+  }
+}
+
+/** CREATE [OR REPLACE] TABLE ... USING graft-lake AS SELECT, replace
+  * half: ONE atomic lake `replace` commit (files + schema reset, fresh
+  * never-reused field ids; pre-replace snapshots stay time-travelable),
+  * vs v2's non-atomic drop+create. The metastore entry is created or
+  * schema-synced so DESCRIBE/SHOW stay truthful. */
+case class LakeReplaceTableCommand(nameParts: Seq[String],
+    explicitPath: Option[String], query: LogicalPlan, orCreate: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(nameParts.size <= 2,
+      s"graft-lake REPLACE TABLE supports session-catalog tables, got " +
+        nameParts.mkString("."))
+    val ti = TableIdentifier(nameParts.last, nameParts.init.lastOption)
+    val catalog = spark.sessionState.catalog
+    val exists = catalog.tableExists(ti)
+    if (!exists && !orCreate)
+      throw new IllegalArgumentException(
+        s"table ${ti.quotedString} does not exist; use CREATE OR REPLACE")
+    val existingCt = if (exists) Some(catalog.getTableMetadata(ti)) else None
+    existingCt.foreach(ct => require(
+      ct.provider.exists(_.equalsIgnoreCase("graft-lake")),
+      s"${ti.quotedString} exists with provider ${ct.provider.orNull}; " +
+        "REPLACE across providers is not supported"))
+    val dir = explicitPath
+      .orElse(existingCt.flatMap(GraftLakeSource.lakeDirOf))
+      .getOrElse(GraftLakeSource.normalizePath(
+        catalog.defaultTablePath(ti).toString))
+    val df = GraftDatasetBridge.ofRows(spark, query)
+    if (GraftLake.latestVersion(dir) >= 0) GraftLake.replaceTable(df, dir)
+    else GraftLake.create(df, dir)
+    val schema = GraftLake.snapshot(spark, dir).schema
+    existingCt match {
+      case Some(ct) =>
+        catalog.alterTable(ct.copy(schema = schema,
+          storage = ct.storage.copy(
+            properties = ct.storage.properties + ("path" -> dir))))
+      case None =>
+        catalog.createTable(CatalogTable(
+          identifier = ti,
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri),
+            properties = Map("path" -> dir)),
+          schema = schema,
+          provider = Some("graft-lake")), ignoreIfExists = false)
+    }
+    spark.catalog.refreshTable(ti.quotedString)
+    Seq.empty
   }
 }
 
