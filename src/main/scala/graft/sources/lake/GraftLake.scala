@@ -89,11 +89,12 @@ object GraftLake {
     * data — rejected at DDL/evolution time instead). */
   private final case class LogState(version: Long, schemaJson: String,
       files: scala.collection.immutable.ListMap[String, AddFile],
-      txns: Map[String, Long], maxColId: Int, retired: Map[String, Long])
+      txns: Map[String, Long], maxColId: Int, retired: Map[String, Long],
+      ckptEvery: Int = 0)
 
   final case class Snapshot(dir: String, version: Long, schema: StructType,
       files: Seq[AddFile], maxColId: Int = 0,
-      retired: Map[String, Long] = Map.empty) {
+      retired: Map[String, Long] = Map.empty, ckptEvery: Int = 0) {
     def activePaths: Seq[String] = files.map(f => s"$dir/${f.path}")
   }
 
@@ -189,6 +190,7 @@ object GraftLake {
     n.put("version", s.version)
     n.put("schema", s.schemaJson)
     n.put("maxColId", s.maxColId)
+    n.put("ckptEvery", s.ckptEvery)
     if (s.retired.nonEmpty) {
       val rn = n.putObject("retired")
       s.retired.foreach { case (name, id) => rn.put(name, id) }
@@ -210,7 +212,8 @@ object GraftLake {
       scala.collection.immutable.ListMap(files.map(a => a.path -> a): _*), txns,
       Option(n.get("maxColId")).map(_.asInt).getOrElse(0),
       Option(n.get("retired")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty))
+        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty),
+      Option(n.get("ckptEvery")).map(_.asInt).getOrElse(0))
   }
 
   /** Newest checkpoint at or below `maxV`, if any. Checkpoints are
@@ -242,6 +245,7 @@ object GraftLake {
     var maxColId = base.map(_.maxColId).getOrElse(0)
     val retired = scala.collection.mutable.Map.empty[String, Long]
     base.foreach(b => retired ++= b.retired)
+    var ckptEvery = base.map(_.ckptEvery).getOrElse(0)
     var v = base.map(_.version + 1).getOrElse(0L)
     while (v <= target) {
       val c = parseCommit(versionFile(dir, v))
@@ -249,6 +253,7 @@ object GraftLake {
       c.adds.foreach(a => active(a.path) = a)
       c.schemaJson.foreach(s => schemaJson = Some(s))
       c.maxColId.foreach(m => maxColId = math.max(maxColId, m))
+      c.ckptEvery.foreach(e => ckptEvery = e) // latest setting wins
       retired ++= c.retiredNames
       for (app <- c.txnApp; epoch <- c.txnEpoch)
         txns(app) = math.max(epoch, txns.getOrElse(app, Long.MinValue))
@@ -257,19 +262,17 @@ object GraftLake {
     LogState(target, schemaJson.getOrElse(
         sys.error(s"no schema recorded in $dir through v$target")),
       scala.collection.immutable.ListMap(active.toSeq: _*), txns.toMap, maxColId,
-      retired.toMap)
+      retired.toMap, ckptEvery)
   }
 
-  /** Table property from the create commit: checkpoint cadence. */
-  private def checkpointEveryOf(dir: String): Int =
-    parseCommit(versionFile(dir, 0L)).ckptEvery.getOrElse(0)
-
   /** Write a checkpoint after version `v` when the cadence says so.
+    * `every` comes from the committing writer's already-folded snapshot
+    * (the cadence is a FOLDED table property since SET TBLPROPERTIES —
+    * latest setting wins — so no extra log read happens here).
     * Best-effort and race-free: the link fence dedups concurrent writers,
     * and a crash here loses nothing (readers fall back to older
     * checkpoints or a from-scratch fold). */
-  private def maybeCheckpoint(dir: String, v: Long): Unit = {
-    val every = checkpointEveryOf(dir)
+  private def maybeCheckpoint(dir: String, v: Long, every: Int): Unit = {
     if (every > 0 && v > 0 && v % every == 0 && !ckptFile(dir, v).exists()) {
       val ld = logDir(dir)
       val tmp = new File(ld, s".tmp-ckpt-${UUID.randomUUID()}")
@@ -312,7 +315,7 @@ object GraftLake {
       org.apache.spark.sql.types.DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     Snapshot(dir, target, schema, st.files.values.toSeq,
       math.max(st.maxColId, schema.fields.flatMap(idOf).foldLeft(0L)(math.max).toInt),
-      st.retired)
+      st.retired, st.ckptEvery)
   }
 
   // ── the atomic commit fence ──────────────────────────────────────────
@@ -1045,6 +1048,21 @@ object GraftLake {
         maxColId = Some(snap.maxColId + 1)), snap.version + 1))
     }.get
 
+  /** ALTER TABLE ... SET TBLPROPERTIES ('checkpointEvery'='n') as a pure
+    * metadata commit. The cadence is a FOLDED property (latest setting
+    * wins, carried through log checkpoints), so it can change over a
+    * table's life — e.g. tighten it once a table starts streaming. 0
+    * disables new checkpoints (existing ones keep accelerating reads). */
+  def setCheckpointEvery(spark: SparkSession, dir: String, every: Int): Long = {
+    require(every >= 0, s"checkpointEvery must be >= 0, got $every")
+    retry(dir, "set-properties") { snap =>
+      if (snap.ckptEvery == every) None // already there
+      else Some((Commit(snap.version + 1, System.currentTimeMillis(),
+        "set-properties", None, None, None, Nil, Nil,
+        ckptEvery = Some(every)), snap.version + 1))
+    }.getOrElse(latestVersion(dir))
+  }
+
   /** The latest version whose commit timestamp is <= `tsMillis` —
     * `TIMESTAMP AS OF` resolution (Delta's semantics: the snapshot a
     * reader at that wall-clock instant would have seen). */
@@ -1269,7 +1287,10 @@ object GraftLake {
       build(snap) match {
         case None => return None
         case Some((c, a)) =>
-          if (tryCommit(dir, c)) { maybeCheckpoint(dir, c.version); return Some(a) }
+          if (tryCommit(dir, c)) {
+            maybeCheckpoint(dir, c.version, c.ckptEvery.getOrElse(snap.ckptEvery))
+            return Some(a)
+          }
       }
       attempts += 1
     }
@@ -1292,7 +1313,10 @@ object GraftLake {
       val adds = stage(replacement, dir, 0, snap.schema)
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         None, adds, victims.map(_.path))
-      if (tryCommit(dir, c)) { maybeCheckpoint(dir, c.version); return c.version }
+      if (tryCommit(dir, c)) {
+        maybeCheckpoint(dir, c.version, snap.ckptEvery)
+        return c.version
+      }
       adds.foreach(a => new File(dir, a.path).delete()) // lost: discard staging
       attempts += 1
     }

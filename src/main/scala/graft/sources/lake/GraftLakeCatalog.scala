@@ -94,9 +94,16 @@ class GraftLakeCatalog extends DelegatingCatalogExtension {
             require(a.fieldNames.length == 1,
               "graft-lake ALTER TABLE supports top-level columns only")
             GraftLake.addColumn(spark, dir, a.fieldNames()(0), a.dataType)
+          case p: TableChange.SetProperty
+              if p.property == "checkpointEvery" =>
+            GraftLake.setCheckpointEvery(spark, dir, p.value.toInt)
+          case p: TableChange.RemoveProperty
+              if p.property == "checkpointEvery" =>
+            GraftLake.setCheckpointEvery(spark, dir, 0)
           case other => throw new UnsupportedOperationException(
             s"graft-lake ALTER TABLE does not support change $other " +
-              "(supported: RENAME COLUMN, DROP COLUMN, ADD COLUMN)")
+              "(supported: RENAME COLUMN, DROP COLUMN, ADD COLUMN, " +
+              "SET/UNSET TBLPROPERTIES ('checkpointEvery'))")
         }
         // mirror into the metastore schema so DESCRIBE / SHOW stay
         // truthful (the lake LOG remains the source of truth for reads)

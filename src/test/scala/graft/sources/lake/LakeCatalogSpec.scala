@@ -80,6 +80,40 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake_cat_alter")
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES('checkpointEvery'): a folded table " +
+    "property — checkpoints start/stop mid-life, reads fold through them") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_cat_prop")
+    spark.sql(
+      s"""CREATE TABLE lake_cat_prop USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT id, id * 2 AS v FROM range(10)""".stripMargin)
+    def ckpts() = Option(new java.io.File(s"$dir/_log")
+      .listFiles((_, n) => n.startsWith("ckpt-"))).map(_.length).getOrElse(0)
+
+    // CTAS default: no cadence → no checkpoints
+    spark.sql("INSERT INTO lake_cat_prop SELECT id, id * 2 FROM range(10, 20)")
+    assert(ckpts() == 0)
+
+    spark.sql(
+      "ALTER TABLE lake_cat_prop SET TBLPROPERTIES ('checkpointEvery'='2')")
+    spark.sql("INSERT INTO lake_cat_prop SELECT id, id * 2 FROM range(20, 30)")
+    spark.sql("INSERT INTO lake_cat_prop SELECT id, id * 2 FROM range(30, 40)")
+    assert(ckpts() == 2,
+      "v2 (the set-properties commit itself) and v4 must have checkpointed")
+    // the fold through the checkpoint serves correct data and cadence
+    assert(spark.table("lake_cat_prop").count() == 40)
+    assert(GraftLake.snapshot(spark, dir).ckptEvery == 2)
+
+    spark.sql(
+      "ALTER TABLE lake_cat_prop UNSET TBLPROPERTIES ('checkpointEvery')")
+    val before = ckpts()
+    spark.sql("INSERT INTO lake_cat_prop SELECT id, id * 2 FROM range(40, 50)")
+    spark.sql("INSERT INTO lake_cat_prop SELECT id, id * 2 FROM range(50, 60)")
+    assert(ckpts() == before, "cadence 0 must stop new checkpoints")
+    assert(spark.table("lake_cat_prop").count() == 60)
+    spark.sql("DROP TABLE lake_cat_prop")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     val dir = tmp()
     spark.sql("DROP TABLE IF EXISTS lake_cat_tt")
