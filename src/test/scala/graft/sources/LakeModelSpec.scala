@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
 
 /**
  * Model-based torture test for the ACID layer: a seeded random program of
- * append / CoW delete / merge / optimize / z-order / restore runs against
+ * append / CoW delete / merge / general MERGE INTO (conditional
+ * update/delete/insert clauses, sometimes NOT MATCHED BY SOURCE) /
+ * optimize / z-order / restore runs against
  * the lake AND an in-memory reference model; after every committed
  * version the table must equal the model exactly, and random past
  * versions must time-travel to the model's state at that version. A
@@ -56,8 +58,8 @@ class LakeModelSpec extends SparkSpec {
       assert(tableRows(dir) == model.values.toSet, s"model mismatch after $op (v$v)")
     }
 
-    for (step <- 1 to 30) {
-      rnd.nextInt(6) match {
+    for (step <- 1 to 36) {
+      rnd.nextInt(7) match {
         case 0 => // append
           val rows = freshRows(20 + rnd.nextInt(40), s"a$step")
           GraftLake.append(toDf(rows), dir, numFiles = 1 + rnd.nextInt(3))
@@ -89,6 +91,43 @@ class LakeModelSpec extends SparkSpec {
           GraftLake.restore(spark, dir, target)
           model.clear(); versions(target.toInt).foreach { case (k, r) => model(k) = r }
           check(s"restore($target)@$step")
+        case 6 => // general MERGE INTO: conditional update/delete/insert,
+          // sometimes NOT MATCHED BY SOURCE (whole-table victim path)
+          val matchedKeys = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(25))
+          val srcRows = matchedKeys.map(k =>
+            (k, s"m$step", rnd.nextInt(1000).toLong)) ++
+            freshRows(rnd.nextInt(8), s"mi$step")
+          if (srcRows.nonEmpty) {
+            val nmbs =
+              if (step % 3 == 0)
+                Seq(GraftLake.MatchedUpdate(Some(col("t.v") < 50L),
+                  Seq("tag" -> lit(s"nms$step"))))
+              else Nil
+            GraftLake.mergeInto(spark, dir, toDf(srcRows),
+              condition = col("t.id") === col("s.id"),
+              matched = Seq(
+                GraftLake.MatchedUpdate(Some(col("s.v") % 3 =!= 0),
+                  Seq("tag" -> col("s.tag"), "v" -> (col("s.v") + 10000L))),
+                GraftLake.MatchedDelete(None)),
+              notMatched = Seq(GraftLake.NotMatchedInsert(
+                Some(col("s.v") % 4 =!= 1),
+                Seq("id" -> col("s.id"), "tag" -> col("s.tag"),
+                  "v" -> col("s.v")))),
+              notMatchedBySource = nmbs)
+            val srcKeys = srcRows.map(_._1).toSet
+            srcRows.foreach { case (k, tag, sv) =>
+              if (model.contains(k)) {
+                if (sv % 3 != 0) model(k) = (k, tag, sv + 10000L)
+                else model.remove(k)
+              } else if (sv % 4 != 1) model(k) = (k, tag, sv)
+            }
+            if (nmbs.nonEmpty)
+              model.keys.toSeq.filterNot(srcKeys).foreach { k =>
+                val (_, _, v) = model(k)
+                if (v < 50L) model(k) = (k, s"nms$step", v)
+              }
+            check(s"mergeInto@$step")
+          }
       }
       if (step % 5 == 0) { // time travel spot-check against the model history
         val v = rnd.nextInt(versions.size)
