@@ -120,13 +120,9 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     // during resolution)
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, nmbs,
         schemaEvolution) if m.resolved && lakeTarget(target).isDefined =>
-      if (schemaEvolution) throw new UnsupportedOperationException(
-        "graft-lake MERGE INTO does not support WITH SCHEMA EVOLUTION; " +
-          "evolve the table first (ALTER TABLE ... ADD COLUMN is a pure " +
-          "metadata commit)")
       val (dir, table) = lakeTarget(target).get
       LakeMergeCommand(dir, target.output.collect { case a: AttributeReference => a },
-        convert(source), cond, matched, notMatched, nmbs, table)
+        convert(source), cond, matched, notMatched, nmbs, schemaEvolution, table)
     // ── naked v2 lake relations (SELECT paths): v1 fallback. Parent
     // nodes were matched above first, so only pure-read relations remain.
     case r @ DataSourceV2Relation(t: GraftLakeTable, _, _, _, _, _) =>
@@ -187,11 +183,22 @@ case class LakeUpdateCommand(dir: String, sets: Seq[(String, Expression)],
 /** MERGE INTO as [[GraftLake.mergeInto]]'s copy-on-write commit. The
   * resolved condition/clause expressions reference target and source by
   * exprId; `tx` maps them onto the `t.` / `s.` aliases mergeInto joins
-  * under (by-name, since the CoW re-read mints fresh exprIds). */
+  * under (by-name, since the CoW re-read mints fresh exprIds).
+  *
+  * WITH SCHEMA EVOLUTION: source-only columns are added to the table
+  * first (pure metadata commits, fresh field ids), and STAR actions are
+  * re-widened to populate them from the source — the analyzer expands
+  * `SET *` / `INSERT *` over the pre-evolution target columns only
+  * (`UpdateAction.fromStar` marks the update case; an insert is treated
+  * as star-shaped when its assignments are exactly a full by-name copy
+  * of source attributes, which is what `INSERT *` expands to — an
+  * explicit column list spelling out that identical copy is
+  * indistinguishable post-resolution and gets widened too). */
 case class LakeMergeCommand(dir: String, targetAttrs: Seq[AttributeReference],
     source: LogicalPlan, condition: Expression,
     matched: Seq[MergeAction], notMatched: Seq[MergeAction],
-    notMatchedBySource: Seq[MergeAction], table: Option[CatalogTable])
+    notMatchedBySource: Seq[MergeAction], schemaEvolution: Boolean,
+    table: Option[CatalogTable])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -210,24 +217,43 @@ case class LakeMergeCommand(dir: String, targetAttrs: Seq[AttributeReference],
         s"graft-lake MERGE supports top-level columns only, got $other")
     }
     val targetCols = targetAttrs.map(_.name)
+    val newCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (!schemaEvolution) Nil
+      else source.output.filterNot(a =>
+        targetCols.exists(_.equalsIgnoreCase(a.name)))
+        .map(a => a.name -> a.dataType)
+    newCols.foreach { case (n, dt) => GraftLake.addColumn(spark, dir, n, dt) }
+    val widen: Seq[(String, Column)] = newCols.map { case (n, _) =>
+      n -> col(s"s.$n")
+    }
+    def isStarShapedInsert(assigns: Seq[Assignment]): Boolean =
+      assigns.length == targetAttrs.length && assigns.forall { as =>
+        (as.key, as.value) match {
+          case (k: AttributeReference, v: AttributeReference) =>
+            sSet.contains(v) && k.name.equalsIgnoreCase(v.name)
+          case _ => false
+        }
+      }
     def matchedClause(a: MergeAction): GraftLake.MatchedClause = a match {
-      case UpdateAction(cond, assigns, _) =>
+      case UpdateAction(cond, assigns, fromStar) =>
         GraftLake.MatchedUpdate(cond.map(tx),
-          assigns.map(as => assignName(as) -> tx(as.value)))
+          assigns.map(as => assignName(as) -> tx(as.value)) ++
+            (if (fromStar) widen else Nil))
       case DeleteAction(cond) => GraftLake.MatchedDelete(cond.map(tx))
       case UpdateStarAction(cond) =>
         GraftLake.MatchedUpdate(cond.map(tx),
-          targetCols.map(n => n -> col(s"s.$n")))
+          targetCols.map(n => n -> col(s"s.$n")) ++ widen)
       case other => throw new UnsupportedOperationException(
         s"graft-lake MERGE: unsupported matched action $other")
     }
     def insertClause(a: MergeAction): GraftLake.NotMatchedInsert = a match {
       case InsertAction(cond, assigns) =>
         GraftLake.NotMatchedInsert(cond.map(tx),
-          assigns.map(as => assignName(as) -> tx(as.value)))
+          assigns.map(as => assignName(as) -> tx(as.value)) ++
+            (if (isStarShapedInsert(assigns)) widen else Nil))
       case InsertStarAction(cond) =>
         GraftLake.NotMatchedInsert(cond.map(tx),
-          targetCols.map(n => n -> col(s"s.$n")))
+          targetCols.map(n => n -> col(s"s.$n")) ++ widen)
       case other => throw new UnsupportedOperationException(
         s"graft-lake MERGE: unsupported not-matched action $other")
     }
