@@ -477,10 +477,68 @@ object LakeQueries {
       |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ── l12: table lifecycle — TBLPROPERTIES, atomic REPLACE, evolving MERGE
+  // The round-10 catalog surface end-to-end by SQL: a folded
+  // checkpointEvery property (the ckpt-file count pins that the cadence
+  // took effect AND survived the fold), CREATE OR REPLACE as ONE
+  // schema-resetting commit, and MERGE WITH SCHEMA EVOLUTION adding a
+  // source-only column that star actions populate (old rows null-fill
+  // by field-id resolution). The oracle replays the final algebra.
+  private val l12LakeSqlLifecycle: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_lc").toString + "/t"
+    ordersProjected(s, dir).createOrReplaceTempView("l12_orders_src")
+    s.sql("DROP TABLE IF EXISTS graft_l12")
+    s.sql(
+      s"""CREATE TABLE graft_l12 USING `graft-lake` OPTIONS (path '$tbl')
+         |AS SELECT o_orderkey, price_c FROM l12_orders_src
+         |WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql("ALTER TABLE graft_l12 SET TBLPROPERTIES ('checkpointEvery'='2')")
+    s.sql("INSERT INTO graft_l12 SELECT o_orderkey, price_c " +
+      "FROM l12_orders_src WHERE o_orderkey % 3 = 1")
+    s.sql(
+      s"""CREATE OR REPLACE TABLE graft_l12 USING `graft-lake`
+         |OPTIONS (path '$tbl')
+         |AS SELECT o_orderkey, o_orderstatus, price_c FROM l12_orders_src
+         |WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_l12 t
+        |USING (SELECT o_orderkey, o_orderstatus, price_c * 2 AS price_c,
+        |              o_orderpriority
+        |       FROM l12_orders_src WHERE o_orderkey % 10 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(GraftLake.history(tbl).map(_._2) ==
+      Seq("create", "set-properties", "append", "replace", "add-column",
+        "merge-into"),
+      "lifecycle must land as one log commit per statement")
+    val ckpts = Option(new java.io.File(s"$tbl/_log")
+      .listFiles((_, n) => n.startsWith("ckpt-"))).map(_.length).getOrElse(0)
+    require(ckpts == 2,
+      s"folded checkpointEvery=2 must checkpoint v2 and v4, got $ckpts")
+    s.sql("SELECT o_orderkey, o_orderstatus, price_c, o_orderpriority " +
+      "FROM graft_l12 ORDER BY o_orderkey")
+  }
+  private val l12LakeSqlLifecycleSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_orderstatus, price_c,
+      |       CAST(NULL AS VARCHAR) AS o_orderpriority
+      |FROM p WHERE o_orderkey % 4 = 0 AND NOT o_orderkey % 10 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, price_c * 2, o_orderpriority
+      |FROM p WHERE o_orderkey % 10 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l9_lake_sql_alter" -> l9LakeSqlAlter,
     "l10_lake_sql_merge" -> l10LakeSqlMerge,
     "l11_lake_sql_maintenance" -> l11LakeSqlMaintenance,
+    "l12_lake_sql_lifecycle" -> l12LakeSqlLifecycle,
     "l1_lake_dml" -> l1LakeDml,
     "l6_lake_sql_ddl" -> l6LakeSqlDdl,
     "l7_lake_rename_scan" -> l7LakeRename,
@@ -494,6 +552,7 @@ object LakeQueries {
     "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
     "l10_lake_sql_merge" -> l10LakeSqlMergeSql,
     "l11_lake_sql_maintenance" -> l11LakeSqlMaintenanceSql,
+    "l12_lake_sql_lifecycle" -> l12LakeSqlLifecycleSql,
     "l1_lake_dml" -> l1LakeDmlSql,
     "l6_lake_sql_ddl" -> l6LakeSqlDdlSql,
     "l7_lake_rename_scan" -> l7LakeRenameSql,
