@@ -2378,7 +2378,52 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ── preference-pair construction (DPO/RLHF data prep) ────────────────
+  // Per (source, lang) bucket: the highest-scoring document (lexical
+  // diversity = distinct whitespace tokens; ties broken by doc_id) is
+  // the CHOSEN response; every bucket-mate at least `margin` below it
+  // becomes a REJECTED partner. One hash shuffle on the bucket key for
+  // the argmax, then a broadcast join of the per-bucket winner back —
+  // the preference-mining shape that scales to a 100 TB corpus (the
+  // winners table is one row per bucket, KB-sized).
+  private val tPreferencePairs: Q = (s, dir) => {
+    val margin = 8L
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+    val chosen = scored.groupBy("source", "lang")
+      .agg(max(struct(col("score"), col("doc_id"))).as("c"))
+      .select(col("source"), col("lang"),
+        col("c.score").as("c_score"), col("c.doc_id").as("chosen_id"))
+    scored.join(broadcast(chosen), Seq("source", "lang"))
+      .filter(col("doc_id") =!= col("chosen_id") &&
+        col("score") <= col("c_score") - margin)
+      .select(col("source"), col("lang"), col("chosen_id"),
+        col("doc_id").as("rejected_id"),
+        (col("c_score") - col("score")).as("margin"))
+      .orderBy("source", "lang", "rejected_id")
+  }
+  private val tPreferencePairsSql =
+    """WITH scored AS (
+      |  SELECT doc_id, source, lang,
+      |         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS score
+      |  FROM documents
+      |), chosen AS (
+      |  SELECT source, lang, score AS c_score, doc_id AS chosen_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source, lang
+      |                   ORDER BY score DESC, doc_id DESC) AS rn
+      |        FROM scored)
+      |  WHERE rn = 1
+      |)
+      |SELECT s.source, s.lang, c.chosen_id, s.doc_id AS rejected_id,
+      |       c.c_score - s.score AS margin
+      |FROM scored s JOIN chosen c USING (source, lang)
+      |WHERE s.doc_id <> c.chosen_id AND s.score <= c.c_score - 8
+      |ORDER BY source, lang, rejected_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "t_preference_pairs" -> tPreferencePairs,
     "t_blocklist" -> tBlocklist,
     "t_search_and" -> tSearchAnd,
     "t_search_phrase" -> tSearchPhrase,
@@ -2448,6 +2493,7 @@ object LlmQueries {
     "t_vocab" -> tVocab)
 
   val oracles: Map[String, String] = Map(
+    "t_preference_pairs" -> tPreferencePairsSql,
     "t_blocklist" -> tBlocklistSql,
     "t_search_and" -> tSearchAndSql,
     "t_search_phrase" -> tSearchPhraseSql,
