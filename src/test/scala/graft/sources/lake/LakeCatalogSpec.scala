@@ -202,6 +202,35 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake_cat_m2")
   }
 
+  test("non-equi MERGE: range-condition tagging (no equi conjunct → " +
+    "exact semi-join victims, windowed guard kept)") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_cat_rng")
+    spark.sql(
+      s"""CREATE TABLE lake_cat_rng USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT id, CAST('none' AS STRING) AS tag FROM range(100)""".stripMargin)
+    Seq((10L, 20L, "a"), (50L, 55L, "b")).toDF("lo", "hi", "tag")
+      .createOrReplaceTempView("lake_cat_rng_src")
+    spark.sql(
+      """MERGE INTO lake_cat_rng t USING lake_cat_rng_src s
+        |ON t.id >= s.lo AND t.id < s.hi
+        |WHEN MATCHED THEN UPDATE SET tag = s.tag""".stripMargin)
+    val got = spark.table("lake_cat_rng")
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    assert(got == Map("none" -> 85L, "a" -> 10L, "b" -> 5L))
+
+    // overlapping ranges make a target row match two source rows → the
+    // ambiguity guard (kept: no equi conjunct) must reject, commit nothing
+    Seq((0L, 5L, "x"), (3L, 8L, "y")).toDF("lo", "hi", "tag")
+      .createOrReplaceTempView("lake_cat_rng_bad")
+    intercept[Exception](spark.sql(
+      """MERGE INTO lake_cat_rng t USING lake_cat_rng_bad s
+        |ON t.id >= s.lo AND t.id < s.hi
+        |WHEN MATCHED THEN UPDATE SET tag = s.tag""".stripMargin))
+    assert(GraftLake.history(dir).map(_._2) == Seq("create", "merge-into"))
+    spark.sql("DROP TABLE lake_cat_rng")
+  }
+
   test("MERGE INTO rejects a target row matched by multiple source rows") {
     val dir = tmp()
     spark.sql("DROP TABLE IF EXISTS lake_cat_m3")
