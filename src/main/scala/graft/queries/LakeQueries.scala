@@ -534,7 +534,47 @@ object LakeQueries {
       |FROM p WHERE o_orderkey % 10 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── l13: lake-to-lake replication — the change feed applied as MERGE ──
+  // Replica bootstrapped from the v0 snapshot, then ONE applyChangeFeed
+  // of changes(0 → latest): per-key collapse (an updated row arrives as
+  // delete+insert) → upserts + pure deletes in one merge commit. The
+  // replica must equal the source's final state exactly — same oracle
+  // as l1, reached through the CDC path instead of replaying the ops.
+  private val l13LakeCdcReplica: Q = (s, dir) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_repl")
+    val src = s"$base/src"; val rep = s"$base/replica"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(
+      p.filter(col("o_orderkey") % 4 === 0).repartitionByRange(4, col("o_orderkey")), src,
+      checkpointEvery = 2)
+    GraftLake.append(
+      p.filter(col("o_orderkey") % 4 === 1).repartitionByRange(4, col("o_orderkey")), src)
+    GraftLake.delete(s, src,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 8 === 0)
+    val updates =
+      p.filter(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          lit("X").as("o_orderpriority"), (col("price_c") * 2).as("price_c"))
+        .unionByName(
+          p.filter(col("o_orderkey") % 20 === 2)
+            .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+              lit("I").as("o_orderstatus"), lit("Y").as("o_orderpriority"),
+              (col("price_c") + 7).as("price_c")))
+    GraftLake.merge(s, src, updates, "o_orderkey")
+
+    GraftLake.create(GraftLake.read(s, src, asOf = Some(0L)), rep)
+    GraftLake.applyChangeFeed(s, rep,
+      GraftLake.changes(s, src, 0L, 3L), "o_orderkey")
+    require(GraftLake.history(rep).map(_._2) == Seq("create", "merge-into"),
+      "replication must be bootstrap + ONE merge commit")
+    GraftLake.read(s, rep)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("price_c"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "l13_lake_cdc_replica" -> l13LakeCdcReplica,
     "l9_lake_sql_alter" -> l9LakeSqlAlter,
     "l10_lake_sql_merge" -> l10LakeSqlMerge,
     "l11_lake_sql_maintenance" -> l11LakeSqlMaintenance,
@@ -549,6 +589,7 @@ object LakeQueries {
     "l5_lake_planner_scan" -> l5LakePlannerScan)
 
   val oracles: Map[String, String] = Map(
+    "l13_lake_cdc_replica" -> l1LakeDmlSql, // same final state, CDC path
     "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
     "l10_lake_sql_merge" -> l10LakeSqlMergeSql,
     "l11_lake_sql_maintenance" -> l11LakeSqlMaintenanceSql,

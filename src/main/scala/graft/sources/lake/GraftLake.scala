@@ -1241,6 +1241,52 @@ object GraftLake {
         removed.exceptAll(added).withColumn("change_kind", lit("delete")))
   }
 
+  /** Apply a [[changes]] feed to a REPLICA table as one MERGE commit —
+    * lake-to-lake replication (Delta's "merge the change feed" pattern).
+    * The feed is collapsed per key first: an updated row arrives as
+    * delete(old) + insert(new), which uncollapsed would trip the
+    * ambiguity guard; after collapse an insert wins (upsert) and a
+    * delete with no insert deletes. Requires a key-unique table (same
+    * contract as [[merge]]) — duplicate insert keys in the feed are
+    * rejected upfront, since two inserts of an absent key would BOTH
+    * land and silently break replica uniqueness. Idempotent: re-applying
+    * the same feed is a no-op state transition, so a crashed-and-replayed
+    * application converges. */
+  def applyChangeFeed(spark: SparkSession, dir: String, feed: DataFrame,
+      key: String): Long = {
+    val cols = feed.columns.filterNot(_ == "change_kind").toSeq
+    require(cols.contains(key), s"feed lacks key column '$key'")
+    require(feed.columns.contains("change_kind"),
+      "feed lacks change_kind — pass the output of GraftLake.changes")
+    val types = feed.schema.fields.map(f => f.name -> f.dataType).toMap
+    val ins = feed.filter(col("change_kind") === "insert")
+      .select(cols.map(col): _*).cache()
+    try {
+      val (nIns, nKeys) = {
+        val r = ins.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      require(nIns == nKeys,
+        s"change feed has $nIns inserts over $nKeys distinct '$key' keys; " +
+          "applyChangeFeed requires a key-unique table")
+      val pureDel = feed.filter(col("change_kind") === "delete")
+        .select(col(key)).distinct()
+        .join(ins.select(col(key)), Seq(key), "left_anti")
+        .select(Seq(col(key)) ++ cols.filterNot(_ == key)
+          .map(c => lit(null).cast(types(c)).as(c)): _*)
+      val src = ins.withColumn("__gl_kind", lit("u"))
+        .unionByName(pureDel.withColumn("__gl_kind", lit("d")))
+      mergeInto(spark, dir, src,
+        col(s"t.$key") === col(s"s.$key"),
+        matched = Seq(
+          MatchedUpdate(Some(col("s.__gl_kind") === "u"),
+            cols.filterNot(_ == key).map(c => c -> col(s"s.$c"))),
+          MatchedDelete(Some(col("s.__gl_kind") === "d"))),
+        notMatched = Seq(NotMatchedInsert(Some(col("s.__gl_kind") === "u"),
+          cols.map(c => c -> col(s"s.$c")))))
+    } finally { ins.unpersist(); () }
+  }
+
   /** OPTIMIZE ZORDER BY (x, y): rewrite the active files range-partitioned
     * and sorted by the Morton interleave of the two columns, so footer
     * min/max become tight on BOTH — a box predicate then prunes to
