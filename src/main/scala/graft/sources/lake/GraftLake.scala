@@ -69,8 +69,15 @@ object GraftLake {
   final case class ColStats(min: Option[String], max: Option[String],
       nullCount: Long, kind: String)
 
+  /** A deletion-vector sidecar reference: roaring bitmap of deleted
+    * `_metadata.row_index` positions, stored at `<table>/<path>` and
+    * immutable once referenced (a grown DV is a NEW sidecar). Carried ON
+    * the AddFile so CoW rewrites, RESTORE, time travel, the change feed,
+    * and vacuum all inherit DV versioning from plain AddFile identity. */
+  final case class DvRef(path: String, cardinality: Long)
+
   final case class AddFile(path: String, rows: Long, bytes: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats], dv: Option[DvRef] = None)
 
   final case class Commit(version: Long, ts: Long, op: String,
       txnApp: Option[String], txnEpoch: Option[Long],
@@ -127,6 +134,10 @@ object GraftLake {
   private def addFileNode(into: ArrayNode, a: AddFile): Unit = {
     val an = into.addObject()
     an.put("path", a.path); an.put("rows", a.rows); an.put("bytes", a.bytes)
+    a.dv.foreach { d =>
+      val dn = an.putObject("dv")
+      dn.put("path", d.path); dn.put("card", d.cardinality)
+    }
     val sn = an.putObject("stats")
     a.stats.foreach { case (col, st) =>
       sn.set[com.fasterxml.jackson.databind.JsonNode](col, colStatsNode(st)); ()
@@ -145,7 +156,9 @@ object GraftLake {
         }.toMap
       }.getOrElse(Map.empty)
       AddFile(an.get("path").asText, an.get("rows").asLong,
-        an.get("bytes").asLong, stats)
+        an.get("bytes").asLong, stats,
+        Option(an.get("dv")).map(d =>
+          DvRef(d.get("path").asText, d.get("card").asLong)))
     }.toSeq
 
   private def commitJson(c: Commit): String = {
@@ -691,6 +704,98 @@ object GraftLake {
       hit.filter(!coalesce(predicate, lit(false)))
     }
 
+  /** Merge-on-read DELETE — deletion vectors instead of copy-on-write:
+    * matched rows are recorded as `_metadata.row_index` positions in a
+    * roaring-bitmap SIDECAR per file, and the commit re-adds each touched
+    * AddFile with the (old ∪ new) DV reference — no parquet rewrite, so a
+    * point delete costs O(matched rows) bitmap bytes instead of O(victim
+    * file bytes) (the write-amplification wall CoW hits at 100 TB with
+    * row-level deletes; Delta/Iceberg-v2 position deletes, re-derived).
+    *
+    * Read-path contract: EVERY reader applies DVs — [[readFiles]] (read /
+    * scan / CoW victim selection / optimize / zorder), the
+    * planner-integrated [[LakeFileIndex]] path (via the DML rule's
+    * DV-splitting rewrite), [[changes]] (a grown DV emits exactly the
+    * delta positions as deletes, via AddFile-identity diff + net
+    * `exceptAll`), and the streaming source (fails fast or skips the
+    * commit like any row-removing op; the initial snapshot applies DVs).
+    *
+    * Positions aggregate as bitmaps ON EXECUTORS (map-side partials, one
+    * shuffle of compressed partials per file) — the driver only handles
+    * KB-sized compressed bitmaps. A file whose DV reaches every row is
+    * dropped from the table outright (no sidecar, no re-add). Stats stay
+    * as written (a DV only shrinks the rowset — pruning bounds remain a
+    * sound superset); [[optimize]] treats DV-carrying files as rewrite
+    * candidates, which purges the vectors back out of the steady state. */
+  def deleteMoR(spark: SparkSession, dir: String, predicate: Column): Long =
+    retry(dir, "delete-mor") { snap =>
+      val hit = overlapping(snap, predicate)
+      if (hit.isEmpty) None
+      else {
+        val marked = markDeletedPositions(spark, snap, hit, predicate)
+        if (marked.isEmpty) None
+        else {
+          val byBase = hit.map(f => baseName(f.path) -> f).toMap
+          val removes = Seq.newBuilder[String]
+          val adds = Seq.newBuilder[AddFile]
+          marked.foreach { case (base, newBytes) =>
+            val f = byBase(base)
+            val bm = DeletionVector.fromBytes(newBytes)
+            f.dv.foreach(d => bm.or(DeletionVector.read(new File(dir, d.path))))
+            val card = bm.getLongCardinality
+            if (card != f.dv.map(_.cardinality).getOrElse(0L)) {
+              removes += f.path
+              if (card < f.rows) {
+                // sidecars are immutable: a grown DV is a NEW file; the
+                // old sidecar becomes history (vacuum reclaims it)
+                val rel = s"dv/dv-${UUID.randomUUID()}.bin"
+                DeletionVector.write(new File(dir, rel), bm)
+                adds += f.copy(dv = Some(DvRef(rel, card)))
+              } // else: every row deleted — drop the file entirely
+            }
+          }
+          val rm = removes.result()
+          if (rm.isEmpty) None
+          else Some((Commit(snap.version + 1, System.currentTimeMillis(),
+            "delete-mor", None, None, None, adds.result(), rm),
+            snap.version + 1))
+        }
+      }
+    }.getOrElse(latestVersion(dir))
+
+  /** Per-file bitmaps of LIVE rows matching `predicate`: map-side partial
+    * bitmaps, merged per file, collected as compressed bytes (basename →
+    * bitmap). Already-deleted rows are filtered first, so a no-new-rows
+    * file simply doesn't appear. */
+  private def markDeletedPositions(spark: SparkSession, snap: Snapshot,
+      files: Seq[AddFile], predicate: Column): Map[String, Array[Byte]] = {
+    ensureFieldIdRead(spark)
+    val paths = files.map(f => s"${snap.dir}/${f.path}")
+    val dvByBase = dvPathsFor(snap, paths)
+    val raw = spark.read.option("mergeSchema", "true").schema(snap.schema)
+      .parquet(paths: _*)
+    val live =
+      if (dvByBase.isEmpty) raw else raw.where(!dvDeletedCol(dvByBase))
+    val base = live.select(Seq(col("_metadata.file_name").as("__gl_file"),
+      col("_metadata.row_index").as("__gl_pos")) ++
+      snap.schema.fieldNames.map(col).toSeq: _*)
+    import spark.implicits._
+    val pairs = base.filter(predicate)
+      .select(col("__gl_file"), col("__gl_pos")).as[(String, Long)]
+    val partials = pairs.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+      it.foreach { case (f, p) =>
+        m.getOrElseUpdate(f, new org.roaringbitmap.longlong.Roaring64Bitmap()).addLong(p)
+      }
+      m.iterator.map { case (f, bm) => (f, DeletionVector.toBytes(bm)) }
+    }
+    partials.groupByKey(_._1).mapGroups { (f, it) =>
+      val acc = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      it.foreach { case (_, b) => acc.or(DeletionVector.fromBytes(b)) }
+      (f, DeletionVector.toBytes(acc))
+    }.collect().toMap
+  }
+
   /** Copy-on-write MERGE (upsert by `key`): files possibly holding an
     * update key are rewritten with matched rows replaced; all update rows
     * (matched + new) are written once. Conservative stats pruning keeps
@@ -781,11 +886,33 @@ object GraftLake {
     * source rows never collapse into one null partition.
     *
     * Reference semantics: SQL:2003 MERGE; the conflict contract matches
-    * Delta's multipleSourceRowMatchingTargetRowInMergeException. */
+    * Delta's multipleSourceRowMatchingTargetRowInMergeException.
+    *
+    * `newColumns` evolves the table schema ATOMICALLY with the merge:
+    * each new column gets a fresh field id and the add-column metadata
+    * lands in the SAME commit as the rewrite (Delta's evolving-merge
+    * shape — a failed merge leaves no half-applied schema behind). The
+    * clause chains may then reference the new columns freely, both in
+    * explicit assignments and inserts; existing files null-fill them.
+    *
+    * Clause-shape fast paths (both matter at 100 TB):
+    *  - INSERT-ONLY merge (no matched / not-matched-by-source clause):
+    *    matched target files are NOT rewritten — victims = none, the
+    *    commit is adds-only, and duplicate source matches are legal
+    *    (Delta's insert-only optimization; a naive full-outer rewrite
+    *    would silently DUPLICATE a target row matched by two source
+    *    rows, since each join match emits one keep-row).
+    *  - a merge with not-matched-by-source but NO matched clause keeps
+    *    matched target rows via a LEFT SEMI join (once each, however
+    *    many source rows matched) instead of the full-outer chain —
+    *    same duplication hazard, same fix; the ambiguity guard stays
+    *    reserved for merges where an update/delete would actually be
+    *    nondeterministic. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
       condition: Column, matched: Seq[MatchedClause],
       notMatched: Seq[NotMatchedInsert],
-      notMatchedBySource: Seq[MatchedClause] = Nil): Long = {
+      notMatchedBySource: Seq[MatchedClause] = Nil,
+      newColumns: Seq[StructField] = Nil): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE INTO needs at least one WHEN clause")
     val src = source.cache()
@@ -803,8 +930,18 @@ object GraftLake {
         (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3))
       })
     try {
-      retryRewrite(spark, dir, "merge-into") { snap =>
-        val fields = snap.schema.fields.toIndexedSeq
+      retryRewriteEvolving(spark, dir, "merge-into") { snap =>
+        // schema evolution, recomputed under the fence each attempt (a
+        // racing commit may have advanced the id space or already added
+        // the column — mergeSchemas dedups by name, type-checked)
+        val evolved =
+          if (newColumns.isEmpty) snap.schema
+          else mergeSchemas(snap.schema, StructType(newColumns.toArray),
+            snap.maxColId, snap.retired)
+        val snapE = snap.copy(schema = evolved,
+          maxColId = maxIdOf(evolved, snap.maxColId))
+        val schemaOut = if (evolved == snap.schema) None else Some(evolved)
+        val fields = evolved.fields.toIndexedSeq
         val names = fields.map(_.name).toSet
         (matched ++ notMatchedBySource).foreach {
           case MatchedUpdate(_, set) => set.foreach { case (n, _) =>
@@ -814,69 +951,37 @@ object GraftLake {
         notMatched.foreach(c => c.values.foreach { case (n, _) =>
           require(names.contains(n), s"MERGE INSERT targets unknown column '$n'") })
 
-        val equi = mergeEquiCol(spark, snap, src, condition)
+        val equi = mergeEquiCol(spark, snapE, src, condition)
         val uniqueMatch = equi.exists { case (_, sCol) =>
           val (_, _, n, d) = aggOf(sCol); n == d
         }
 
-        // phase 1: victim files. Stats-prune candidates on the first
-        // target=source equi-conjunct's source bounds, then the exact
-        // touched set via an input_file_name semi-join (candidate files
-        // only are scanned; the semi-join broadcasts a small source).
-        val victims: Seq[AddFile] =
-          if (notMatchedBySource.nonEmpty) snap.files
-          else {
-            val cand = equi match {
-              case Some((tCol, sCol)) =>
-                val (lo, hi, _, _) = aggOf(sCol)
-                (lo, hi) match {
-                  case (Some(l), Some(h)) =>
-                    snap.files.filter { f =>
-                      f.stats.get(statsKey(snap.schema, tCol)) match {
-                        case Some(st) if st.min.isDefined && st.max.isDefined =>
-                          (for {
-                            c1 <- cmpOpt(st.kind, st.max.get, l.toString)
-                            c2 <- cmpOpt(st.kind, st.min.get, h.toString)
-                          } yield c1 >= 0 && c2 <= 0).getOrElse(true)
-                        case _ => true
-                      }
-                    }
-                  case _ => snap.files // all-null or empty source keys
+        // stats-pruned candidates: files that MAY hold a source-matched
+        // row per the first equi-conjunct's source bounds (conservative —
+        // a key outside the candidates provably isn't in the table)
+        val cand: Seq[AddFile] = equi match {
+          case Some((tCol, sCol)) =>
+            val (lo, hi, _, _) = aggOf(sCol)
+            (lo, hi) match {
+              case (Some(l), Some(h)) =>
+                snap.files.filter { f =>
+                  f.stats.get(statsKey(evolved, tCol)) match {
+                    case Some(st) if st.min.isDefined && st.max.isDefined =>
+                      (for {
+                        c1 <- cmpOpt(st.kind, st.max.get, l.toString)
+                        c2 <- cmpOpt(st.kind, st.min.get, h.toString)
+                      } yield c1 >= 0 && c2 <= 0).getOrElse(true)
+                    case _ => true
+                  }
                 }
-              case None => snap.files
+              case _ => snap.files // all-null or empty source keys
             }
-            if (cand.isEmpty) Nil
-            else {
-              def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
-              val touched = readFiles(spark, snap, cand.map(f => s"$dir/${f.path}"))
-                .withColumn("__gl_file", input_file_name()).alias("t")
-                .join(src.alias("s"), condition, "left_semi")
-                .select(col("__gl_file")).distinct()
-                .collect().map(r => baseName(r.getString(0))).toSet
-              cand.filter(f => touched.contains(baseName(f.path)))
-            }
-          }
+          case None => snap.files
+        }
 
-        // phase 2: one full-outer join of victims × source, projected
-        // through the clause chains in a single pass.
         val rowT = StructType(fields.map(f =>
           StructField(f.name, f.dataType, nullable = true)))
-        def keepStruct = struct(fields.map(f => col(s"t.${f.name}").as(f.name)): _*)
         val nullRow = lit(null).cast(rowT)
-        def chain(cs: Seq[MatchedClause]): Column =
-          cs.foldRight(keepStruct) { (c, els) =>
-            c match {
-              case MatchedUpdate(cond, set) =>
-                val byName = set.toMap
-                val updated = struct(fields.map { f =>
-                  byName.get(f.name).map(_.cast(f.dataType))
-                    .getOrElse(col(s"t.${f.name}")).as(f.name)
-                }: _*)
-                when(cond.getOrElse(lit(true)), updated).otherwise(els)
-              case MatchedDelete(cond) =>
-                when(cond.getOrElse(lit(true)), nullRow).otherwise(els)
-            }
-          }
         val insertChain: Column =
           notMatched.foldRight(nullRow) { (c, els) =>
             val byName = c.values.toMap
@@ -886,45 +991,114 @@ object GraftLake {
             }: _*)
             when(c.condition.getOrElse(lit(true)), ins).otherwise(els)
           }
+        def expand(df: DataFrame): DataFrame =
+          df.where(col("__gl_r").isNotNull).select("__gl_r.*")
 
-        val tgt0 =
-          if (victims.isEmpty) emptyDf(spark, snap.schema)
-          else readFiles(spark, snap, victims.map(f => s"$dir/${f.path}"))
-        val t = tgt0.withColumn("__gl_tid", monotonically_increasing_id()).alias("t")
-        val s2 = src.withColumn("__gl_sid", monotonically_increasing_id()).alias("s")
-        val joined = t.join(s2, condition, "full_outer")
-        val isMatched = col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNotNull
+        if (matched.isEmpty && notMatchedBySource.isEmpty) {
+          // ── INSERT-ONLY fast path: nothing matched is rewritten, so no
+          // victims, no ambiguity guard (duplicate matches are legal —
+          // they just suppress the insert), and the commit is adds-only.
+          // The anti-join target is the stats-pruned candidate set: any
+          // target row a source row could match lives there.
+          val tgt =
+            if (cand.isEmpty) emptyDf(spark, evolved)
+            else readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
+          val inserts = src.alias("s").join(tgt.alias("t"), condition, "left_anti")
+            .select(insertChain.as("__gl_r"))
+          (Nil, expand(inserts), schemaOut)
+        } else {
+          // phase 1: victim files. Stats-prune candidates on the first
+          // target=source equi-conjunct's source bounds, then the exact
+          // touched set via an input_file_name semi-join (candidate files
+          // only are scanned; the semi-join broadcasts a small source).
+          val victims: Seq[AddFile] =
+            if (notMatchedBySource.nonEmpty) snap.files
+            else if (cand.isEmpty) Nil
+            else {
+              val touched = readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
+                .withColumn("__gl_file", input_file_name()).alias("t")
+                .join(src.alias("s"), condition, "left_semi")
+                .select(col("__gl_file")).distinct()
+                .collect().map(r => baseName(r.getString(0))).toSet
+              cand.filter(f => touched.contains(baseName(f.path)))
+            }
 
-        // ambiguity guard: >1 source match for one target row while any
-        // matched clause exists is nondeterministic — reject. Skipped
-        // when no matched clause needs it OR the equi key is distinct in
-        // the source (each target row then matches at most once — the
-        // window's shuffle of victims × source is pure cost). Unmatched
-        // source rows get their own window partition via sid (a shared
-        // null-tid partition would serialize every insert through one task).
-        val guarded =
-          if (matched.isEmpty || uniqueMatch) joined
-          else {
-            val w = org.apache.spark.sql.expressions.Window.partitionBy(
-              col("t.__gl_tid"),
-              when(col("t.__gl_tid").isNull, col("s.__gl_sid")).otherwise(lit(0L)))
-            joined
-              .withColumn("__gl_n", sum(when(isMatched, 1L).otherwise(0L)).over(w))
-              .where(when(isMatched && col("__gl_n") > 1L,
-                assert_true(lit(false), lit(s"MERGE INTO $dir: a target row " +
-                  "matched multiple source rows; make the ON condition more " +
-                  "selective or deduplicate the source")).isNotNull)
-                .otherwise(lit(true)))
+          def keepStruct = struct(fields.map(f => col(s"t.${f.name}").as(f.name)): _*)
+          def chain(cs: Seq[MatchedClause]): Column =
+            cs.foldRight(keepStruct) { (c, els) =>
+              c match {
+                case MatchedUpdate(cond, set) =>
+                  val byName = set.toMap
+                  val updated = struct(fields.map { f =>
+                    byName.get(f.name).map(_.cast(f.dataType))
+                      .getOrElse(col(s"t.${f.name}")).as(f.name)
+                  }: _*)
+                  when(cond.getOrElse(lit(true)), updated).otherwise(els)
+                case MatchedDelete(cond) =>
+                  when(cond.getOrElse(lit(true)), nullRow).otherwise(els)
+              }
+            }
+          val tgt0 =
+            if (victims.isEmpty) emptyDf(spark, evolved)
+            else readFiles(spark, snapE, victims.map(f => s"$dir/${f.path}"))
+
+          if (matched.isEmpty) {
+            // ── not-matched-by-source WITHOUT matched clauses: matched
+            // target rows are untouched — keep them via LEFT SEMI (once
+            // each; the full-outer chain would emit one copy per source
+            // match), unmatched target rows run the nmbs chain via LEFT
+            // ANTI, inserts come from the source-side anti-join. Three
+            // joins, each semi/anti (broadcastable small source), no
+            // window — multiple matches are semantically irrelevant here.
+            val kept = tgt0.alias("t").join(src.alias("s"), condition, "left_semi")
+              .select(fields.map(f => col(f.name)): _*)
+            val nmbsRows = expand(
+              tgt0.alias("t").join(src.alias("s"), condition, "left_anti")
+                .alias("t").select(chain(notMatchedBySource).as("__gl_r")))
+            val inserts =
+              if (notMatched.isEmpty) emptyDf(spark, evolved)
+              else expand(
+                src.alias("s").join(tgt0.alias("t"), condition, "left_anti")
+                  .select(insertChain.as("__gl_r")))
+            (victims, kept.unionByName(nmbsRows).unionByName(inserts), schemaOut)
+          } else {
+            // phase 2: one full-outer join of victims × source, projected
+            // through the clause chains in a single pass.
+            val t = tgt0.withColumn("__gl_tid", monotonically_increasing_id()).alias("t")
+            val s2 = src.withColumn("__gl_sid", monotonically_increasing_id()).alias("s")
+            val joined = t.join(s2, condition, "full_outer")
+            val isMatched = col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNotNull
+
+            // ambiguity guard: >1 source match for one target row while a
+            // matched clause exists is nondeterministic — reject. Skipped
+            // when the equi key is distinct in the source (each target row
+            // then matches at most once — the window's shuffle of victims ×
+            // source is pure cost). Unmatched source rows get their own
+            // window partition via sid (a shared null-tid partition would
+            // serialize every insert through one task).
+            val guarded =
+              if (uniqueMatch) joined
+              else {
+                val w = org.apache.spark.sql.expressions.Window.partitionBy(
+                  col("t.__gl_tid"),
+                  when(col("t.__gl_tid").isNull, col("s.__gl_sid")).otherwise(lit(0L)))
+                joined
+                  .withColumn("__gl_n", sum(when(isMatched, 1L).otherwise(0L)).over(w))
+                  .where(when(isMatched && col("__gl_n") > 1L,
+                    assert_true(lit(false), lit(s"MERGE INTO $dir: a target row " +
+                      "matched multiple source rows; make the ON condition more " +
+                      "selective or deduplicate the source")).isNotNull)
+                    .otherwise(lit(true)))
+              }
+
+            val result = when(isMatched, chain(matched))
+              .when(col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNull,
+                if (notMatchedBySource.isEmpty) keepStruct else chain(notMatchedBySource))
+              .otherwise(insertChain)
+            val replacement = expand(guarded.select(result.as("__gl_r")))
+            (victims, replacement, schemaOut)
           }
-
-        val result = when(isMatched, chain(matched))
-          .when(col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNull,
-            if (notMatchedBySource.isEmpty) keepStruct else chain(notMatchedBySource))
-          .otherwise(insertChain)
-        val replacement = guarded.select(result.as("__gl_r"))
-          .where(col("__gl_r").isNotNull)
-          .select("__gl_r.*")
-        (victims, replacement)
+        }
       }
     } finally { src.unpersist(); () }
   }
@@ -967,8 +1141,13 @@ object GraftLake {
   def optimize(spark: SparkSession, dir: String,
       smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Long =
     retryRewrite(spark, dir, "optimize") { snap =>
-      val small = snap.files.filter(_.bytes < smallBytes)
-      if (small.size < 2) (Nil, emptyDf(spark, snap.schema))
+      // DV-carrying files are rewrite candidates REGARDLESS of size:
+      // compaction purges the deletion vectors back out of the steady
+      // state (Delta's OPTIMIZE does the same), so reads stop paying the
+      // position filter and the sidecars become vacuumable
+      val small = snap.files.filter(f => f.bytes < smallBytes || f.dv.isDefined)
+      if (small.size < 2 && !small.exists(_.dv.isDefined))
+        (Nil, emptyDf(spark, snap.schema))
       else {
         val total = small.map(_.bytes).sum
         val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
@@ -1083,16 +1262,21 @@ object GraftLake {
     * that up — checked here, not discovered later by a failing scan). */
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val target = snapshot(spark, dir, Some(version))
-    val missing = target.files.filterNot(f => new File(dir, f.path).exists())
+    val missing = target.files
+      .flatMap(f => f.path +: f.dv.map(_.path).toSeq) // DV sidecars too
+      .filterNot(rel => new File(dir, rel).exists())
     require(missing.isEmpty,
-      s"cannot restore $dir to v$version: ${missing.size} file(s) vacuumed, e.g. ${missing.head.path}")
+      s"cannot restore $dir to v$version: ${missing.size} file(s) vacuumed, e.g. ${missing.head}")
     retry(dir, "restore") { snap =>
       if (snap.version == version) None // already there
       else {
-        val cur = snap.files.map(_.path).toSet
+        val curByPath = snap.files.map(f => f.path -> f).toMap
         val tgt = target.files.map(f => f.path -> f).toMap
-        val adds = target.files.filterNot(f => cur.contains(f.path))
-        val removes = (cur -- tgt.keySet).toSeq.sorted
+        // re-add on FULL AddFile mismatch: a path whose DV changed since
+        // `version` must roll its DV reference back too (the re-add
+        // replaces the entry — stateAt folds removes-then-adds by path)
+        val adds = target.files.filterNot(f => curByPath.get(f.path).contains(f))
+        val removes = (curByPath.keySet -- tgt.keySet).toSeq.sorted
         val schemaJson =
           if (snap.schema == target.schema) None else Some(target.schema.json)
         Some((Commit(snap.version + 1, System.currentTimeMillis(), "restore",
@@ -1130,7 +1314,8 @@ object GraftLake {
       keepHistory: Boolean, minAgeMillis: Long, now: Long): Int = {
     val cs = commits(dir)
     val everReferenced = cs.flatMap(_.adds.map(_.path)).toSet
-    val active = snapshot(spark, dir).files.map(_.path).toSet
+    val activeFiles = snapshot(spark, dir).files
+    val active = activeFiles.map(_.path).toSet
     val cutoff = now - minAgeMillis
     // last commit that tombstoned each path (re-add + re-remove via
     // RESTORE keeps the newest removal, the conservative choice)
@@ -1148,10 +1333,45 @@ object GraftLake {
       (if (keepHistory) Set.empty[String]
        else ((everReferenced -- active) & onDisk).filter(tombstoneOldEnough))
     doomed.foreach(rel => new File(dir, rel).delete())
+
+    // ── DV sidecars ride the same lifecycle, keyed by AddFile reference:
+    // a sidecar is removed when its carrying AddFile is removed OR
+    // re-added with a different DV (delete-mor growth, restore rollback).
+    // Orphans (crash debris of a lost delete-mor fence) age by mtime.
+    val everReferencedDv = cs.flatMap(_.adds.flatMap(_.dv.map(_.path))).toSet
+    val activeDv = activeFiles.flatMap(_.dv.map(_.path)).toSet
+    val dvRemovedTs = {
+      val removed = scala.collection.mutable.Map.empty[String, Long]
+      val current = scala.collection.mutable.Map.empty[String, String] // data path -> dv path
+      cs.foreach { c =>
+        c.removes.foreach(p =>
+          current.remove(p).foreach(old => removed(old) = c.ts))
+        c.adds.foreach { a =>
+          val old = current.get(a.path)
+          a.dv match {
+            case Some(d) =>
+              old.filter(_ != d.path).foreach(o => removed(o) = c.ts)
+              current(a.path) = d.path
+            case None =>
+              old.foreach(o => removed(o) = c.ts)
+              current.remove(a.path); ()
+          }
+        }
+      }
+      removed.toMap
+    }
+    val onDiskDv = Option(new File(dir, "dv").listFiles((_, n) => n.endsWith(".bin")))
+      .getOrElse(Array.empty[File]).map(f => s"dv/${f.getName}").toSet
+    val doomedDv = (onDiskDv -- everReferencedDv).filter(orphanOldEnough) ++
+      (if (keepHistory) Set.empty[String]
+       else ((everReferencedDv -- activeDv) & onDiskDv)
+         .filter(rel => dvRemovedTs.get(rel).exists(_ <= cutoff)))
+    doomedDv.foreach(rel => new File(dir, rel).delete())
+
     // sweep abandoned staging dirs under the same age guard
     Option(new File(dir, "_staged").listFiles()).getOrElse(Array.empty)
       .filter(_.lastModified() <= cutoff).foreach(deleteRecursively)
-    doomed.size
+    doomed.size + doomedDv.size
   }
 
   // ── reads ────────────────────────────────────────────────────────────
@@ -1228,14 +1448,24 @@ object GraftLake {
       toV: Long): DataFrame = {
     val from = snapshot(spark, dir, Some(fromV))
     val to = snapshot(spark, dir, Some(toV))
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
-    // read BOTH sides with the target schema so evolved columns align
-    def side(paths: Set[String]): DataFrame =
-      if (paths.isEmpty) emptyDf(spark, to.schema)
-      else readFiles(spark, to, paths.toSeq.sorted.map(p => s"$dir/$p"))
-    val added = side(toPaths -- fromPaths)
-    val removed = side(fromPaths -- toPaths)
+    // diff by FULL AddFile identity, not path: a delete-mor commit re-adds
+    // the same path with a grown DV — reading the old AddFile (old DV) on
+    // the removed side and the new one on the added side makes the net
+    // exceptAll emit EXACTLY the newly-deleted positions as deletes (and,
+    // after a RESTORE that shrank a DV, the resurrected rows as inserts) —
+    // no special casing, same changed-file-bounded cost model
+    val fromByPath = from.files.map(f => f.path -> f).toMap
+    val toByPath = to.files.map(f => f.path -> f).toMap
+    val addedFiles = to.files.filterNot(f => fromByPath.get(f.path).contains(f))
+    val removedFiles = from.files.filterNot(f => toByPath.get(f.path).contains(f))
+    // read BOTH sides with the target schema so evolved columns align;
+    // each side's AddFiles carry their OWN snapshot's DV state
+    def side(files: Seq[AddFile]): DataFrame =
+      if (files.isEmpty) emptyDf(spark, to.schema)
+      else readFiles(spark, to.copy(files = files),
+        files.map(f => s"$dir/${f.path}"))
+    val added = side(addedFiles)
+    val removed = side(removedFiles)
     added.exceptAll(removed).withColumn("change_kind", lit("insert"))
       .unionByName(
         removed.exceptAll(added).withColumn("change_kind", lit("delete")))
@@ -1308,13 +1538,53 @@ object GraftLake {
       }
     }
 
+  private[lake] def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** basename → absolute DV sidecar path, for the subset of `paths` whose
+    * AddFile (in `snap`) carries a deletion vector. */
+  private[lake] def dvPathsFor(snap: Snapshot, paths: Seq[String]): Map[String, String] = {
+    val wanted = paths.map(baseName).toSet
+    snap.files.iterator.flatMap { f =>
+      f.dv.flatMap { d =>
+        val b = baseName(f.path)
+        if (wanted.contains(b)) Some(b -> s"${snap.dir}/${d.path}") else None
+      }
+    }.toMap
+  }
+
+  /** The deleted-row predicate over `_metadata` columns for the given
+    * basename → sidecar map — a codegen'd expression whose tasks lazily
+    * read only the sidecars of files they actually scan. */
+  private[lake] def dvDeletedCol(dvByBase: Map[String, String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(DvDeleted(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("_metadata.file_name")),
+      org.apache.spark.sql.GraftColumnBridge.expression(col("_metadata.row_index")),
+      dvByBase))
+
   private[lake] def readFiles(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {
     ensureFieldIdRead(spark) // columns resolve by field id (rename-stable)
-    val base = spark.read.option("mergeSchema", "true")
-      .schema(snap.schema) // evolved schema: absent columns null-filled per file
-      .parquet(paths: _*)
-    base.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val outCols = snap.schema.fieldNames.map(col).toIndexedSeq
+    def plain(ps: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .schema(snap.schema) // evolved schema: absent columns null-filled per file
+        .parquet(ps: _*)
+        .select(outCols: _*)
+    val dvByBase = dvPathsFor(snap, paths)
+    if (dvByBase.isEmpty) plain(paths) // common case: zero DV overhead
+    else {
+      // split the scan: clean files read plain; DV-carrying files read
+      // with _metadata positions and the deleted rows filtered out. Two
+      // FileSourceScans under one union — pushed filters and column
+      // pruning reach both sides
+      val (dvd, clean) = paths.partition(p => dvByBase.contains(baseName(p)))
+      val dvdDf = spark.read.option("mergeSchema", "true")
+        .schema(snap.schema).parquet(dvd: _*)
+        .where(!dvDeletedCol(dvByBase))
+        .select(outCols: _*)
+      if (clean.isEmpty) dvdDf else plain(clean).unionByName(dvdDf)
+    }
   }
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
@@ -1348,17 +1618,29 @@ object GraftLake {
     * commit; on a lost fence the staged files are discarded and the whole
     * plan recomputes — serializable by construction. */
   private def retryRewrite(spark: SparkSession, dir: String, op: String)(
-      plan: Snapshot => (Seq[AddFile], DataFrame)): Long = {
+      plan: Snapshot => (Seq[AddFile], DataFrame)): Long =
+    retryRewriteEvolving(spark, dir, op) { snap =>
+      val (victims, replacement) = plan(snap); (victims, replacement, None)
+    }
+
+  /** [[retryRewrite]] that can additionally EVOLVE the table schema in
+    * the same commit (evolving MERGE): the staged files are stamped with
+    * the evolved field ids and the commit carries the new schema + the
+    * advanced maxColId — schema change and rewrite land atomically, so a
+    * failed merge never leaves half-applied columns behind. */
+  private def retryRewriteEvolving(spark: SparkSession, dir: String, op: String)(
+      plan: Snapshot => (Seq[AddFile], DataFrame, Option[StructType])): Long = {
     var attempts = 0
     while (attempts < 20) {
       val snap = snapshot(spark, dir)
-      val (victims, replacement) = plan(snap)
+      val (victims, replacement, evolvedOpt) = plan(snap)
       // merge ops can commit with zero victims (insert-only merges); every
       // other rewrite with nothing to replace is a no-op
       if (victims.isEmpty && op != "merge" && op != "merge-into") return snap.version
-      val adds = stage(replacement, dir, 0, snap.schema)
+      val adds = stage(replacement, dir, 0, evolvedOpt.getOrElse(snap.schema))
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
-        None, adds, victims.map(_.path))
+        evolvedOpt.map(_.json), adds, victims.map(_.path),
+        maxColId = evolvedOpt.map(s => maxIdOf(s, snap.maxColId)))
       if (tryCommit(dir, c)) {
         maybeCheckpoint(dir, c.version, snap.ckptEvery)
         return c.version

@@ -58,11 +58,23 @@ class GraftLakeCatalog extends DelegatingCatalogExtension {
     asLake(t, None).getOrElse(t)
   }
 
-  /** `VERSION AS OF v` — the catalog API's String-version overload. */
+  /** `VERSION AS OF v` — the catalog API's String-version overload.
+    * Lake-ness is checked BEFORE parsing the version: a non-lake table's
+    * version string is whatever its own connector accepts, so it must
+    * reach `super.loadTable` unparsed (not die on `toLong`). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = super.loadTable(ident)
-    asLake(t, Some(version.toLong))
-      .getOrElse(super.loadTable(ident, version))
+    GraftCatalogBridge.v1CatalogTable(t).flatMap(lakeDir) match {
+      case Some(dir) =>
+        val v =
+          try version.toLong
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"graft-lake VERSION AS OF takes a numeric version, got '$version'")
+          }
+        GraftLakeTable(GraftCatalogBridge.v1CatalogTable(t).get, dir, Some(v))
+      case None => super.loadTable(ident, version)
+    }
   }
 
   /** `TIMESTAMP AS OF ts` — micros since epoch, resolved to the latest
@@ -139,8 +151,18 @@ final case class GraftLakeTable(ct: CatalogTable, dir: String,
 
   override def schema(): StructType = snapshotSchema
 
+  /** Scan/write capabilities stay EMPTY (reads reroute to the v1
+    * planner-integrated relation; writes land as log commits via
+    * LakeDmlRule) — but `AUTOMATIC_SCHEMA_EVOLUTION` is declared: it
+    * gates Spark's own `ResolveMergeIntoSchemaEvolution`, which computes
+    * the new columns a `MERGE WITH SCHEMA EVOLUTION` needs (star actions
+    * AND explicit assignments referencing source-only columns), applies
+    * them through this catalog's `alterTable`, and re-resolves — the
+    * standard Spark seam, and the only way explicit new-column
+    * assignments can resolve at all (they name a column the un-evolved
+    * target doesn't have). */
   override def capabilities(): java.util.Set[TableCapability] =
-    Collections.emptySet()
+    Collections.singleton(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()

@@ -73,7 +73,23 @@ class GraftLakeSource extends RelationProvider with CreatableRelationProvider
     // matching)
     val dir = pathOf(parameters)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
-    LakeFileIndex.relation(sqlContext.sparkSession, dir, asOf)
+    val spark = sqlContext.sparkSession
+    val idx = new LakeFileIndex(spark, dir, asOf)
+    if (idx.hasDv) {
+      // a BaseRelation is ONE scan — deletion vectors need the DML rule's
+      // split-scan rewrite above it. Refuse to hand out a naked relation
+      // in a session that cannot apply it (silent resurrection of deleted
+      // rows otherwise); GraftLake.read / LakeFileIndex.readPruned work
+      // without extensions.
+      val ruleInjected = spark.sessionState.analyzer
+        .postHocResolutionRules.contains(graft.spark.LakeDmlRule)
+      require(ruleInjected,
+        s"lake table $dir carries deletion vectors; reading it through " +
+          "format(\"graft-lake\")/spark.table requires " +
+          "spark.sql.extensions=graft.spark.GraftExtensions (or use " +
+          "GraftLake.read / LakeFileIndex.readPruned)")
+    }
+    LakeFileIndex.relationFor(spark, idx)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

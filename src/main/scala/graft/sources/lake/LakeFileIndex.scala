@@ -1,11 +1,12 @@
 package graft.sources.lake
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -20,15 +21,38 @@ import org.apache.spark.sql.types.StructType
  * correctness dependency. The index pins the snapshot taken at
  * construction (snapshot isolation under concurrent writers; build a
  * new one to advance).
+ *
+ * Deletion vectors: when the snapshot carries DV'd files, a SINGLE
+ * FileSourceScan cannot subtract per-file row positions, so the scan is
+ * SPLIT — `dvSubset` restricts one index to the clean files and a twin
+ * to the DV-carrying ones; [[LakeFileIndex.readPruned]] (and the DML
+ * rule, for catalog reads) unions the clean scan with the DV scan
+ * filtered by the codegen'd [[DvDeleted]] position predicate. BOTH
+ * branches keep full planning-time footer-stats pruning — row-level
+ * deletes are orthogonal to file-level skipping.
  */
-final class LakeFileIndex(spark: SparkSession, val dir: String,
-    asOf: Option[Long] = None) extends FileIndex {
+final class LakeFileIndex private[lake] (spark: SparkSession, val dir: String,
+    asOf: Option[Long], preloaded: Option[GraftLake.Snapshot],
+    private[lake] val dvSubset: Option[Boolean]) extends FileIndex {
 
-  private val snap: GraftLake.Snapshot = GraftLake.snapshot(spark, dir, asOf)
+  def this(spark: SparkSession, dir: String, asOf: Option[Long] = None) =
+    this(spark, dir, asOf, None, None)
+
+  private[lake] val snap: GraftLake.Snapshot =
+    preloaded.getOrElse(GraftLake.snapshot(spark, dir, asOf))
 
   // any scan planned over this index resolves parquet columns by field id
   // (rename-stable); enabling the conf is benign for id-less schemas
   GraftLake.ensureFieldIdRead(spark)
+
+  /** The files this index serves: all, clean-only, or DV-carrying-only. */
+  private def subsetFiles: Seq[GraftLake.AddFile] = dvSubset match {
+    case None => snap.files
+    case Some(withDv) => snap.files.filter(_.dv.isDefined == withDv)
+  }
+
+  private[graft] def isAllSubset: Boolean = dvSubset.isEmpty
+  private[graft] def hasDv: Boolean = snap.files.exists(_.dv.isDefined)
 
   def schema: StructType = snap.schema
 
@@ -36,15 +60,17 @@ final class LakeFileIndex(spark: SparkSession, val dir: String,
 
   override def partitionSchema: StructType = new StructType()
 
-  override def inputFiles: Array[String] = snap.activePaths.toArray
+  override def inputFiles: Array[String] =
+    subsetFiles.map(f => s"$dir/${f.path}").toArray
 
   override def refresh(): Unit = () // immutable snapshot by design
 
-  override def sizeInBytes: Long = snap.files.map(_.bytes).sum
+  override def sizeInBytes: Long = subsetFiles.map(_.bytes).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = GraftLake.overlappingResolved(snap, dataFilters)
+    val kept = GraftLake.overlappingResolved(
+      snap.copy(files = subsetFiles), dataFilters)
     val statuses = kept.map { a =>
       FileStatusWithMetadata(
         new FileStatus(a.bytes, false, 1, 128L << 20, 0L,
@@ -61,8 +87,11 @@ object LakeFileIndex {
     * and what [[GraftLakeSource]] hands the catalog, so `spark.table` /
     * `SELECT ... FROM t` plan the same pruned FileSourceScan. */
   def relation(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): HadoopFsRelation = {
-    val idx = new LakeFileIndex(spark, dir, asOf)
+      asOf: Option[Long] = None): HadoopFsRelation =
+    relationFor(spark, new LakeFileIndex(spark, dir, asOf))
+
+  private[graft] def relationFor(spark: SparkSession,
+      idx: LakeFileIndex): HadoopFsRelation =
     HadoopFsRelation(
       location = idx,
       partitionSchema = new StructType(),
@@ -70,12 +99,38 @@ object LakeFileIndex {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map("mergeSchema" -> "true"))(spark)
+
+  /** The two DV-split siblings of an all-files index, SHARING its pinned
+    * snapshot (no reload, no race with concurrent commits). */
+  private[lake] def dvSplit(spark: SparkSession,
+      idx: LakeFileIndex): (LakeFileIndex, LakeFileIndex) = (
+    new LakeFileIndex(spark, idx.dir, None, Some(idx.snap), Some(false)),
+    new LakeFileIndex(spark, idx.dir, None, Some(idx.snap), Some(true)))
+
+  /** The DV-correct planner-integrated frame for a snapshot with DV'd
+    * files: clean scan ∪ (DV scan − deleted positions), both branches
+    * file-pruned at planning time; column order = snapshot schema. */
+  private[graft] def dvSplitFrame(spark: SparkSession,
+      idx: LakeFileIndex): DataFrame = {
+    val (cleanIdx, dvdIdx) = dvSplit(spark, idx)
+    val outCols: Seq[Column] = idx.schema.fieldNames.map(col).toIndexedSeq
+    val dvByBase = GraftLake.dvPathsFor(idx.snap, dvdIdx.inputFiles.toSeq)
+    val dvd = spark.baseRelationToDataFrame(relationFor(spark, dvdIdx))
+      .where(!GraftLake.dvDeletedCol(dvByBase))
+      .select(outCols: _*)
+    spark.baseRelationToDataFrame(relationFor(spark, cleanIdx))
+      .select(outCols: _*)
+      .unionByName(dvd)
   }
 
   /** A DataFrame whose scan plans through [[LakeFileIndex]]: filters
     * prune files at planning time, automatically. Old files missing an
-    * evolved column null-fill via mergeSchema, as in [[GraftLake.read]]. */
+    * evolved column null-fill via mergeSchema, as in [[GraftLake.read]];
+    * deletion vectors apply via the split-scan plan when present. */
   def readPruned(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): DataFrame =
-    spark.baseRelationToDataFrame(relation(spark, dir, asOf))
+      asOf: Option[Long] = None): DataFrame = {
+    val idx = new LakeFileIndex(spark, dir, asOf)
+    if (idx.hasDv) dvSplitFrame(spark, idx)
+    else spark.baseRelationToDataFrame(relationFor(spark, idx))
+  }
 }

@@ -68,17 +68,36 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
     val to = versionOf(end)
     val df = start.map(versionOf).orElse(startingVersion) match {
       case None =>
-        // initial batch: the whole table as of `to`
-        GraftLake.read(spark, dir, asOf = Some(to))
-          .select(pinned.schema.fieldNames.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*)
+        // initial batch: the whole table as of `to`, read under the
+        // PINNED schema (not the as-of snapshot's): restart recovery
+        // replays getBatch(None, v) for an already-committed batch, and
+        // by then the table may have renamed/added columns — field-id
+        // resolution maps either schema onto the files, but name-based
+        // projection onto pinned names must start from pinned itself
+        val snapTo = GraftLake.snapshot(spark, dir, asOf = Some(to))
+        if (snapTo.files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned.schema)
+        else
+          GraftLake.readFiles(spark,
+            pinned.copy(version = to, files = snapTo.files),
+            snapTo.activePaths)
       case Some(from) =>
         val adds = GraftLake.commits(dir)
           .filter(c => c.version > from && c.version <= to)
           .flatMap { c =>
             c.op match {
               case "append" | "stream-append" | "create" | "overwrite" => c.adds
-              case "optimize" | "zorder" | "rename-column" | "drop-column" => Nil
+              // an insert-only merge rewrites nothing (no removes) — its
+              // adds are genuinely new rows, streamable as an append
+              case "merge-into" if c.removes.isEmpty => c.adds
+              // pure layout commits: same rows, no new data
+              case "optimize" | "zorder" => Nil
+              // metadata-only commits (rename/drop/add-column,
+              // set-properties, and any future op that neither adds nor
+              // removes files) never carry data — ALTER TABLE on a
+              // streamed table must not kill the stream
+              case _ if c.adds.isEmpty && c.removes.isEmpty => Nil
               case changeOp =>
                 if (skipChangeCommits) Nil
                 else throw new IllegalStateException(

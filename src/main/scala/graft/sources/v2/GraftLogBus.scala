@@ -143,6 +143,11 @@ object GraftLogBus {
   // segments concurrently with a reader can only shrink what the reader
   // sees, never SHIFT surviving records to wrong offsets.
   private val SegName = """s(\d{12})-o(\d{15})-c(\d+)\.seg""".r
+  // the pre-offset-naming format (`s<seq>-t<task>-c<count>.seg`): there is
+  // no migration — offsets were derived cumulatively from the listing, a
+  // property the offset-named protocol deliberately dropped — so a topic
+  // directory still holding one must FAIL FAST, not silently hide data
+  private val LegacySegName = """s(\d{12})-t\d+-c(\d+)\.seg""".r
   private val MarkName = """c(\d{12})-(.+)\.cmt""".r
   private val StreamKey = """q(.+)-e(\d{12})""".r
 
@@ -168,11 +173,20 @@ object GraftLogBus {
     * from a crashed partial commit included): (name, seq, start, count),
     * in offset order — used only for sequence assignment and garbage
     * collection, never by readers. */
-  private[v2] def rawSegments(dir: File): Seq[(String, Long, Long, Long)] =
-    Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .iterator.map(_.getName).collect {
-        case n @ SegName(s, o, c) => (n, s.toLong, o.toLong, c.toLong)
-      }.toSeq.sortBy(t => (t._3, t._2))
+  private[v2] def rawSegments(dir: File): Seq[(String, Long, Long, Long)] = {
+    val names = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .iterator.map(_.getName).toSeq
+    names.collectFirst { case n @ LegacySegName(_, _) => n }.foreach { n =>
+      throw new IllegalStateException(
+        s"bus partition $dir holds a legacy-named segment '$n' " +
+          "(pre-offset-naming format): its offsets cannot be derived under " +
+          "the offset-named protocol — re-produce the topic into a fresh " +
+          "directory; silently ignoring it would lose data")
+    }
+    names.collect {
+      case n @ SegName(s, o, c) => (n, s.toLong, o.toLong, c.toLong)
+    }.sortBy(t => (t._3, t._2))
+  }
 
   /** Committed segments of one partition in offset order:
     * (name, start, count). */

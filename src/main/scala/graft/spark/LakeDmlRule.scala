@@ -4,8 +4,8 @@ import graft.sources.lake.{GraftLake, GraftLakeTable, LakeFileIndex}
 import org.apache.spark.sql.{Column, GraftColumnBridge, GraftDatasetBridge, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, Project, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
@@ -68,17 +68,69 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     * needs no handling here: Spark turns those options into a
     * TimeTravelSpec and calls the catalog's time-travel `loadTable`, so
     * `t.asOf` already carries the pinned version AND the plan resolved
-    * under that snapshot's schema (rename-safe by construction). */
-  private def toV1(r: DataSourceV2Relation, t: GraftLakeTable): LogicalRelation =
-    new LogicalRelation(
-      LakeFileIndex.relation(SparkSession.active, t.dir, t.asOf),
+    * under that snapshot's schema (rename-safe by construction).
+    *
+    * When the snapshot carries DELETION VECTORS, one FileSourceScan
+    * cannot subtract row positions — the relation becomes the DV
+    * split-scan plan (clean scan ∪ DV scan − deleted positions, both
+    * file-pruned) with the original output exprIds re-pinned by Alias,
+    * so the surrounding resolved plan still never notices. */
+  private def toV1(r: DataSourceV2Relation, t: GraftLakeTable): LogicalPlan = {
+    val spark = SparkSession.active
+    val idx = new LakeFileIndex(spark, t.dir, t.asOf)
+    if (idx.hasDv) dvPlan(spark, idx, r.output, Some(t.ct))
+    else new LogicalRelation(LakeFileIndex.relationFor(spark, idx),
       r.output, Some(t.ct), false, None)
+  }
+
+  /** The DV split-scan plan re-pinned to `wanted` output attributes.
+    * The inner relations carry `ct` so catalog machinery that walks the
+    * resolved plan (e.g. `refreshTable`'s cache invalidation, which calls
+    * `catalogTable.get` on every LogicalRelation) keeps working. */
+  private def dvPlan(spark: SparkSession, idx: LakeFileIndex,
+      wanted: Seq[AttributeReference],
+      ct: Option[CatalogTable]): LogicalPlan = {
+    val inner0 = LakeFileIndex.dvSplitFrame(spark, idx)
+      .queryExecution.analyzed
+    val inner = ct match {
+      case Some(c) => inner0.transform {
+        case l: LogicalRelation => l.copy(catalogTable = Some(c))
+      }
+      case None => inner0
+    }
+    require(inner.output.length == wanted.length &&
+      inner.output.zip(wanted).forall { case (h, w) =>
+        h.name.equalsIgnoreCase(w.name) },
+      s"DV scan column mismatch: ${inner.output.map(_.name)} vs ${wanted.map(_.name)}")
+    Project(wanted.zip(inner.output).map { case (want, have) =>
+      Alias(have, want.name)(exprId = want.exprId, qualifier = want.qualifier)
+    }, inner)
+  }
+
+  /** An all-files [[LakeFileIndex]] relation whose snapshot carries DVs —
+    * the one shape that must not reach execution as a naked scan. */
+  private object DvLakeRelation {
+    def unapply(plan: LogicalPlan): Option[(LogicalRelation, LakeFileIndex)] =
+      plan match {
+        case lr @ LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+          r.location match {
+            case idx: LakeFileIndex if idx.isAllSubset && idx.hasDv =>
+              Some((lr, idx))
+            case _ => None
+          }
+        case _ => None
+      }
+  }
 
   /** Convert every naked v2 lake relation inside `plan` (used on command
     * QUERIES too — commands hold them as innerChildren, which transforms
-    * never descend into, so conversion must happen at capture time). */
+    * never descend into, so conversion must happen at capture time) —
+    * and every v1 lake relation needing the DV split (same reason). */
   private def convert(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case r @ DataSourceV2Relation(t: GraftLakeTable, _, _, _, _, _) => toV1(r, t)
+    case DvLakeRelation(lr, idx) =>
+      dvPlan(SparkSession.active, idx, lr.output.collect {
+        case a: AttributeReference => a }, lr.catalogTable)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -127,6 +179,13 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     // nodes were matched above first, so only pure-read relations remain.
     case r @ DataSourceV2Relation(t: GraftLakeTable, _, _, _, _, _) =>
       toV1(r, t)
+    // ── naked v1 lake relations over a DV-carrying snapshot (SELECT via
+    // spark.table / format("graft-lake")): split the scan so deleted
+    // positions subtract. The rewrite's inner relations are SUBSET
+    // indexes, which this case never matches — no reapplication loop.
+    case DvLakeRelation(lr, idx) =>
+      dvPlan(SparkSession.active, idx, lr.output.collect {
+        case a: AttributeReference => a }, lr.catalogTable)
   }
 
   /** Resolved exprIds don't survive the CoW re-read of victim files —
@@ -157,11 +216,19 @@ case class LakeInsertCommand(dir: String, query: LogicalPlan,
   }
 }
 
-/** DELETE FROM as the lake's copy-on-write delete. */
+/** DELETE FROM as the lake's delete — copy-on-write by default, or
+  * merge-on-read (deletion vectors) when the session conf
+  * `spark.graft.lake.deleteMode=mor` is set (Delta's
+  * `delta.enableDeletionVectors` knob, session-scoped): point deletes
+  * then cost O(matched rows) of bitmap instead of rewriting victim
+  * files. */
 case class LakeDeleteCommand(dir: String, condition: Expression,
     table: Option[CatalogTable]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftLake.delete(spark, dir, LakeDmlRule.byName(condition))
+    val mor = spark.conf.getOption("spark.graft.lake.deleteMode")
+      .exists(_.equalsIgnoreCase("mor"))
+    if (mor) GraftLake.deleteMoR(spark, dir, LakeDmlRule.byName(condition))
+    else GraftLake.delete(spark, dir, LakeDmlRule.byName(condition))
     LakeDmlRule.refresh(spark, table)
     Seq.empty
   }
@@ -185,10 +252,19 @@ case class LakeUpdateCommand(dir: String, sets: Seq[(String, Expression)],
   * exprId; `tx` maps them onto the `t.` / `s.` aliases mergeInto joins
   * under (by-name, since the CoW re-read mints fresh exprIds).
   *
-  * WITH SCHEMA EVOLUTION: source-only columns are added to the table
-  * first (pure metadata commits, fresh field ids), and STAR actions are
-  * re-widened to populate them from the source — the analyzer expands
-  * `SET *` / `INSERT *` over the pre-evolution target columns only
+  * WITH SCHEMA EVOLUTION: the normal path is Spark's own analyzer —
+  * [[GraftLakeTable]] declares `AUTOMATIC_SCHEMA_EVOLUTION`, so
+  * `ResolveMergeIntoSchemaEvolution` computes the new columns (from star
+  * actions AND explicit assignments referencing source-only columns),
+  * calls the catalog's `alterTable` (one add-column metadata commit per
+  * evolving merge, Spark's contract for this capability), reloads the
+  * relation, and every reference then resolves against the evolved
+  * schema — by the time this command captures the plan, `targetAttrs`
+  * already carries the new columns and `newCols` below is empty. The
+  * manual computation remains as a fallback for plans that reach us
+  * un-evolved; it now rides [[GraftLake.mergeInto]]'s `newColumns`
+  * parameter, so THAT path lands schema change + rewrite in ONE atomic
+  * commit. Star actions are re-widened to populate fallback columns
   * (`UpdateAction.fromStar` marks the update case; an insert is treated
   * as star-shaped when its assignments are exactly a full by-name copy
   * of source attributes, which is what `INSERT *` expands to — an
@@ -222,7 +298,6 @@ case class LakeMergeCommand(dir: String, targetAttrs: Seq[AttributeReference],
       else source.output.filterNot(a =>
         targetCols.exists(_.equalsIgnoreCase(a.name)))
         .map(a => a.name -> a.dataType)
-    newCols.foreach { case (n, dt) => GraftLake.addColumn(spark, dir, n, dt) }
     val widen: Seq[(String, Column)] = newCols.map { case (n, _) =>
       n -> col(s"s.$n")
     }
@@ -260,7 +335,9 @@ case class LakeMergeCommand(dir: String, targetAttrs: Seq[AttributeReference],
     val srcDf = GraftDatasetBridge.ofRows(spark, source)
     GraftLake.mergeInto(spark, dir, srcDf, tx(condition),
       matched.map(matchedClause), notMatched.map(insertClause),
-      notMatchedBySource.map(matchedClause))
+      notMatchedBySource.map(matchedClause),
+      newColumns = newCols.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
     LakeDmlRule.refresh(spark, table)
     Seq.empty
   }

@@ -421,6 +421,25 @@ class GraftLogBusSpec extends SparkSpec {
     assert(after.keys.filter(_._1 == 0).map(_._2).min === droppedCount)
   }
 
+  test("a legacy-named segment (pre-offset-naming) fails fast instead of " +
+    "being silently invisible") {
+    val root = newRoot()
+    produceIds(root, "tleg", 0, 100)
+    // plant a legacy-format segment in one partition dir: its offsets were
+    // listing-derived and cannot be attributed under the offset-named
+    // protocol — readers must refuse the directory loudly
+    val p0 = new File(root, "tleg/p0")
+    Files.write(new File(p0, "s000000000042-t7-c5.seg").toPath,
+      Array[Byte](1, 2, 3))
+    val err = intercept[Exception] {
+      readAll(root, "tleg").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("legacy-named segment")),
+      s"expected the legacy fail-fast, got: $err")
+  }
+
   test("e2e: mock records through the bus wire format round-trip typed") {
     val root = newRoot()
     val n = 500L

@@ -114,6 +114,32 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake_cat_prop")
   }
 
+  test("VERSION AS OF on a NON-lake table delegates unparsed (no " +
+    "NumberFormatException from the lake catalog)") {
+    spark.sql("DROP TABLE IF EXISTS lake_cat_plainpq")
+    spark.range(0, 5).write.saveAsTable("lake_cat_plainpq")
+    // a non-numeric version on a plain parquet table must surface the
+    // DELEGATE's unsupported-time-travel error, not die in version.toLong
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM lake_cat_plainpq VERSION AS OF 'abc'").collect()
+    }
+    assert(!err.isInstanceOf[NumberFormatException] &&
+      !err.getMessage.contains("For input string"),
+      s"lake catalog must not parse a non-lake table's version: $err")
+    // and a lake table with a junk version gets the lake's own message
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_cat_vparse")
+    spark.sql(
+      s"""CREATE TABLE lake_cat_vparse USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT id FROM range(5)""".stripMargin)
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT * FROM lake_cat_vparse VERSION AS OF 'abc'").collect()
+    }
+    assert(err2.getMessage.contains("numeric version"))
+    spark.sql("DROP TABLE lake_cat_plainpq")
+    spark.sql("DROP TABLE lake_cat_vparse")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     val dir = tmp()
     spark.sql("DROP TABLE IF EXISTS lake_cat_tt")

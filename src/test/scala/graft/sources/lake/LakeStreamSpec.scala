@@ -56,6 +56,40 @@ class LakeStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 90)
   }
 
+  test("metadata-only commits (ADD COLUMN / SET TBLPROPERTIES) and " +
+    "insert-only merges never kill a running stream") {
+    val dir = tmp("lakestream_meta") + "/t"
+    val out = tmp("lakestream_meta_out"); val ckpt = tmp("lakestream_meta_ck")
+    GraftLake.create((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      dir, numFiles = 1)
+    drain(dir, out, ckpt)
+    assert(spark.read.parquet(out).count() == 20)
+    // every metadata-only commit kind, then a data commit: the stream
+    // (pinned to the start schema) must skip the former and deliver the
+    // latter — pre-fix, add-column/set-properties killed the stream with
+    // a misleading "row-rewriting commits cannot be streamed" error
+    GraftLake.addColumn(spark, dir, "note",
+      org.apache.spark.sql.types.StringType)
+    GraftLake.setCheckpointEvery(spark, dir, 5)
+    GraftLake.renameColumn(spark, dir, "s", "sv")
+    // insert-only merge = adds-only commit: streamable as an append
+    GraftLake.mergeInto(spark, dir,
+      Seq((100L, "new", "n")).toDF("id", "sv", "note"),
+      org.apache.spark.sql.functions.col("t.id") ===
+        org.apache.spark.sql.functions.col("s.id"),
+      matched = Nil,
+      notMatched = Seq(GraftLake.NotMatchedInsert(None, Seq(
+        "id" -> org.apache.spark.sql.functions.col("s.id"),
+        "sv" -> org.apache.spark.sql.functions.col("s.sv"),
+        "note" -> org.apache.spark.sql.functions.col("s.note")))))
+    GraftLake.append(Seq((200L, "tail", "t")).toDF("id", "sv", "note"), dir, 1)
+    drain(dir, out, ckpt)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 22, "ALTERs skipped, merge-insert + append delivered")
+    assert(all.select("id").as[Long].collect().sorted.toSeq ==
+      ((0L until 20L) ++ Seq(100L, 200L)))
+  }
+
   test("row-rewriting commits fail fast; skipChangeCommits skips them") {
     val dir = tmp("lakestream2") + "/t"
     val out = tmp("lakestream2_out"); val ckpt = tmp("lakestream2_ck")
