@@ -573,7 +573,69 @@ object LakeQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  // ── l14: deletion vectors — merge-on-read deletes end-to-end ──────────
+  // Two deleteMoR commits (the second GROWS the vectors) must delete rows
+  // without touching a single parquet file: the gate asserts the on-disk
+  // data file set is byte-identical to v0's, then value-checks all three
+  // DV read paths in one result — the planner-integrated split scan
+  // ('now'), time travel to the mid-state ('v1'), and the change feed's
+  // net delta ('cdc': every deleted row exactly once, updates of grown
+  // vectors netted to just the delta positions by AddFile-identity diff).
+  private val l14LakeDv: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_dv").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(p.repartitionByRange(8, col("o_orderkey")), tbl,
+      checkpointEvery = 2)
+    def dataFiles(): Set[String] =
+      Option(new java.io.File(tbl, "data").listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+    val before = dataFiles()
+    GraftLake.deleteMoR(s, tbl,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 8 === 0)
+    GraftLake.deleteMoR(s, tbl, col("o_orderkey") % 10 === 3)
+    require(GraftLake.history(tbl).map(_._2) ==
+      Seq("create", "delete-mor", "delete-mor"),
+      "each MoR delete must be one log commit")
+    require(dataFiles() == before,
+      "merge-on-read must not add or rewrite ANY parquet file")
+    require(GraftLake.snapshot(s, tbl).files.exists(_.dv.isDefined),
+      "the active AddFiles must carry deletion-vector references")
+    val cols = Seq(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"), col("price_c"))
+    val now = graft.sources.lake.LakeFileIndex.readPruned(s, tbl)
+      .select(cols: _*).withColumn("slice", lit("now"))
+    val v1 = GraftLake.read(s, tbl, asOf = Some(1L))
+      .select(cols: _*).withColumn("slice", lit("v1"))
+    val cdc = GraftLake.changes(s, tbl, 0L, 2L)
+      .where(col("change_kind") === "delete")
+      .select(cols: _*).withColumn("slice", lit("cdc"))
+    now.unionByName(v1).unionByName(cdc)
+      .orderBy(col("slice"), col("o_orderkey"))
+  }
+  private val l14LakeDvSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c,
+      |       'now' AS slice
+      |FROM p
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 8 = 0)
+      |  AND o_orderkey % 10 <> 3
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c, 'v1'
+      |FROM p WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 8 = 0)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c, 'cdc'
+      |FROM p
+      |WHERE (o_orderstatus = 'F' AND o_orderkey % 8 = 0)
+      |   OR o_orderkey % 10 = 3
+      |ORDER BY slice, o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "l14_lake_dv" -> l14LakeDv,
     "l13_lake_cdc_replica" -> l13LakeCdcReplica,
     "l9_lake_sql_alter" -> l9LakeSqlAlter,
     "l10_lake_sql_merge" -> l10LakeSqlMerge,
@@ -589,6 +651,7 @@ object LakeQueries {
     "l5_lake_planner_scan" -> l5LakePlannerScan)
 
   val oracles: Map[String, String] = Map(
+    "l14_lake_dv" -> l14LakeDvSql,
     "l13_lake_cdc_replica" -> l1LakeDmlSql, // same final state, CDC path
     "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
     "l10_lake_sql_merge" -> l10LakeSqlMergeSql,

@@ -50,9 +50,15 @@ class GraftLakeSource extends RelationProvider with CreatableRelationProvider
   // ── streaming read: the table as a version-offset changelog ──────────
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      GraftLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema)
+      parameters: Map[String, String]): (String, StructType) = {
+    val base =
+      GraftLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+    val s =
+      if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
+        LakeStreamSource.withChangeKind(base)
+      else base
+    (shortName(), s)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,

@@ -44,6 +44,16 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
   private val pinned: GraftLake.Snapshot = GraftLake.snapshot(spark, dir)
   private val skipChangeCommits =
     options.getOrElse("skipChangeCommits", "false").toBoolean
+  // CDC mode (Delta's readChangeFeed): every batch is the NET row-level
+  // delta of its version range — appends arrive as inserts, CoW deletes /
+  // updates / merges / MoR deletes as delete(old)+insert(new) rows, pure
+  // layout commits net to zero — so row-rewriting commits no longer kill
+  // the stream; schema gains `change_kind` ∈ {insert, delete}
+  private val readChangeFeed =
+    options.getOrElse("readChangeFeed", "false").toBoolean
+  if (readChangeFeed)
+    require(!pinned.schema.fieldNames.contains("change_kind"),
+      s"readChangeFeed reserves the column name change_kind, which $dir already has")
   // commits at or below this version never enter the changelog; None =
   // emit the initial snapshot as the first batch (Delta's default)
   private val startingVersion: Option[Long] =
@@ -52,7 +62,9 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
       case v => v.toLong - 1
     }
 
-  override def schema: StructType = pinned.schema
+  override def schema: StructType =
+    if (readChangeFeed) LakeStreamSource.withChangeKind(pinned.schema)
+    else pinned.schema
 
   override def getOffset: Option[Offset] = {
     val v = GraftLake.latestVersion(dir)
@@ -66,6 +78,7 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
+    import org.apache.spark.sql.functions.{col => fcol, lit}
     val df = start.map(versionOf).orElse(startingVersion) match {
       case None =>
         // initial batch: the whole table as of `to`, read under the
@@ -75,13 +88,22 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
         // resolution maps either schema onto the files, but name-based
         // projection onto pinned names must start from pinned itself
         val snapTo = GraftLake.snapshot(spark, dir, asOf = Some(to))
-        if (snapTo.files.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned.schema)
-        else
-          GraftLake.readFiles(spark,
-            pinned.copy(version = to, files = snapTo.files),
-            snapTo.activePaths)
+        val snap0 =
+          if (snapTo.files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned.schema)
+          else
+            GraftLake.readFiles(spark,
+              pinned.copy(version = to, files = snapTo.files),
+              snapTo.activePaths)
+        if (readChangeFeed) snap0.withColumn("change_kind", lit("insert"))
+        else snap0
+      case Some(from) if readChangeFeed =>
+        // CDC: the net row-level delta of (from, to] — handles EVERY
+        // commit kind; pure layout / metadata commits net to zero rows
+        GraftLake.changes(spark, dir, from, to)
+          .select((pinned.schema.fieldNames.toIndexedSeq :+ "change_kind")
+            .map(fcol): _*)
       case Some(from) =>
         val adds = GraftLake.commits(dir)
           .filter(c => c.version > from && c.version <= to)
@@ -120,4 +142,11 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object LakeStreamSource {
+  private[lake] def withChangeKind(schema: StructType): StructType =
+    StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("change_kind",
+        org.apache.spark.sql.types.StringType, nullable = false))
 }

@@ -58,8 +58,8 @@ class LakeModelSpec extends SparkSpec {
       assert(tableRows(dir) == model.values.toSet, s"model mismatch after $op (v$v)")
     }
 
-    for (step <- 1 to 36) {
-      rnd.nextInt(7) match {
+    for (step <- 1 to 40) {
+      rnd.nextInt(8) match {
         case 0 => // append
           val rows = freshRows(20 + rnd.nextInt(40), s"a$step")
           GraftLake.append(toDf(rows), dir, numFiles = 1 + rnd.nextInt(3))
@@ -128,6 +128,16 @@ class LakeModelSpec extends SparkSpec {
               }
             check(s"mergeInto@$step")
           }
+        case 7 => // merge-on-read delete: deletion vectors, no rewrite.
+          // Semantically identical to CoW delete — the model can't tell
+          // them apart, which is exactly the contract: every later read,
+          // optimize, restore, merge, or time travel over the DV'd files
+          // must behave as if the rows were physically gone.
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          GraftLake.deleteMoR(spark, dir, col("id") % m === r && col("v") < 800L)
+          model.toSeq.filter { case (k, (_, _, v)) => k % m == r && v < 800L }
+            .foreach { case (k, _) => model.remove(k) }
+          check(s"deleteMoR@$step")
       }
       if (step % 5 == 0) { // time travel spot-check against the model history
         val v = rnd.nextInt(versions.size)

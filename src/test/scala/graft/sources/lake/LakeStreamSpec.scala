@@ -90,6 +90,43 @@ class LakeStreamSpec extends SparkSpec {
       ((0L until 20L) ++ Seq(100L, 200L)))
   }
 
+  test("readChangeFeed: a CDC stream survives OPTIMIZE and delete-mor " +
+    "mid-feed, emitting exactly the net row-level deltas") {
+    val dir = tmp("lakestream_cdf") + "/t"
+    val out = tmp("lakestream_cdf_out"); val ckpt = tmp("lakestream_cdf_ck")
+    GraftLake.create(
+      (0 until 40).map(i => (i.toLong, i.toLong * 2)).toDF("id", "v"),
+      dir, numFiles = 4)
+    def drainCdf(): Unit =
+      drain(dir, out, ckpt, Map("readChangeFeed" -> "true"))
+
+    drainCdf() // initial snapshot as inserts
+    val b0 = spark.read.parquet(out)
+    assert(b0.count() == 40 &&
+      b0.select("change_kind").distinct().as[String].collect().toSeq == Seq("insert"))
+
+    // a PURE LAYOUT commit + a row-rewriting MoR delete + an append land
+    // between drains: pre-CDF both rewrites would kill the stream; the
+    // change feed must net them to exactly (2 deletes + 3 inserts)
+    GraftLake.optimize(spark, dir, smallBytes = 1L << 30, targetBytes = 1L << 30)
+    GraftLake.deleteMoR(spark, dir, col("id").isin(7L, 23L))
+    GraftLake.append((100 until 103).map(i => (i.toLong, 0L)).toDF("id", "v"), dir, 1)
+    drainCdf()
+    val delta = spark.read.parquet(out).exceptAll(b0)
+      .select("id", "change_kind").as[(Long, String)].collect().toSet
+    assert(delta == Set((7L, "delete"), (23L, "delete"),
+      (100L, "insert"), (101L, "insert"), (102L, "insert")),
+      s"net CDC delta wrong: $delta")
+
+    // a CoW update streams as delete(old)+insert(new)
+    GraftLake.update(spark, dir, col("id") === 3L, Seq("v" -> lit(999L)))
+    val before = spark.read.parquet(out)
+    drainCdf()
+    val delta2 = spark.read.parquet(out).exceptAll(before)
+      .select("id", "v", "change_kind").as[(Long, Long, String)].collect().toSet
+    assert(delta2 == Set((3L, 6L, "delete"), (3L, 999L, "insert")))
+  }
+
   test("row-rewriting commits fail fast; skipChangeCommits skips them") {
     val dir = tmp("lakestream2") + "/t"
     val out = tmp("lakestream2_out"); val ckpt = tmp("lakestream2_ck")
