@@ -32,7 +32,37 @@ import org.apache.spark.sql.types.StructType
  * schema inference reads the log, as Delta does.
  */
 class GraftLakeSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
+
+  // ── DSv2 TableProvider face ───────────────────────────────────────────
+  // Implemented ONLY to flip `isV2Provider("graft-lake")`: that routes
+  // CREATE / CTAS / REPLACE TABLE AS SELECT (including
+  // `df.writeTo(...).create/createOrReplace()`) as v2 plans, which
+  // [[graft.spark.LakeDmlRule]] intercepts into ATOMIC lake commits —
+  // v1 resolution rejects REPLACE outright. The returned path table is
+  // deliberately capability-free, so Spark's own v2 read/write gates
+  // (BATCH_READ / BATCH_WRITE / MICRO_BATCH_READ checks) fall every
+  // data path back to the v1 seams above — reads keep planning the
+  // footer-stats-pruned FileSourceScan, writes keep landing as log
+  // commits, streams keep the version-offset changelog source.
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    GraftLake.snapshot(org.apache.spark.sql.SparkSession.active,
+      GraftLakeSource.normalizePath(Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-lake requires a 'path' option (or LOCATION)")))).schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    GraftLakePathTable(
+      GraftLakeSource.normalizePath(Option(properties.get("path")).getOrElse("?")),
+      schema)
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -119,6 +149,19 @@ class GraftLakeSource extends RelationProvider with CreatableRelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** The capability-free v2 face of a PATH-addressed lake table (the
+  * catalog-addressed face is [[GraftLakeTable]]): exists so the
+  * TableProvider contract has something to return; every actual data
+  * path falls back to v1 on the missing capabilities. */
+final case class GraftLakePathTable(dir: String, tableSchema: StructType)
+    extends org.apache.spark.sql.connector.catalog.Table {
+  override def name(): String = s"graft-lake:$dir"
+  override def schema(): StructType = tableSchema
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.emptySet()
 }
 
 object GraftLakeSource {

@@ -2,10 +2,10 @@ package graft.spark
 
 import graft.sources.lake.{GraftLake, GraftLakeTable, LakeFileIndex}
 import org.apache.spark.sql.{Column, GraftColumnBridge, GraftDatasetBridge, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, ResolvedIdentifier, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, Project, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, Project, ReplaceTableAsSelect, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
@@ -133,7 +133,45 @@ object LakeDmlRule extends Rule[LogicalPlan] {
         case a: AttributeReference => a }, lr.catalogTable)
   }
 
+  /** Provider / explicit location of a v2 table spec, both pre- and
+    * post-ResolveTableSpec. */
+  private def specProvider(spec: TableSpecBase): Option[String] = spec match {
+    case s: TableSpec => s.provider
+    case s: UnresolvedTableSpec => s.provider
+    case _ => None
+  }
+  private def isLake(spec: TableSpecBase): Boolean =
+    specProvider(spec).exists(_.equalsIgnoreCase("graft-lake"))
+  private def specPath(spec: TableSpecBase): Option[String] = spec match {
+    case s: TableSpec => s.location.orElse(s.options.get("path"))
+      .map(graft.sources.lake.GraftLakeSource.normalizePath)
+    case s: UnresolvedTableSpec => GraftSqlParser.pathOf(s)
+    case _ => None
+  }
+  private def partsOf(ident: org.apache.spark.sql.connector.catalog.Identifier)
+      : Seq[String] = ident.namespace.toSeq :+ ident.name
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // ── v2 DDL routes (the TableProvider face flips isV2Provider, so
+    // CREATE / CTAS / REPLACE ... AS SELECT — including
+    // df.writeTo(...).create/createOrReplace() — arrive as v2 plans):
+    // each lands as ONE atomic lake commit + a mirrored metastore entry,
+    // instead of v2's catalog createTable + capability-gated write (and
+    // instead of v2 REPLACE's non-atomic drop+create)
+    case CreateTable(ResolvedIdentifier(_, ident), cols, Seq(), spec, ignore)
+        if isLake(spec) =>
+      LakeCreateTableCommand(partsOf(ident), specPath(spec),
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+        None, ignore)
+    case CreateTableAsSelect(ResolvedIdentifier(_, ident), Seq(), query,
+        spec, _, ignore, _) if isLake(spec) && query.resolved =>
+      LakeCreateTableCommand(partsOf(ident), specPath(spec),
+        new org.apache.spark.sql.types.StructType(), Some(convert(query)), ignore)
+    case ReplaceTableAsSelect(ResolvedIdentifier(_, ident), Seq(), query,
+        spec, _, orCreate, _) if isLake(spec) && query.resolved =>
+      LakeReplaceTableCommand(partsOf(ident), specPath(spec),
+        convert(query), orCreate)
     // ── INSERT, v1 path: DataSourceAnalysis (earlier in the post-hoc
     // batch) has already converted the insert; intercept the raw-parquet
     // write

@@ -242,6 +242,62 @@ case class LakeReplaceTableCommand(nameParts: Seq[String],
   }
 }
 
+/** CREATE TABLE [AS SELECT] for graft-lake under the v2 provider route
+  * (the TableProvider face flips `isV2Provider`, so these arrive as v2
+  * plans): CTAS creates the lake table at the resolved location as ONE
+  * `create` commit; a plain CREATE with columns makes an empty table; a
+  * plain CREATE without columns registers an EXISTING lake table (v1
+  * external-table semantics — schema inferred from the log). The
+  * metastore entry mirrors the log's schema, exactly as
+  * [[LakeReplaceTableCommand]] does. */
+case class LakeCreateTableCommand(nameParts: Seq[String],
+    explicitPath: Option[String], userSchema: StructType,
+    query: Option[LogicalPlan], ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = query.toSeq
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(nameParts.size <= 2,
+      s"graft-lake CREATE TABLE supports session-catalog tables, got " +
+        nameParts.mkString("."))
+    val ti = TableIdentifier(nameParts.last, nameParts.init.lastOption)
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(ti)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"table ${ti.quotedString} already exists")
+    }
+    val dir = explicitPath.getOrElse(GraftLakeSource.normalizePath(
+      catalog.defaultTablePath(ti).toString))
+    val exists = GraftLake.latestVersion(dir) >= 0
+    query match {
+      case Some(q) =>
+        if (exists) throw new IllegalArgumentException(
+          s"lake table already exists: $dir")
+        GraftLake.create(GraftDatasetBridge.ofRows(spark, q), dir)
+      case None if exists => () // external registration: adopt the log
+      case None =>
+        require(userSchema.nonEmpty,
+          s"no lake table at $dir and no schema given — supply columns " +
+            "or AS SELECT")
+        GraftLake.create(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], userSchema), dir)
+    }
+    val schema = GraftLake.snapshot(spark, dir).schema
+    catalog.createTable(CatalogTable(
+      identifier = ti,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri),
+        properties = Map("path" -> dir)),
+      schema = schema,
+      provider = Some("graft-lake")), ignoreIfExists = false)
+    spark.catalog.refreshTable(ti.quotedString)
+    Seq.empty
+  }
+}
+
 /** DESCRIBE HISTORY t — the commit log as a result set (newest first,
   * Delta's ordering). */
 case class LakeHistoryCommand(target: String) extends LeafRunnableCommand {

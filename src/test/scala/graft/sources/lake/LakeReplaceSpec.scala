@@ -68,6 +68,50 @@ class LakeReplaceSpec extends SparkSpec {
     assert(err.getMessage.contains("does not exist"))
   }
 
+  test("DataFrameWriterV2: writeTo(...).create() / .createOrReplace() / " +
+    ".replace() land as atomic lake commits (the v2 RTAS route)") {
+    spark.sql("DROP TABLE IF EXISTS lake_wt2")
+    val wh = new java.io.File(new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("lake_wt2"))).toUri.getPath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(wh)
+
+    spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+      .writeTo("lake_wt2").using("graft-lake").create()
+    assert(spark.table("lake_wt2").count() == 10)
+    val dir = GraftLakeSource.lakeDirOf(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("lake_wt2"))).get
+    assert(GraftLake.history(dir).map(_._2) == Seq("create"))
+
+    // createOrReplace on an existing table: ONE atomic replace commit,
+    // schema reset — history is kept (the replaced snapshot time-travels)
+    spark.range(0, 4).select(col("id"), lit("x").as("tag"))
+      .writeTo("lake_wt2").using("graft-lake").createOrReplace()
+    assert(GraftLake.history(dir).map(_._2) == Seq("create", "replace"))
+    assert(spark.table("lake_wt2").columns.toSeq == Seq("id", "tag"))
+    assert(spark.table("lake_wt2").count() == 4)
+    assert(GraftLake.read(spark, dir, asOf = Some(0L)).count() == 10)
+
+    // .replace() (must exist), then .append() keeps riding the log
+    spark.range(0, 6).select(col("id"), lit("y").as("tag"))
+      .writeTo("lake_wt2").using("graft-lake").replace()
+    spark.range(100, 102).select(col("id"), lit("z").as("tag"))
+      .writeTo("lake_wt2").append()
+    assert(GraftLake.history(dir).map(_._2) ==
+      Seq("create", "replace", "replace", "append"))
+    assert(spark.table("lake_wt2").count() == 8)
+
+    // .create() on an existing table errors; DESCRIBE mirrors the schema
+    val err = intercept[Exception] {
+      spark.range(1).writeTo("lake_wt2").using("graft-lake").create()
+    }
+    assert(err.getMessage.toLowerCase.contains("exists"))
+    spark.sql("DROP TABLE lake_wt2")
+  }
+
   test("reader-option time travel on a catalog table resolves under the " +
     "PINNED snapshot's schema, so a later rename cannot misbind it") {
     val dir = tmp()
