@@ -634,8 +634,72 @@ object LakeQueries {
       |   OR o_orderkey % 10 = 3
       |ORDER BY slice, o_orderkey""".stripMargin
 
+  // ── l15: merge-on-read UPDATE + metadata-only count ────────────────────
+  // updateMoR must leave every original parquet file untouched (DV the old
+  // rows, append just the updated ones, ONE commit); the gate value-checks
+  // the updated table and the change feed's delete(old)+insert(new)
+  // netting, and pins that count(*) folds to a log-metadata literal (no
+  // FileSourceScan in the executed plan) while agreeing with the oracle.
+  private val l15LakeDvUpdate: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_dvu").toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(p.repartitionByRange(8, col("o_orderkey")), tbl)
+    def dataFiles(): Set[String] =
+      Option(new java.io.File(tbl, "data").listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+    val before = dataFiles()
+    GraftLake.updateMoR(s, tbl, col("o_orderkey") % 10 === 3,
+      Seq("price_c" -> (col("price_c") + 5), "o_orderpriority" -> lit("U")))
+    require(GraftLake.history(tbl).map(_._2) == Seq("create", "update-mor"),
+      "MoR update must be one commit")
+    require(before.subsetOf(dataFiles()),
+      "MoR update must leave every original parquet file untouched")
+    require(GraftLake.snapshot(s, tbl).files.exists(_.dv.isDefined),
+      "the superseded rows must be deletion-vectored, not rewritten")
+    // metadata-only count: exact under DVs, zero scans
+    val cnt = graft.sources.lake.LakeFileIndex.readPruned(s, tbl)
+      .groupBy().count()
+    val scans = cnt.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    require(scans.isEmpty, "count(*) must fold to log metadata, no scan")
+    val total = cnt.head().getLong(0)
+    val cols = Seq(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"), col("price_c"))
+    val now = GraftLake.read(s, tbl)
+      .select(cols: _*).withColumn("slice", lit("now"))
+    val cdc = GraftLake.changes(s, tbl, 0L, 1L)
+      .select(cols :+ col("change_kind").as("slice"): _*)
+    now.unionByName(cdc)
+      .withColumn("n_total", lit(total))
+      .orderBy(col("slice"), col("o_orderkey"))
+  }
+  private val l15LakeDvUpdateSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |), n AS (SELECT count(*) AS n_total FROM p)
+      |SELECT o_orderkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderpriority END
+      |         AS o_orderpriority,
+      |       CASE WHEN o_orderkey % 10 = 3 THEN price_c + 5 ELSE price_c END
+      |         AS price_c,
+      |       'now' AS slice, n.n_total
+      |FROM p, n
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c,
+      |       'delete', n.n_total
+      |FROM p, n WHERE o_orderkey % 10 = 3
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, 'U', price_c + 5, 'insert', n.n_total
+      |FROM p, n WHERE o_orderkey % 10 = 3
+      |ORDER BY slice, o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l14_lake_dv" -> l14LakeDv,
+    "l15_lake_dv_update" -> l15LakeDvUpdate,
     "l13_lake_cdc_replica" -> l13LakeCdcReplica,
     "l9_lake_sql_alter" -> l9LakeSqlAlter,
     "l10_lake_sql_merge" -> l10LakeSqlMerge,
@@ -652,6 +716,7 @@ object LakeQueries {
 
   val oracles: Map[String, String] = Map(
     "l14_lake_dv" -> l14LakeDvSql,
+    "l15_lake_dv_update" -> l15LakeDvUpdateSql,
     "l13_lake_cdc_replica" -> l1LakeDmlSql, // same final state, CDC path
     "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
     "l10_lake_sql_merge" -> l10LakeSqlMergeSql,

@@ -763,6 +763,62 @@ object GraftLake {
       }
     }.getOrElse(latestVersion(dir))
 
+  /** Merge-on-read UPDATE — the DV twin of [[update]]: matched rows are
+    * marked deleted in their files' deletion vectors and their UPDATED
+    * versions land in fresh files, ONE commit for both — write cost is
+    * O(matched rows) (bitmap bytes + just the updated rows' parquet)
+    * instead of CoW's O(victim file bytes), the same wall [[deleteMoR]]
+    * removes for deletes. Assignment values evaluate against the
+    * PRE-update row (SQL UPDATE semantics), cast to the declared types.
+    * All DV read-path guarantees apply unchanged: the commit nets to
+    * delete(old)+insert(new) in [[changes]]/the CDC stream, RESTORE rolls
+    * both the DV and the new files back, OPTIMIZE purges the vectors. */
+  def updateMoR(spark: SparkSession, dir: String, predicate: Column,
+      set: Seq[(String, Column)]): Long =
+    retry(dir, "update-mor") { snap =>
+      set.foreach { case (name, _) =>
+        require(snap.schema.fieldNames.contains(name),
+          s"UPDATE sets unknown column '$name'")
+      }
+      val hit = overlapping(snap, predicate)
+      if (hit.isEmpty) None
+      else {
+        val marked = markDeletedPositions(spark, snap, hit, predicate)
+        if (marked.isEmpty) None
+        else {
+          val byBase = hit.map(f => baseName(f.path) -> f).toMap
+          val removes = Seq.newBuilder[String]
+          val adds = Seq.newBuilder[AddFile]
+          marked.foreach { case (base, newBytes) =>
+            val f = byBase(base)
+            val bm = DeletionVector.fromBytes(newBytes)
+            f.dv.foreach(d => bm.or(DeletionVector.read(new File(dir, d.path))))
+            val card = bm.getLongCardinality
+            removes += f.path
+            if (card < f.rows) {
+              val rel = s"dv/dv-${UUID.randomUUID()}.bin"
+              DeletionVector.write(new File(dir, rel), bm)
+              adds += f.copy(dv = Some(DvRef(rel, card)))
+            } // else every live row matched — the file fully supersedes
+          }
+          // the updated rows: LIVE matching rows with assignments applied
+          val byName = set.toMap
+          val markedFiles = marked.keySet
+          val sources = hit.filter(f => markedFiles.contains(baseName(f.path)))
+          val updated = readFiles(spark, snap, sources.map(f => s"$dir/${f.path}"))
+            .filter(coalesce(predicate, lit(false)))
+            .select(snap.schema.fields.toIndexedSeq.map { fld =>
+              byName.get(fld.name).map(_.cast(fld.dataType).as(fld.name))
+                .getOrElse(col(fld.name))
+            }: _*)
+          val newAdds = stage(updated, dir, 0, snap.schema)
+          Some((Commit(snap.version + 1, System.currentTimeMillis(),
+            "update-mor", None, None, None, adds.result() ++ newAdds,
+            removes.result()), snap.version + 1))
+        }
+      }
+    }.getOrElse(latestVersion(dir))
+
   /** Per-file bitmaps of LIVE rows matching `predicate`: map-side partial
     * bitmaps, merged per file, collected as compressed bytes (basename →
     * bitmap). Already-deleted rows are filtered first, so a no-new-rows

@@ -38,7 +38,7 @@ final class LakeFileIndex private[lake] (spark: SparkSession, val dir: String,
   def this(spark: SparkSession, dir: String, asOf: Option[Long] = None) =
     this(spark, dir, asOf, None, None)
 
-  private[lake] val snap: GraftLake.Snapshot =
+  private[graft] val snap: GraftLake.Snapshot =
     preloaded.getOrElse(GraftLake.snapshot(spark, dir, asOf))
 
   // any scan planned over this index resolves parquet columns by field id

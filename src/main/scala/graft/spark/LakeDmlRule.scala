@@ -151,7 +151,40 @@ object LakeDmlRule extends Rule[LogicalPlan] {
   private def partsOf(ident: org.apache.spark.sql.connector.catalog.Identifier)
       : Seq[String] = ident.namespace.toSeq :+ ident.name
 
+  /** Exact live row count of a bare lake relation, from the LOG alone:
+    * Σ (AddFile.rows − dv.cardinality). The commit-time footer stats make
+    * this exact by construction, DVs included — a count(*) over a 100 TB
+    * table is a driver-side metadata fold, zero tasks. */
+  private def lakeLiveCount(plan: LogicalPlan): Option[Long] =
+    EliminateSubqueryAliases(plan) match {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        r.location match {
+          case idx: LakeFileIndex if idx.isAllSubset => Some(liveRows(idx.snap))
+          case _ => None
+        }
+      case DataSourceV2Relation(t: GraftLakeTable, _, _, _, _, _) =>
+        Some(liveRows(GraftLake.snapshot(SparkSession.active, t.dir, t.asOf)))
+      case _ => None
+    }
+  private def liveRows(snap: GraftLake.Snapshot): Long =
+    snap.files.map(f => f.rows - f.dv.map(_.cardinality).getOrElse(0L)).sum
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // ── SELECT count(*) FROM lake_table: answered from the transaction
+    // log (exact, DV-aware) — no scan, no tasks. Any filter / grouping /
+    // extra aggregate falls through to normal planning. Conf-gated ON;
+    // disable with spark.graft.lake.metadataCount.enabled=false.
+    case org.apache.spark.sql.catalyst.plans.logical.Aggregate(Nil,
+        Seq(a @ Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression(org.apache.spark.sql.catalyst.expressions
+          .aggregate.Count(Seq(org.apache.spark.sql.catalyst.expressions
+          .Literal(1, _))), _, false, None, _), _)), child, _)
+        if SparkSession.active.conf.get(
+          "spark.graft.lake.metadataCount.enabled", "true") == "true" &&
+          lakeLiveCount(child).isDefined =>
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        Seq(a.toAttribute),
+        Seq(org.apache.spark.sql.catalyst.InternalRow(lakeLiveCount(child).get)))
     // ── v2 DDL routes (the TableProvider face flips isV2Provider, so
     // CREATE / CTAS / REPLACE ... AS SELECT — including
     // df.writeTo(...).create/createOrReplace() — arrive as v2 plans):
@@ -272,14 +305,19 @@ case class LakeDeleteCommand(dir: String, condition: Expression,
   }
 }
 
-/** UPDATE as the lake's copy-on-write update. */
+/** UPDATE as the lake's update — copy-on-write by default, merge-on-read
+  * (DV the old rows + append just the updated rows, one commit) when the
+  * session conf `spark.graft.lake.updateMode=mor` is set. */
 case class LakeUpdateCommand(dir: String, sets: Seq[(String, Expression)],
     condition: Option[Expression], table: Option[CatalogTable])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftLake.update(spark, dir,
-      condition.map(LakeDmlRule.byName).getOrElse(lit(true)),
-      sets.map { case (n, v) => n -> LakeDmlRule.byName(v) })
+    val mor = spark.conf.getOption("spark.graft.lake.updateMode")
+      .exists(_.equalsIgnoreCase("mor"))
+    val cond = condition.map(LakeDmlRule.byName).getOrElse(lit(true))
+    val assigns = sets.map { case (n, v) => n -> LakeDmlRule.byName(v) }
+    if (mor) GraftLake.updateMoR(spark, dir, cond, assigns)
+    else GraftLake.update(spark, dir, cond, assigns)
     LakeDmlRule.refresh(spark, table)
     Seq.empty
   }

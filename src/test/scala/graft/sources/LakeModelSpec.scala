@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
  * Model-based torture test for the ACID layer: a seeded random program of
  * append / CoW delete / merge / general MERGE INTO (conditional
  * update/delete/insert clauses, sometimes NOT MATCHED BY SOURCE) /
- * optimize / z-order / restore runs against
+ * optimize / z-order / restore / merge-on-read delete+update runs against
  * the lake AND an in-memory reference model; after every committed
  * version the table must equal the model exactly, and random past
  * versions must time-travel to the model's state at that version. A
@@ -33,7 +33,7 @@ class LakeModelSpec extends SparkSpec {
     GraftLake.read(spark, dir, asOf)
       .select("id", "tag", "v").as[Row3].collect().toSet
 
-  test("30 random DML ops track the reference model at every version") {
+  test("40 random DML ops track the reference model at every version") {
     val rnd = new scala.util.Random(20260815L)
     val dir = java.nio.file.Files.createTempDirectory("graft_lake_model").toString + "/t"
     var nextId = 0L
@@ -59,7 +59,7 @@ class LakeModelSpec extends SparkSpec {
     }
 
     for (step <- 1 to 40) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // append
           val rows = freshRows(20 + rnd.nextInt(40), s"a$step")
           GraftLake.append(toDf(rows), dir, numFiles = 1 + rnd.nextInt(3))
@@ -138,6 +138,14 @@ class LakeModelSpec extends SparkSpec {
           model.toSeq.filter { case (k, (_, _, v)) => k % m == r && v < 800L }
             .foreach { case (k, _) => model.remove(k) }
           check(s"deleteMoR@$step")
+        case 8 => // merge-on-read update: DV old rows + append new rows
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          GraftLake.updateMoR(spark, dir, col("id") % m === r,
+            Seq("tag" -> lit(s"um$step"), "v" -> (col("v") + 2000L)))
+          model.toSeq.filter { case (k, _) => k % m == r }.foreach {
+            case (k, (_, _, v)) => model(k) = (k, s"um$step", v + 2000L)
+          }
+          check(s"updateMoR@$step")
       }
       if (step % 5 == 0) { // time travel spot-check against the model history
         val v = rnd.nextInt(versions.size)

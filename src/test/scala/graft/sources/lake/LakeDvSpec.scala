@@ -223,6 +223,73 @@ class LakeDvSpec extends SparkSpec {
     drain(s"$base/out2", s"$base/ck1_skip" , Map("skipChangeCommits" -> "true"))
   }
 
+  test("updateMoR: DV the old rows + append just the updated rows in ONE " +
+    "commit — original files untouched, all read paths agree") {
+    val dir = tmp()
+    mkTable(dir, n = 1000, files = 8)
+    val before = dataFilesOf(dir)
+    GraftLake.updateMoR(spark, dir, col("id") % 100 === 7L,
+      Seq("v" -> (col("v") + 1000000L)))
+    val hist = GraftLake.history(dir)
+    assert(hist.map(_._2) == Seq("create", "update-mor"))
+    // original files still on disk untouched; only the updated-rows files
+    // are new (plus DV sidecars)
+    assert(before.subsetOf(dataFilesOf(dir)))
+    val snap = GraftLake.snapshot(spark, dir)
+    assert(snap.files.count(_.dv.isDefined) == 8, "every range file DV'd")
+    // values: pre-update evaluation, exact
+    val got = GraftLake.read(spark, dir).as[(Long, Long)].collect().toSet
+    val expected = (0L until 1000L).map(i =>
+      if (i % 100 == 7) (i, i * 2 + 1000000L) else (i, i * 2)).toSet
+    assert(got == expected)
+    assert(GraftLake.read(spark, dir).count() == 1000)
+    // the change feed nets to delete(old)+insert(new) per updated row
+    val cdc = GraftLake.changes(spark, dir, 0L, 1L)
+      .select("id", "v", "change_kind").as[(Long, Long, String)].collect().toSet
+    val upd = (0L until 1000L).filter(_ % 100 == 7)
+    assert(cdc == upd.map(i => (i, i * 2, "delete")).toSet ++
+      upd.map(i => (i, i * 2 + 1000000L, "insert")).toSet)
+    // SQL routing via the session conf
+    spark.sql("DROP TABLE IF EXISTS lake_dv_upd")
+    spark.sql(s"CREATE TABLE lake_dv_upd USING `graft-lake` OPTIONS (path '$dir')")
+    spark.conf.set("spark.graft.lake.updateMode", "mor")
+    try spark.sql("UPDATE lake_dv_upd SET v = 0 WHERE id = 3")
+    finally spark.conf.unset("spark.graft.lake.updateMode")
+    assert(GraftLake.history(dir).map(_._2) ==
+      Seq("create", "update-mor", "update-mor"))
+    assert(spark.sql("SELECT v FROM lake_dv_upd WHERE id = 3").head().getLong(0) == 0L)
+    spark.sql("DROP TABLE lake_dv_upd")
+  }
+
+  test("count(*) over a lake table folds to a LOG-metadata literal — " +
+    "zero tasks, exact under deletion vectors and time travel") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_dv_cnt")
+    spark.sql(
+      s"""CREATE TABLE lake_dv_cnt USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT id, id * 2 AS v FROM range(500)""".stripMargin)
+    GraftLake.deleteMoR(spark, dir, col("id") % 5 === 0)
+
+    val q = spark.sql("SELECT count(*) FROM lake_dv_cnt")
+    assert(q.head().getLong(0) == 400L, "metadata count must subtract DVs")
+    // plan proof: no scan at all — the aggregate folded to a local row
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.isEmpty, s"count(*) must not scan: ${q.queryExecution.executedPlan}")
+
+    // filtered counts fall through to a real (DV-filtered) scan
+    assert(spark.sql("SELECT count(*) FROM lake_dv_cnt WHERE id < 10")
+      .head().getLong(0) == 8L)
+    // conf off → normal plan, same answer
+    spark.conf.set("spark.graft.lake.metadataCount.enabled", "false")
+    try assert(spark.sql("SELECT count(*) FROM lake_dv_cnt").head().getLong(0) == 400L)
+    finally spark.conf.unset("spark.graft.lake.metadataCount.enabled")
+    // API path + time travel
+    assert(GraftLake.read(spark, dir, asOf = Some(0L)).count() == 500L)
+    spark.sql("DROP TABLE lake_dv_cnt")
+  }
+
   test("merge over a DV'd table: victims re-read without deleted rows; " +
     "upsert of a deleted key re-inserts it") {
     val dir = tmp()
