@@ -61,6 +61,20 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
       case "latest" => pinned.version
       case v => v.toLong - 1
     }
+  // admission control (Delta's maxFilesPerTrigger shape, in version
+  // units — the lake's natural batch granule): each micro-batch advances
+  // at most N commits, so a consumer catching up on a long backlog
+  // processes bounded slices instead of one giant batch. The initial
+  // snapshot is always one batch (it is a single version's file set).
+  private val maxVersionsPerTrigger: Option[Long] =
+    options.get("maxVersionsPerTrigger").map { v =>
+      val n = v.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $v")
+      n
+    }
+  // the highest version already handed out by getBatch — getOffset caps
+  // its next answer relative to this (V1 Source API has no start param)
+  @volatile private var lastBatchEnd: Option[Long] = None
 
   override def schema: StructType =
     if (readChangeFeed) LakeStreamSource.withChangeKind(pinned.schema)
@@ -68,7 +82,17 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
 
   override def getOffset: Option[Offset] = {
     val v = GraftLake.latestVersion(dir)
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0) None
+    else {
+      val capped = maxVersionsPerTrigger match {
+        case Some(n) => lastBatchEnd match {
+          case Some(last) => math.min(v, last + n)
+          case None => v // first batch: the snapshot is one version's files
+        }
+        case None => v
+      }
+      Some(LongOffset(capped))
+    }
   }
 
   private def versionOf(o: Offset): Long = o match {
@@ -78,6 +102,7 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
+    lastBatchEnd = Some(to)
     import org.apache.spark.sql.functions.{col => fcol, lit}
     val df = start.map(versionOf).orElse(startingVersion) match {
       case None =>

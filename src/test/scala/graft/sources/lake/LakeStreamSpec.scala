@@ -90,6 +90,29 @@ class LakeStreamSpec extends SparkSpec {
       ((0L until 20L) ++ Seq(100L, 200L)))
   }
 
+  test("maxVersionsPerTrigger: a catch-up drain advances at most N " +
+    "commits per batch instead of one giant batch") {
+    val dir = tmp("lakestream_rate") + "/t"
+    val out = tmp("lakestream_rate_out"); val ckpt = tmp("lakestream_rate_ck")
+    GraftLake.create((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+      dir, numFiles = 1)
+    drain(dir, out, ckpt) // initial snapshot, checkpoint at v0
+    assert(spark.read.parquet(out).count() == 10)
+    // a 3-commit backlog; each rate-limited drain must admit ONE commit
+    GraftLake.append(Seq((100L, 0L)).toDF("id", "v"), dir, 1)
+    GraftLake.append(Seq((101L, 0L)).toDF("id", "v"), dir, 1)
+    GraftLake.append(Seq((102L, 0L)).toDF("id", "v"), dir, 1)
+    val opts = Map("maxVersionsPerTrigger" -> "1")
+    drain(dir, out, ckpt, opts)
+    assert(spark.read.parquet(out).count() == 11, "one commit per trigger")
+    drain(dir, out, ckpt, opts)
+    assert(spark.read.parquet(out).count() == 12)
+    drain(dir, out, ckpt, opts)
+    drain(dir, out, ckpt, opts) // nothing left: no-op
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq ==
+      ((0L until 10L) ++ Seq(100L, 101L, 102L)))
+  }
+
   test("readChangeFeed: a CDC stream survives OPTIMIZE and delete-mor " +
     "mid-feed, emitting exactly the net row-level deltas") {
     val dir = tmp("lakestream_cdf") + "/t"
