@@ -735,29 +735,11 @@ object GraftLake {
         val marked = markDeletedPositions(spark, snap, hit, predicate)
         if (marked.isEmpty) None
         else {
-          val byBase = hit.map(f => baseName(f.path) -> f).toMap
-          val removes = Seq.newBuilder[String]
-          val adds = Seq.newBuilder[AddFile]
-          marked.foreach { case (base, newBytes) =>
-            val f = byBase(base)
-            val bm = DeletionVector.fromBytes(newBytes)
-            f.dv.foreach(d => bm.or(DeletionVector.read(new File(dir, d.path))))
-            val card = bm.getLongCardinality
-            if (card != f.dv.map(_.cardinality).getOrElse(0L)) {
-              removes += f.path
-              if (card < f.rows) {
-                // sidecars are immutable: a grown DV is a NEW file; the
-                // old sidecar becomes history (vacuum reclaims it)
-                val rel = s"dv/dv-${UUID.randomUUID()}.bin"
-                DeletionVector.write(new File(dir, rel), bm)
-                adds += f.copy(dv = Some(DvRef(rel, card)))
-              } // else: every row deleted — drop the file entirely
-            }
-          }
-          val rm = removes.result()
+          val (rm, dvAdds) = dvGrow(dir,
+            hit.map(f => baseName(f.path) -> f).toMap, marked)
           if (rm.isEmpty) None
           else Some((Commit(snap.version + 1, System.currentTimeMillis(),
-            "delete-mor", None, None, None, adds.result(), rm),
+            "delete-mor", None, None, None, dvAdds, rm),
             snap.version + 1))
         }
       }
@@ -786,21 +768,8 @@ object GraftLake {
         val marked = markDeletedPositions(spark, snap, hit, predicate)
         if (marked.isEmpty) None
         else {
-          val byBase = hit.map(f => baseName(f.path) -> f).toMap
-          val removes = Seq.newBuilder[String]
-          val adds = Seq.newBuilder[AddFile]
-          marked.foreach { case (base, newBytes) =>
-            val f = byBase(base)
-            val bm = DeletionVector.fromBytes(newBytes)
-            f.dv.foreach(d => bm.or(DeletionVector.read(new File(dir, d.path))))
-            val card = bm.getLongCardinality
-            removes += f.path
-            if (card < f.rows) {
-              val rel = s"dv/dv-${UUID.randomUUID()}.bin"
-              DeletionVector.write(new File(dir, rel), bm)
-              adds += f.copy(dv = Some(DvRef(rel, card)))
-            } // else every live row matched — the file fully supersedes
-          }
+          val (rm, dvAdds) = dvGrow(dir,
+            hit.map(f => baseName(f.path) -> f).toMap, marked)
           // the updated rows: LIVE matching rows with assignments applied
           val byName = set.toMap
           val markedFiles = marked.keySet
@@ -813,8 +782,8 @@ object GraftLake {
             }: _*)
           val newAdds = stage(updated, dir, 0, snap.schema)
           Some((Commit(snap.version + 1, System.currentTimeMillis(),
-            "update-mor", None, None, None, adds.result() ++ newAdds,
-            removes.result()), snap.version + 1))
+            "update-mor", None, None, None, dvAdds ++ newAdds, rm),
+            snap.version + 1))
         }
       }
     }.getOrElse(latestVersion(dir))
@@ -838,6 +807,15 @@ object GraftLake {
     import spark.implicits._
     val pairs = base.filter(predicate)
       .select(col("__gl_file"), col("__gl_pos")).as[(String, Long)]
+    bitmapsOf(pairs)
+  }
+
+  /** Per-file roaring bitmaps of (basename, position) pairs: map-side
+    * partial bitmaps, merged per file on executors, collected as
+    * compressed bytes — the driver never sees raw positions. */
+  private def bitmapsOf(pairs: org.apache.spark.sql.Dataset[(String, Long)])
+      : Map[String, Array[Byte]] = {
+    import pairs.sparkSession.implicits._
     val partials = pairs.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
       it.foreach { case (f, p) =>
@@ -850,6 +828,32 @@ object GraftLake {
       it.foreach { case (_, b) => acc.or(DeletionVector.fromBytes(b)) }
       (f, DeletionVector.toBytes(acc))
     }.collect().toMap
+  }
+
+  /** Union `marked` positions into each victim's existing DV and build
+    * the commit's (removes, DV re-adds): a grown vector is a NEW sidecar,
+    * a vector covering every row drops the file outright, an unchanged
+    * vector leaves the file alone. Shared by [[deleteMoR]] /
+    * [[updateMoR]] / [[mergeIntoMoR]]. */
+  private def dvGrow(dir: String, byBase: Map[String, AddFile],
+      marked: Map[String, Array[Byte]]): (Seq[String], Seq[AddFile]) = {
+    val removes = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[AddFile]
+    marked.foreach { case (base, newBytes) =>
+      val f = byBase(base)
+      val bm = DeletionVector.fromBytes(newBytes)
+      f.dv.foreach(d => bm.or(DeletionVector.read(new File(dir, d.path))))
+      val card = bm.getLongCardinality
+      if (card != f.dv.map(_.cardinality).getOrElse(0L)) {
+        removes += f.path
+        if (card < f.rows) {
+          val rel = s"dv/dv-${UUID.randomUUID()}.bin"
+          DeletionVector.write(new File(dir, rel), bm)
+          adds += f.copy(dv = Some(DvRef(rel, card)))
+        }
+      }
+    }
+    (removes.result(), adds.result())
   }
 
   /** Copy-on-write MERGE (upsert by `key`): files possibly holding an
@@ -921,6 +925,63 @@ object GraftLake {
     * unassigned target columns insert NULL. Values reference `s.<col>`. */
   final case class NotMatchedInsert(condition: Option[Column],
       values: Seq[(String, Column)])
+
+  /** The clause-chain machinery shared by [[mergeInto]] (copy-on-write)
+    * and [[mergeIntoMoR]] (deletion vectors): struct-typed CASE chains
+    * over the `t.`/`s.` aliased join, first-applicable-clause semantics. */
+  private final case class MergeChains(fields: IndexedSeq[StructField],
+      matched: Seq[MatchedClause], notMatched: Seq[NotMatchedInsert],
+      notMatchedBySource: Seq[MatchedClause]) {
+    val rowT: StructType = StructType(fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
+    val nullRow: Column = lit(null).cast(rowT)
+    def keepStruct: Column =
+      struct(fields.map(f => col(s"t.${f.name}").as(f.name)): _*)
+
+    def validate(): Unit = {
+      val names = fields.map(_.name).toSet
+      (matched ++ notMatchedBySource).foreach {
+        case MatchedUpdate(_, set) => set.foreach { case (n, _) =>
+          require(names.contains(n), s"MERGE UPDATE sets unknown column '$n'") }
+        case _ => ()
+      }
+      notMatched.foreach(c => c.values.foreach { case (n, _) =>
+        require(names.contains(n), s"MERGE INSERT targets unknown column '$n'") })
+    }
+
+    def chain(cs: Seq[MatchedClause]): Column =
+      cs.foldRight(keepStruct) { (c, els) =>
+        c match {
+          case MatchedUpdate(cond, set) =>
+            val byName = set.toMap
+            val updated = struct(fields.map { f =>
+              byName.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(col(s"t.${f.name}")).as(f.name)
+            }: _*)
+            when(cond.getOrElse(lit(true)), updated).otherwise(els)
+          case MatchedDelete(cond) =>
+            when(cond.getOrElse(lit(true)), nullRow).otherwise(els)
+        }
+      }
+
+    val insertChain: Column =
+      notMatched.foldRight(nullRow) { (c, els) =>
+        val byName = c.values.toMap
+        val ins = struct(fields.map { f =>
+          byName.get(f.name).map(_.cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        when(c.condition.getOrElse(lit(true)), ins).otherwise(els)
+      }
+
+    /** True iff SOME clause of `cs` fires for this row — the row is
+      * touched (updated or deleted); an unfired row keeps its place. */
+    def fired(cs: Seq[MatchedClause]): Column =
+      cs.map {
+        case MatchedUpdate(c, _) => c.getOrElse(lit(true))
+        case MatchedDelete(c) => c.getOrElse(lit(true))
+      }.foldLeft(lit(false))(_ || _)
+  }
 
   /** General copy-on-write MERGE INTO — full SQL MERGE semantics over an
     * arbitrary join condition, the operation `merge` (upsert-by-key)
@@ -998,14 +1059,8 @@ object GraftLake {
           maxColId = maxIdOf(evolved, snap.maxColId))
         val schemaOut = if (evolved == snap.schema) None else Some(evolved)
         val fields = evolved.fields.toIndexedSeq
-        val names = fields.map(_.name).toSet
-        (matched ++ notMatchedBySource).foreach {
-          case MatchedUpdate(_, set) => set.foreach { case (n, _) =>
-            require(names.contains(n), s"MERGE UPDATE sets unknown column '$n'") }
-          case _ => ()
-        }
-        notMatched.foreach(c => c.values.foreach { case (n, _) =>
-          require(names.contains(n), s"MERGE INSERT targets unknown column '$n'") })
+        val ch = MergeChains(fields, matched, notMatched, notMatchedBySource)
+        ch.validate()
 
         val equi = mergeEquiCol(spark, snapE, src, condition)
         val uniqueMatch = equi.exists { case (_, sCol) =>
@@ -1035,18 +1090,6 @@ object GraftLake {
           case None => snap.files
         }
 
-        val rowT = StructType(fields.map(f =>
-          StructField(f.name, f.dataType, nullable = true)))
-        val nullRow = lit(null).cast(rowT)
-        val insertChain: Column =
-          notMatched.foldRight(nullRow) { (c, els) =>
-            val byName = c.values.toMap
-            val ins = struct(fields.map { f =>
-              byName.get(f.name).map(_.cast(f.dataType))
-                .getOrElse(lit(null).cast(f.dataType)).as(f.name)
-            }: _*)
-            when(c.condition.getOrElse(lit(true)), ins).otherwise(els)
-          }
         def expand(df: DataFrame): DataFrame =
           df.where(col("__gl_r").isNotNull).select("__gl_r.*")
 
@@ -1060,7 +1103,7 @@ object GraftLake {
             if (cand.isEmpty) emptyDf(spark, evolved)
             else readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
           val inserts = src.alias("s").join(tgt.alias("t"), condition, "left_anti")
-            .select(insertChain.as("__gl_r"))
+            .select(ch.insertChain.as("__gl_r"))
           (Nil, expand(inserts), schemaOut)
         } else {
           // phase 1: victim files. Stats-prune candidates on the first
@@ -1079,21 +1122,6 @@ object GraftLake {
               cand.filter(f => touched.contains(baseName(f.path)))
             }
 
-          def keepStruct = struct(fields.map(f => col(s"t.${f.name}").as(f.name)): _*)
-          def chain(cs: Seq[MatchedClause]): Column =
-            cs.foldRight(keepStruct) { (c, els) =>
-              c match {
-                case MatchedUpdate(cond, set) =>
-                  val byName = set.toMap
-                  val updated = struct(fields.map { f =>
-                    byName.get(f.name).map(_.cast(f.dataType))
-                      .getOrElse(col(s"t.${f.name}")).as(f.name)
-                  }: _*)
-                  when(cond.getOrElse(lit(true)), updated).otherwise(els)
-                case MatchedDelete(cond) =>
-                  when(cond.getOrElse(lit(true)), nullRow).otherwise(els)
-              }
-            }
           val tgt0 =
             if (victims.isEmpty) emptyDf(spark, evolved)
             else readFiles(spark, snapE, victims.map(f => s"$dir/${f.path}"))
@@ -1110,12 +1138,12 @@ object GraftLake {
               .select(fields.map(f => col(f.name)): _*)
             val nmbsRows = expand(
               tgt0.alias("t").join(src.alias("s"), condition, "left_anti")
-                .alias("t").select(chain(notMatchedBySource).as("__gl_r")))
+                .alias("t").select(ch.chain(notMatchedBySource).as("__gl_r")))
             val inserts =
               if (notMatched.isEmpty) emptyDf(spark, evolved)
               else expand(
                 src.alias("s").join(tgt0.alias("t"), condition, "left_anti")
-                  .select(insertChain.as("__gl_r")))
+                  .select(ch.insertChain.as("__gl_r")))
             (victims, kept.unionByName(nmbsRows).unionByName(inserts), schemaOut)
           } else {
             // phase 2: one full-outer join of victims × source, projected
@@ -1147,15 +1175,164 @@ object GraftLake {
                     .otherwise(lit(true)))
               }
 
-            val result = when(isMatched, chain(matched))
+            val result = when(isMatched, ch.chain(matched))
               .when(col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNull,
-                if (notMatchedBySource.isEmpty) keepStruct else chain(notMatchedBySource))
-              .otherwise(insertChain)
+                if (notMatchedBySource.isEmpty) ch.keepStruct
+                else ch.chain(notMatchedBySource))
+              .otherwise(ch.insertChain)
             val replacement = expand(guarded.select(result.as("__gl_r")))
             (victims, replacement, schemaOut)
           }
         }
       }
+    } finally { src.unpersist(); () }
+  }
+
+  /** Merge-on-read MERGE INTO — the deletion-vector twin of [[mergeInto]]
+    * (Delta's DV merge): target rows a clause actually FIRES on are
+    * marked deleted in their files' vectors, and ONLY the changed rows
+    * (updates' new versions + inserts) land in fresh files — one commit,
+    * write cost O(touched rows) instead of CoW's O(victim file bytes).
+    * Rows whose clause conditions all fail keep their physical place (no
+    * vector entry, no copy). Same clause semantics, same ambiguity
+    * guard/elision, same victim pruning, same atomic `newColumns`
+    * evolution; the change feed nets to delete(old)+insert(new) per
+    * touched row exactly as CoW does. Insert-only merges delegate to
+    * [[mergeInto]], whose adds-only fast path is already optimal. */
+  def mergeIntoMoR(spark: SparkSession, dir: String, source: DataFrame,
+      condition: Column, matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedInsert],
+      notMatchedBySource: Seq[MatchedClause] = Nil,
+      newColumns: Seq[StructField] = Nil): Long = {
+    if (matched.isEmpty && notMatchedBySource.isEmpty)
+      return mergeInto(spark, dir, source, condition, matched, notMatched,
+        notMatchedBySource, newColumns)
+    val src = source.cache()
+    val srcAgg = scala.collection.mutable.Map.empty[String, (Option[Any], Option[Any], Long, Long)]
+    def aggOf(sCol: String): (Option[Any], Option[Any], Long, Long) =
+      srcAgg.getOrElseUpdate(sCol, {
+        val r = src.agg(min(col(sCol)), max(col(sCol)), count(lit(1)),
+          count_distinct(col(sCol))).collect()(0)
+        (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3))
+      })
+    try {
+      retry(dir, "merge-mor") { snap =>
+        val evolved =
+          if (newColumns.isEmpty) snap.schema
+          else mergeSchemas(snap.schema, StructType(newColumns.toArray),
+            snap.maxColId, snap.retired)
+        val snapE = snap.copy(schema = evolved,
+          maxColId = maxIdOf(evolved, snap.maxColId))
+        val fields = evolved.fields.toIndexedSeq
+        val ch = MergeChains(fields, matched, notMatched, notMatchedBySource)
+        ch.validate()
+
+        val equi = mergeEquiCol(spark, snapE, src, condition)
+        val uniqueMatch = equi.exists { case (_, sCol) =>
+          val (_, _, n, d) = aggOf(sCol); n == d
+        }
+        // victims as in mergeInto: stats prune + exact semi-join, or the
+        // whole table when not-matched-by-source forces the pass
+        val cand: Seq[AddFile] = equi match {
+          case Some((tCol, sCol)) =>
+            val (lo, hi, _, _) = aggOf(sCol)
+            (lo, hi) match {
+              case (Some(l), Some(h)) =>
+                snap.files.filter { f =>
+                  f.stats.get(statsKey(evolved, tCol)) match {
+                    case Some(st) if st.min.isDefined && st.max.isDefined =>
+                      (for {
+                        c1 <- cmpOpt(st.kind, st.max.get, l.toString)
+                        c2 <- cmpOpt(st.kind, st.min.get, h.toString)
+                      } yield c1 >= 0 && c2 <= 0).getOrElse(true)
+                    case _ => true
+                  }
+                }
+              case _ => snap.files
+            }
+          case None => snap.files
+        }
+        val victims: Seq[AddFile] =
+          if (notMatchedBySource.nonEmpty) snap.files
+          else if (cand.isEmpty) Nil
+          else {
+            val touched = readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
+              .withColumn("__gl_file", input_file_name()).alias("t")
+              .join(src.alias("s"), condition, "left_semi")
+              .select(col("__gl_file")).distinct()
+              .collect().map(r => baseName(r.getString(0))).toSet
+            cand.filter(f => touched.contains(baseName(f.path)))
+          }
+
+        // target = victim files' LIVE rows WITH physical positions
+        val paths = victims.map(f => s"$dir/${f.path}")
+        ensureFieldIdRead(spark)
+        val tgt =
+          if (victims.isEmpty)
+            emptyDf(spark, StructType(
+              StructField("__gl_file", org.apache.spark.sql.types.StringType) +:
+              StructField("__gl_pos", org.apache.spark.sql.types.LongType) +:
+              evolved.fields.toSeq))
+          else {
+            val raw = spark.read.option("mergeSchema", "true")
+              .schema(evolved).parquet(paths: _*)
+            val dvByBase = dvPathsFor(snapE.copy(files = victims), paths)
+            val live = if (dvByBase.isEmpty) raw
+              else raw.where(!dvDeletedCol(dvByBase))
+            live.select(Seq(col("_metadata.file_name").as("__gl_file"),
+              col("_metadata.row_index").as("__gl_pos")) ++
+              evolved.fieldNames.map(col).toSeq: _*)
+          }
+        val t = tgt.withColumn("__gl_tid", monotonically_increasing_id()).alias("t")
+        val s2 = src.withColumn("__gl_sid", monotonically_increasing_id()).alias("s")
+        val joined = t.join(s2, condition, "full_outer")
+        val isMatched = col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNotNull
+        val tOnly = col("t.__gl_tid").isNotNull && col("s.__gl_sid").isNull
+        val guarded =
+          if (matched.isEmpty || uniqueMatch) joined
+          else {
+            val w = org.apache.spark.sql.expressions.Window.partitionBy(
+              col("t.__gl_tid"),
+              when(col("t.__gl_tid").isNull, col("s.__gl_sid")).otherwise(lit(0L)))
+            joined
+              .withColumn("__gl_n", sum(when(isMatched, 1L).otherwise(0L)).over(w))
+              .where(when(isMatched && col("__gl_n") > 1L,
+                assert_true(lit(false), lit(s"MERGE INTO $dir: a target row " +
+                  "matched multiple source rows; make the ON condition more " +
+                  "selective or deduplicate the source")).isNotNull)
+                .otherwise(lit(true)))
+          }
+        // touched = a clause actually fires; untouched rows keep their
+        // physical place (that is the whole point of merge-on-read)
+        val touchedT = (isMatched && ch.fired(matched)) ||
+          (tOnly && ch.fired(notMatchedBySource))
+        val resultMoR = when(isMatched && ch.fired(matched), ch.chain(matched))
+          .when(tOnly && ch.fired(notMatchedBySource), ch.chain(notMatchedBySource))
+          .when(col("t.__gl_tid").isNull, ch.insertChain)
+          .otherwise(ch.nullRow)
+        // one join execution feeds both the position bitmaps and the
+        // emitted rows
+        val slim = guarded.select(col("t.__gl_file").as("__gl_file"),
+            col("t.__gl_pos").as("__gl_pos"),
+            coalesce(touchedT, lit(false)).as("__gl_touched"),
+            resultMoR.as("__gl_r"))
+          .localCheckpoint(eager = true)
+        import spark.implicits._
+        val marked = bitmapsOf(slim.where(col("__gl_touched"))
+          .select(col("__gl_file"), col("__gl_pos")).as[(String, Long)])
+        val emitted = slim.where(col("__gl_r").isNotNull).select("__gl_r.*")
+        val newAdds = stage(emitted, dir, 0, evolved)
+        val (rm, dvAdds) = dvGrow(dir,
+          victims.map(f => baseName(f.path) -> f).toMap, marked)
+        if (rm.isEmpty && newAdds.isEmpty) None
+        else {
+          val schemaJson = if (evolved == snap.schema) None else Some(evolved.json)
+          Some((Commit(snap.version + 1, System.currentTimeMillis(),
+            "merge-mor", None, None, schemaJson, dvAdds ++ newAdds, rm,
+            maxColId = schemaJson.map(_ => maxIdOf(evolved, snap.maxColId))),
+            snap.version + 1))
+        }
+      }.getOrElse(latestVersion(dir))
     } finally { src.unpersist(); () }
   }
 

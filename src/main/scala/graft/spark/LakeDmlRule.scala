@@ -409,10 +409,19 @@ case class LakeMergeCommand(dir: String, targetAttrs: Seq[AttributeReference],
         s"graft-lake MERGE: unsupported not-matched action $other")
     }
     val srcDf = GraftDatasetBridge.ofRows(spark, source)
-    GraftLake.mergeInto(spark, dir, srcDf, tx(condition),
+    // copy-on-write by default; merge-on-read (DV touched rows + append
+    // only the changed rows) with spark.graft.lake.mergeMode=mor
+    val run: (SparkSession, String, org.apache.spark.sql.DataFrame, Column,
+        Seq[GraftLake.MatchedClause], Seq[GraftLake.NotMatchedInsert],
+        Seq[GraftLake.MatchedClause],
+        Seq[org.apache.spark.sql.types.StructField]) => Long =
+      if (spark.conf.getOption("spark.graft.lake.mergeMode")
+          .exists(_.equalsIgnoreCase("mor"))) GraftLake.mergeIntoMoR
+      else GraftLake.mergeInto
+    run(spark, dir, srcDf, tx(condition),
       matched.map(matchedClause), notMatched.map(insertClause),
       notMatchedBySource.map(matchedClause),
-      newColumns = newCols.map { case (n, dt) =>
+      newCols.map { case (n, dt) =>
         org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
     LakeDmlRule.refresh(spark, table)
     Seq.empty

@@ -230,12 +230,17 @@ case class LakeReplaceTableCommand(nameParts: Seq[String],
       case None =>
         catalog.createTable(CatalogTable(
           identifier = ti,
-          tableType = CatalogTableType.EXTERNAL,
+          // same managed/external split as LakeCreateTableCommand
+          tableType = if (explicitPath.isDefined) CatalogTableType.EXTERNAL
+            else CatalogTableType.MANAGED,
           storage = CatalogStorageFormat.empty.copy(
             locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri),
             properties = Map("path" -> dir)),
           schema = schema,
-          provider = Some("graft-lake")), ignoreIfExists = false)
+          provider = Some("graft-lake")), ignoreIfExists = false,
+          // the data was written BEFORE registration (v1 CTAS order) —
+          // the location legitimately exists already
+          validateLocation = false)
     }
     spark.catalog.refreshTable(ti.quotedString)
     Seq.empty
@@ -287,12 +292,19 @@ case class LakeCreateTableCommand(nameParts: Seq[String],
     val schema = GraftLake.snapshot(spark, dir).schema
     catalog.createTable(CatalogTable(
       identifier = ti,
-      tableType = CatalogTableType.EXTERNAL,
+      // no explicit path = a MANAGED table at the warehouse default —
+      // DROP TABLE then deletes the directory (v1 saveAsTable parity);
+      // an explicit path/LOCATION is EXTERNAL and survives DROP
+      tableType = if (explicitPath.isDefined) CatalogTableType.EXTERNAL
+        else CatalogTableType.MANAGED,
       storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri),
         properties = Map("path" -> dir)),
       schema = schema,
-      provider = Some("graft-lake")), ignoreIfExists = false)
+      provider = Some("graft-lake")), ignoreIfExists = false,
+      // data written before registration (v1 CTAS order) — the location
+      // legitimately exists already
+      validateLocation = false)
     spark.catalog.refreshTable(ti.quotedString)
     Seq.empty
   }

@@ -58,8 +58,8 @@ class LakeModelSpec extends SparkSpec {
       assert(tableRows(dir) == model.values.toSet, s"model mismatch after $op (v$v)")
     }
 
-    for (step <- 1 to 40) {
-      rnd.nextInt(9) match {
+    for (step <- 1 to 44) {
+      rnd.nextInt(10) match {
         case 0 => // append
           val rows = freshRows(20 + rnd.nextInt(40), s"a$step")
           GraftLake.append(toDf(rows), dir, numFiles = 1 + rnd.nextInt(3))
@@ -146,6 +146,33 @@ class LakeModelSpec extends SparkSpec {
             case (k, (_, _, v)) => model(k) = (k, s"um$step", v + 2000L)
           }
           check(s"updateMoR@$step")
+        case 9 => // merge-on-read MERGE: fired rows vectored + appended,
+          // unfired matched rows keep their place — must be
+          // indistinguishable from the CoW merge to the model
+          val matchedKeys = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(25))
+          val srcRows = matchedKeys.map(k =>
+            (k, s"mm$step", rnd.nextInt(1000).toLong)) ++
+            freshRows(rnd.nextInt(8), s"mmi$step")
+          if (srcRows.nonEmpty) {
+            GraftLake.mergeIntoMoR(spark, dir, toDf(srcRows),
+              condition = col("t.id") === col("s.id"),
+              matched = Seq(
+                GraftLake.MatchedUpdate(Some(col("s.v") % 3 =!= 0),
+                  Seq("tag" -> col("s.tag"), "v" -> (col("s.v") + 10000L))),
+                GraftLake.MatchedDelete(Some(col("s.v") % 7 === 0))),
+              notMatched = Seq(GraftLake.NotMatchedInsert(
+                Some(col("s.v") % 4 =!= 1),
+                Seq("id" -> col("s.id"), "tag" -> col("s.tag"),
+                  "v" -> col("s.v")))))
+            srcRows.foreach { case (k, tag, sv) =>
+              if (model.contains(k)) {
+                if (sv % 3 != 0) model(k) = (k, tag, sv + 10000L)
+                else if (sv % 7 == 0) model.remove(k)
+                // else: no clause fires — row keeps its place untouched
+              } else if (sv % 4 != 1) model(k) = (k, tag, sv)
+            }
+            check(s"mergeMoR@$step")
+          }
       }
       if (step % 5 == 0) { // time travel spot-check against the model history
         val v = rnd.nextInt(versions.size)

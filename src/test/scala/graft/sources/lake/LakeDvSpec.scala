@@ -290,6 +290,72 @@ class LakeDvSpec extends SparkSpec {
     spark.sql("DROP TABLE lake_dv_cnt")
   }
 
+  test("mergeIntoMoR: only FIRED rows are vectored + rewritten; unfired " +
+    "matched rows keep their physical place; inserts append") {
+    val dir = tmp()
+    mkTable(dir, n = 1000, files = 8)
+    val before = dataFilesOf(dir)
+    // source hits ids 0..99 (conditional: only even sv updates, sv%5==0
+    // deletes), plus two fresh keys
+    val src = spark.range(0, 100).select(col("id"), (col("id") * 10).as("sv"))
+      .unionByName(Seq((5000L, 1L), (5001L, 2L)).toDF("id", "sv"))
+    GraftLake.mergeIntoMoR(spark, dir, src,
+      col("t.id") === col("s.id"),
+      matched = Seq(
+        GraftLake.MatchedDelete(Some(col("s.sv") % 50 === 0)),
+        GraftLake.MatchedUpdate(Some(col("s.sv") % 20 === 10),
+          Seq("v" -> col("s.sv")))),
+      notMatched = Seq(GraftLake.NotMatchedInsert(None,
+        Seq("id" -> col("s.id"), "v" -> col("s.sv")))))
+    assert(GraftLake.history(dir).map(_._2) == Seq("create", "merge-mor"))
+    assert(before.subsetOf(dataFilesOf(dir)),
+      "merge-on-read must leave the original parquet files on disk")
+    // model: id<100 → delete when id%5==0; update v=10*id when id%2==1;
+    // else untouched. +2 inserts.
+    val expected = (0L until 1000L).flatMap { i =>
+      if (i < 100 && i % 5 == 0) None
+      else if (i < 100 && i % 2 == 1) Some((i, i * 10))
+      else Some((i, i * 2))
+    }.toSet ++ Set((5000L, 1L), (5001L, 2L))
+    val got = GraftLake.read(spark, dir).as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    // only files holding ids 0..99 grew vectors (range-partitioned: 1 of 8)
+    val dvd = GraftLake.snapshot(spark, dir).files.filter(_.dv.isDefined)
+    assert(dvd.nonEmpty && dvd.size < 8,
+      s"only touched files may carry vectors, got ${dvd.size} of 8")
+    // CDC nets to delete(old) [+ insert(new) for updates] per touched row
+    val cdc = GraftLake.changes(spark, dir, 0L, 1L)
+      .select("id", "v", "change_kind").as[(Long, Long, String)].collect().toSet
+    val dels = (0L until 100L).filter(i => i % 5 == 0 || i % 2 == 1)
+      .map(i => (i, i * 2, "delete")).toSet
+    val ins = (0L until 100L).filter(i => i % 5 != 0 && i % 2 == 1)
+      .map(i => (i, i * 10, "insert")).toSet ++
+      Set((5000L, 1L, "insert"), (5001L, 2L, "insert"))
+    assert(cdc == dels ++ ins)
+    // SQL routing + ambiguity guard still applies in MoR
+    spark.sql("DROP TABLE IF EXISTS lake_dv_mm")
+    spark.sql(s"CREATE TABLE lake_dv_mm USING `graft-lake` OPTIONS (path '$dir')")
+    Seq((7L, 1L), (7L, 2L)).toDF("id", "sv")
+      .createOrReplaceTempView("lake_dv_mm_src")
+    spark.conf.set("spark.graft.lake.mergeMode", "mor")
+    try {
+      val err = intercept[Exception](spark.sql(
+        """MERGE INTO lake_dv_mm t USING lake_dv_mm_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin))
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(err).exists(_.contains("matched multiple source rows")))
+      spark.sql(
+        """MERGE INTO lake_dv_mm t
+          |USING (SELECT 8 AS id, 888 AS sv) s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+      assert(spark.sql("SELECT v FROM lake_dv_mm WHERE id = 8")
+        .head().getLong(0) == 888L)
+      assert(GraftLake.history(dir).last._2 == "merge-mor")
+    } finally spark.conf.unset("spark.graft.lake.mergeMode")
+    spark.sql("DROP TABLE lake_dv_mm")
+  }
+
   test("merge over a DV'd table: victims re-read without deleted rows; " +
     "upsert of a deleted key re-inserts it") {
     val dir = tmp()
