@@ -697,9 +697,52 @@ object LakeQueries {
       |FROM p, n WHERE o_orderkey % 10 = 3
       |ORDER BY slice, o_orderkey""".stripMargin
 
+  // ── l16: merge-on-read MERGE — l10's clause algebra, zero rewrites ─────
+  // The same SQL MERGE as l10 (conditional matched update, matched
+  // delete, conditional not-matched insert) with mergeMode=mor: fired
+  // rows are deletion-vectored in place and only the changed rows land in
+  // new files — the gate additionally REQUIRES every original parquet
+  // file to still be on disk untouched, then matches l10's oracle.
+  private val l16LakeMergeMor: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_mmor").toString + "/t"
+    ordersProjected(s, dir).createOrReplaceTempView("l16_orders_src")
+    s.sql("DROP TABLE IF EXISTS graft_l16")
+    s.sql(
+      s"""CREATE TABLE graft_l16 USING `graft-lake` OPTIONS (path '$tbl')
+         |AS SELECT * FROM l16_orders_src WHERE o_orderkey % 4 = 0""".stripMargin)
+    def dataFiles(): Set[String] =
+      Option(new java.io.File(tbl, "data").listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+    val before = dataFiles()
+    s.sql(
+      """CREATE OR REPLACE TEMP VIEW l16_updates AS
+        |SELECT o_orderkey, price_c * 3 AS sv, o_orderkey % 8 = 0 AS flag
+        |FROM l16_orders_src WHERE o_orderkey % 10 IN (0, 3)""".stripMargin)
+    s.conf.set("spark.graft.lake.mergeMode", "mor")
+    try s.sql(
+      """MERGE INTO graft_l16 t USING l16_updates s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.flag THEN UPDATE SET o_orderpriority = 'M',
+        |  price_c = s.sv
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.sv % 2 = 1 THEN INSERT
+        |  (o_orderkey, o_orderstatus, o_orderpriority, price_c)
+        |  VALUES (s.o_orderkey, 'N', 'I', s.sv)""".stripMargin)
+    finally s.conf.unset("spark.graft.lake.mergeMode")
+    require(GraftLake.history(tbl).map(_._2) == Seq("create", "merge-mor"),
+      "MoR MERGE must land as exactly one merge-mor commit")
+    require(before.subsetOf(dataFiles()),
+      "merge-on-read MERGE must leave every original parquet file on disk")
+    require(GraftLake.snapshot(s, tbl).files.exists(_.dv.isDefined),
+      "fired rows must be deletion-vectored, not rewritten")
+    s.sql("SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c " +
+      "FROM graft_l16 ORDER BY o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
     "l14_lake_dv" -> l14LakeDv,
     "l15_lake_dv_update" -> l15LakeDvUpdate,
+    "l16_lake_merge_mor" -> l16LakeMergeMor,
     "l13_lake_cdc_replica" -> l13LakeCdcReplica,
     "l9_lake_sql_alter" -> l9LakeSqlAlter,
     "l10_lake_sql_merge" -> l10LakeSqlMerge,
@@ -717,6 +760,7 @@ object LakeQueries {
   val oracles: Map[String, String] = Map(
     "l14_lake_dv" -> l14LakeDvSql,
     "l15_lake_dv_update" -> l15LakeDvUpdateSql,
+    "l16_lake_merge_mor" -> l10LakeSqlMergeSql, // same algebra, MoR path
     "l13_lake_cdc_replica" -> l1LakeDmlSql, // same final state, CDC path
     "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
     "l10_lake_sql_merge" -> l10LakeSqlMergeSql,
