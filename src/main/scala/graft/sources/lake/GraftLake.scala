@@ -1372,13 +1372,18 @@ object GraftLake {
     * Pure layout change: same rows before and after; old files stay on
     * disk for time travel until [[vacuum]]. */
   def optimize(spark: SparkSession, dir: String,
-      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Long =
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      where: Option[Column] = None): Long =
     retryRewrite(spark, dir, "optimize") { snap =>
+      // `where` = TARGETED compaction (Delta's OPTIMIZE ... WHERE): only
+      // files whose footer stats overlap the predicate are candidates —
+      // at 100 TB you compact the hot day/tenant, never the whole table
+      val scoped = where.map(w => overlapping(snap, w)).getOrElse(snap.files)
       // DV-carrying files are rewrite candidates REGARDLESS of size:
       // compaction purges the deletion vectors back out of the steady
       // state (Delta's OPTIMIZE does the same), so reads stop paying the
       // position filter and the sidecars become vacuumable
-      val small = snap.files.filter(f => f.bytes < smallBytes || f.dv.isDefined)
+      val small = scoped.filter(f => f.bytes < smallBytes || f.dv.isDefined)
       if (small.size < 2 && !small.exists(_.dv.isDefined))
         (Nil, emptyDf(spark, snap.schema))
       else {
@@ -1947,21 +1952,30 @@ object GraftLake {
       case UnresolvedAttributeLike(n) => Some(n)
       case _ => None
     }
+    // a comparison side counts as a constant if it FOLDS to a non-null
+    // value, not just if it is a bare Literal: analyzed API predicates
+    // carry implicit casts (`col("id") < 200` analyzes to
+    // `id < cast(200 as bigint)`), which a Literal-only match would
+    // silently demote to keep-all — evaluate instead
+    def constVal(e: Expression): Option[Any] =
+      if (e.foldable) Option(e.eval()) else None
     // one prunable conjunct → a may-match test per file; None = opaque
     // conjunct, prunes nothing (conservative)
     def mayMatch(e: Expression): Option[AddFile => Boolean] = e match {
       case b: BinaryComparison =>
         (b.left, b.right) match {
-          case (l, Literal(v, _)) => attrName(l).map(n =>
-            (f: AddFile) => rangeMayMatch(f, n, opName(b), String.valueOf(v)))
-          case (Literal(v, _), r) => attrName(r).map(n =>
-            (f: AddFile) => rangeMayMatch(f, n, flip(opName(b)), String.valueOf(v)))
+          case (l, r) if attrName(l).isDefined && constVal(r).isDefined =>
+            val (n, v) = (attrName(l).get, constVal(r).get)
+            Some((f: AddFile) => rangeMayMatch(f, n, opName(b), String.valueOf(v)))
+          case (l, r) if constVal(l).isDefined && attrName(r).isDefined =>
+            val (n, v) = (attrName(r).get, constVal(l).get)
+            Some((f: AddFile) => rangeMayMatch(f, n, flip(opName(b)), String.valueOf(v)))
           case _ => None
         }
-      case In(l, values) if values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
+      case In(l, values) if values.nonEmpty && values.forall(v => constVal(v).isDefined) =>
         attrName(l).map { n => (f: AddFile) =>
-          values.exists { case Literal(v, _) =>
-            rangeMayMatch(f, n, "=", String.valueOf(v)) }
+          values.exists(v =>
+            rangeMayMatch(f, n, "=", String.valueOf(constVal(v).get)))
         }
       case IsNull(l) => attrName(l).map { n => (f: AddFile) =>
         f.stats.get(statsKey(snap.schema, n))

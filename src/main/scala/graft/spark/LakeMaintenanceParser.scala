@@ -36,19 +36,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Vacuum(target, hours) =>
       LakeVacuumCommand(target,
         Option(hours).map(_.toLong).getOrElse(168L)) // Delta's 7-day default
-    case Optimize(target, zx, zy, n) =>
-      LakeOptimizeCommand(target, Option(zx).map(x => (strip(x), strip(zy))),
+    case Optimize(target, where, zx, zy, n) =>
+      LakeOptimizeCommand(target, Option(where),
+        Option(zx).map(x => (strip(x), strip(zy))),
         Option(n).map(_.toInt).getOrElse(0))
     case Restore(target, version) =>
       LakeRestoreCommand(target, version.toLong)
     case History(target) =>
       LakeHistoryCommand(target)
+    case Detail(target) =>
+      LakeDetailCommand(target)
     case _ => postProcess(delegate.parsePlan(sqlText))
   }
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
-    case Vacuum(_, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) =>
+    case Vacuum(_, _) | Optimize(_, _, _, _, _) | Restore(_, _) | History(_) |
+         Detail(_) =>
       parsePlan(sqlText)
     case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
   }
@@ -96,6 +100,7 @@ object GraftSqlParser {
     ("""(?is)\s*VACUUM\s+""" + T + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
+      """(?:\s+WHERE\s+(.+?))??""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*""").r
   private val Restore =
@@ -103,6 +108,8 @@ object GraftSqlParser {
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
+  private val Detail =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*""").r
 
   private[spark] def strip(s: String): String = {
     val t = s.trim
@@ -156,14 +163,22 @@ case class LakeVacuumCommand(target: String, retainHours: Long)
 
 /** OPTIMIZE [ZORDER BY]: bin-pack small files, or rewrite the table
   * Morton-clustered on two columns. Returns the committed version. */
-case class LakeOptimizeCommand(target: String, zorder: Option[(String, String)],
+case class LakeOptimizeCommand(target: String, where: Option[String],
+    zorder: Option[(String, String)],
     numFiles: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.dirOf(spark, target)
+    // WHERE = targeted compaction: only stat-overlapping files compact
+    // (file granularity — rows are never filtered by OPTIMIZE)
+    val scope = where.map(w => org.apache.spark.sql.GraftColumnBridge.column(
+      spark.sessionState.sqlParser.parseExpression(w)))
     val v = zorder match {
       case Some((x, y)) =>
+        require(scope.isEmpty,
+          "OPTIMIZE ... WHERE is not supported together with ZORDER BY " +
+            "(z-ordering is a whole-table layout)")
         val n =
           if (numFiles > 0) numFiles
           else { // default: ~128 MB targets over the current active bytes
@@ -171,9 +186,35 @@ case class LakeOptimizeCommand(target: String, zorder: Option[(String, String)],
             math.max(1, math.ceil(bytes.toDouble / (128L << 20)).toInt)
           }
         GraftLake.optimizeZOrder(spark, dir, x, y, n)
-      case None => GraftLake.optimize(spark, dir)
+      case None => GraftLake.optimize(spark, dir, where = scope)
     }
     Seq(Row(v))
+  }
+}
+
+/** DESCRIBE DETAIL t — one row of table-level facts straight from the
+  * log fold (Delta's command of the same name): version, file count,
+  * live bytes, live rows (DV-exact), deletion-vector census, and the
+  * folded checkpoint cadence. Pure metadata — no data scan. */
+case class LakeDetailCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("dv_deleted_rows", LongType, nullable = false)(),
+    AttributeReference("checkpoint_every", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(spark, target)
+    val snap = GraftLake.snapshot(spark, dir)
+    val dvRows = snap.files.flatMap(_.dv.map(_.cardinality)).sum
+    Seq(Row("graft-lake", dir, snap.version, snap.files.size.toLong,
+      snap.files.map(_.bytes).sum,
+      snap.files.map(_.rows).sum - dvRows,
+      snap.files.count(_.dv.isDefined).toLong, dvRows, snap.ckptEvery))
   }
 }
 

@@ -79,6 +79,42 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
     assert(scanned < total, s"z-order box scan must prune, got $scanned/$total")
   }
 
+  test("OPTIMIZE ... WHERE compacts only stat-overlapping files; " +
+    "DESCRIBE DETAIL reports log-exact facts incl. the DV census") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_optw").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS lake_maint_w")
+    spark.range(0, 800).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(8, col("id"))
+      .createOrReplaceTempView("lake_maint_w_src")
+    spark.sql(
+      s"""CREATE TABLE lake_maint_w USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_maint_w_src""".stripMargin)
+    assert(GraftLake.snapshot(spark, dir).files.size == 8)
+
+    // targeted compaction: only the files overlapping id < 200 (2 of 8
+    // range files) may rewrite — the other 6 AddFiles stay IDENTICAL
+    val before = GraftLake.snapshot(spark, dir).files.map(_.path).toSet
+    spark.sql("OPTIMIZE lake_maint_w WHERE id < 200")
+    val after = GraftLake.snapshot(spark, dir)
+    val untouched = after.files.map(_.path).toSet.intersect(before)
+    assert(untouched.size == 6,
+      s"exactly the 2 overlapping files compact, ${8 - untouched.size} rewrote")
+    assert(spark.table("lake_maint_w").count() == 800, "layout-only")
+
+    // DESCRIBE DETAIL: version/files/rows from the log alone; a MoR
+    // delete shows up in the vector census and the DV-exact row count
+    GraftLake.deleteMoR(spark, dir, col("id") % 100 === 7)
+    val d = spark.sql("DESCRIBE DETAIL lake_maint_w").head()
+    assert(d.getString(0) == "graft-lake")
+    assert(d.getLong(2) == 2L, "version: create + optimize + delete-mor")
+    assert(d.getLong(3) == after.files.size.toLong, "num_files unchanged by MoR")
+    assert(d.getLong(5) == 792L, "num_rows must be DV-exact")
+    assert(d.getLong(6) >= 1L && d.getLong(7) == 8L,
+      s"DV census wrong: ${d.getLong(6)} vectors / ${d.getLong(7)} rows")
+    spark.sql("DROP TABLE lake_maint_w")
+  }
+
   test("standard SQL statements pass through the delegating parser untouched") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     assert(spark.range(3).count() == 3)
