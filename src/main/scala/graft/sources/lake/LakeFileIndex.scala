@@ -65,7 +65,20 @@ final class LakeFileIndex private[lake] (spark: SparkSession, val dir: String,
 
   override def refresh(): Unit = () // immutable snapshot by design
 
-  override def sizeInBytes: Long = subsetFiles.map(_.bytes).sum
+  /** Live rows this index serves — log-exact, DV-adjusted. */
+  private[graft] def liveRows: Long =
+    subsetFiles.map(f => f.rows - f.dv.map(_.cardinality).getOrElse(0L)).sum
+
+  /** DV-adjusted size: a file's bytes scaled by its live-row fraction, so
+    * a mostly-deleted MoR table sizes (and broadcasts) by what its scan
+    * actually returns, not by raw parquet bytes that include dead rows. */
+  override def sizeInBytes: Long = subsetFiles.map { f =>
+    f.dv match {
+      case Some(d) if f.rows > 0 =>
+        math.max(1L, f.bytes * (f.rows - d.cardinality) / f.rows)
+      case _ => f.bytes
+    }
+  }.sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

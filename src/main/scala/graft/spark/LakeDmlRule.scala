@@ -3,7 +3,7 @@ package graft.spark
 import graft.sources.lake.{GraftLake, GraftLakeTable, LakeFileIndex}
 import org.apache.spark.sql.{Column, GraftColumnBridge, GraftDatasetBridge, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, ResolvedIdentifier, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogTable}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, Project, ReplaceTableAsSelect, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -80,8 +80,23 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     val idx = new LakeFileIndex(spark, t.dir, t.asOf)
     if (idx.hasDv) dvPlan(spark, idx, r.output, Some(t.ct))
     else new LogicalRelation(LakeFileIndex.relationFor(spark, idx),
-      r.output, Some(t.ct), false, None)
+      r.output, Some(withLogStats(t.ct, idx)), false, None)
   }
+
+  /** Log-exact, DV-adjusted statistics for the snapshot subset `idx`
+    * serves — the lake's ANALYZE-free CBO feed. The transaction log
+    * already knows every file's row count and every DV's cardinality, so
+    * catalog reads plan with TRUE sizes: the broadcast threshold sees
+    * live bytes (a mostly-deleted MoR dim broadcasts where raw parquet
+    * bytes would force a sort-merge), and with CBO / plan-stats enabled
+    * the join reorderer sees exact cardinalities — no ANALYZE TABLE pass
+    * over 100 TB required. Stamped onto the IN-PLAN CatalogTable copy
+    * only; nothing is persisted to the metastore (the next snapshot
+    * recomputes from its own log state). */
+  private def withLogStats(ct: CatalogTable, idx: LakeFileIndex): CatalogTable =
+    ct.copy(stats = Some(CatalogStatistics(
+      sizeInBytes = BigInt(idx.sizeInBytes),
+      rowCount = Some(BigInt(idx.liveRows)))))
 
   /** The DV split-scan plan re-pinned to `wanted` output attributes.
     * The inner relations carry `ct` so catalog machinery that walks the
@@ -94,6 +109,14 @@ object LakeDmlRule extends Rule[LogicalPlan] {
       .queryExecution.analyzed
     val inner = ct match {
       case Some(c) => inner0.transform {
+        // per-branch stats: each split relation reports ITS subset's
+        // live rows/bytes, so the union's estimate sums to the table's
+        case l @ LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+          val stamped = r.location match {
+            case i: LakeFileIndex => withLogStats(c, i)
+            case _ => c
+          }
+          l.copy(catalogTable = Some(stamped))
         case l: LogicalRelation => l.copy(catalogTable = Some(c))
       }
       case None => inner0

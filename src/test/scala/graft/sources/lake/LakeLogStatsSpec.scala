@@ -1,0 +1,135 @@
+package graft.sources.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Lake CBO statistics straight from the transaction log: the log already
+ * records every file's exact row count and every deletion vector's
+ * cardinality, so catalog reads plan with TRUE sizes and cardinalities
+ * WITHOUT an ANALYZE TABLE pass — at 100 TB, an ANALYZE scan is exactly
+ * the kind of full-table read a lakehouse exists to avoid. Two planner
+ * inputs are asserted here:
+ *
+ *  - sizeInBytes is DV-adjusted (live-row fraction of file bytes), so a
+ *    mostly-deleted merge-on-read dim broadcasts where raw parquet bytes
+ *    — which include the dead rows — would force a sort-merge join;
+ *  - rowCount is log-exact and reaches the CBO estimator
+ *    (`optimizedPlan.stats.rowCount`) with no ANALYZE, the input join
+ *    reordering and estimation build on.
+ */
+class LakeLogStatsSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_lake_stats").toString + "/t"
+
+  test("a mostly-deleted MoR dim broadcasts from DV-adjusted log stats " +
+    "where the same bytes as stats-less parquet sort-merge") {
+    val dir = tmp()
+    // payload of incompressible hex so raw parquet bytes stay well over
+    // the broadcast threshold we pick below
+    val dim = spark.range(0, 20000).select(
+      col("id").as("k"),
+      concat(sha2(col("id").cast("string"), 256),
+        sha2(col("id").cast("string"), 512)).as("payload"))
+      .repartitionByRange(4, col("id"))
+
+    val pqDir = tmp() + "_pq"
+    dim.write.parquet(pqDir)
+
+    spark.sql("DROP TABLE IF EXISTS lake_stats_dim")
+    dim.createOrReplaceTempView("lake_stats_dim_src")
+    spark.sql(
+      s"""CREATE TABLE lake_stats_dim USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_stats_dim_src""".stripMargin)
+
+    // MoR-delete 99.5% of the dim: bytes on disk unchanged, live rows 100
+    GraftLake.deleteMoR(spark, dir, col("k") % 200 =!= 0)
+    val idx = new LakeFileIndex(spark, dir)
+    val rawBytes = GraftLake.snapshot(spark, dir).files.map(_.bytes).sum
+    assert(idx.liveRows == 100L)
+    assert(idx.sizeInBytes < rawBytes / 50,
+      s"DV-adjusted size ${idx.sizeInBytes} should be ~0.5% of $rawBytes")
+
+    val threshold = 128 * 1024
+    assert(rawBytes > threshold * 2, s"test needs raw bytes > 2x threshold, got $rawBytes")
+    assert(idx.sizeInBytes < threshold / 2,
+      s"test needs adjusted bytes < threshold/2, got ${idx.sizeInBytes}")
+
+    val fact = spark.range(0, 200000)
+      .select(((col("id") % 100) * 200).as("k"), col("id").as("m"))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      // lake dim: planner sees the DV-adjusted live bytes -> broadcast
+      val lakeJoin = fact.join(spark.table("lake_stats_dim"), "k")
+      val lakePlan = lakeJoin.queryExecution.executedPlan.toString
+      assert(lakePlan.contains("BroadcastHashJoin"),
+        s"lake dim must broadcast from log stats:\n$lakePlan")
+      // every fact key is a surviving dim key -> all fact rows match
+      assert(lakeJoin.count() == 200000L)
+
+      // the SAME rows as stats-less parquet: sized by raw file bytes,
+      // over the threshold -> sort-merge
+      val pqJoin = fact.join(
+        spark.read.parquet(pqDir).where(col("k") % 200 === 0), "k")
+      val pqPlan = pqJoin.queryExecution.executedPlan.toString
+      assert(pqPlan.contains("SortMergeJoin"),
+        s"stats-less parquet copy must sort-merge:\n$pqPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE lake_stats_dim")
+    }
+  }
+
+  test("log-exact rowCount reaches the CBO estimator with no ANALYZE") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_stats_rc")
+    spark.range(0, 1234).select(col("id"), (col("id") * 3).as("v"))
+      .createOrReplaceTempView("lake_stats_rc_src")
+    spark.sql(
+      s"""CREATE TABLE lake_stats_rc USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_stats_rc_src""".stripMargin)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val est = spark.table("lake_stats_rc").queryExecution.optimizedPlan.stats
+      assert(est.rowCount.contains(BigInt(1234)),
+        s"log rowCount must feed plan stats without ANALYZE: $est")
+
+      // appends move the estimate with the log, still no ANALYZE
+      spark.range(5000, 5100).select(col("id"), (col("id") * 3).as("v"))
+        .write.format("graft-lake").mode("append").save(dir)
+      spark.catalog.refreshTable("lake_stats_rc")
+      val est2 = spark.table("lake_stats_rc").queryExecution.optimizedPlan.stats
+      assert(est2.rowCount.contains(BigInt(1334)), s"stats must track the log: $est2")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE lake_stats_rc")
+    }
+  }
+
+  test("LakeFileIndex size is DV-adjusted per file, never below 1 byte " +
+    "per live file, and exact again after the DVs purge") {
+    val dir = tmp()
+    GraftLake.create(
+      spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+        .repartitionByRange(4, col("id")),
+      dir, numFiles = 0)
+    val full = new LakeFileIndex(spark, dir)
+    val rawBytes = full.sizeInBytes
+    assert(full.liveRows == 1000L)
+
+    GraftLake.deleteMoR(spark, dir, col("id") % 2 === 0)
+    val half = new LakeFileIndex(spark, dir)
+    assert(half.liveRows == 500L)
+    assert(half.sizeInBytes > rawBytes / 3 && half.sizeInBytes < 2 * rawBytes / 3,
+      s"half-deleted table should size ~raw/2: ${half.sizeInBytes} vs $rawBytes")
+
+    // OPTIMIZE purges the vectors into rewritten files: size is raw again
+    GraftLake.optimize(spark, dir)
+    val opt = new LakeFileIndex(spark, dir)
+    assert(opt.liveRows == 500L)
+    assert(opt.snap.files.forall(_.dv.isEmpty))
+    assert(opt.sizeInBytes == opt.snap.files.map(_.bytes).sum)
+  }
+}
