@@ -73,6 +73,39 @@ object ExtensionQueries {
       |  CAST(max(z) AS BIGINT) AS max_z
       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ── N-column Z-order (native ZValueN) ───────────────────────────────────
+  // The variadic Morton interleave behind OPTIMIZE ZORDER BY (c1..cN):
+  // bit i of column j lands at result bit i*n+j (for n=2 this is exactly
+  // the magic-number chain above — pinned by a spec). 3 columns × 8 bits
+  // here; the oracle replays the spread as explicit shift/mask sums.
+  private val xZvalue3: Q = (s, dir) => {
+    val z = graft.functions.ZValueKit.zValueN(
+      Seq(col("l_orderkey") % 256, col("l_partkey") % 256,
+        col("l_suppkey") % 256), bits = 8)
+    Tables.lineitem(s, dir)
+      .select(z.as("z"))
+      .groupBy(shiftright(col("z"), 18).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("bucket"))
+  }
+  private val xZvalue3Sql: String = {
+    def spread(v: String): String =
+      (0 until 8).map(i => s"((($v >> $i) & 1) << ${3 * i})").mkString(" | ")
+    s"""WITH k AS (
+       |  SELECT l_orderkey % 256 AS x, l_partkey % 256 AS y,
+       |         l_suppkey % 256 AS w FROM lineitem
+       |), z AS (
+       |  SELECT (${spread("x")})
+       |       | ((${spread("y")}) << 1)
+       |       | ((${spread("w")}) << 2) AS z FROM k
+       |)
+       |SELECT z >> 18 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(z) AS BIGINT) AS sum_z, CAST(min(z) AS BIGINT) AS min_z,
+       |  CAST(max(z) AS BIGINT) AS max_z
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   // ── analytic offsets: lag/lead/ntile + per-user inter-event gaps ────────
   // The remaining analytic-window family members (x_rank covers ranking):
   // offset functions and quartile bucketing over a per-user event timeline.
@@ -2136,6 +2169,7 @@ object ExtensionQueries {
     "x_rollup" -> xRollup,
     "x_set_ops" -> xSetOps,
     "x_zorder" -> xZorder,
+    "x_zvalue3" -> xZvalue3,
     "x_funnel" -> xFunnel,
     "x_quality_report" -> xQualityReport,
     "x_scd2" -> xScd2,
@@ -2201,6 +2235,7 @@ object ExtensionQueries {
     "x_rollup" -> xRollupSql,
     "x_set_ops" -> xSetOpsSql,
     "x_zorder" -> xZorderSql,
+    "x_zvalue3" -> xZvalue3Sql,
     "x_funnel" -> xFunnelSql,
     "x_quality_report" -> xQualityReportSql,
     "x_scd2" -> xScd2Sql,

@@ -107,6 +107,46 @@ object Layout {
   }
 
   /**
+   * N-column clustering value for `df`, distribution-free: each NUMERIC
+   * column is first mapped to its quantile-bucket id (boundaries from ONE
+   * `approxQuantile` pass over all columns together; binary-searched per
+   * row by the native [[graft.functions.QuantileBucket]]), non-numeric
+   * columns hash into the same id range (`xxhash64 & mask` — equality
+   * predicates still prune, range predicates cannot on a hash, same
+   * trade-off Delta makes for non-orderable types). The ids then Morton-
+   * interleave via the native [[graft.functions.ZValueN]].
+   *
+   * Bucketing first is what makes z-ordering WORK at 100 TB: raw-value
+   * interleaves ([[zValue2]]) assume small uniform domains — a skewed or
+   * large-domain column aliases into a handful of bit patterns and the
+   * interleave degenerates to a sort on the other columns. Quantile ids
+   * are near-uniform by construction regardless of distribution (Delta's
+   * range-partition-id trick), so every column contributes real bits.
+   */
+  def clusteredZValue(df: DataFrame, cols: Seq[String], bits: Int = 10): Column = {
+    require(cols.size >= 2, "clustering needs at least two columns")
+    val k = 1 << bits
+    val numeric = cols.filter(c => df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val probs = (1 until k).map(_.toDouble / k).toArray
+    val bounds: Map[String, Array[Double]] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val casted = df.select(numeric.map(c => col(c).cast("double").as(c)): _*)
+        numeric.zip(casted.stat.approxQuantile(numeric.toArray, probs, 0.001))
+          .map { case (c, b) => c -> b.distinct }.toMap
+      }
+    val ids = cols.map { c =>
+      bounds.get(c) match {
+        case Some(b) if b.nonEmpty =>
+          graft.functions.ZValueKit.quantileBucket(col(c), b.toIndexedSeq)
+        case _ => xxhash64(col(c)).bitwiseAND(lit((k - 1).toLong))
+      }
+    }
+    graft.functions.ZValueKit.zValueN(ids, bits)
+  }
+
+  /**
    * Compact a partitioned layout in place-adjacent fashion: read, re-route
    * one task per partition, rewrite to `outDir` with the same partition
    * scheme. The cure for a layout that accumulated small files through

@@ -94,7 +94,7 @@ object GraftLake {
     * carry those column names, so reusing one for a DIFFERENT id would
     * let parquet's name-keyed row-group pushdown bind a filter to dead
     * data — rejected at DDL/evolution time instead). */
-  private final case class LogState(version: Long, schemaJson: String,
+  private[lake] final case class LogState(version: Long, schemaJson: String,
       files: scala.collection.immutable.ListMap[String, AddFile],
       txns: Map[String, Long], maxColId: Int, retired: Map[String, Long],
       ckptEvery: Int = 0)
@@ -198,7 +198,7 @@ object GraftLake {
 
   // ── log checkpoints: snapshot cost O(active files + tail), not O(log) ─
 
-  private def ckptJson(s: LogState): String = {
+  private[lake] def ckptJson(s: LogState): String = {
     val n = mapper.createObjectNode()
     n.put("version", s.version)
     n.put("schema", s.schemaJson)
@@ -215,7 +215,7 @@ object GraftLake {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
-  private def parseCkpt(f: File): LogState = {
+  private[lake] def parseCkpt(f: File): LogState = {
     val n = mapper.readTree(f)
     val txns = Option(n.get("txns")).map { tn =>
       tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
@@ -1763,12 +1763,20 @@ object GraftLake {
     * [[graft.sources.Layout.zValue2]]). Pure layout change, same rows. */
   def optimizeZOrder(spark: SparkSession, dir: String, colX: String,
       colY: String, numFiles: Int): Long =
+    optimizeZOrder(spark, dir, Seq(colX, colY), numFiles)
+
+  /** N-column form: quantile-bucketed ids interleaved by the native
+    * [[graft.functions.ZValueN]] (see [[graft.sources.Layout.clusteredZValue]]
+    * for why bucketing first is what keeps this meaningful on skewed or
+    * large-domain columns at 100 TB). */
+  def optimizeZOrder(spark: SparkSession, dir: String, cols: Seq[String],
+      numFiles: Int): Long =
     retryRewrite(spark, dir, "zorder") { snap =>
       if (snap.files.size < 2) (Nil, emptyDf(spark, snap.schema))
       else {
-        val z = graft.sources.Layout.zValue2(col(colX), col(colY))
-        val df = readFiles(spark, snap, snap.activePaths)
-          .withColumn("__z", z)
+        val df0 = readFiles(spark, snap, snap.activePaths)
+        val df = df0
+          .withColumn("__z", graft.sources.Layout.clusteredZValue(df0, cols))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")

@@ -36,9 +36,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Vacuum(target, hours) =>
       LakeVacuumCommand(target,
         Option(hours).map(_.toLong).getOrElse(168L)) // Delta's 7-day default
-    case Optimize(target, where, zx, zy, n) =>
+    case Optimize(target, where, zcols, n) =>
       LakeOptimizeCommand(target, Option(where),
-        Option(zx).map(x => (strip(x), strip(zy))),
+        Option(zcols).map(_.split(',').toSeq.map(c => strip(c.trim))),
         Option(n).map(_.toInt).getOrElse(0))
     case Restore(target, version) =>
       LakeRestoreCommand(target, version.toLong)
@@ -51,7 +51,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
-    case Vacuum(_, _) | Optimize(_, _, _, _, _) | Restore(_, _) | History(_) |
+    case Vacuum(_, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) |
          Detail(_) =>
       parsePlan(sqlText)
     case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
@@ -101,7 +101,7 @@ object GraftSqlParser {
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
       """(?:\s+WHERE\s+(.+?))??""" +
-      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+)+)\s*\)""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*""").r
   private val Restore =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
@@ -162,9 +162,11 @@ case class LakeVacuumCommand(target: String, retainHours: Long)
 }
 
 /** OPTIMIZE [ZORDER BY]: bin-pack small files, or rewrite the table
-  * Morton-clustered on two columns. Returns the committed version. */
+  * Morton-clustered on N columns (quantile-bucketed ids interleaved —
+  * see [[graft.sources.Layout.clusteredZValue]]). Returns the committed
+  * version. */
 case class LakeOptimizeCommand(target: String, where: Option[String],
-    zorder: Option[(String, String)],
+    zorder: Option[Seq[String]],
     numFiles: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -175,7 +177,7 @@ case class LakeOptimizeCommand(target: String, where: Option[String],
     val scope = where.map(w => org.apache.spark.sql.GraftColumnBridge.column(
       spark.sessionState.sqlParser.parseExpression(w)))
     val v = zorder match {
-      case Some((x, y)) =>
+      case Some(cols) =>
         require(scope.isEmpty,
           "OPTIMIZE ... WHERE is not supported together with ZORDER BY " +
             "(z-ordering is a whole-table layout)")
@@ -185,7 +187,7 @@ case class LakeOptimizeCommand(target: String, where: Option[String],
             val bytes = GraftLake.snapshot(spark, dir).files.map(_.bytes).sum
             math.max(1, math.ceil(bytes.toDouble / (128L << 20)).toInt)
           }
-        GraftLake.optimizeZOrder(spark, dir, x, y, n)
+        GraftLake.optimizeZOrder(spark, dir, cols, n)
       case None => GraftLake.optimize(spark, dir, where = scope)
     }
     Seq(Row(v))
