@@ -95,7 +95,7 @@ object GraftLake {
     * let parquet's name-keyed row-group pushdown bind a filter to dead
     * data — rejected at DDL/evolution time instead). */
   private[lake] final case class LogState(version: Long, schemaJson: String,
-      files: scala.collection.immutable.ListMap[String, AddFile],
+      files: scala.collection.immutable.VectorMap[String, AddFile],
       txns: Map[String, Long], maxColId: Int, retired: Map[String, Long],
       ckptEvery: Int = 0)
 
@@ -144,22 +144,24 @@ object GraftLake {
     }
   }
 
+  private def parseAddFile(an: com.fasterxml.jackson.databind.JsonNode): AddFile = {
+    val stats = Option(an.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> ColStats(
+          Option(v.get("min")).map(_.asText),
+          Option(v.get("max")).map(_.asText),
+          v.get("nulls").asLong, v.get("kind").asText)
+      }.toMap
+    }.getOrElse(Map.empty)
+    AddFile(an.get("path").asText, an.get("rows").asLong,
+      an.get("bytes").asLong, stats,
+      Option(an.get("dv")).map(d =>
+        DvRef(d.get("path").asText, d.get("card").asLong)))
+  }
+
   private def parseAddFiles(arr: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] =
-    arr.asInstanceOf[ArrayNode].elements().asScala.map { an =>
-      val stats = Option(an.get("stats")).map { sn =>
-        sn.properties().asScala.map { e =>
-          val v = e.getValue
-          e.getKey -> ColStats(
-            Option(v.get("min")).map(_.asText),
-            Option(v.get("max")).map(_.asText),
-            v.get("nulls").asLong, v.get("kind").asText)
-        }.toMap
-      }.getOrElse(Map.empty)
-      AddFile(an.get("path").asText, an.get("rows").asLong,
-        an.get("bytes").asLong, stats,
-        Option(an.get("dv")).map(d =>
-          DvRef(d.get("path").asText, d.get("card").asLong)))
-    }.toSeq
+    arr.asInstanceOf[ArrayNode].elements().asScala.map(parseAddFile).toSeq
 
   private def commitJson(c: Commit): String = {
     val n = mapper.createObjectNode()
@@ -198,35 +200,102 @@ object GraftLake {
 
   // ── log checkpoints: snapshot cost O(active files + tail), not O(log) ─
 
-  private[lake] def ckptJson(s: LogState): String = {
-    val n = mapper.createObjectNode()
-    n.put("version", s.version)
-    n.put("schema", s.schemaJson)
-    n.put("maxColId", s.maxColId)
-    n.put("ckptEvery", s.ckptEvery)
-    if (s.retired.nonEmpty) {
-      val rn = n.putObject("retired")
-      s.retired.foreach { case (name, id) => rn.put(name, id) }
-    }
-    val tn = n.putObject("txns")
-    s.txns.foreach { case (app, epoch) => tn.put(app, epoch) }
-    val files = n.putArray("files")
-    s.files.values.foreach(addFileNode(files, _))
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  /** Checkpoint write, STREAMING: one generator pass straight to the
+    * file, never a giant in-memory tree or string. Measured
+    * (LakeCkptBench): the tree+pretty-printer form took 25.7 s and GC'd
+    * hard at 10⁶ files (the 128 TB table at a 128 MB file target); the
+    * streaming form is a few seconds and O(1) heap. Same JSON shape as
+    * before — old checkpoints parse fine and vice versa. */
+  private[lake] def writeCkpt(f: File, s: LogState): Unit = {
+    val g = mapper.getFactory.createGenerator(f,
+      com.fasterxml.jackson.core.JsonEncoding.UTF8)
+    try {
+      g.writeStartObject()
+      g.writeNumberField("version", s.version)
+      g.writeStringField("schema", s.schemaJson)
+      g.writeNumberField("maxColId", s.maxColId)
+      g.writeNumberField("ckptEvery", s.ckptEvery)
+      if (s.retired.nonEmpty) {
+        g.writeObjectFieldStart("retired")
+        s.retired.foreach { case (name, id) => g.writeNumberField(name, id) }
+        g.writeEndObject()
+      }
+      g.writeObjectFieldStart("txns")
+      s.txns.foreach { case (app, epoch) => g.writeNumberField(app, epoch) }
+      g.writeEndObject()
+      g.writeArrayFieldStart("files")
+      s.files.values.foreach { a =>
+        g.writeStartObject()
+        g.writeStringField("path", a.path)
+        g.writeNumberField("rows", a.rows)
+        g.writeNumberField("bytes", a.bytes)
+        a.dv.foreach { d =>
+          g.writeObjectFieldStart("dv")
+          g.writeStringField("path", d.path)
+          g.writeNumberField("card", d.cardinality)
+          g.writeEndObject()
+        }
+        g.writeObjectFieldStart("stats")
+        a.stats.foreach { case (c, st) =>
+          g.writeObjectFieldStart(c)
+          st.min.foreach(g.writeStringField("min", _))
+          st.max.foreach(g.writeStringField("max", _))
+          g.writeNumberField("nulls", st.nullCount)
+          g.writeStringField("kind", st.kind)
+          g.writeEndObject()
+        }
+        g.writeEndObject()
+        g.writeEndObject()
+      }
+      g.writeEndArray()
+      g.writeEndObject()
+    } finally g.close()
   }
 
+  /** Checkpoint parse, STREAMING: the files array is consumed one
+    * element-subtree at a time (small per-file trees, shared with the
+    * commit parser), never one tree for the whole checkpoint — the cold
+    * `snapshot()` cost every reader pays. Field-order agnostic. */
   private[lake] def parseCkpt(f: File): LogState = {
-    val n = mapper.readTree(f)
-    val txns = Option(n.get("txns")).map { tn =>
-      tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
-    }.getOrElse(Map.empty[String, Long])
-    val files = parseAddFiles(n.get("files"))
-    LogState(n.get("version").asLong, n.get("schema").asText,
-      scala.collection.immutable.ListMap(files.map(a => a.path -> a): _*), txns,
-      Option(n.get("maxColId")).map(_.asInt).getOrElse(0),
-      Option(n.get("retired")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty),
-      Option(n.get("ckptEvery")).map(_.asInt).getOrElse(0))
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(f)
+    try {
+      var version = 0L
+      var schema: String = null
+      var maxColId = 0
+      var ckptEvery = 0
+      var retired = Map.empty[String, Long]
+      var txns = Map.empty[String, Long]
+      val files = Vector.newBuilder[(String, AddFile)]
+      require(p.nextToken() == JsonToken.START_OBJECT, s"corrupt checkpoint $f")
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        val field = p.currentName()
+        p.nextToken()
+        field match {
+          case "version" => version = p.getLongValue
+          case "schema" => schema = p.getText
+          case "maxColId" => maxColId = p.getIntValue
+          case "ckptEvery" => ckptEvery = p.getIntValue
+          case "retired" =>
+            retired = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+              .properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+          case "txns" =>
+            txns = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+              .properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+          case "files" =>
+            while (p.nextToken() != JsonToken.END_ARRAY) {
+              val a = parseAddFile(
+                mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p))
+              files += a.path -> a
+            }
+          case _ => p.skipChildren()
+        }
+      }
+      LogState(version,
+        Option(schema).getOrElse(sys.error(s"checkpoint $f has no schema")),
+        scala.collection.immutable.VectorMap.from(files.result()), txns,
+        maxColId, retired, ckptEvery)
+    } finally p.close()
   }
 
   /** Newest checkpoint at or below `maxV`, if any. Checkpoints are
@@ -274,7 +343,7 @@ object GraftLake {
     }
     LogState(target, schemaJson.getOrElse(
         sys.error(s"no schema recorded in $dir through v$target")),
-      scala.collection.immutable.ListMap(active.toSeq: _*), txns.toMap, maxColId,
+      scala.collection.immutable.VectorMap(active.toSeq: _*), txns.toMap, maxColId,
       retired.toMap, ckptEvery)
   }
 
@@ -289,7 +358,7 @@ object GraftLake {
     if (every > 0 && v > 0 && v % every == 0 && !ckptFile(dir, v).exists()) {
       val ld = logDir(dir)
       val tmp = new File(ld, s".tmp-ckpt-${UUID.randomUUID()}")
-      Files.write(tmp.toPath, ckptJson(stateAt(dir, v)).getBytes(StandardCharsets.UTF_8))
+      writeCkpt(tmp, stateAt(dir, v))
       try Files.createLink(ckptFile(dir, v).toPath, tmp.toPath)
       catch { case _: FileAlreadyExistsException => () }
       finally tmp.delete()
@@ -412,6 +481,37 @@ object GraftLake {
     if (paths.size <= 16) paths.map(one).toMap
     else spark.sparkContext.parallelize(paths, math.min(paths.size, 64)).map(one).collect().toMap
   }
+
+  /** Table-level per-column (kind, min, max, nullCount) folded from the
+    * log's per-file footer stats — the lake's ANALYZE-free column
+    * statistics. Conservative: a column missing stats on ANY active file
+    * is omitted entirely; a file with unknown nullCount (-1) drops the
+    * null count but keeps the bounds. DV'd files keep their full-file
+    * bounds (the envelope stays a valid over-approximation after
+    * row-level deletes). */
+  private[graft] def tableColStats(snap: Snapshot)
+      : Map[String, (String, Option[String], Option[String], Option[Long])] =
+    snap.schema.fields.iterator.flatMap { f =>
+      val c = f.name
+      // per-file stats are keyed by parquet FIELD ID (rename-stable);
+      // fall back to the name for id-less (externally created) tables
+      val key = idOf(f).map(_.toString).getOrElse(c)
+      val per = snap.files.map(_.stats.get(key))
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else {
+        val ss = per.flatten
+        val kind = ss.head.kind
+        val mins = ss.flatMap(_.min)
+        val maxs = ss.flatMap(_.max)
+        val mn = if (mins.size == ss.size)
+          Some(mins.reduce((a, b) => if (cmp(kind, a, b) <= 0) a else b)) else None
+        val mx = if (maxs.size == ss.size)
+          Some(maxs.reduce((a, b) => if (cmp(kind, a, b) >= 0) a else b)) else None
+        val nulls = if (ss.forall(_.nullCount >= 0))
+          Some(ss.map(_.nullCount).sum) else None
+        Some(c -> ((kind, mn, mx, nulls)))
+      }
+    }.toMap
 
   private def cmp(kind: String, a: String, b: String): Int = kind match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)

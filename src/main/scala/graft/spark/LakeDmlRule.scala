@@ -93,10 +93,63 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     * over 100 TB required. Stamped onto the IN-PLAN CatalogTable copy
     * only; nothing is persisted to the metastore (the next snapshot
     * recomputes from its own log state). */
-  private def withLogStats(ct: CatalogTable, idx: LakeFileIndex): CatalogTable =
+  private def withLogStats(ct: CatalogTable, idx: LakeFileIndex): CatalogTable = {
+    // rowCount/sizeInBytes/min/max/nullCount are log-exact and always
+    // fresher than anything ANALYZE wrote to the metastore; but ANALYZE's
+    // ndv/avgLen/maxLen/histogram are DATA-derived and richer than the
+    // log's bounds — inherit those fields per column when present
+    val analyzed = ct.stats.map(_.colStats).getOrElse(Map.empty)
+    val merged = logColStats(idx).map { case (c, fresh) =>
+      c -> analyzed.get(c).map(a => fresh.copy(
+        distinctCount = a.distinctCount.orElse(fresh.distinctCount),
+        avgLen = a.avgLen, maxLen = a.maxLen, histogram = a.histogram))
+        .getOrElse(fresh)
+    }
     ct.copy(stats = Some(CatalogStatistics(
       sizeInBytes = BigInt(idx.sizeInBytes),
-      rowCount = Some(BigInt(idx.liveRows)))))
+      rowCount = Some(BigInt(idx.liveRows)),
+      colStats = merged)))
+  }
+
+  /** Column-level stats folded from the log's per-file footer min/max —
+    * what lets CBO's FilterEstimation size a range predicate on a lake
+    * table from metadata. min/max attach ONLY when the schema type's
+    * CatalogColumnStat external string format matches the footer's stat
+    * kind (a DateType column's footer stats are epoch-day "long"s, but
+    * its external stat format is "2020-01-01" — attaching the raw long
+    * would make toPlanStat throw at planning time); nullCount is
+    * format-agnostic and always safe. */
+  private def logColStats(idx: LakeFileIndex)
+      : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
+    import org.apache.spark.sql.types._
+    val byName = idx.schema.fields.map(f => f.name -> f.dataType).toMap
+    GraftLake.tableColStats(idx.snap).map { case (c, (kind, mn, mx, nulls)) =>
+      val formatsMatch = (byName.get(c), kind) match {
+        case (Some(ByteType | ShortType | IntegerType | LongType), "long") => true
+        case (Some(FloatType | DoubleType), "double") => true
+        case _ => false
+      }
+      // FilterEstimation refuses to engage without an ndv. The log gives
+      // a PRINCIPLED upper bound for integers — ndv <= max-min+1 (tight
+      // for dense keys AND for low-cardinality flags) — capped by the
+      // non-null row count; other types fall back to the non-null count
+      // (equality estimates turn optimistic, range estimates are
+      // ndv-independent). An upper bound keeps size estimates on the
+      // safe (over-estimating) side for the broadcast decision.
+      val nonNull = nulls.map(idx.liveRows - _).getOrElse(idx.liveRows)
+      val ndv: Option[BigInt] = (formatsMatch, kind, mn, mx) match {
+        case (true, "long", Some(lo), Some(hi)) =>
+          Some(BigInt(hi.toLong - lo.toLong + 1).min(BigInt(nonNull)).max(1))
+        case _ if nonNull >= 0 => Some(BigInt(nonNull).max(1))
+        case _ => None
+      }
+      c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+        distinctCount = ndv,
+        min = if (formatsMatch) mn else None,
+        max = if (formatsMatch) mx else None,
+        nullCount = nulls.map(BigInt(_)))
+    }
+  }
 
   /** The DV split-scan plan re-pinned to `wanted` output attributes.
     * The inner relations carry `ct` so catalog machinery that walks the

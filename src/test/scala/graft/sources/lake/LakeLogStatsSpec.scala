@@ -102,6 +102,15 @@ class LakeLogStatsSpec extends SparkSpec {
       spark.catalog.refreshTable("lake_stats_rc")
       val est2 = spark.table("lake_stats_rc").queryExecution.optimizedPlan.stats
       assert(est2.rowCount.contains(BigInt(1334)), s"stats must track the log: $est2")
+
+      // column-level stats: footer min/max reach FilterEstimation, so a
+      // range predicate's cardinality estimate shrinks BELOW the table's
+      // row count from metadata alone (id spans [0,1233]∪[5000,5099];
+      // id < 100 covers <10% of the range)
+      val filtered = spark.table("lake_stats_rc").where("id < 100")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.isDefined && filtered.rowCount.get < BigInt(300),
+        s"range filter must estimate from footer min/max: $filtered")
     } finally {
       spark.conf.unset("spark.sql.cbo.enabled")
       spark.sql("DROP TABLE lake_stats_rc")
