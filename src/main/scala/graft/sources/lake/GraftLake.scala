@@ -513,6 +513,25 @@ object GraftLake {
       }
     }.toMap
 
+  /** Per-file (min, max, liveRows) as doubles for each NUMERIC-statted
+    * column, in log file order — the raw material for the ANALYZE-free
+    * clustered-column histogram (see LakeDmlRule). A column is present
+    * only when EVERY active file carries bounds for it. */
+  private[graft] def perFileNumericStats(snap: Snapshot)
+      : Map[String, (String, Seq[(Double, Double, Long)])] =
+    snap.schema.fields.iterator.flatMap { f =>
+      val key = idOf(f).map(_.toString).getOrElse(f.name)
+      val per = snap.files.map(a => (a.stats.get(key),
+        a.rows - a.dv.map(_.cardinality).getOrElse(0L)))
+      val kinds = per.flatMap(_._1).map(_.kind).distinct
+      if (per.isEmpty || kinds.size != 1 || !Set("long", "double")(kinds.head) ||
+          per.exists { case (s, _) => s.isEmpty || s.get.min.isEmpty || s.get.max.isEmpty })
+        None
+      else Some(f.name -> ((kinds.head, per.map { case (s, live) =>
+        (s.get.min.get.toDouble, s.get.max.get.toDouble, live)
+      })))
+    }.toMap
+
   private def cmp(kind: String, a: String, b: String): Int = kind match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, Resolve
 import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogTable}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, Project, ReplaceTableAsSelect, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
@@ -98,12 +99,21 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     // fresher than anything ANALYZE wrote to the metastore; but ANALYZE's
     // ndv/avgLen/maxLen/histogram are DATA-derived and richer than the
     // log's bounds — inherit those fields per column when present
-    val analyzed = ct.stats.map(_.colStats).getOrElse(Map.empty)
-    val merged = logColStats(idx).map { case (c, fresh) =>
-      c -> analyzed.get(c).map(a => fresh.copy(
-        distinctCount = a.distinctCount.orElse(fresh.distinctCount),
-        avgLen = a.avgLen, maxLen = a.maxLen, histogram = a.histogram))
-        .getOrElse(fresh)
+    // toPlanStats only reads colStats under CBO/plan-stats, so skip the
+    // O(files × columns) driver-side fold when neither is on (the
+    // default) — at 10⁶ files that fold is real planning latency
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val merged = if (!conf.cboEnabled && !conf.planStatsEnabled) Map.empty[String,
+      org.apache.spark.sql.catalyst.catalog.CatalogColumnStat]
+    else {
+      val analyzed = ct.stats.map(_.colStats).getOrElse(Map.empty)
+      logColStats(idx).map { case (c, fresh) =>
+        c -> analyzed.get(c).map(a => fresh.copy(
+          distinctCount = a.distinctCount.orElse(fresh.distinctCount),
+          avgLen = a.avgLen, maxLen = a.maxLen,
+          histogram = a.histogram.orElse(fresh.histogram)))
+          .getOrElse(fresh)
+      }
     }
     ct.copy(stats = Some(CatalogStatistics(
       sizeInBytes = BigInt(idx.sizeInBytes),
@@ -123,6 +133,7 @@ object LakeDmlRule extends Rule[LogicalPlan] {
       : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
     import org.apache.spark.sql.types._
     val byName = idx.schema.fields.map(f => f.name -> f.dataType).toMap
+    val perFile = GraftLake.perFileNumericStats(idx.snap)
     GraftLake.tableColStats(idx.snap).map { case (c, (kind, mn, mx, nulls)) =>
       val formatsMatch = (byName.get(c), kind) match {
         case (Some(ByteType | ShortType | IntegerType | LongType), "long") => true
@@ -147,8 +158,45 @@ object LakeDmlRule extends Rule[LogicalPlan] {
         distinctCount = ndv,
         min = if (formatsMatch) mn else None,
         max = if (formatsMatch) mx else None,
-        nullCount = nulls.map(BigInt(_)))
+        nullCount = nulls.map(BigInt(_)),
+        histogram = if (formatsMatch) perFile.get(c)
+          .flatMap { case (k, fs) => fileHistogram(k, fs) } else None)
     }
+  }
+
+  /** The ANALYZE-free histogram: on a CLUSTERED column the per-file
+    * footer envelopes are disjoint ranges holding near-equal row counts
+    * — exactly the bins of an equi-height histogram, read from the log
+    * for free. Attached only when the envelopes really are disjoint
+    * (sorted by lo, each lo ≥ previous hi) and near-equal (max/min file
+    * rows ≤ 4×) — i.e. only where the equi-height assumption Spark's
+    * FilterEstimation bakes in actually holds; unclustered columns keep
+    * plain min/max. This is what makes a range predicate on a z-ordered
+    * / range-partitioned 100 TB table estimate by actual row DENSITY,
+    * not linear interpolation over the whole domain. */
+  private def fileHistogram(kind: String,
+      files: Seq[(Double, Double, Long)]): Option[Histogram] = {
+    if (files.size < 2) return None
+    val sorted = files.sortBy(_._1)
+    val disjoint = sorted.iterator.sliding(2).withPartial(false)
+      .forall { w => w(1)._1 >= w(0)._2 }
+    if (!disjoint) return None
+    val live = sorted.filter(_._3 > 0)
+    if (live.size < 2) return None
+    if (live.map(_._3).max > 4L * live.map(_._3).min) return None
+    // bound the bin count the way ANALYZE does (default 254 buckets)
+    val target = 254
+    val merged = if (live.size <= target) live else {
+      val per = math.ceil(live.size.toDouble / target).toInt
+      live.grouped(per).map(g => (g.head._1, g.last._2, g.map(_._3).sum)).toSeq
+    }
+    val bins = merged.map { case (lo, hi, rows) =>
+      val ndv = if (kind == "long")
+        math.max(1L, math.min(rows, (hi - lo).toLong + 1)) else math.max(1L, rows)
+      HistogramBin(lo, hi, ndv)
+    }
+    val total = merged.map(_._3).sum
+    Some(Histogram(total.toDouble / merged.size, bins.toArray))
   }
 
   /** The DV split-scan plan re-pinned to `wanted` output attributes.

@@ -117,6 +117,36 @@ class LakeLogStatsSpec extends SparkSpec {
     }
   }
 
+  test("clustered column gets an ANALYZE-free histogram from file " +
+    "envelopes: skewed-range estimates follow row DENSITY, not linear " +
+    "interpolation") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_stats_hist")
+    // 90% of rows in id [0, 1000), 10% stretched over [1000, 100000) —
+    // range-partitioned so file envelopes are disjoint (clustered)
+    val dense = spark.range(0, 9000).select((col("id") % 1000).as("id"))
+    val sparse = spark.range(0, 1000).select((col("id") * 99 + 1000).as("id"))
+    dense.unionAll(sparse).repartitionByRange(8, col("id"))
+      .createOrReplaceTempView("lake_stats_hist_src")
+    spark.sql(
+      s"""CREATE TABLE lake_stats_hist USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_stats_hist_src""".stripMargin)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // true selectivity of id >= 1000 is 10%; linear interpolation over
+      // [0, 99901] would claim ~99%. The histogram must keep the
+      // estimate density-faithful (allow 3x slack for bin edges).
+      val est = spark.table("lake_stats_hist").where("id >= 1000")
+        .queryExecution.optimizedPlan.stats
+      assert(est.rowCount.isDefined, s"no estimate: $est")
+      assert(est.rowCount.get <= BigInt(3000),
+        s"histogram must beat linear interpolation (true 1000): $est")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE lake_stats_hist")
+    }
+  }
+
   test("LakeFileIndex size is DV-adjusted per file, never below 1 byte " +
     "per live file, and exact again after the DVs purge") {
     val dir = tmp()
