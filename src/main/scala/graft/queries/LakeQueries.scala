@@ -519,6 +519,48 @@ object LakeQueries {
     s.sql("SELECT o_orderkey, o_orderstatus, price_c, o_orderpriority " +
       "FROM graft_l12 ORDER BY o_orderkey")
   }
+  // ── l17: liquid-clustering-lite — clusterBy as a folded table property ─
+  // CREATE ... TBLPROPERTIES('clusterBy'=...) folds the property into the
+  // log; INSERTs best-effort sort their batches; a bare OPTIMIZE (no
+  // ZORDER clause) re-clusters the whole table on the declared columns;
+  // a clustered-column box predicate then file-prunes. The oracle is the
+  // final table content — layout changed, rows identical.
+  private val l17LakeCluster: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_cl").toString + "/t"
+    ordersProjected(s, dir).createOrReplaceTempView("l17_orders_src")
+    s.sql("DROP TABLE IF EXISTS graft_l17")
+    s.sql(
+      s"""CREATE TABLE graft_l17 USING `graft-lake` OPTIONS (path '$tbl')
+         |TBLPROPERTIES ('clusterBy' = 'o_orderkey,price_c')
+         |AS SELECT o_orderkey, o_orderstatus, price_c FROM l17_orders_src
+         |WHERE o_orderkey % 2 = 0""".stripMargin)
+    require(GraftLake.snapshot(s, tbl).props("clusterBy") == "o_orderkey,price_c",
+      "clusterBy must fold from CREATE TBLPROPERTIES")
+    s.sql("INSERT INTO graft_l17 SELECT o_orderkey, o_orderstatus, price_c " +
+      "FROM l17_orders_src WHERE o_orderkey % 2 = 1")
+    // bare OPTIMIZE routes to the clusterBy columns (history proves it);
+    // the API pass sizes files small enough to observe pruning at this sf
+    s.sql("OPTIMIZE graft_l17")
+    require(GraftLake.history(tbl).map(_._2).count(_ == "zorder") == 1,
+      "bare OPTIMIZE of a clustered table must re-cluster, not bin-pack")
+    val bytes = GraftLake.snapshot(s, tbl).files.map(_.bytes).sum
+    GraftLake.optimize(s, tbl, targetBytes = math.max(1L, bytes / 8))
+    val keys = GraftLake.read(s, tbl).agg(
+      min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val mid = (keys.getLong(0) + keys.getLong(1)) / 2
+    val (_, kept, total) = GraftLake.scanFiltered(s, tbl,
+      col("o_orderkey").between(keys.getLong(0), mid / 4))
+    require(total >= 4 && kept < total,
+      s"clustered box predicate must file-prune: kept $kept of $total")
+    s.catalog.refreshTable("graft_l17")
+    s.sql("SELECT o_orderkey, o_orderstatus, price_c FROM graft_l17 " +
+      "ORDER BY o_orderkey")
+  }
+  private val l17LakeClusterSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   private val l12LakeSqlLifecycleSql =
     """WITH p AS (
       |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
@@ -743,6 +785,7 @@ object LakeQueries {
     "l14_lake_dv" -> l14LakeDv,
     "l15_lake_dv_update" -> l15LakeDvUpdate,
     "l16_lake_merge_mor" -> l16LakeMergeMor,
+    "l17_lake_cluster" -> l17LakeCluster,
     "l13_lake_cdc_replica" -> l13LakeCdcReplica,
     "l9_lake_sql_alter" -> l9LakeSqlAlter,
     "l10_lake_sql_merge" -> l10LakeSqlMerge,
@@ -761,6 +804,7 @@ object LakeQueries {
     "l14_lake_dv" -> l14LakeDvSql,
     "l15_lake_dv_update" -> l15LakeDvUpdateSql,
     "l16_lake_merge_mor" -> l10LakeSqlMergeSql, // same algebra, MoR path
+    "l17_lake_cluster" -> l17LakeClusterSql,
     "l13_lake_cdc_replica" -> l1LakeDmlSql, // same final state, CDC path
     "l9_lake_sql_alter" -> l9LakeSqlAlterSql,
     "l10_lake_sql_merge" -> l10LakeSqlMergeSql,

@@ -83,7 +83,8 @@ object GraftLake {
       txnApp: Option[String], txnEpoch: Option[Long],
       schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String],
       ckptEvery: Option[Int] = None, maxColId: Option[Int] = None,
-      retiredNames: Seq[(String, Long)] = Nil)
+      retiredNames: Seq[(String, Long)] = Nil,
+      props: Seq[(String, Option[String])] = Nil)
 
   /** Folded log state at one version — what a checkpoint persists: the
     * active file set, the evolved schema, the high-water epoch per
@@ -97,11 +98,12 @@ object GraftLake {
   private[lake] final case class LogState(version: Long, schemaJson: String,
       files: scala.collection.immutable.VectorMap[String, AddFile],
       txns: Map[String, Long], maxColId: Int, retired: Map[String, Long],
-      ckptEvery: Int = 0)
+      ckptEvery: Int = 0, props: Map[String, String] = Map.empty)
 
   final case class Snapshot(dir: String, version: Long, schema: StructType,
       files: Seq[AddFile], maxColId: Int = 0,
-      retired: Map[String, Long] = Map.empty, ckptEvery: Int = 0) {
+      retired: Map[String, Long] = Map.empty, ckptEvery: Int = 0,
+      props: Map[String, String] = Map.empty) {
     def activePaths: Seq[String] = files.map(f => s"$dir/${f.path}")
   }
 
@@ -177,6 +179,13 @@ object GraftLake {
       val rn = n.putObject("retired")
       c.retiredNames.foreach { case (name, id) => rn.put(name, id) }
     }
+    if (c.props.nonEmpty) {
+      val pn = n.putObject("props")
+      c.props.foreach {
+        case (k, Some(v)) => pn.put(k, v)
+        case (k, None) => pn.putNull(k)
+      }
+    }
     val adds = n.putArray("adds")
     c.adds.foreach(addFileNode(adds, _))
     val rem = n.putArray("removes")
@@ -195,7 +204,10 @@ object GraftLake {
       Option(n.get("ckptEvery")).map(_.asInt),
       Option(n.get("maxColId")).map(_.asInt),
       Option(n.get("retired")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong).toSeq).getOrElse(Nil))
+        .map(e => e.getKey -> e.getValue.asLong).toSeq).getOrElse(Nil),
+      Option(n.get("props")).map(_.properties().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
+      }.toSeq).getOrElse(Nil))
   }
 
   // ── log checkpoints: snapshot cost O(active files + tail), not O(log) ─
@@ -218,6 +230,11 @@ object GraftLake {
       if (s.retired.nonEmpty) {
         g.writeObjectFieldStart("retired")
         s.retired.foreach { case (name, id) => g.writeNumberField(name, id) }
+        g.writeEndObject()
+      }
+      if (s.props.nonEmpty) {
+        g.writeObjectFieldStart("props")
+        s.props.foreach { case (k, v) => g.writeStringField(k, v) }
         g.writeEndObject()
       }
       g.writeObjectFieldStart("txns")
@@ -266,6 +283,7 @@ object GraftLake {
       var ckptEvery = 0
       var retired = Map.empty[String, Long]
       var txns = Map.empty[String, Long]
+      var props = Map.empty[String, String]
       val files = Vector.newBuilder[(String, AddFile)]
       require(p.nextToken() == JsonToken.START_OBJECT, s"corrupt checkpoint $f")
       while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -279,6 +297,9 @@ object GraftLake {
           case "retired" =>
             retired = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
               .properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+          case "props" =>
+            props = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+              .properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
           case "txns" =>
             txns = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
               .properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
@@ -294,7 +315,7 @@ object GraftLake {
       LogState(version,
         Option(schema).getOrElse(sys.error(s"checkpoint $f has no schema")),
         scala.collection.immutable.VectorMap.from(files.result()), txns,
-        maxColId, retired, ckptEvery)
+        maxColId, retired, ckptEvery, props)
     } finally p.close()
   }
 
@@ -328,6 +349,8 @@ object GraftLake {
     val retired = scala.collection.mutable.Map.empty[String, Long]
     base.foreach(b => retired ++= b.retired)
     var ckptEvery = base.map(_.ckptEvery).getOrElse(0)
+    val props = scala.collection.mutable.Map.empty[String, String]
+    base.foreach(b => props ++= b.props)
     var v = base.map(_.version + 1).getOrElse(0L)
     while (v <= target) {
       val c = parseCommit(versionFile(dir, v))
@@ -336,6 +359,10 @@ object GraftLake {
       c.schemaJson.foreach(s => schemaJson = Some(s))
       c.maxColId.foreach(m => maxColId = math.max(maxColId, m))
       c.ckptEvery.foreach(e => ckptEvery = e) // latest setting wins
+      c.props.foreach { // latest delta wins per key; None = unset
+        case (k, Some(value)) => props(k) = value
+        case (k, None) => props.remove(k)
+      }
       retired ++= c.retiredNames
       for (app <- c.txnApp; epoch <- c.txnEpoch)
         txns(app) = math.max(epoch, txns.getOrElse(app, Long.MinValue))
@@ -344,7 +371,7 @@ object GraftLake {
     LogState(target, schemaJson.getOrElse(
         sys.error(s"no schema recorded in $dir through v$target")),
       scala.collection.immutable.VectorMap(active.toSeq: _*), txns.toMap, maxColId,
-      retired.toMap, ckptEvery)
+      retired.toMap, ckptEvery, props.toMap)
   }
 
   /** Write a checkpoint after version `v` when the cadence says so.
@@ -397,7 +424,7 @@ object GraftLake {
       org.apache.spark.sql.types.DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     Snapshot(dir, target, schema, st.files.values.toSeq,
       math.max(st.maxColId, schema.fields.flatMap(idOf).foldLeft(0L)(math.max).toInt),
-      st.retired, st.ckptEvery)
+      st.retired, st.ckptEvery, st.props)
   }
 
   // ── the atomic commit fence ──────────────────────────────────────────
@@ -688,7 +715,17 @@ object GraftLake {
     val spark = df.sparkSession
     val pre = snapshot(spark, dir)
     val merged0 = mergeSchemas(pre.schema, df.schema, pre.maxColId, pre.retired)
-    val adds = stage(df, dir, numFiles, merged0)
+    // clustered table: best-effort WRITE-side clustering — sort the batch
+    // within its partitions by the cluster z-value (narrow, no shuffle;
+    // one approxQuantile pass over the batch) so new files land with
+    // tight per-file envelopes on the cluster columns. Cross-file
+    // clustering stays OPTIMIZE's job (Delta's clustered-write posture).
+    val staged = clusterByOf(pre).filter(_.forall(df.columns.contains)) match {
+      case Some(cols) =>
+        df.sortWithinPartitions(graft.sources.Layout.clusteredZValue(df, cols))
+      case None => df
+    }
+    val adds = stage(staged, dir, numFiles, merged0)
     retry(dir, "append") { snap =>
       val merged = mergedUnderFence(snap, df.schema, merged0, "append")
       val schemaJson = if (merged == snap.schema) None else Some(merged.json)
@@ -1492,7 +1529,22 @@ object GraftLake {
     * disk for time travel until [[vacuum]]. */
   def optimize(spark: SparkSession, dir: String,
       smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
-      where: Option[Column] = None): Long =
+      where: Option[Column] = None): Long = {
+    // liquid-clustering-lite: a bare OPTIMIZE of a table carrying the
+    // clusterBy property re-clusters the WHOLE table on those columns
+    // (Delta's clustered-table OPTIMIZE semantics); OPTIMIZE ... WHERE
+    // keeps bin-packing — targeted compaction must not reshuffle the
+    // layout of untouched files
+    if (where.isEmpty) {
+      val pre = snapshot(spark, dir)
+      clusterByOf(pre) match {
+        case Some(cols) =>
+          val bytes = pre.files.map(_.bytes).sum
+          return optimizeZOrder(spark, dir, cols,
+            math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+        case None => ()
+      }
+    }
     retryRewrite(spark, dir, "optimize") { snap =>
       // `where` = TARGETED compaction (Delta's OPTIMIZE ... WHERE): only
       // files whose footer stats overlap the predicate are candidates —
@@ -1513,6 +1565,7 @@ object GraftLake {
         (small, df)
       }
     }
+  }
 
   /** ALTER TABLE ... RENAME COLUMN as a pure metadata commit: the field
     * id is the column's identity, so every existing data file keeps
@@ -1537,9 +1590,15 @@ object GraftLake {
           "carry it; pick a different name")
       val fields = snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f)
+      // a clustered column rename follows the column (same commit, so
+      // the property can never dangle between two versions)
+      val clusterDelta = clusterByOf(snap).filter(_.contains(oldName))
+        .map(cols => ClusterByKey -> Some(
+          cols.map(c => if (c == oldName) newName else c).mkString(",")))
+        .toSeq
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "rename-column",
         None, None, Some(StructType(fields).json), Nil, Nil,
-        retiredNames = Seq(oldName -> movingId)),
+        retiredNames = Seq(oldName -> movingId), props = clusterDelta),
         snap.version + 1))
     }.get
 
@@ -1555,10 +1614,17 @@ object GraftLake {
       require(snap.schema.fieldNames.contains(name), s"no column '$name' in $dir")
       require(snap.schema.fields.length > 1, s"cannot drop the only column of $dir")
       val fields = snap.schema.fields.filterNot(_.name == name)
+      // dropping a clustered column shrinks (or, below two survivors,
+      // clears) the clusterBy property in the SAME commit
+      val clusterDelta = clusterByOf(snap).filter(_.contains(name)).map { cols =>
+        val rest = cols.filterNot(_ == name)
+        ClusterByKey -> (if (rest.size >= 2) Some(rest.mkString(",")) else None)
+      }.toSeq
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "drop-column",
         None, None, Some(StructType(fields).json), Nil, Nil,
         maxColId = Some(snap.maxColId),
-        retiredNames = Seq(name -> idOf(snap.schema(name)).getOrElse(-1L))),
+        retiredNames = Seq(name -> idOf(snap.schema(name)).getOrElse(-1L)),
+        props = clusterDelta),
         snap.version + 1))
     }.get
 
@@ -1596,6 +1662,54 @@ object GraftLake {
       else Some((Commit(snap.version + 1, System.currentTimeMillis(),
         "set-properties", None, None, None, Nil, Nil,
         ckptEvery = Some(every)), snap.version + 1))
+    }.getOrElse(latestVersion(dir))
+  }
+
+  /** Folded table property key for liquid-clustering-lite: comma-
+    * separated column list; bare OPTIMIZE re-clusters by it, appends
+    * best-effort sort by it. */
+  private[graft] val ClusterByKey = "clusterBy"
+
+  /** The snapshot's clustering columns, if the property is set. */
+  private[graft] def clusterByOf(snap: Snapshot): Option[Seq[String]] =
+    snap.props.get(ClusterByKey)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+
+  /** ALTER TABLE ... SET/UNSET TBLPROPERTIES as ONE pure-metadata commit:
+    * general key/value properties are FOLDED log state (latest delta wins
+    * per key, carried through checkpoints), so they version, time-travel
+    * and RESTORE like everything else. `checkpointEvery` routes to its
+    * dedicated folded field; `clusterBy` validates its column list
+    * against the fenced schema (and needs >= 2 columns — one column is
+    * just a sort). */
+  def setProperties(spark: SparkSession, dir: String,
+      sets: Map[String, String], unsets: Seq[String] = Nil): Long = {
+    require(sets.nonEmpty || unsets.nonEmpty, "nothing to change")
+    require(sets.keySet.intersect(unsets.toSet).isEmpty,
+      "a key cannot be both set and unset")
+    retry(dir, "set-properties") { snap =>
+      sets.get(ClusterByKey).foreach { v =>
+        val cols = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        require(cols.size >= 2,
+          s"$ClusterByKey needs at least two columns, got '$v'")
+        val missing = cols.filterNot(snap.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"$ClusterByKey columns not in the table schema: ${missing.mkString(", ")}")
+      }
+      val ckpt = sets.get("checkpointEvery").map(_.toInt)
+        .orElse(if (unsets.contains("checkpointEvery")) Some(0) else None)
+      ckpt.foreach(e => require(e >= 0, s"checkpointEvery must be >= 0, got $e"))
+      val deltas: Seq[(String, Option[String])] =
+        (sets - "checkpointEvery").toSeq.map { case (k, v) => k -> Some(v) } ++
+          unsets.filterNot(_ == "checkpointEvery").map(_ -> None)
+      val changed = ckpt.exists(_ != snap.ckptEvery) || deltas.exists {
+        case (k, v) => snap.props.get(k) != v
+      }
+      if (!changed) None
+      else Some((Commit(snap.version + 1, System.currentTimeMillis(),
+        "set-properties", None, None, None, Nil, Nil,
+        ckptEvery = ckpt, props = deltas), snap.version + 1))
     }.getOrElse(latestVersion(dir))
   }
 
@@ -1891,7 +2005,11 @@ object GraftLake {
   def optimizeZOrder(spark: SparkSession, dir: String, cols: Seq[String],
       numFiles: Int): Long =
     retryRewrite(spark, dir, "zorder") { snap =>
-      if (snap.files.size < 2) (Nil, emptyDf(spark, snap.schema))
+      // nothing to do only when the layout cannot change: empty table, or
+      // one file that would stay one file (a single file CAN re-cluster
+      // into many — how a compacted table regains pruning granularity)
+      if (snap.files.isEmpty || (snap.files.size == 1 && numFiles <= 1))
+        (Nil, emptyDf(spark, snap.schema))
       else {
         val df0 = readFiles(spark, snap, snap.activePaths)
         val df = df0

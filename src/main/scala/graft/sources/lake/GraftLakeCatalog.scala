@@ -106,16 +106,17 @@ class GraftLakeCatalog extends DelegatingCatalogExtension {
             require(a.fieldNames.length == 1,
               "graft-lake ALTER TABLE supports top-level columns only")
             GraftLake.addColumn(spark, dir, a.fieldNames()(0), a.dataType)
-          case p: TableChange.SetProperty
-              if p.property == "checkpointEvery" =>
-            GraftLake.setCheckpointEvery(spark, dir, p.value.toInt)
-          case p: TableChange.RemoveProperty
-              if p.property == "checkpointEvery" =>
-            GraftLake.setCheckpointEvery(spark, dir, 0)
+          case p: TableChange.SetProperty =>
+            // checkpointEvery routes to its dedicated folded field inside
+            // setProperties; everything else (clusterBy, user metadata)
+            // folds through the general props map — one commit either way
+            GraftLake.setProperties(spark, dir, Map(p.property -> p.value))
+          case p: TableChange.RemoveProperty =>
+            GraftLake.setProperties(spark, dir, Map.empty, Seq(p.property))
           case other => throw new UnsupportedOperationException(
             s"graft-lake ALTER TABLE does not support change $other " +
               "(supported: RENAME COLUMN, DROP COLUMN, ADD COLUMN, " +
-              "SET/UNSET TBLPROPERTIES ('checkpointEvery'))")
+              "SET/UNSET TBLPROPERTIES)")
         }
         // mirror into the metastore schema so DESCRIBE / SHOW stay
         // truthful (the lake LOG remains the source of truth for reads)

@@ -266,6 +266,12 @@ object LakeDmlRule extends Rule[LogicalPlan] {
   }
   private def isLake(spec: TableSpecBase): Boolean =
     specProvider(spec).exists(_.equalsIgnoreCase("graft-lake"))
+  private def specProps(spec: TableSpecBase): Map[String, String] = spec match {
+    case s: TableSpec => s.properties
+    case s: UnresolvedTableSpec => s.properties
+    case _ => Map.empty
+  }
+
   private def specPath(spec: TableSpecBase): Option[String] = spec match {
     case s: TableSpec => s.location.orElse(s.options.get("path"))
       .map(graft.sources.lake.GraftLakeSource.normalizePath)
@@ -320,15 +326,16 @@ object LakeDmlRule extends Rule[LogicalPlan] {
       LakeCreateTableCommand(partsOf(ident), specPath(spec),
         org.apache.spark.sql.types.StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
-        None, ignore)
+        None, ignore, specProps(spec))
     case CreateTableAsSelect(ResolvedIdentifier(_, ident), Seq(), query,
         spec, _, ignore, _) if isLake(spec) && query.resolved =>
       LakeCreateTableCommand(partsOf(ident), specPath(spec),
-        new org.apache.spark.sql.types.StructType(), Some(convert(query)), ignore)
+        new org.apache.spark.sql.types.StructType(), Some(convert(query)),
+        ignore, specProps(spec))
     case ReplaceTableAsSelect(ResolvedIdentifier(_, ident), Seq(), query,
         spec, _, orCreate, _) if isLake(spec) && query.resolved =>
       LakeReplaceTableCommand(partsOf(ident), specPath(spec),
-        convert(query), orCreate)
+        convert(query), orCreate, specProps(spec))
     // ── INSERT, v1 path: DataSourceAnalysis (earlier in the post-hoc
     // batch) has already converted the insert; intercept the raw-parquet
     // write

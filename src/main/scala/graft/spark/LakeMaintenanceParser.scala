@@ -70,7 +70,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         spec: UnresolvedTableSpec, _, orCreate, _)
         if spec.provider.exists(_.equalsIgnoreCase("graft-lake")) =>
       LakeReplaceTableCommand(nameParts, GraftSqlParser.pathOf(spec),
-        query, orCreate)
+        query, orCreate, spec.properties)
     case p => p
   }
 
@@ -238,7 +238,8 @@ case class LakeRestoreCommand(target: String, version: Long)
   * vs v2's non-atomic drop+create. The metastore entry is created or
   * schema-synced so DESCRIBE/SHOW stay truthful. */
 case class LakeReplaceTableCommand(nameParts: Seq[String],
-    explicitPath: Option[String], query: LogicalPlan, orCreate: Boolean)
+    explicitPath: Option[String], query: LogicalPlan, orCreate: Boolean,
+    tableProps: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -264,6 +265,7 @@ case class LakeReplaceTableCommand(nameParts: Seq[String],
     val df = GraftDatasetBridge.ofRows(spark, query)
     if (GraftLake.latestVersion(dir) >= 0) GraftLake.replaceTable(df, dir)
     else GraftLake.create(df, dir)
+    if (tableProps.nonEmpty) GraftLake.setProperties(spark, dir, tableProps)
     val schema = GraftLake.snapshot(spark, dir).schema
     existingCt match {
       case Some(ct) =>
@@ -300,7 +302,8 @@ case class LakeReplaceTableCommand(nameParts: Seq[String],
   * [[LakeReplaceTableCommand]] does. */
 case class LakeCreateTableCommand(nameParts: Seq[String],
     explicitPath: Option[String], userSchema: StructType,
-    query: Option[LogicalPlan], ignoreIfExists: Boolean)
+    query: Option[LogicalPlan], ignoreIfExists: Boolean,
+    tableProps: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = query.toSeq
 
@@ -332,6 +335,7 @@ case class LakeCreateTableCommand(nameParts: Seq[String],
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], userSchema), dir)
     }
+    if (tableProps.nonEmpty) GraftLake.setProperties(spark, dir, tableProps)
     val schema = GraftLake.snapshot(spark, dir).schema
     catalog.createTable(CatalogTable(
       identifier = ti,

@@ -29,7 +29,8 @@ class LakeCkptSpec extends AnyFunSuite {
         Map("1" -> GraftLake.ColStats(None, None, -1L, "long")),
         dv = Some(GraftLake.DvRef("dv/b.bin", 5L)))),
     txns = Map("app" -> 42L), maxColId = 2,
-    retired = Map("old" -> 9L), ckptEvery = 10)
+    retired = Map("old" -> 9L), ckptEvery = 10,
+    props = Map("clusterBy" -> "id,name"))
 
   test("streaming write -> streaming parse roundtrips every field, file " +
     "order included") {
@@ -72,7 +73,8 @@ class LakeCkptSpec extends AnyFunSuite {
          |}""".stripMargin
     val f = Files.createTempFile("ckpt_legacy", ".json").toFile
     Files.write(f.toPath, legacy.getBytes(StandardCharsets.UTF_8))
-    assert(GraftLake.parseCkpt(f) == state())
+    // legacy files predate the props map -> empty, everything else intact
+    assert(GraftLake.parseCkpt(f) == state().copy(props = Map.empty))
     f.delete()
   }
 
