@@ -539,12 +539,13 @@ object LakeQueries {
     s.sql("INSERT INTO graft_l17 SELECT o_orderkey, o_orderstatus, price_c " +
       "FROM l17_orders_src WHERE o_orderkey % 2 = 1")
     // bare OPTIMIZE routes to the clusterBy columns (history proves it);
-    // the API pass sizes files small enough to observe pruning at this sf
+    // the explicit ZORDER pass then re-lays the whole table into files
+    // small enough to observe pruning at this sf (a bare re-OPTIMIZE is
+    // a no-op by design — the table is already fully clustered)
     s.sql("OPTIMIZE graft_l17")
     require(GraftLake.history(tbl).map(_._2).count(_ == "zorder") == 1,
       "bare OPTIMIZE of a clustered table must re-cluster, not bin-pack")
-    val bytes = GraftLake.snapshot(s, tbl).files.map(_.bytes).sum
-    GraftLake.optimize(s, tbl, targetBytes = math.max(1L, bytes / 8))
+    s.sql("OPTIMIZE graft_l17 ZORDER BY (o_orderkey, price_c) INTO 8 FILES")
     val keys = GraftLake.read(s, tbl).agg(
       min(col("o_orderkey")), max(col("o_orderkey"))).head()
     val mid = (keys.getLong(0) + keys.getLong(1)) / 2

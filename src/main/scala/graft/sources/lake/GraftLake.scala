@@ -1531,18 +1531,42 @@ object GraftLake {
       smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
       where: Option[Column] = None): Long = {
     // liquid-clustering-lite: a bare OPTIMIZE of a table carrying the
-    // clusterBy property re-clusters the WHOLE table on those columns
-    // (Delta's clustered-table OPTIMIZE semantics); OPTIMIZE ... WHERE
-    // keeps bin-packing — targeted compaction must not reshuffle the
-    // layout of untouched files
-    if (where.isEmpty) {
-      val pre = snapshot(spark, dir)
-      clusterByOf(pre) match {
-        case Some(cols) =>
-          val bytes = pre.files.map(_.bytes).sum
-          return optimizeZOrder(spark, dir, cols,
-            math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
-        case None => ()
+    // clusterBy property clusters INCREMENTALLY on those columns — only
+    // files that are not part of the latest zorder generation (plus any
+    // DV-carrying file, to purge vectors) rewrite; the already-clustered
+    // bulk keeps its physical place. At 100 TB this is the difference
+    // between OPTIMIZE costing O(new data since last run) and O(table)
+    // every night. Two clustered generations overlap in range space, but
+    // pruning is per-file min/max, so each stays individually tight; an
+    // explicit OPTIMIZE ... ZORDER BY re-clusters the WHOLE table when a
+    // global layout is wanted. OPTIMIZE ... WHERE keeps bin-packing —
+    // targeted compaction must not reshuffle untouched layout.
+    if (where.isEmpty && clusterByOf(snapshot(spark, dir)).isDefined) {
+      // the clustered set = every still-active file ANY zorder commit
+      // produced (each generation is internally tight; a later
+      // generation must not turn earlier ones back into victims); a
+      // truncated/absent zorder history degrades to a full re-cluster
+      val gen = commits(dir).filter(_.op == "zorder")
+        .flatMap(_.adds.map(_.path)).toSet
+      return retryRewrite(spark, dir, "zorder") { snap =>
+        clusterByOf(snap) match {
+          case None => (Nil, emptyDf(spark, snap.schema)) // unset under the fence
+          case Some(cols) =>
+            val victims = snap.files.filter(f =>
+              !gen.contains(f.path) || f.dv.isDefined)
+            if (victims.isEmpty) (Nil, emptyDf(spark, snap.schema))
+            else {
+              val bytes = victims.map(_.bytes).sum
+              val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+              val df0 = readFiles(spark, snap, victims.map(f => s"$dir/${f.path}"))
+              val df = df0
+                .withColumn("__z", graft.sources.Layout.clusteredZValue(df0, cols))
+                .repartitionByRange(n, col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+              (victims, df)
+            }
+        }
       }
     }
     retryRewrite(spark, dir, "optimize") { snap =>

@@ -69,13 +69,13 @@ class LakeClusterBySpec extends SparkSpec {
          |AS SELECT * FROM lake_cluster_src""".stripMargin)
     assert(GraftLake.snapshot(spark, dir).props("clusterBy") == "x,y")
 
-    // bare OPTIMIZE (no ZORDER clause) -> whole-table cluster on (x, y);
-    // SQL uses the 128 MB default target, the API pass below sizes files
-    // small enough that the box-pruning effect is observable
+    // bare OPTIMIZE (no ZORDER clause) -> clusters on the declared (x, y)
     spark.sql("OPTIMIZE lake_cluster_t").head().getLong(0)
     assert(GraftLake.history(dir).map(_._2).contains("zorder"))
-    val bytes = GraftLake.snapshot(spark, dir).files.map(_.bytes).sum
-    GraftLake.optimize(spark, dir, targetBytes = math.max(1L, bytes / 16))
+    // an already-clustered table yields zero victims -> bare re-OPTIMIZE
+    // is a no-op; the explicit ZORDER form forces the whole-table
+    // re-layout, here into files small enough to observe pruning
+    spark.sql("OPTIMIZE lake_cluster_t ZORDER BY (x, y) INTO 16 FILES")
     spark.catalog.refreshTable("lake_cluster_t")
 
     val box = col("x").between(0, 15) && col("y").between(16, 31)
@@ -100,6 +100,50 @@ class LakeClusterBySpec extends SparkSpec {
     assert(newFiles.size == 4)
     assert(GraftLake.snapshot(spark, dir).props("clusterBy") == "x,y")
     spark.sql("DROP TABLE lake_cluster_t")
+  }
+
+  test("bare OPTIMIZE clusters INCREMENTALLY: earlier generations keep " +
+    "their physical place; DV'd files re-enter to purge vectors") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (shiftright(col("id"), 6) % 64).as("y"),
+      col("id").as("p")).repartition(4), dir)
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y"))
+    val bytes = GraftLake.snapshot(spark, dir).files.map(_.bytes).sum
+    GraftLake.optimize(spark, dir, targetBytes = math.max(1L, bytes / 8))
+    val gen1 = GraftLake.snapshot(spark, dir).files.map(_.path).toSet
+
+    // append a batch, re-OPTIMIZE: generation 1 must stay untouched
+    spark.range(5000, 5512).select((col("id") % 64).as("x"),
+      (shiftright(col("id"), 6) % 64).as("y"), col("id").as("p"))
+      .write.format("graft-lake").mode("append").save(dir)
+    GraftLake.optimize(spark, dir)
+    val afterSnap = GraftLake.snapshot(spark, dir)
+    assert(gen1.subsetOf(afterSnap.files.map(_.path).toSet),
+      "incremental clustering must not rewrite the clustered bulk")
+    assert(GraftLake.history(dir).map(_._2).count(_ == "zorder") == 2)
+
+    // a third bare OPTIMIZE with nothing new is a no-op (zero victims)
+    val vBefore = GraftLake.latestVersion(dir)
+    GraftLake.optimize(spark, dir)
+    assert(GraftLake.latestVersion(dir) == vBefore ||
+      GraftLake.snapshot(spark, dir).files.map(_.path).toSet ==
+        afterSnap.files.map(_.path).toSet,
+      "optimize of a fully-clustered table must not churn files")
+
+    // a MoR delete makes its victim files candidates again: the next
+    // OPTIMIZE purges the vectors, everything else keeps its place
+    GraftLake.deleteMoR(spark, dir, col("p") === 77L)
+    val dvd = GraftLake.snapshot(spark, dir).files
+      .filter(_.dv.isDefined).map(_.path).toSet
+    assert(dvd.nonEmpty)
+    GraftLake.optimize(spark, dir)
+    val fin = GraftLake.snapshot(spark, dir)
+    assert(fin.files.forall(_.dv.isEmpty), "vectors must purge")
+    assert((afterSnap.files.map(_.path).toSet -- dvd)
+      .subsetOf(fin.files.map(_.path).toSet),
+      "non-DV files must keep their place")
+    assert(GraftLake.read(spark, dir).count() == 4096 + 512 - 1)
   }
 
   test("RENAME COLUMN follows a clustered column; DROP clears it below " +
