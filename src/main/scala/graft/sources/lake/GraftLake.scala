@@ -838,7 +838,16 @@ object GraftLake {
     def fenced: Boolean =
       stateAt(dir, latestVersion(dir)).txns.get(appId).exists(_ >= epochId)
     if (fenced) return false
-    val adds = stage(df, dir, numFiles, snapshot(df.sparkSession, dir).schema)
+    val pre = snapshot(df.sparkSession, dir)
+    // clustered table: streaming batches best-effort sort like appends
+    // (narrow, no shuffle) so continuously-ingested files land with
+    // tight envelopes on the cluster columns between OPTIMIZE runs
+    val staged = clusterByOf(pre).filter(_.forall(df.columns.contains)) match {
+      case Some(cols) =>
+        df.sortWithinPartitions(graft.sources.Layout.clusteredZValue(df, cols))
+      case None => df
+    }
+    val adds = stage(staged, dir, numFiles, pre.schema)
     val committed = retry(dir, "stream-append") { snap =>
       // re-check under the fence: a racing attempt of the SAME epoch may
       // have won a version while we staged
@@ -1542,18 +1551,11 @@ object GraftLake {
     // global layout is wanted. OPTIMIZE ... WHERE keeps bin-packing —
     // targeted compaction must not reshuffle untouched layout.
     if (where.isEmpty && clusterByOf(snapshot(spark, dir)).isDefined) {
-      // the clustered set = every still-active file ANY zorder commit
-      // produced (each generation is internally tight; a later
-      // generation must not turn earlier ones back into victims); a
-      // truncated/absent zorder history degrades to a full re-cluster
-      val gen = commits(dir).filter(_.op == "zorder")
-        .flatMap(_.adds.map(_.path)).toSet
       return retryRewrite(spark, dir, "zorder") { snap =>
         clusterByOf(snap) match {
           case None => (Nil, emptyDf(spark, snap.schema)) // unset under the fence
           case Some(cols) =>
-            val victims = snap.files.filter(f =>
-              !gen.contains(f.path) || f.dv.isDefined)
+            val victims = unclusteredFiles(dir, snap)
             if (victims.isEmpty) (Nil, emptyDf(spark, snap.schema))
             else {
               val bytes = victims.map(_.bytes).sum
@@ -1693,6 +1695,18 @@ object GraftLake {
     * separated column list; bare OPTIMIZE re-clusters by it, appends
     * best-effort sort by it. */
   private[graft] val ClusterByKey = "clusterBy"
+
+  /** Still-active files a bare OPTIMIZE of a clustered table would
+    * rewrite: files outside every zorder generation (each generation is
+    * internally tight; later ones must not turn earlier ones back into
+    * victims) plus DV-carrying files (vector purge). A truncated/absent
+    * zorder history degrades to a full re-cluster. Also DESCRIBE
+    * DETAIL's clustering-staleness column. */
+  private[graft] def unclusteredFiles(dir: String, snap: Snapshot): Seq[AddFile] = {
+    val gen = commits(dir).filter(_.op == "zorder")
+      .flatMap(_.adds.map(_.path)).toSet
+    snap.files.filter(f => !gen.contains(f.path) || f.dv.isDefined)
+  }
 
   /** The snapshot's clustering columns, if the property is set. */
   private[graft] def clusterByOf(snap: Snapshot): Option[Seq[String]] =

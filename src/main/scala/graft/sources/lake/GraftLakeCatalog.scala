@@ -140,8 +140,8 @@ final case class GraftLakeTable(ct: CatalogTable, dir: String,
     with org.apache.spark.sql.GraftV1FallbackTable {
 
   /** One consistent snapshot per catalog lookup. */
-  val snapshotSchema: StructType =
-    GraftLake.snapshot(SparkSession.active, dir, asOf).schema
+  private val snap0 = GraftLake.snapshot(SparkSession.active, dir, asOf)
+  val snapshotSchema: StructType = snap0.schema
 
   /** The streaming fallback seam: `spark.readStream.table("t")` resolves
     * this CatalogTable's v1 provider (graft-lake) and plans the
@@ -165,8 +165,13 @@ final case class GraftLakeTable(ct: CatalogTable, dir: String,
   override def capabilities(): java.util.Set[TableCapability] =
     Collections.singleton(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
+  /** SHOW TBLPROPERTIES truth comes from the LOG's folded props (the
+    * metastore copy can lag API-side setProperties), plus the fixed
+    * provider/location facts. */
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
+    snap0.props.foreach { case (k, v) => m.put(k, v) }
+    if (snap0.ckptEvery > 0) m.put("checkpointEvery", snap0.ckptEvery.toString)
     m.put("provider", "graft-lake")
     m.put("location", dir)
     asOf.foreach(v => m.put("versionAsOf", v.toString))

@@ -208,15 +208,27 @@ case class LakeDetailCommand(target: String) extends LeafRunnableCommand {
     AttributeReference("num_rows", LongType, nullable = false)(),
     AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
     AttributeReference("dv_deleted_rows", LongType, nullable = false)(),
-    AttributeReference("checkpoint_every", IntegerType, nullable = false)())
+    AttributeReference("checkpoint_every", IntegerType, nullable = false)(),
+    AttributeReference("clustered_by", StringType, nullable = true)(),
+    AttributeReference("unclustered_files", LongType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.dirOf(spark, target)
     val snap = GraftLake.snapshot(spark, dir)
     val dvRows = snap.files.flatMap(_.dv.map(_.cardinality)).sum
+    // clustering staleness: how many active files a bare OPTIMIZE would
+    // rewrite (files outside every zorder generation, or DV-carrying) —
+    // the "is it time to compact" number an operator watches
+    val clusteredBy = snap.props.get("clusterBy")
+    val unclustered = if (clusteredBy.isEmpty) 0L
+      else GraftLake.unclusteredFiles(dir, snap).size.toLong
+    val propsJson = snap.props.toSeq.sorted
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     Seq(Row("graft-lake", dir, snap.version, snap.files.size.toLong,
       snap.files.map(_.bytes).sum,
       snap.files.map(_.rows).sum - dvRows,
-      snap.files.count(_.dv.isDefined).toLong, dvRows, snap.ckptEvery))
+      snap.files.count(_.dv.isDefined).toLong, dvRows, snap.ckptEvery,
+      clusteredBy.orNull, unclustered, propsJson))
   }
 }
 

@@ -159,6 +159,38 @@ class LakeClusterBySpec extends SparkSpec {
       "below two surviving cluster columns the property must clear")
   }
 
+  test("SHOW TBLPROPERTIES and DESCRIBE DETAIL read the folded log props " +
+    "(metastore lag invisible); DETAIL exposes clustering staleness") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_show_t")
+    spark.range(0, 2048).select((col("id") % 64).as("x"),
+      (shiftright(col("id"), 6) % 64).as("y"), col("id").as("p"))
+      .repartition(4)
+      .createOrReplaceTempView("lake_show_src")
+    spark.sql(
+      s"""CREATE TABLE lake_show_t USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_show_src""".stripMargin)
+    // set through the API — the metastore copy does NOT see this; SHOW
+    // must read the log anyway
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y", "team" -> "ml"))
+    spark.catalog.refreshTable("lake_show_t")
+    val shown = spark.sql("SHOW TBLPROPERTIES lake_show_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("clusterBy").contains("x,y") && shown.get("team").contains("ml"),
+      s"SHOW TBLPROPERTIES must read the log: $shown")
+
+    // DETAIL: everything unclustered before OPTIMIZE, nothing after
+    val d1 = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+    assert(d1.getAs[String]("clustered_by") == "x,y")
+    assert(d1.getAs[Long]("unclustered_files") == d1.getAs[Long]("num_files"))
+    assert(d1.getAs[String]("properties").contains("\"team\":\"ml\""))
+    GraftLake.optimize(spark, dir)
+    val d2 = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+    assert(d2.getAs[Long]("unclustered_files") == 0L,
+      s"fully clustered table must report zero staleness: $d2")
+    spark.sql("DROP TABLE lake_show_t")
+  }
+
   test("SQL ALTER TABLE SET/UNSET TBLPROPERTIES routes generic keys " +
     "through the folded props") {
     val dir = tmp()
