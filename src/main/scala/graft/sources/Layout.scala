@@ -123,19 +123,36 @@ object Layout {
    * are near-uniform by construction regardless of distribution (Delta's
    * range-partition-id trick), so every column contributes real bits.
    */
-  def clusteredZValue(df: DataFrame, cols: Seq[String], bits: Int = 10): Column = {
+  def clusteredZValue(df: DataFrame, cols: Seq[String], bits: Int = 10): Column =
+    clusteredZValueWith(cols, clusterBounds(df, cols, bits), bits)
+
+  /** The quantile boundaries for the NUMERIC subset of `cols` — ONE
+    * `approxQuantile` pass over `df`. Persist these (the lake stores them
+    * in the zorder commit) and every later incremental cluster or append
+    * buckets with the SAME boundaries: generations align in z-space and
+    * no further quantile pass is paid per batch. */
+  def clusterBounds(df: DataFrame, cols: Seq[String],
+      bits: Int = 10): Map[String, Array[Double]] = {
     require(cols.size >= 2, "clustering needs at least two columns")
     val k = 1 << bits
     val numeric = cols.filter(c => df.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val probs = (1 until k).map(_.toDouble / k).toArray
-    val bounds: Map[String, Array[Double]] =
-      if (numeric.isEmpty) Map.empty
-      else {
-        val casted = df.select(numeric.map(c => col(c).cast("double").as(c)): _*)
-        numeric.zip(casted.stat.approxQuantile(numeric.toArray, probs, 0.001))
-          .map { case (c, b) => c -> b.distinct }.toMap
-      }
+    if (numeric.isEmpty) Map.empty
+    else {
+      val probs = (1 until k).map(_.toDouble / k).toArray
+      val casted = df.select(numeric.map(c => col(c).cast("double").as(c)): _*)
+      numeric.zip(casted.stat.approxQuantile(numeric.toArray, probs, 0.001))
+        .map { case (c, b) => c -> b.distinct }.toMap
+    }
+  }
+
+  /** The interleave from PRECOMPUTED boundaries: columns present in
+    * `bounds` bucket by binary search, everything else hashes into the
+    * same id range. */
+  def clusteredZValueWith(cols: Seq[String], bounds: Map[String, Array[Double]],
+      bits: Int = 10): Column = {
+    require(cols.size >= 2, "clustering needs at least two columns")
+    val k = 1 << bits
     val ids = cols.map { c =>
       bounds.get(c) match {
         case Some(b) if b.nonEmpty =>

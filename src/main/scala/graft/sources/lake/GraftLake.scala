@@ -84,7 +84,8 @@ object GraftLake {
       schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String],
       ckptEvery: Option[Int] = None, maxColId: Option[Int] = None,
       retiredNames: Seq[(String, Long)] = Nil,
-      props: Seq[(String, Option[String])] = Nil)
+      props: Seq[(String, Option[String])] = Nil,
+      clusterBounds: Option[String] = None)
 
   /** Folded log state at one version — what a checkpoint persists: the
     * active file set, the evolved schema, the high-water epoch per
@@ -98,12 +99,14 @@ object GraftLake {
   private[lake] final case class LogState(version: Long, schemaJson: String,
       files: scala.collection.immutable.VectorMap[String, AddFile],
       txns: Map[String, Long], maxColId: Int, retired: Map[String, Long],
-      ckptEvery: Int = 0, props: Map[String, String] = Map.empty)
+      ckptEvery: Int = 0, props: Map[String, String] = Map.empty,
+      clusterBounds: Option[String] = None)
 
   final case class Snapshot(dir: String, version: Long, schema: StructType,
       files: Seq[AddFile], maxColId: Int = 0,
       retired: Map[String, Long] = Map.empty, ckptEvery: Int = 0,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      clusterBounds: Option[String] = None) {
     def activePaths: Seq[String] = files.map(f => s"$dir/${f.path}")
   }
 
@@ -186,6 +189,7 @@ object GraftLake {
         case (k, None) => pn.putNull(k)
       }
     }
+    c.clusterBounds.foreach(n.put("clusterBounds", _))
     val adds = n.putArray("adds")
     c.adds.foreach(addFileNode(adds, _))
     val rem = n.putArray("removes")
@@ -207,7 +211,8 @@ object GraftLake {
         .map(e => e.getKey -> e.getValue.asLong).toSeq).getOrElse(Nil),
       Option(n.get("props")).map(_.properties().asScala.map { e =>
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      Option(n.get("clusterBounds")).map(_.asText))
   }
 
   // ── log checkpoints: snapshot cost O(active files + tail), not O(log) ─
@@ -237,6 +242,7 @@ object GraftLake {
         s.props.foreach { case (k, v) => g.writeStringField(k, v) }
         g.writeEndObject()
       }
+      s.clusterBounds.foreach(g.writeStringField("clusterBounds", _))
       g.writeObjectFieldStart("txns")
       s.txns.foreach { case (app, epoch) => g.writeNumberField(app, epoch) }
       g.writeEndObject()
@@ -284,6 +290,7 @@ object GraftLake {
       var retired = Map.empty[String, Long]
       var txns = Map.empty[String, Long]
       var props = Map.empty[String, String]
+      var clusterBounds: Option[String] = None
       val files = Vector.newBuilder[(String, AddFile)]
       require(p.nextToken() == JsonToken.START_OBJECT, s"corrupt checkpoint $f")
       while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -300,6 +307,7 @@ object GraftLake {
           case "props" =>
             props = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
               .properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+          case "clusterBounds" => clusterBounds = Some(p.getText)
           case "txns" =>
             txns = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
               .properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
@@ -315,7 +323,7 @@ object GraftLake {
       LogState(version,
         Option(schema).getOrElse(sys.error(s"checkpoint $f has no schema")),
         scala.collection.immutable.VectorMap.from(files.result()), txns,
-        maxColId, retired, ckptEvery, props)
+        maxColId, retired, ckptEvery, props, clusterBounds)
     } finally p.close()
   }
 
@@ -351,6 +359,7 @@ object GraftLake {
     var ckptEvery = base.map(_.ckptEvery).getOrElse(0)
     val props = scala.collection.mutable.Map.empty[String, String]
     base.foreach(b => props ++= b.props)
+    var clusterBounds: Option[String] = base.flatMap(_.clusterBounds)
     var v = base.map(_.version + 1).getOrElse(0L)
     while (v <= target) {
       val c = parseCommit(versionFile(dir, v))
@@ -363,6 +372,9 @@ object GraftLake {
         case (k, Some(value)) => props(k) = value
         case (k, None) => props.remove(k)
       }
+      // folded like ckptEvery; empty string = explicit clear
+      c.clusterBounds.foreach(b =>
+        clusterBounds = if (b.isEmpty) None else Some(b))
       retired ++= c.retiredNames
       for (app <- c.txnApp; epoch <- c.txnEpoch)
         txns(app) = math.max(epoch, txns.getOrElse(app, Long.MinValue))
@@ -371,7 +383,7 @@ object GraftLake {
     LogState(target, schemaJson.getOrElse(
         sys.error(s"no schema recorded in $dir through v$target")),
       scala.collection.immutable.VectorMap(active.toSeq: _*), txns.toMap, maxColId,
-      retired.toMap, ckptEvery, props.toMap)
+      retired.toMap, ckptEvery, props.toMap, clusterBounds)
   }
 
   /** Write a checkpoint after version `v` when the cadence says so.
@@ -424,7 +436,7 @@ object GraftLake {
       org.apache.spark.sql.types.DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     Snapshot(dir, target, schema, st.files.values.toSeq,
       math.max(st.maxColId, schema.fields.flatMap(idOf).foldLeft(0L)(math.max).toInt),
-      st.retired, st.ckptEvery, st.props)
+      st.retired, st.ckptEvery, st.props, st.clusterBounds)
   }
 
   // ── the atomic commit fence ──────────────────────────────────────────
@@ -721,8 +733,7 @@ object GraftLake {
     // tight per-file envelopes on the cluster columns. Cross-file
     // clustering stays OPTIMIZE's job (Delta's clustered-write posture).
     val staged = clusterByOf(pre).filter(_.forall(df.columns.contains)) match {
-      case Some(cols) =>
-        df.sortWithinPartitions(graft.sources.Layout.clusteredZValue(df, cols))
+      case Some(cols) => df.sortWithinPartitions(clusterSortKey(pre, df, cols))
       case None => df
     }
     val adds = stage(staged, dir, numFiles, merged0)
@@ -843,8 +854,7 @@ object GraftLake {
     // (narrow, no shuffle) so continuously-ingested files land with
     // tight envelopes on the cluster columns between OPTIMIZE runs
     val staged = clusterByOf(pre).filter(_.forall(df.columns.contains)) match {
-      case Some(cols) =>
-        df.sortWithinPartitions(graft.sources.Layout.clusteredZValue(df, cols))
+      case Some(cols) => df.sortWithinPartitions(clusterSortKey(pre, df, cols))
       case None => df
     }
     val adds = stage(staged, dir, numFiles, pre.schema)
@@ -1269,7 +1279,7 @@ object GraftLake {
             else readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
           val inserts = src.alias("s").join(tgt.alias("t"), condition, "left_anti")
             .select(ch.insertChain.as("__gl_r"))
-          (Nil, expand(inserts), schemaOut)
+          (Nil, expand(inserts), schemaOut, None)
         } else {
           // phase 1: victim files. Stats-prune candidates on the first
           // target=source equi-conjunct's source bounds, then the exact
@@ -1309,7 +1319,7 @@ object GraftLake {
               else expand(
                 src.alias("s").join(tgt0.alias("t"), condition, "left_anti")
                   .select(ch.insertChain.as("__gl_r")))
-            (victims, kept.unionByName(nmbsRows).unionByName(inserts), schemaOut)
+            (victims, kept.unionByName(nmbsRows).unionByName(inserts), schemaOut, None)
           } else {
             // phase 2: one full-outer join of victims × source, projected
             // through the clause chains in a single pass.
@@ -1346,7 +1356,7 @@ object GraftLake {
                 else ch.chain(notMatchedBySource))
               .otherwise(ch.insertChain)
             val replacement = expand(guarded.select(result.as("__gl_r")))
-            (victims, replacement, schemaOut)
+            (victims, replacement, schemaOut, None)
           }
         }
       }
@@ -1551,22 +1561,30 @@ object GraftLake {
     // global layout is wanted. OPTIMIZE ... WHERE keeps bin-packing —
     // targeted compaction must not reshuffle untouched layout.
     if (where.isEmpty && clusterByOf(snapshot(spark, dir)).isDefined) {
-      return retryRewrite(spark, dir, "zorder") { snap =>
+      return retryRewriteEvolving(spark, dir, "zorder") { snap =>
         clusterByOf(snap) match {
-          case None => (Nil, emptyDf(spark, snap.schema)) // unset under the fence
+          case None => // unset under the fence
+            (Nil, emptyDf(spark, snap.schema), None, None)
           case Some(cols) =>
             val victims = unclusteredFiles(dir, snap)
-            if (victims.isEmpty) (Nil, emptyDf(spark, snap.schema))
+            if (victims.isEmpty) (Nil, emptyDf(spark, snap.schema), None, None)
             else {
               val bytes = victims.map(_.bytes).sum
               val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
               val df0 = readFiles(spark, snap, victims.map(f => s"$dir/${f.path}"))
+              // bucket with the PERSISTED boundaries when the table has
+              // them (z-aligned with earlier generations, no quantile
+              // pass); first cluster of a table computes and persists
+              val (bits, bounds) = snap.clusterBounds.map(parseBounds)
+                .getOrElse((10, graft.sources.Layout.clusterBounds(df0, cols)))
               val df = df0
-                .withColumn("__z", graft.sources.Layout.clusteredZValue(df0, cols))
+                .withColumn("__z",
+                  graft.sources.Layout.clusteredZValueWith(cols, bounds, bits))
                 .repartitionByRange(n, col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")
-              (victims, df)
+              (victims, df, None,
+                Some(snap.clusterBounds.getOrElse(boundsJson(bits, bounds))))
             }
         }
       }
@@ -1624,7 +1642,9 @@ object GraftLake {
         .toSeq
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "rename-column",
         None, None, Some(StructType(fields).json), Nil, Nil,
-        retiredNames = Seq(oldName -> movingId), props = clusterDelta),
+        retiredNames = Seq(oldName -> movingId), props = clusterDelta,
+        clusterBounds = if (clusterDelta.nonEmpty &&
+          snap.clusterBounds.isDefined) Some("") else None),
         snap.version + 1))
     }.get
 
@@ -1650,7 +1670,9 @@ object GraftLake {
         None, None, Some(StructType(fields).json), Nil, Nil,
         maxColId = Some(snap.maxColId),
         retiredNames = Seq(name -> idOf(snap.schema(name)).getOrElse(-1L)),
-        props = clusterDelta),
+        props = clusterDelta,
+        clusterBounds = if (clusterDelta.nonEmpty &&
+          snap.clusterBounds.isDefined) Some("") else None),
         snap.version + 1))
     }.get
 
@@ -1708,6 +1730,39 @@ object GraftLake {
     snap.files.filter(f => !gen.contains(f.path) || f.dv.isDefined)
   }
 
+  /** Serialize cluster-bucket boundaries for the log:
+    * {"bits":B,"cols":{"c":[d,...],...}}. */
+  private def boundsJson(bits: Int, m: Map[String, Array[Double]]): String = {
+    val n = mapper.createObjectNode()
+    n.put("bits", bits)
+    val cn = n.putObject("cols")
+    m.toSeq.sortBy(_._1).foreach { case (c, b) =>
+      val an = cn.putArray(c)
+      b.foreach(an.add)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private[lake] def parseBounds(json: String): (Int, Map[String, Array[Double]]) = {
+    val n = mapper.readTree(json)
+    val cols = n.get("cols").properties().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asDouble).toArray
+    }.toMap
+    (n.get("bits").asInt, cols)
+  }
+
+  /** The write-side cluster sort key: the table's PERSISTED bucket
+    * boundaries when a zorder commit stored them (z-aligned with the
+    * clustered bulk, zero extra passes), else one quantile pass over the
+    * batch itself. */
+  private def clusterSortKey(snap: Snapshot, df: DataFrame,
+      cols: Seq[String]): Column =
+    snap.clusterBounds.map(parseBounds) match {
+      case Some((bits, bounds)) =>
+        graft.sources.Layout.clusteredZValueWith(cols, bounds, bits)
+      case None => graft.sources.Layout.clusteredZValue(df, cols)
+    }
+
   /** The snapshot's clustering columns, if the property is set. */
   private[graft] def clusterByOf(snap: Snapshot): Option[Seq[String]] =
     snap.props.get(ClusterByKey)
@@ -1747,7 +1802,12 @@ object GraftLake {
       if (!changed) None
       else Some((Commit(snap.version + 1, System.currentTimeMillis(),
         "set-properties", None, None, None, Nil, Nil,
-        ckptEvery = ckpt, props = deltas), snap.version + 1))
+        ckptEvery = ckpt, props = deltas,
+        // changing the clustering columns invalidates persisted bucket
+        // boundaries; the next OPTIMIZE recomputes and re-persists
+        clusterBounds = if (deltas.exists(_._1 == ClusterByKey) &&
+          snap.clusterBounds.isDefined) Some("") else None),
+        snap.version + 1))
     }.getOrElse(latestVersion(dir))
   }
 
@@ -2042,20 +2102,29 @@ object GraftLake {
     * large-domain columns at 100 TB). */
   def optimizeZOrder(spark: SparkSession, dir: String, cols: Seq[String],
       numFiles: Int): Long =
-    retryRewrite(spark, dir, "zorder") { snap =>
+    retryRewriteEvolving(spark, dir, "zorder") { snap =>
       // nothing to do only when the layout cannot change: empty table, or
       // one file that would stay one file (a single file CAN re-cluster
       // into many — how a compacted table regains pruning granularity)
       if (snap.files.isEmpty || (snap.files.size == 1 && numFiles <= 1))
-        (Nil, emptyDf(spark, snap.schema))
+        (Nil, emptyDf(spark, snap.schema), None, None)
       else {
         val df0 = readFiles(spark, snap, snap.activePaths)
+        val bounds = graft.sources.Layout.clusterBounds(df0, cols)
+        // a whole-table re-layout on the DECLARED cluster columns renews
+        // the table's persisted bucket boundaries: later incremental
+        // clusters and appends bucket with the same ones (aligned
+        // generations, no quantile pass per batch)
+        val persist =
+          if (clusterByOf(snap).contains(cols)) Some(boundsJson(10, bounds))
+          else None
         val df = df0
-          .withColumn("__z", graft.sources.Layout.clusteredZValue(df0, cols))
+          .withColumn("__z",
+            graft.sources.Layout.clusteredZValueWith(cols, bounds))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
-        (snap.files, df)
+        (snap.files, df, None, persist)
       }
     }
 
@@ -2141,7 +2210,7 @@ object GraftLake {
   private def retryRewrite(spark: SparkSession, dir: String, op: String)(
       plan: Snapshot => (Seq[AddFile], DataFrame)): Long =
     retryRewriteEvolving(spark, dir, op) { snap =>
-      val (victims, replacement) = plan(snap); (victims, replacement, None)
+      val (victims, replacement) = plan(snap); (victims, replacement, None, None)
     }
 
   /** [[retryRewrite]] that can additionally EVOLVE the table schema in
@@ -2150,18 +2219,19 @@ object GraftLake {
     * advanced maxColId — schema change and rewrite land atomically, so a
     * failed merge never leaves half-applied columns behind. */
   private def retryRewriteEvolving(spark: SparkSession, dir: String, op: String)(
-      plan: Snapshot => (Seq[AddFile], DataFrame, Option[StructType])): Long = {
+      plan: Snapshot => (Seq[AddFile], DataFrame, Option[StructType], Option[String])): Long = {
     var attempts = 0
     while (attempts < 20) {
       val snap = snapshot(spark, dir)
-      val (victims, replacement, evolvedOpt) = plan(snap)
+      val (victims, replacement, evolvedOpt, boundsOpt) = plan(snap)
       // merge ops can commit with zero victims (insert-only merges); every
       // other rewrite with nothing to replace is a no-op
       if (victims.isEmpty && op != "merge" && op != "merge-into") return snap.version
       val adds = stage(replacement, dir, 0, evolvedOpt.getOrElse(snap.schema))
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         evolvedOpt.map(_.json), adds, victims.map(_.path),
-        maxColId = evolvedOpt.map(s => maxIdOf(s, snap.maxColId)))
+        maxColId = evolvedOpt.map(s => maxIdOf(s, snap.maxColId)),
+        clusterBounds = boundsOpt)
       if (tryCommit(dir, c)) {
         maybeCheckpoint(dir, c.version, snap.ckptEvery)
         return c.version

@@ -159,6 +159,50 @@ class LakeClusterBySpec extends SparkSpec {
       "below two surviving cluster columns the property must clear")
   }
 
+  test("zorder persists cluster-bucket boundaries; later increments reuse " +
+    "them (aligned generations, no re-sampling); layout-key changes clear") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (shiftright(col("id"), 6) % 64).as("y"),
+      col("id").as("p")).repartition(4), dir)
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y"))
+    assert(GraftLake.snapshot(spark, dir).clusterBounds.isEmpty)
+
+    GraftLake.optimize(spark, dir)
+    val b1 = GraftLake.snapshot(spark, dir).clusterBounds
+    assert(b1.isDefined, "first cluster must persist its bucket boundaries")
+    val (bits, bounds) = GraftLake.parseBounds(b1.get)
+    assert(bits == 10 && bounds.keySet == Set("x", "y"))
+
+    // an incremental cluster of a new batch REUSES the persisted
+    // boundaries verbatim (z-aligned with the first generation)
+    spark.range(9000, 9512).select((col("id") % 64).as("x"),
+      (shiftright(col("id"), 6) % 64).as("y"), col("id").as("p"))
+      .write.format("graft-lake").mode("append").save(dir)
+    GraftLake.optimize(spark, dir)
+    assert(GraftLake.snapshot(spark, dir).clusterBounds == b1,
+      "incremental clustering must keep the persisted boundaries")
+
+    // renaming a clustered column invalidates the boundaries (keyed by
+    // the old name); the next OPTIMIZE recomputes under the new one
+    GraftLake.renameColumn(spark, dir, "x", "x2")
+    val afterRename = GraftLake.snapshot(spark, dir)
+    assert(afterRename.props("clusterBy") == "x2,y")
+    assert(afterRename.clusterBounds.isEmpty, "rename must clear bounds")
+    // a fully-clustered table has nothing to recompute from — the next
+    // OPTIMIZE with actual victims re-persists under the new names
+    spark.range(20000, 20256).select((col("id") % 64).as("x2"),
+      (shiftright(col("id"), 6) % 64).as("y"), col("id").as("p"))
+      .write.format("graft-lake").mode("append").save(dir)
+    GraftLake.optimize(spark, dir)
+    val b2 = GraftLake.snapshot(spark, dir).clusterBounds
+    assert(b2.isDefined && GraftLake.parseBounds(b2.get)._2.keySet == Set("x2", "y"))
+
+    // changing the property itself clears them too
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "p,y"))
+    assert(GraftLake.snapshot(spark, dir).clusterBounds.isEmpty)
+  }
+
   test("SHOW TBLPROPERTIES and DESCRIBE DETAIL read the folded log props " +
     "(metastore lag invisible); DETAIL exposes clustering staleness") {
     val dir = tmp()
