@@ -266,6 +266,20 @@ object LakeDmlRule extends Rule[LogicalPlan] {
   }
   private def isLake(spec: TableSpecBase): Boolean =
     specProvider(spec).exists(_.equalsIgnoreCase("graft-lake"))
+  /** Spark 4's native `CREATE TABLE ... CLUSTER BY (c1, c2)` arrives as
+    * a ClusterByTransform in the v2 plan's partitioning: map it onto the
+    * lake's clusterBy property (same semantics, SQL-standard spelling).
+    * Returns None for any OTHER partitioning (hive-style PARTITIONED BY
+    * stays rejected — clustering subsumes it here). */
+  private def clusterCols(partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Option[Map[String, String]] = partitioning match {
+    case Seq() => Some(Map.empty)
+    case Seq(org.apache.spark.sql.connector.expressions.ClusterByTransform(refs)) =>
+      Some(Map(GraftLake.ClusterByKey ->
+        refs.map(_.fieldNames.mkString(".")).mkString(",")))
+    case _ => None
+  }
+
   private def specProps(spec: TableSpecBase): Map[String, String] = spec match {
     case s: TableSpec => s.properties
     case s: UnresolvedTableSpec => s.properties
@@ -321,21 +335,23 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     // each lands as ONE atomic lake commit + a mirrored metastore entry,
     // instead of v2's catalog createTable + capability-gated write (and
     // instead of v2 REPLACE's non-atomic drop+create)
-    case CreateTable(ResolvedIdentifier(_, ident), cols, Seq(), spec, ignore)
-        if isLake(spec) =>
+    case CreateTable(ResolvedIdentifier(_, ident), cols, parts, spec, ignore)
+        if isLake(spec) && clusterCols(parts).isDefined =>
       LakeCreateTableCommand(partsOf(ident), specPath(spec),
         org.apache.spark.sql.types.StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
-        None, ignore, specProps(spec))
-    case CreateTableAsSelect(ResolvedIdentifier(_, ident), Seq(), query,
-        spec, _, ignore, _) if isLake(spec) && query.resolved =>
+        None, ignore, specProps(spec) ++ clusterCols(parts).get)
+    case CreateTableAsSelect(ResolvedIdentifier(_, ident), parts, query,
+        spec, _, ignore, _)
+        if isLake(spec) && query.resolved && clusterCols(parts).isDefined =>
       LakeCreateTableCommand(partsOf(ident), specPath(spec),
         new org.apache.spark.sql.types.StructType(), Some(convert(query)),
-        ignore, specProps(spec))
-    case ReplaceTableAsSelect(ResolvedIdentifier(_, ident), Seq(), query,
-        spec, _, orCreate, _) if isLake(spec) && query.resolved =>
+        ignore, specProps(spec) ++ clusterCols(parts).get)
+    case ReplaceTableAsSelect(ResolvedIdentifier(_, ident), parts, query,
+        spec, _, orCreate, _)
+        if isLake(spec) && query.resolved && clusterCols(parts).isDefined =>
       LakeReplaceTableCommand(partsOf(ident), specPath(spec),
-        convert(query), orCreate, specProps(spec))
+        convert(query), orCreate, specProps(spec) ++ clusterCols(parts).get)
     // ── INSERT, v1 path: DataSourceAnalysis (earlier in the post-hoc
     // batch) has already converted the insert; intercept the raw-parquet
     // write

@@ -159,6 +159,33 @@ class LakeClusterBySpec extends SparkSpec {
       "below two surviving cluster columns the property must clear")
   }
 
+  test("Spark's native CREATE TABLE ... CLUSTER BY syntax maps onto the " +
+    "clusterBy property (CTAS and plain create)") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_native_cb")
+    spark.range(0, 512).select((col("id") % 16).as("x"),
+      (shiftright(col("id"), 4) % 16).as("y"), col("id").as("p"))
+      .createOrReplaceTempView("lake_native_cb_src")
+    spark.sql(
+      s"""CREATE TABLE lake_native_cb USING `graft-lake` OPTIONS (path '$dir')
+         |CLUSTER BY (x, y)
+         |AS SELECT * FROM lake_native_cb_src""".stripMargin)
+    assert(GraftLake.snapshot(spark, dir).props("clusterBy") == "x,y")
+    // bare OPTIMIZE then clusters on them, SQL-standard end to end
+    spark.sql("OPTIMIZE lake_native_cb")
+    assert(GraftLake.history(dir).map(_._2).contains("zorder"))
+    assert(spark.table("lake_native_cb").count() == 512)
+    spark.sql("DROP TABLE lake_native_cb")
+
+    val dir2 = tmp() + "2"
+    spark.sql("DROP TABLE IF EXISTS lake_native_cb2")
+    spark.sql(
+      s"""CREATE TABLE lake_native_cb2 (a BIGINT, b BIGINT, c STRING)
+         |USING `graft-lake` OPTIONS (path '$dir2') CLUSTER BY (a, b)""".stripMargin)
+    assert(GraftLake.snapshot(spark, dir2).props("clusterBy") == "a,b")
+    spark.sql("DROP TABLE lake_native_cb2")
+  }
+
   test("zorder persists cluster-bucket boundaries; later increments reuse " +
     "them (aligned generations, no re-sampling); layout-key changes clear") {
     val dir = tmp()
