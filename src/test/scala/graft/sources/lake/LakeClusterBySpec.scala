@@ -184,6 +184,23 @@ class LakeClusterBySpec extends SparkSpec {
          |USING `graft-lake` OPTIONS (path '$dir2') CLUSTER BY (a, b)""".stripMargin)
     assert(GraftLake.snapshot(spark, dir2).props("clusterBy") == "a,b")
     spark.sql("DROP TABLE lake_native_cb2")
+
+    // the typed API spells the same clause: df.writeTo(...).clusterBy(...)
+    spark.sql("DROP TABLE IF EXISTS lake_native_cb3")
+    val orphan = new java.io.File("spark-warehouse/lake_native_cb3")
+    if (orphan.exists()) { // debris from a previously failed run
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(orphan)
+    }
+    spark.range(0, 256).select((col("id") % 8).as("x"), (col("id") % 9).as("y"))
+      .writeTo("lake_native_cb3").using("graft-lake").clusterBy("x", "y").create()
+    val shown = spark.sql("SHOW TBLPROPERTIES lake_native_cb3").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("clusterBy").contains("x,y"), s"writeTo.clusterBy: $shown")
+    assert(spark.table("lake_native_cb3").count() == 256)
+    spark.sql("DROP TABLE lake_native_cb3")
   }
 
   test("zorder persists cluster-bucket boundaries; later increments reuse " +
