@@ -809,9 +809,19 @@ object GraftLake {
       if (snap.maxColId >= firstId)
         throw new LakeContentionException(
           s"replace at $dir raced a schema-evolving commit; retry")
+      // REPLACE swaps both data and schema: persisted bucket boundaries
+      // describe the OLD distribution (always stale now), and a clusterBy
+      // referencing columns the new schema lacks would make the next bare
+      // OPTIMIZE fail on an unresolvable column — drop what dangles, keep
+      // what still resolves (it re-clusters the fresh data next OPTIMIZE)
+      val danglingCluster = clusterByOf(snap)
+        .filterNot(_.forall(schema.fieldNames.contains))
+        .map(_ => ClusterByKey -> None).toSeq
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "replace",
         None, None, Some(schema.json), adds, snap.files.map(_.path),
-        maxColId = Some(firstId + df.schema.fields.length - 1)),
+        maxColId = Some(firstId + df.schema.fields.length - 1),
+        props = danglingCluster,
+        clusterBounds = if (snap.clusterBounds.isDefined) Some("") else None),
         snap.version + 1))
     }.get
   }

@@ -46,6 +46,20 @@ class ZValueSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("ZValueN and QuantileBucket run inside whole-stage codegen (no " +
+    "interpreted fallback in the hot clustering path)") {
+    val df = spark.range(0, 100).select(
+      ZValueKit.zValueN(Seq(
+        ZValueKit.quantileBucket(col("id"), Seq(25.0, 50.0, 75.0)),
+        col("id") % 7), bits = 4).as("z"))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // stage; an interpreted fallback would print a bare "Project"
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"clustering expressions must codegen:\n$plan")
+    assert(df.count() == 100)
+  }
+
   test("QuantileBucket: binary-search id = count of boundaries <= value") {
     val b = Array(10.0, 20.0, 30.0)
     assert(QuantileBucket.bucket(5.0, b) == 0L)

@@ -247,6 +247,61 @@ class LakeClusterBySpec extends SparkSpec {
     assert(GraftLake.snapshot(spark, dir).clusterBounds.isEmpty)
   }
 
+  test("REPLACE clears stale bounds always and drops a clusterBy whose " +
+    "columns the new schema lacks (no dangling layout keys)") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 512).select(
+      (col("id") % 16).as("x"), (col("id") % 17).as("y")), dir)
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y"))
+    GraftLake.optimize(spark, dir)
+    assert(GraftLake.snapshot(spark, dir).clusterBounds.isDefined)
+
+    // same columns survive REPLACE (property kept, bounds cleared — the
+    // data distribution is brand new)
+    GraftLake.replaceTable(spark.range(0, 64).select(
+      (col("id") % 4).as("x"), (col("id") % 5).as("y")), dir)
+    val s1 = GraftLake.snapshot(spark, dir)
+    assert(s1.props.get("clusterBy").contains("x,y") && s1.clusterBounds.isEmpty)
+    GraftLake.optimize(spark, dir) // re-clusters the fresh data fine
+    assert(GraftLake.snapshot(spark, dir).clusterBounds.isDefined)
+
+    // schema swap that loses a clustered column drops the property
+    GraftLake.replaceTable(spark.range(0, 64).select(
+      (col("id") % 4).as("a"), (col("id") % 5).as("y")), dir)
+    val s2 = GraftLake.snapshot(spark, dir)
+    assert(!s2.props.contains("clusterBy") && s2.clusterBounds.isEmpty,
+      s"dangling clusterBy must drop: ${s2.props}")
+    GraftLake.optimize(spark, dir) // plain bin-pack, no unresolvable column
+    assert(GraftLake.read(spark, dir).count() == 64)
+  }
+
+  test("racing bare OPTIMIZE and appends serialize under the fence; " +
+    "nothing lost, victims recomputed per attempt") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 2048).select(
+      (col("id") % 64).as("x"), (shiftright(col("id"), 6) % 64).as("y"),
+      col("id").as("p")).repartition(4), dir)
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { i =>
+      new Thread(() =>
+        try {
+          if (i == 0) { GraftLake.optimize(spark, dir); () }
+          else {
+            spark.range(10000 + i * 1000, 10000 + i * 1000 + 256)
+              .select((col("id") % 64).as("x"),
+                (shiftright(col("id"), 6) % 64).as("y"), col("id").as("p"))
+              .write.format("graft-lake").mode("append").save(dir)
+          }
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing writers must all land: ${errs.peek()}")
+    assert(GraftLake.read(spark, dir).count() == 2048 + 2 * 256)
+    // ids unique -> no row duplicated or lost by the racing rewrite
+    assert(GraftLake.read(spark, dir).select("p").distinct().count() == 2560)
+  }
+
   test("SHOW TBLPROPERTIES and DESCRIBE DETAIL read the folded log props " +
     "(metastore lag invisible); DETAIL exposes clustering staleness") {
     val dir = tmp()
