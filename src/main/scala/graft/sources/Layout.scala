@@ -123,8 +123,21 @@ object Layout {
    * are near-uniform by construction regardless of distribution (Delta's
    * range-partition-id trick), so every column contributes real bits.
    */
-  def clusteredZValue(df: DataFrame, cols: Seq[String], bits: Int = 10): Column =
-    clusteredZValueWith(cols, clusterBounds(df, cols, bits), bits)
+  def clusteredZValue(df: DataFrame, cols: Seq[String], bits: Int = 10): Column = {
+    val b = clusterBits(cols.size, bits)
+    clusteredZValueWith(cols, clusterBounds(df, cols, b), b)
+  }
+
+  /** Per-column interleave width that fits a non-negative long:
+    * min(requested, 63/nCols). 2 cols keep the requested 10 bits; 7–8
+    * cols shrink to 9 and 7 — coarser buckets per column, but every
+    * column still contributes real bits (the alternative, rejecting wide
+    * clusterBy at write time, bricks a table whose property was already
+    * accepted). [[graft.functions.ZValueN]] caps at 8 columns. */
+  def clusterBits(nCols: Int, requested: Int = 10): Int = {
+    require(nCols >= 2 && nCols <= 8, s"clustering supports 2..8 columns, got $nCols")
+    math.min(requested, 63 / nCols)
+  }
 
   /** The quantile boundaries for the NUMERIC subset of `cols` — ONE
     * `approxQuantile` pass over `df`. Persist these (the lake stores them

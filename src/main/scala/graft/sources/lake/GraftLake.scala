@@ -76,8 +76,18 @@ object GraftLake {
     * and vacuum all inherit DV versioning from plain AddFile identity. */
   final case class DvRef(path: String, cardinality: Long)
 
+  /** `cluster`: the layout-generation tag stamped by the zorder commit
+    * that wrote this file — the cluster columns as FIELD IDS (names for
+    * id-less tables), comma-joined. A file counts as clustered only
+    * while its tag matches the table's CURRENT clusterBy (resolved the
+    * same way), so changing the cluster columns turns the old bulk back
+    * into OPTIMIZE victims; a RENAME of a clustered column keeps ids —
+    * and the physically-unchanged layout — clustered. Carried on the
+    * AddFile (through checkpoints), so staleness is O(active files) to
+    * answer, never a commit-log scan. */
   final case class AddFile(path: String, rows: Long, bytes: Long,
-      stats: Map[String, ColStats], dv: Option[DvRef] = None)
+      stats: Map[String, ColStats], dv: Option[DvRef] = None,
+      cluster: Option[String] = None)
 
   final case class Commit(version: Long, ts: Long, op: String,
       txnApp: Option[String], txnEpoch: Option[Long],
@@ -143,6 +153,7 @@ object GraftLake {
       val dn = an.putObject("dv")
       dn.put("path", d.path); dn.put("card", d.cardinality)
     }
+    a.cluster.foreach(an.put("cluster", _))
     val sn = an.putObject("stats")
     a.stats.foreach { case (col, st) =>
       sn.set[com.fasterxml.jackson.databind.JsonNode](col, colStatsNode(st)); ()
@@ -162,7 +173,8 @@ object GraftLake {
     AddFile(an.get("path").asText, an.get("rows").asLong,
       an.get("bytes").asLong, stats,
       Option(an.get("dv")).map(d =>
-        DvRef(d.get("path").asText, d.get("card").asLong)))
+        DvRef(d.get("path").asText, d.get("card").asLong)),
+      Option(an.get("cluster")).map(_.asText))
   }
 
   private def parseAddFiles(arr: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] =
@@ -258,6 +270,7 @@ object GraftLake {
           g.writeNumberField("card", d.cardinality)
           g.writeEndObject()
         }
+        a.cluster.foreach(g.writeStringField("cluster", _))
         g.writeObjectFieldStart("stats")
         a.stats.foreach { case (c, st) =>
           g.writeObjectFieldStart(c)
@@ -1289,7 +1302,7 @@ object GraftLake {
             else readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
           val inserts = src.alias("s").join(tgt.alias("t"), condition, "left_anti")
             .select(ch.insertChain.as("__gl_r"))
-          (Nil, expand(inserts), schemaOut, None)
+          (Nil, expand(inserts), schemaOut, None, None)
         } else {
           // phase 1: victim files. Stats-prune candidates on the first
           // target=source equi-conjunct's source bounds, then the exact
@@ -1329,7 +1342,7 @@ object GraftLake {
               else expand(
                 src.alias("s").join(tgt0.alias("t"), condition, "left_anti")
                   .select(ch.insertChain.as("__gl_r")))
-            (victims, kept.unionByName(nmbsRows).unionByName(inserts), schemaOut, None)
+            (victims, kept.unionByName(nmbsRows).unionByName(inserts), schemaOut, None, None)
           } else {
             // phase 2: one full-outer join of victims × source, projected
             // through the clause chains in a single pass.
@@ -1366,7 +1379,7 @@ object GraftLake {
                 else ch.chain(notMatchedBySource))
               .otherwise(ch.insertChain)
             val replacement = expand(guarded.select(result.as("__gl_r")))
-            (victims, replacement, schemaOut, None)
+            (victims, replacement, schemaOut, None, None)
           }
         }
       }
@@ -1574,10 +1587,31 @@ object GraftLake {
       return retryRewriteEvolving(spark, dir, "zorder") { snap =>
         clusterByOf(snap) match {
           case None => // unset under the fence
-            (Nil, emptyDf(spark, snap.schema), None, None)
+            (Nil, emptyDf(spark, snap.schema), None, None, None)
           case Some(cols) =>
-            val victims = unclusteredFiles(dir, snap)
-            if (victims.isEmpty) (Nil, emptyDf(spark, snap.schema), None, None)
+            val uncl = unclusteredFiles(snap)
+            // generation consolidation: under a frequent append+OPTIMIZE
+            // cadence each run emits a small clustered generation, so the
+            // file count would grow one-per-cycle without bound. Past a
+            // pair threshold, fold the SMALL clustered files (products of
+            // those small runs — steady-state generations sit at
+            // ~targetBytes and never re-enter) into the victim set: the
+            // common case stays O(new data), the occasional fold is
+            // O(small-generation bulk), and the active file count stays
+            // bounded by the threshold + O(table/targetBytes). Buckets
+            // come from the persisted boundaries, so the fold stays
+            // z-aligned with the untouched bulk.
+            val smallClustered =
+              if (uncl.size == snap.files.size) Nil
+              else {
+                val unclPaths = uncl.map(_.path).toSet
+                val smalls = snap.files.filter(f =>
+                  !unclPaths.contains(f.path) && f.bytes < smallBytes)
+                if (smalls.size >= ConsolidateSmallGenerations) smalls else Nil
+              }
+            val victims = uncl ++ smallClustered
+            if (victims.isEmpty)
+              (Nil, emptyDf(spark, snap.schema), None, None, None)
             else {
               val bytes = victims.map(_.bytes).sum
               val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -1586,7 +1620,10 @@ object GraftLake {
               // them (z-aligned with earlier generations, no quantile
               // pass); first cluster of a table computes and persists
               val (bits, bounds) = snap.clusterBounds.map(parseBounds)
-                .getOrElse((10, graft.sources.Layout.clusterBounds(df0, cols)))
+                .getOrElse {
+                  val b = graft.sources.Layout.clusterBits(cols.size)
+                  (b, graft.sources.Layout.clusterBounds(df0, cols, b))
+                }
               val df = df0
                 .withColumn("__z",
                   graft.sources.Layout.clusteredZValueWith(cols, bounds, bits))
@@ -1594,7 +1631,8 @@ object GraftLake {
                 .sortWithinPartitions("__z")
                 .drop("__z")
               (victims, df, None,
-                Some(snap.clusterBounds.getOrElse(boundsJson(bits, bounds))))
+                Some(snap.clusterBounds.getOrElse(boundsJson(bits, bounds))),
+                Some(clusterTagOf(snap, cols)))
             }
         }
       }
@@ -1728,16 +1766,70 @@ object GraftLake {
     * best-effort sort by it. */
   private[graft] val ClusterByKey = "clusterBy"
 
+  /** How many SMALL clustered files (bytes < OPTIMIZE's smallBytes) a
+    * table accumulates before a bare OPTIMIZE folds them back into one
+    * generation. High enough that the normal incremental cadence (a few
+    * small generations at a time) never pays a fold; low enough that the
+    * active file count under an append+OPTIMIZE-every-batch cadence is
+    * bounded (spec: LakeClusterBySpec "file count stays bounded"). */
+  private[graft] val ConsolidateSmallGenerations = 16
+
+  /** clusterBy validation shared by [[setProperties]] and the up-front
+    * CREATE/REPLACE check: 2..8 columns (one column is just a sort; the
+    * z-interleave [[graft.functions.ZValueN]] caps at 8 — per-column bits
+    * shrink via [[graft.sources.Layout.clusterBits]] so every accepted
+    * width stays writable), all present in the schema. */
+  private def validateClusterBy(schema: StructType,
+      props: Map[String, String]): Unit =
+    props.get(ClusterByKey).foreach { v =>
+      val cols = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      require(cols.size >= 2,
+        s"$ClusterByKey needs at least two columns, got '$v'")
+      require(cols.size <= 8,
+        s"$ClusterByKey supports at most 8 columns (z-interleave width), " +
+          s"got ${cols.size} in '$v'")
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"$ClusterByKey columns not in the table schema: ${missing.mkString(", ")}")
+    }
+
+  /** Validate table properties against a schema WITHOUT committing.
+    * CREATE/REPLACE TABLE run this BEFORE creating the lake table, so an
+    * invalid clusterBy (or a malformed checkpointEvery) throws before any
+    * side effect — the old order created the table first and could leave
+    * an orphaned lake directory with data but no catalog entry. */
+  private[graft] def validateTableProps(schema: StructType,
+      props: Map[String, String]): Unit = {
+    validateClusterBy(schema, props)
+    props.get("checkpointEvery").foreach { v =>
+      val e = try v.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"checkpointEvery must be an integer, got '$v'")
+      }
+      require(e >= 0, s"checkpointEvery must be >= 0, got $e")
+    }
+  }
+
+  /** The generation tag for `cols` under `snap`'s schema: field ids
+    * where assigned (rename-stable — a renamed cluster column keeps its
+    * physically-unchanged layout "clustered"), names otherwise. */
+  private[graft] def clusterTagOf(snap: Snapshot, cols: Seq[String]): String = {
+    val ids = snap.schema.fields.map(f => f.name -> idOf(f)).toMap
+    cols.map(c => ids.get(c).flatten.map(_.toString).getOrElse(c))
+      .mkString(",")
+  }
+
   /** Still-active files a bare OPTIMIZE of a clustered table would
-    * rewrite: files outside every zorder generation (each generation is
-    * internally tight; later ones must not turn earlier ones back into
-    * victims) plus DV-carrying files (vector purge). A truncated/absent
-    * zorder history degrades to a full re-cluster. Also DESCRIBE
-    * DETAIL's clustering-staleness column. */
-  private[graft] def unclusteredFiles(dir: String, snap: Snapshot): Seq[AddFile] = {
-    val gen = commits(dir).filter(_.op == "zorder")
-      .flatMap(_.adds.map(_.path)).toSet
-    snap.files.filter(f => !gen.contains(f.path) || f.dv.isDefined)
+    * rewrite: files whose generation tag does not match the CURRENT
+    * clusterBy (appends, CoW rewrites, zorder runs on different columns,
+    * and everything written before the property changed) plus
+    * DV-carrying files (vector purge). O(active files) off the folded
+    * snapshot — no commit-log scan. Also DESCRIBE DETAIL's
+    * clustering-staleness column. */
+  private[graft] def unclusteredFiles(snap: Snapshot): Seq[AddFile] = {
+    val cur = clusterByOf(snap).map(clusterTagOf(snap, _))
+    snap.files.filter(f => f.dv.isDefined || !f.cluster.exists(cur.contains))
   }
 
   /** Serialize cluster-bucket boundaries for the log:
@@ -1792,14 +1884,7 @@ object GraftLake {
     require(sets.keySet.intersect(unsets.toSet).isEmpty,
       "a key cannot be both set and unset")
     retry(dir, "set-properties") { snap =>
-      sets.get(ClusterByKey).foreach { v =>
-        val cols = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-        require(cols.size >= 2,
-          s"$ClusterByKey needs at least two columns, got '$v'")
-        val missing = cols.filterNot(snap.schema.fieldNames.contains)
-        require(missing.isEmpty,
-          s"$ClusterByKey columns not in the table schema: ${missing.mkString(", ")}")
-      }
+      validateClusterBy(snap.schema, sets)
       val ckpt = sets.get("checkpointEvery").map(_.toInt)
         .orElse(if (unsets.contains("checkpointEvery")) Some(0) else None)
       ckpt.foreach(e => require(e >= 0, s"checkpointEvery must be >= 0, got $e"))
@@ -2117,24 +2202,25 @@ object GraftLake {
       // one file that would stay one file (a single file CAN re-cluster
       // into many — how a compacted table regains pruning granularity)
       if (snap.files.isEmpty || (snap.files.size == 1 && numFiles <= 1))
-        (Nil, emptyDf(spark, snap.schema), None, None)
+        (Nil, emptyDf(spark, snap.schema), None, None, None)
       else {
         val df0 = readFiles(spark, snap, snap.activePaths)
-        val bounds = graft.sources.Layout.clusterBounds(df0, cols)
+        val bits = graft.sources.Layout.clusterBits(cols.size)
+        val bounds = graft.sources.Layout.clusterBounds(df0, cols, bits)
         // a whole-table re-layout on the DECLARED cluster columns renews
         // the table's persisted bucket boundaries: later incremental
         // clusters and appends bucket with the same ones (aligned
         // generations, no quantile pass per batch)
         val persist =
-          if (clusterByOf(snap).contains(cols)) Some(boundsJson(10, bounds))
+          if (clusterByOf(snap).contains(cols)) Some(boundsJson(bits, bounds))
           else None
         val df = df0
           .withColumn("__z",
-            graft.sources.Layout.clusteredZValueWith(cols, bounds))
+            graft.sources.Layout.clusteredZValueWith(cols, bounds, bits))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
-        (snap.files, df, None, persist)
+        (snap.files, df, None, persist, Some(clusterTagOf(snap, cols)))
       }
     }
 
@@ -2220,7 +2306,7 @@ object GraftLake {
   private def retryRewrite(spark: SparkSession, dir: String, op: String)(
       plan: Snapshot => (Seq[AddFile], DataFrame)): Long =
     retryRewriteEvolving(spark, dir, op) { snap =>
-      val (victims, replacement) = plan(snap); (victims, replacement, None, None)
+      val (victims, replacement) = plan(snap); (victims, replacement, None, None, None)
     }
 
   /** [[retryRewrite]] that can additionally EVOLVE the table schema in
@@ -2229,15 +2315,17 @@ object GraftLake {
     * advanced maxColId — schema change and rewrite land atomically, so a
     * failed merge never leaves half-applied columns behind. */
   private def retryRewriteEvolving(spark: SparkSession, dir: String, op: String)(
-      plan: Snapshot => (Seq[AddFile], DataFrame, Option[StructType], Option[String])): Long = {
+      plan: Snapshot => (Seq[AddFile], DataFrame, Option[StructType],
+        Option[String], Option[String])): Long = {
     var attempts = 0
     while (attempts < 20) {
       val snap = snapshot(spark, dir)
-      val (victims, replacement, evolvedOpt, boundsOpt) = plan(snap)
+      val (victims, replacement, evolvedOpt, boundsOpt, clusterTag) = plan(snap)
       // merge ops can commit with zero victims (insert-only merges); every
       // other rewrite with nothing to replace is a no-op
       if (victims.isEmpty && op != "merge" && op != "merge-into") return snap.version
       val adds = stage(replacement, dir, 0, evolvedOpt.getOrElse(snap.schema))
+        .map(a => if (clusterTag.isDefined) a.copy(cluster = clusterTag) else a)
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         evolvedOpt.map(_.json), adds, victims.map(_.path),
         maxColId = evolvedOpt.map(s => maxIdOf(s, snap.maxColId)),

@@ -54,6 +54,14 @@ final class LakeFileIndex private[lake] (spark: SparkSession, val dir: String,
   private[graft] def isAllSubset: Boolean = dvSubset.isEmpty
   private[graft] def hasDv: Boolean = snap.files.exists(_.dv.isDefined)
 
+  /** The snapshot restricted to the files this index actually serves —
+    * what log-fed column stats must fold over. Folding the FULL snapshot
+    * on a DV split-scan branch counts the other branch's rows too: a
+    * branch's nullCount could then exceed its rowCount, and CBO's
+    * IsNotNull selectivity (1 − nullCount/rowCount) goes negative. */
+  private[graft] def subsetSnap: GraftLake.Snapshot =
+    if (dvSubset.isEmpty) snap else snap.copy(files = subsetFiles)
+
   def schema: StructType = snap.schema
 
   override def rootPaths: Seq[Path] = Seq(new Path(dir))

@@ -133,8 +133,11 @@ object LakeDmlRule extends Rule[LogicalPlan] {
       : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
     import org.apache.spark.sql.types._
     val byName = idx.schema.fields.map(f => f.name -> f.dataType).toMap
-    val perFile = GraftLake.perFileNumericStats(idx.snap)
-    GraftLake.tableColStats(idx.snap).map { case (c, (kind, mn, mx, nulls)) =>
+    // fold over the index's SUBSET, not the full snapshot: the DV split
+    // scan stamps each branch with subset rowCounts, and column stats
+    // must describe the same rows or nullCount can exceed rowCount
+    val perFile = GraftLake.perFileNumericStats(idx.subsetSnap)
+    GraftLake.tableColStats(idx.subsetSnap).map { case (c, (kind, mn, mx, nulls)) =>
       val formatsMatch = (byName.get(c), kind) match {
         case (Some(ByteType | ShortType | IntegerType | LongType), "long") => true
         case (Some(FloatType | DoubleType), "double") => true
@@ -150,7 +153,12 @@ object LakeDmlRule extends Rule[LogicalPlan] {
       val nonNull = nulls.map(idx.liveRows - _).getOrElse(idx.liveRows)
       val ndv: Option[BigInt] = (formatsMatch, kind, mn, mx) match {
         case (true, "long", Some(lo), Some(hi)) =>
-          Some(BigInt(hi.toLong - lo.toLong + 1).min(BigInt(nonNull)).max(1))
+          // range in BigInt: a Long-space subtraction overflows for
+          // extreme bounds (min near Long.MinValue, max near MaxValue),
+          // wrapping negative and collapsing the ndv to 1 via .max(1) —
+          // a severe CBO underestimate
+          Some((BigInt(hi.toLong) - BigInt(lo.toLong) + 1)
+            .min(BigInt(nonNull)).max(1))
         case _ if nonNull >= 0 => Some(BigInt(nonNull).max(1))
         case _ => None
       }

@@ -221,15 +221,22 @@ case class LakeDetailCommand(target: String) extends LeafRunnableCommand {
     // the "is it time to compact" number an operator watches
     val clusteredBy = snap.props.get("clusterBy")
     val unclustered = if (clusteredBy.isEmpty) 0L
-      else GraftLake.unclusteredFiles(dir, snap).size.toLong
-    val propsJson = snap.props.toSeq.sorted
-      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+      else GraftLake.unclusteredFiles(snap).size.toLong
+    // Jackson, not string concat: property VALUES are user input and may
+    // carry quotes/backslashes — hand-built JSON would be invalid
+    val propsNode = LakeDetailCommand.mapper.createObjectNode()
+    snap.props.toSeq.sorted.foreach { case (k, v) => propsNode.put(k, v) }
+    val propsJson = propsNode.toString
     Seq(Row("graft-lake", dir, snap.version, snap.files.size.toLong,
       snap.files.map(_.bytes).sum,
       snap.files.map(_.rows).sum - dvRows,
       snap.files.count(_.dv.isDefined).toLong, dvRows, snap.ckptEvery,
       clusteredBy.orNull, unclustered, propsJson))
   }
+}
+
+object LakeDetailCommand {
+  private[spark] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 /** RESTORE TABLE t TO VERSION AS OF n — roll back as a new auditable
@@ -275,6 +282,9 @@ case class LakeReplaceTableCommand(nameParts: Seq[String],
       .getOrElse(GraftLakeSource.normalizePath(
         catalog.defaultTablePath(ti).toString))
     val df = GraftDatasetBridge.ofRows(spark, query)
+    // props validate BEFORE the replace/create commit — an invalid
+    // clusterBy must fail the whole statement with nothing written
+    GraftLake.validateTableProps(df.schema, tableProps)
     if (GraftLake.latestVersion(dir) >= 0) GraftLake.replaceTable(df, dir)
     else GraftLake.create(df, dir)
     if (tableProps.nonEmpty) GraftLake.setProperties(spark, dir, tableProps)
@@ -337,12 +347,19 @@ case class LakeCreateTableCommand(nameParts: Seq[String],
       case Some(q) =>
         if (exists) throw new IllegalArgumentException(
           s"lake table already exists: $dir")
-        GraftLake.create(GraftDatasetBridge.ofRows(spark, q), dir)
-      case None if exists => () // external registration: adopt the log
+        val df = GraftDatasetBridge.ofRows(spark, q)
+        // props validate BEFORE any side effect: an invalid clusterBy
+        // must not leave a lake directory with no catalog entry behind
+        GraftLake.validateTableProps(df.schema, tableProps)
+        GraftLake.create(df, dir)
+      case None if exists => // external registration: adopt the log
+        GraftLake.validateTableProps(
+          GraftLake.snapshot(spark, dir).schema, tableProps)
       case None =>
         require(userSchema.nonEmpty,
           s"no lake table at $dir and no schema given — supply columns " +
             "or AS SELECT")
+        GraftLake.validateTableProps(userSchema, tableProps)
         GraftLake.create(
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], userSchema), dir)

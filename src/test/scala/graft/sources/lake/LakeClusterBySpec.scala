@@ -334,6 +334,159 @@ class LakeClusterBySpec extends SparkSpec {
     spark.sql("DROP TABLE lake_show_t")
   }
 
+  test("generation TAGS, not zorder history: changing the cluster columns " +
+    "re-victimizes the old bulk; a rename keeps the physically-unchanged " +
+    "layout clustered; staleness is answered from the snapshot alone") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (shiftright(col("id"), 6) % 64).as("y"),
+      col("id").as("p")).repartition(4), dir)
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y"))
+    GraftLake.optimize(spark, dir)
+    val snap1 = GraftLake.snapshot(spark, dir)
+    assert(GraftLake.unclusteredFiles(snap1).isEmpty)
+    assert(snap1.files.forall(_.cluster.isDefined))
+
+    // CHANGE the cluster columns: the old generation's tag no longer
+    // matches, so every file is stale again (the old commit-history scan
+    // reported 0 here — any 'zorder' commit counted forever) and the next
+    // bare OPTIMIZE actually re-clusters on the new columns
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,p"))
+    val snap2 = GraftLake.snapshot(spark, dir)
+    assert(GraftLake.unclusteredFiles(snap2).size == snap2.files.size,
+      "a clusterBy change must re-victimize the whole old generation")
+    GraftLake.optimize(spark, dir)
+    val snap3 = GraftLake.snapshot(spark, dir)
+    assert(GraftLake.unclusteredFiles(snap3).isEmpty)
+    assert(snap3.files.map(_.path).toSet.intersect(
+      snap1.files.map(_.path).toSet).isEmpty,
+      "the re-cluster must have rewritten the old layout")
+
+    // explicit ZORDER BY on OTHER columns tags that generation with those
+    // columns -> still stale w.r.t. the declared clusterBy
+    GraftLake.optimizeZOrder(spark, dir, Seq("y", "p"), 4)
+    val snap4 = GraftLake.snapshot(spark, dir)
+    assert(GraftLake.unclusteredFiles(snap4).size == snap4.files.size,
+      "a zorder on different columns must not count as clustered")
+
+    // RENAME of a clustered column: tags are field-id-keyed, so the
+    // physically-unchanged layout stays clustered under the new name
+    GraftLake.optimize(spark, dir) // re-cluster on (x, p) first
+    GraftLake.renameColumn(spark, dir, "x", "x2")
+    val snap5 = GraftLake.snapshot(spark, dir)
+    assert(snap5.props("clusterBy") == "x2,p")
+    assert(GraftLake.unclusteredFiles(snap5).isEmpty,
+      "rename is pure metadata — the layout must stay clustered")
+    assert(GraftLake.read(spark, dir).count() == 4096)
+  }
+
+  test("7-column clusterBy stays writable (interleave bits shrink); 9 " +
+    "columns rejected up front") {
+    val dir = tmp()
+    val wide = spark.range(0, 2048).select(
+      (0 until 7).map(i => ((col("id") + i) % 16).as(s"c$i")) :+
+        col("id").as("p"): _*)
+    GraftLake.create(wide.repartition(2), dir)
+    // 10 bits x 7 cols would blow ZValueN's 63-bit budget; the shrunk
+    // interleave (9 bits) must keep every write path working
+    GraftLake.setProperties(spark, dir,
+      Map("clusterBy" -> (0 until 7).map(i => s"c$i").mkString(",")))
+    spark.range(5000, 5128).select(
+      (0 until 7).map(i => ((col("id") + i) % 16).as(s"c$i")) :+
+        col("id").as("p"): _*)
+      .write.format("graft-lake").mode("append").save(dir) // append sorts by z
+    GraftLake.optimize(spark, dir) // bare OPTIMIZE clusters
+    assert(GraftLake.unclusteredFiles(GraftLake.snapshot(spark, dir)).isEmpty)
+    assert(GraftLake.read(spark, dir).count() == 2048 + 128)
+
+    intercept[IllegalArgumentException] {
+      GraftLake.setProperties(spark, dir,
+        Map("clusterBy" -> ((0 until 7).map(i => s"c$i") ++ Seq("p", "p2"))
+          .mkString(",")))
+    }
+  }
+
+  test("CREATE/REPLACE TABLE with an invalid clusterBy is ATOMIC: the " +
+    "statement fails with no lake directory and no catalog entry behind") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_atomic_t")
+    spark.range(0, 64).select(col("id").as("a"), (col("id") * 2).as("b"))
+      .createOrReplaceTempView("lake_atomic_src")
+    // Spark's native CLUSTER BY (a) is legal syntax; the lake rejects
+    // single-column clustering — but must do so BEFORE creating anything
+    intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""CREATE TABLE lake_atomic_t USING `graft-lake` OPTIONS (path '$dir')
+           |CLUSTER BY (a) AS SELECT * FROM lake_atomic_src""".stripMargin)
+    }
+    assert(GraftLake.latestVersion(dir) < 0,
+      "failed CREATE must not leave an orphaned lake directory")
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("lake_atomic_t")))
+    // unknown column in TBLPROPERTIES: same atomicity
+    intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""CREATE TABLE lake_atomic_t USING `graft-lake` OPTIONS (path '$dir')
+           |TBLPROPERTIES ('clusterBy' = 'a,nope')
+           |AS SELECT * FROM lake_atomic_src""".stripMargin)
+    }
+    assert(GraftLake.latestVersion(dir) < 0)
+    // the path is still usable by a VALID create afterwards
+    spark.sql(
+      s"""CREATE TABLE lake_atomic_t USING `graft-lake` OPTIONS (path '$dir')
+         |CLUSTER BY (a, b) AS SELECT * FROM lake_atomic_src""".stripMargin)
+    assert(spark.table("lake_atomic_t").count() == 64)
+    assert(GraftLake.snapshot(spark, dir).props("clusterBy") == "a,b")
+    spark.sql("DROP TABLE lake_atomic_t")
+  }
+
+  test("file count stays BOUNDED under an append+OPTIMIZE-every-batch " +
+    "cadence: small clustered generations consolidate past the threshold, " +
+    "below it OPTIMIZE stays O(new data)") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 2048).select(
+      (col("id") % 64).as("x"), (shiftright(col("id"), 6) % 64).as("y"),
+      col("id").as("p")), dir)
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y"))
+    GraftLake.optimize(spark, dir)
+    val bulk = GraftLake.snapshot(spark, dir).files.map(_.path).toSet
+
+    var maxFiles = 0
+    var consolidations = 0
+    (1 to 24).foreach { i =>
+      spark.range(i * 10000, i * 10000 + 64).select((col("id") % 64).as("x"),
+        (shiftright(col("id"), 6) % 64).as("y"), col("id").as("p"))
+        .coalesce(1).write.format("graft-lake").mode("append").save(dir)
+      val before = GraftLake.snapshot(spark, dir).files.size
+      GraftLake.optimize(spark, dir)
+      val snap = GraftLake.snapshot(spark, dir)
+      maxFiles = math.max(maxFiles, snap.files.size)
+      if (snap.files.size < before) consolidations += 1
+    }
+    // bounded: never grows past threshold + the steady bulk; and the
+    // fold actually fired at least once over 24 cycles
+    assert(maxFiles <= GraftLake.ConsolidateSmallGenerations + bulk.size + 2,
+      s"file count must stay bounded, peaked at $maxFiles")
+    assert(consolidations >= 1,
+      "small clustered generations must consolidate under a frequent cadence")
+    assert(GraftLake.read(spark, dir).count() == 2048 + 24 * 64)
+    // all still clustered; a final bare OPTIMIZE below threshold is a no-op
+    assert(GraftLake.unclusteredFiles(GraftLake.snapshot(spark, dir)).isEmpty)
+  }
+
+  test("DESCRIBE DETAIL properties column is VALID JSON even when values " +
+    "carry quotes and backslashes") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 8).select(col("id"), col("id").as("v")), dir)
+    GraftLake.setProperties(spark, dir,
+      Map("note" -> """he said "hi" \ bye""", "team" -> "ml"))
+    val props = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+      .getAs[String]("properties")
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(props)
+    assert(parsed.get("note").asText() == """he said "hi" \ bye""")
+    assert(parsed.get("team").asText() == "ml")
+  }
+
   test("SQL ALTER TABLE SET/UNSET TBLPROPERTIES routes generic keys " +
     "through the folded props") {
     val dir = tmp()

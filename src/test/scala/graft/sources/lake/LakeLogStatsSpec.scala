@@ -171,4 +171,75 @@ class LakeLogStatsSpec extends SparkSpec {
     assert(opt.snap.files.forall(_.dv.isEmpty))
     assert(opt.sizeInBytes == opt.snap.files.map(_.bytes).sum)
   }
+
+  test("split-scan branch column stats fold over the branch SUBSET: " +
+    "nullCount never exceeds the branch's rowCount") {
+    val dir = tmp()
+    // nulls live ONLY in the file that will stay clean; the other file
+    // gets a DV. Folding the FULL snapshot on the DV branch would then
+    // report nullCount (600) > branch rowCount, and CBO's IsNotNull
+    // selectivity (1 - nullCount/rowCount) would go negative.
+    val withNulls = spark.range(0, 600).select(col("id"),
+      lit(null).cast("long").as("v"))
+    val noNulls = spark.range(1000, 1600).select(col("id"),
+      (col("id") * 2).as("v"))
+    GraftLake.create(withNulls.coalesce(1), dir, numFiles = 0)
+    noNulls.coalesce(1).write.format("graft-lake").mode("append").save(dir)
+    GraftLake.deleteMoR(spark, dir, col("id") >= 1200) // DV on the v-carrying file
+    val snap = GraftLake.snapshot(spark, dir)
+    assert(snap.files.count(_.dv.isDefined) == 1, s"need exactly one DV'd file")
+
+    Seq(Some(true), Some(false)).foreach { sub =>
+      val idx = new LakeFileIndex(spark, dir, None, Some(snap), sub)
+      GraftLake.tableColStats(idx.subsetSnap).foreach { case (c, (_, _, _, nulls)) =>
+        nulls.foreach(n => assert(n <= idx.liveRows,
+          s"branch dvSubset=$sub column $c: nullCount $n > rowCount ${idx.liveRows}"))
+      }
+    }
+    // and the end-to-end plan over the split scan still estimates sanely
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS lake_stats_subset")
+    try {
+      spark.sql(s"CREATE TABLE lake_stats_subset USING `graft-lake` " +
+        s"OPTIONS (path '$dir')")
+      val est = spark.table("lake_stats_subset").where("v IS NOT NULL")
+        .queryExecution.optimizedPlan.stats
+      assert(est.rowCount.forall(rc => rc >= 0 && rc <= BigInt(800)),
+        s"IS NOT NULL estimate must stay within [0, live rows]: $est")
+      assert(spark.table("lake_stats_subset").where("v IS NOT NULL").count() == 200L)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS lake_stats_subset")
+    }
+  }
+
+  test("integer ndv upper bound survives extreme ranges (BigInt, no Long " +
+    "overflow collapsing the estimate to 1)") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_stats_ndv")
+    // min near Long.MinValue, max near Long.MaxValue: (max - min + 1)
+    // overflows a Long (wraps negative -> .max(1) -> ndv = 1, a severe
+    // CBO underestimate); BigInt arithmetic keeps the bound, capped by
+    // the non-null row count (= 2 here)
+    spark.createDataFrame(Seq(
+      Tuple1(Long.MinValue + 2), Tuple1(Long.MaxValue - 2)))
+      .toDF("k").createOrReplaceTempView("lake_stats_ndv_src")
+    spark.sql(
+      s"""CREATE TABLE lake_stats_ndv USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_stats_ndv_src""".stripMargin)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val est = spark.table("lake_stats_ndv")
+        .queryExecution.optimizedPlan.stats
+      val ndvs = est.attributeStats.toSeq.collect {
+        case (a, s) if a.name == "k" => s.distinctCount
+      }.flatten
+      assert(ndvs.nonEmpty, s"k must carry log-fed column stats: $est")
+      assert(ndvs.forall(_ == BigInt(2)),
+        s"extreme range must cap ndv at non-null rows (2), not wrap to 1: $ndvs")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE lake_stats_ndv")
+    }
+  }
 }
