@@ -381,10 +381,19 @@ object Graph {
    * quadratic hazard is a hub LEFT node (a customer who bought 10⁶ items
    * contributes deg² pairs). `maxLeftDegree` drops those hubs before the
    * self-join via a partial-agg'd count + broadcast semi-join — the same
-   * capped-blocking discipline as the MinHash/SimHash bucket caps; a hub
-   * that popular carries ~no signal for pair similarity anyway. Three hash
-   * shuffles total (degree aggs, pair agg) + two broadcastable dimension
-   * joins.
+   * capped-blocking discipline as the MinHash/SimHash bucket caps — and
+   * it is CAPPED BY DEFAULT (1000): an uncapped default means one
+   * celebrity node dominates a stage at 100× data, which is exactly the
+   * failure a default should not carry. Recall statement: the only pairs
+   * the cap can lose are those whose EVERY shared left neighbor has
+   * >1000 distinct rights — co-occurrence inside a node that
+   * indiscriminate is ~noise as similarity evidence (its deg² pairs each
+   * share one near-universal neighbor), the same rationale as dropping
+   * stopword-frequency shingles in the LSH caps. Degrees and Jaccard are
+   * computed over the capped graph, so `common <= min(d1, d2)` remains
+   * an invariant. Pass `Long.MaxValue` for the exact uncapped semantics.
+   * Three hash shuffles total (degree aggs, pair agg) + two
+   * broadcastable dimension joins.
    *
    * Shape note (measured r7): generating pairs map-side from per-left
    * collect_set arrays (nested `transform`/`flatten`/`explode`) was tried
@@ -408,7 +417,7 @@ object Graph {
    * at sf0.01 before measuring). The codegen self-join stays.
    */
   def neighborJaccard(edges: DataFrame, leftCol: String, rightCol: String,
-      minCommon: Long, maxLeftDegree: Long = Long.MaxValue): DataFrame = {
+      minCommon: Long, maxLeftDegree: Long = 1000L): DataFrame = {
     val e = edges.select(col(leftCol).cast("long").as("l"),
       col(rightCol).cast("long").as("r")).distinct()
     val keptLeft =
@@ -418,7 +427,11 @@ object Graph {
           .filter(col("dl") <= maxLeftDegree).select("l")
         e.join(broadcast(ok), Seq("l"), "left_semi")
       }
-    val deg = e.groupBy("r").agg(count(lit(1)).as("d"))
+    // degrees of the CAPPED graph, not the raw edge list: once hubs are
+    // dropped, the similarity is defined over the graph that remains —
+    // common <= min(d1, d2) stays an invariant, and jac_micro's
+    // denominator counts the same evidence the numerator does
+    val deg = keptLeft.groupBy("r").agg(count(lit(1)).as("d"))
     // degree prune (recall-exact): a right node with global degree <
     // minCommon cannot reach `common >= minCommon` with ANY partner
     // (common <= min(d1, d2)), so drop its edges BEFORE the quadratic

@@ -1810,8 +1810,15 @@ object ExtensionQueries {
   // ── link prediction: neighborhood Jaccard over the purchase bipartite ───
   // ops/Graph.neighborJaccard: "customers who bought X also bought Y" —
   // candidate pairs only through shared customers (no all-pairs), hub
-  // customers cappable like LSH buckets. jac_micro = integer ratio of two
-  // exact counts, so the hash gate is exact.
+  // customers CAPPED BY DEFAULT (maxLeftDegree = 1000; the deg²-per-hub
+  // self-join is the one quadratic in the repo, and an uncapped default
+  // means one celebrity customer dominates a stage at 100× data). The
+  // cap is SQL-replayable, so the oracle carries it too — the gate pins
+  // the capped semantics exactly, not just "same when the cap is idle"
+  // (testdata max degree is 105, so here the capped output equals the
+  // uncapped one; x_link_predict_capped below forces the cap to FIRE).
+  // jac_micro = integer ratio of two exact counts over the capped graph,
+  // so the hash gate is exact.
   private val xLinkPredict: Q = (s, dir) => {
     val e = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -1820,23 +1827,43 @@ object ExtensionQueries {
       .withColumnRenamed("r1", "part1").withColumnRenamed("r2", "part2")
       .orderBy(col("jac_micro").desc, col("part1"), col("part2"))
   }
-  private val xLinkPredictSql =
-    """WITH e AS (
-      |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |), deg AS (SELECT part, count(*) AS d FROM e GROUP BY part),
-      |pairs AS (
-      |  SELECT a.part AS part1, b.part AS part2,
-      |    CAST(count(*) AS BIGINT) AS common
-      |  FROM e a JOIN e b ON a.cust = b.cust AND a.part < b.part
-      |  GROUP BY 1, 2 HAVING count(*) >= 5
-      |)
-      |SELECT part1, part2, common,
-      |  CAST(round(common * 1000000.0 / (d1.d + d2.d - common), 0) AS BIGINT)
-      |    AS jac_micro
-      |FROM pairs
-      |JOIN deg d1 ON d1.part = part1 JOIN deg d2 ON d2.part = part2
-      |ORDER BY jac_micro DESC, part1, part2""".stripMargin
+  private def linkPredictSql(cap: Long, minCommon: Long) =
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), cdeg AS (SELECT cust, count(*) AS dl FROM e0 GROUP BY cust),
+       |e AS (
+       |  SELECT e0.* FROM e0 JOIN cdeg ON e0.cust = cdeg.cust
+       |  WHERE cdeg.dl <= $cap
+       |), deg AS (SELECT part, count(*) AS d FROM e GROUP BY part),
+       |pairs AS (
+       |  SELECT a.part AS part1, b.part AS part2,
+       |    CAST(count(*) AS BIGINT) AS common
+       |  FROM e a JOIN e b ON a.cust = b.cust AND a.part < b.part
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCommon
+       |)
+       |SELECT part1, part2, common,
+       |  CAST(round(common * 1000000.0 / (d1.d + d2.d - common), 0) AS BIGINT)
+       |    AS jac_micro
+       |FROM pairs
+       |JOIN deg d1 ON d1.part = part1 JOIN deg d2 ON d2.part = part2
+       |ORDER BY jac_micro DESC, part1, part2""".stripMargin
+  private val xLinkPredictSql = linkPredictSql(cap = 1000L, minCommon = 5L)
+
+  // the cap actually FIRING: maxLeftDegree = 50 drops the top ~25% of
+  // customers (degree median 39, p99 77 in this data), and the oracle
+  // replays the drop relationally — degrees, pairs, and Jaccard all over
+  // the capped graph. This is the 100 TB posture under test, not idle.
+  private val xLinkPredictCapped: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    graft.ops.Graph.neighborJaccard(e, "cust", "part", minCommon = 3L,
+        maxLeftDegree = 50L)
+      .withColumnRenamed("r1", "part1").withColumnRenamed("r2", "part2")
+      .orderBy(col("jac_micro").desc, col("part1"), col("part2"))
+  }
+  private val xLinkPredictCappedSql = linkPredictSql(cap = 50L, minCommon = 3L)
 
   // ── data skipping: per-file min/max manifest prunes a range scan ────────
   // sources/Layout.statsManifest + skippingRead: lineitem is range-written
@@ -2126,6 +2153,7 @@ object ExtensionQueries {
     "x_heavy_hitters" -> xHeavyHitters,
     "x_file_skipping" -> xFileSkipping,
     "x_link_predict" -> xLinkPredict,
+    "x_link_predict_capped" -> xLinkPredictCapped,
     "x_skyline" -> xSkyline,
     "x_hits" -> xHits,
     "x_ppr" -> xPpr,
@@ -2192,6 +2220,7 @@ object ExtensionQueries {
     "x_heavy_hitters" -> xHeavyHittersSql,
     "x_file_skipping" -> xFileSkippingSql,
     "x_link_predict" -> xLinkPredictSql,
+    "x_link_predict_capped" -> xLinkPredictCappedSql,
     "x_skyline" -> xSkylineSql,
     "x_hits" -> xHitsSql,
     "x_ppr" -> xPprSql,

@@ -45,4 +45,25 @@ class LinkPredictSpec extends SparkSpec {
     // pair volume strictly shrinks under the cap
     assert(capped.map(_._3).sum < uncapped.map(_._3).sum)
   }
+
+  test("capped output IS the exact result over the capped graph: degrees " +
+    "and Jaccard count only surviving evidence") {
+    // dropping the hub must be indistinguishable from the hub never
+    // having existed — if degrees were computed on the RAW edge list the
+    // denominators would still count the hub's edges and every score
+    // would shrink inconsistently with `common`
+    val hub = (10L to 13L).map(i => (99L, i)).toDF("cust", "item")
+    val capped = Graph.neighborJaccard(edges.union(hub), "cust", "item",
+      minCommon = 2L, maxLeftDegree = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = Graph.neighborJaccard(edges, "cust", "item", minCommon = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == exact)
+    // and the DEFAULT is capped (finite): a pathological hub cannot ride
+    // the default into a deg² stage
+    val wide = (1L to 1001L).map(i => (7L, 100000L + i)).toDF("cust", "item")
+    val got = Graph.neighborJaccard(edges.union(wide), "cust", "item",
+      minCommon = 2L).as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exact, "a >1000-degree hub must be dropped by default")
+  }
 }
