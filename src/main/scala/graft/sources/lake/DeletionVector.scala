@@ -81,6 +81,17 @@ private[lake] object DvCache {
  * only the sidecars of the files it actually scans, through the
  * immutable executor-side [[DvCache]] — Delta's DV architecture, where
  * the plan ships descriptors and executors fetch bitmaps.
+ *
+ * Descriptor-map ceiling (measured, [[LakeDvMapBench]]): the map rides
+ * the ONE taskBinary broadcast per stage, and its size scales with the
+ * DV-CARRYING files in the scan, not total files — 10⁴ → 1.3 MB /
+ * ~50 ms serialize, 10⁵ → 12.6 MB / ~250 ms, 10⁶ → 126 MB / ~2.4 s.
+ * 10⁵ is comfortably inside one broadcast; 10⁶ is past the comfortable
+ * ceiling, but OPTIMIZE victims every DV-carrying file, so that census
+ * means a table that skipped compaction across ~10⁶ point-delete-touched
+ * files — run OPTIMIZE. If a real workload ever needs sustained 10⁶
+ * live vectors, the next shape is Delta's: per-file descriptors inside
+ * the FileIndex rather than one plan-level map.
  */
 case class DvDeleted(fileName: Expression, rowIdx: Expression,
     dvPathByFile: Map[String, String]) extends BinaryExpression {

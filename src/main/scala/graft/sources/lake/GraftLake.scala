@@ -457,6 +457,11 @@ object GraftLake {
   /** Attempt to publish `c` as version `c.version`; true iff this writer
     * won the fence. The linked file is complete before it becomes
     * visible, so readers never observe a partial commit. */
+  /** Commits that lost the create-if-absent fence and recomputed —
+    * process-wide observability for contention benchmarks
+    * ([[LakeWriterBench]]); not part of any correctness path. */
+  private[lake] val lostFences = new java.util.concurrent.atomic.AtomicLong()
+
   private def tryCommit(dir: String, c: Commit): Boolean = {
     val ld = logDir(dir); ld.mkdirs()
     val tmp = new File(ld, s".tmp-${UUID.randomUUID()}")
@@ -470,7 +475,7 @@ object GraftLake {
       Files.createLink(versionFile(dir, c.version).toPath, tmp.toPath)
       true
     } catch {
-      case _: FileAlreadyExistsException => false
+      case _: FileAlreadyExistsException => lostFences.incrementAndGet(); false
     } finally tmp.delete()
   }
 
@@ -540,7 +545,13 @@ object GraftLake {
     * is omitted entirely; a file with unknown nullCount (-1) drops the
     * null count but keeps the bounds. DV'd files keep their full-file
     * bounds (the envelope stays a valid over-approximation after
-    * row-level deletes). */
+    * row-level deletes), but their nullCount is DISCOUNTED by the DV
+    * cardinality: footer nulls count deleted rows too, and a nullCount
+    * above the live row count sends CBO's IsNotNull selectivity
+    * (1 − nullCount/rowCount) negative. `max(0, nulls − deleted)` is the
+    * provable lower bound on live nulls (each deleted row removes at
+    * most one null) — erring low over-estimates surviving rows, the safe
+    * direction for a broadcast decision. */
   private[graft] def tableColStats(snap: Snapshot)
       : Map[String, (String, Option[String], Option[String], Option[Long])] =
     snap.schema.fields.iterator.flatMap { f =>
@@ -548,10 +559,11 @@ object GraftLake {
       // per-file stats are keyed by parquet FIELD ID (rename-stable);
       // fall back to the name for id-less (externally created) tables
       val key = idOf(f).map(_.toString).getOrElse(c)
-      val per = snap.files.map(_.stats.get(key))
-      if (per.isEmpty || per.exists(_.isEmpty)) None
+      val per = snap.files.map(a =>
+        (a.stats.get(key), a.dv.map(_.cardinality).getOrElse(0L)))
+      if (per.isEmpty || per.exists(_._1.isEmpty)) None
       else {
-        val ss = per.flatten
+        val ss = per.map(_._1.get)
         val kind = ss.head.kind
         val mins = ss.flatMap(_.min)
         val maxs = ss.flatMap(_.max)
@@ -560,7 +572,8 @@ object GraftLake {
         val mx = if (maxs.size == ss.size)
           Some(maxs.reduce((a, b) => if (cmp(kind, a, b) >= 0) a else b)) else None
         val nulls = if (ss.forall(_.nullCount >= 0))
-          Some(ss.map(_.nullCount).sum) else None
+          Some(per.map { case (s, dvc) => math.max(0L, s.get.nullCount - dvc) }.sum)
+          else None
         Some(c -> ((kind, mn, mx, nulls)))
       }
     }.toMap

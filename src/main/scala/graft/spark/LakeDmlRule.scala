@@ -136,13 +136,27 @@ object LakeDmlRule extends Rule[LogicalPlan] {
     // fold over the index's SUBSET, not the full snapshot: the DV split
     // scan stamps each branch with subset rowCounts, and column stats
     // must describe the same rows or nullCount can exceed rowCount
-    val perFile = GraftLake.perFileNumericStats(idx.subsetSnap)
-    GraftLake.tableColStats(idx.subsetSnap).map { case (c, (kind, mn, mx, nulls)) =>
-      val formatsMatch = (byName.get(c), kind) match {
+    val sub = idx.subsetSnap
+    val perFile = GraftLake.perFileNumericStats(sub)
+    // MoR staleness guard: footer min/max envelopes stay full-file-wide
+    // while DVs grow, and FilterEstimation assumes uniformity over the
+    // envelope — on a mostly-deleted subset whose live rows concentrate
+    // in a sub-range, a range predicate's rowCount under-estimates by up
+    // to the dead fraction (the direction that wrongly BROADCASTS a big
+    // side). Past 50% deleted the envelopes are more dead than alive:
+    // stop attaching min/max/histogram and let estimates fall back to
+    // the exact rowCount with default selectivity. rowCount/sizeInBytes
+    // stay DV-exact; file pruning is per-file stats and unaffected;
+    // OPTIMIZE victims every DV-carrying file, so the steady state
+    // restores full stats at the next compaction.
+    val rawRows = sub.files.map(_.rows).sum
+    val mostlyLive = rawRows == 0 || idx.liveRows * 2 >= rawRows
+    GraftLake.tableColStats(sub).map { case (c, (kind, mn, mx, nulls)) =>
+      val formatsMatch = mostlyLive && ((byName.get(c), kind) match {
         case (Some(ByteType | ShortType | IntegerType | LongType), "long") => true
         case (Some(FloatType | DoubleType), "double") => true
         case _ => false
-      }
+      })
       // FilterEstimation refuses to engage without an ndv. The log gives
       // a PRINCIPLED upper bound for integers — ndv <= max-min+1 (tight
       // for dense keys AND for low-cardinality flags) — capped by the

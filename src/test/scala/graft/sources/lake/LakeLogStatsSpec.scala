@@ -213,6 +213,64 @@ class LakeLogStatsSpec extends SparkSpec {
     }
   }
 
+  test("a 90%-deleted file's stale range envelope cannot poison a " +
+    "join-side choice: past 50% deleted, min/max detach and estimates " +
+    "fall back to the DV-exact rowCount") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_stats_stale")
+    spark.range(0, 10000).select(col("id"), (col("id") * 7).as("v"))
+      .coalesce(1).createOrReplaceTempView("lake_stats_stale_src")
+    spark.sql(
+      s"""CREATE TABLE lake_stats_stale USING `graft-lake` OPTIONS (path '$dir')
+         |AS SELECT * FROM lake_stats_stale_src""".stripMargin)
+    // MoR-delete 90%: live rows concentrate in [0, 1000) but the footer
+    // envelope stays [0, 9999]. Uniformity over the stale envelope would
+    // estimate `id < 1000` at ~10% of 1000 live = ~100 rows — a 10×
+    // under-estimate, in the direction that wrongly broadcasts a big side.
+    GraftLake.deleteMoR(spark, dir, col("id") >= 1000)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val all = spark.table("lake_stats_stale")
+        .queryExecution.optimizedPlan.stats
+      assert(all.rowCount.contains(BigInt(1000)),
+        s"rowCount must stay DV-exact: $all")
+      val est = spark.table("lake_stats_stale").where("id < 1000")
+        .queryExecution.optimizedPlan.stats
+      assert(est.rowCount.isDefined && est.rowCount.get >= BigInt(250),
+        s"stale envelope must not collapse the estimate (true 1000): $est")
+
+      // compaction purges the vectors; full column stats come back
+      GraftLake.optimize(spark, dir)
+      spark.catalog.refreshTable("lake_stats_stale")
+      val fresh = spark.table("lake_stats_stale").where("id < 500")
+        .queryExecution.optimizedPlan.stats
+      assert(fresh.rowCount.isDefined && fresh.rowCount.get < BigInt(900),
+        s"after OPTIMIZE the tight envelope must estimate again: $fresh")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE lake_stats_stale")
+    }
+  }
+
+  test("DV'd file nullCount discounts by the vector cardinality: the " +
+    "provable lower bound on live nulls, never above the live row count") {
+    val dir = tmp()
+    // one file: ids 0..999, v null for id < 600
+    GraftLake.create(spark.range(0, 1000).select(col("id"),
+      when(col("id") < 600, lit(null).cast("long"))
+        .otherwise(col("id")).as("v")).coalesce(1), dir)
+    GraftLake.deleteMoR(spark, dir, col("id") % 2 === 0) // 500 deleted
+    val snap = GraftLake.snapshot(spark, dir)
+    val live = snap.files.map(f => f.rows - f.dv.map(_.cardinality).getOrElse(0L)).sum
+    assert(live == 500L)
+    val (_, _, _, nulls) = GraftLake.tableColStats(snap)("v")
+    // footer nulls = 600, DV cardinality = 500 -> lower bound 100; the
+    // true live null count is 300 (odd ids < 600), and the bound must
+    // never exceed the live row count
+    assert(nulls.contains(100L), s"expected max(0, 600-500)=100, got $nulls")
+    assert(nulls.get <= live)
+  }
+
   test("integer ndv upper bound survives extreme ranges (BigInt, no Long " +
     "overflow collapsing the estimate to 1)") {
     val dir = tmp()
