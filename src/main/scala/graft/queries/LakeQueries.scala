@@ -782,7 +782,89 @@ object LakeQueries {
       "FROM graft_l16 ORDER BY o_orderkey")
   }
 
+  // ── l18: CONVERT TO LAKE — zero-rewrite adoption of a raw parquet dir ──
+  // The migration path at 100 TB: footer-only v0 commit referencing the
+  // files where they are (cost ∝ file count, never bytes), then the full
+  // DML surface applies — the gate registers the converted table, inserts
+  // and CoW-deletes through SQL, and proves the adopted footer stats
+  // file-prune. Oracle replays the adoption + DML relationally.
+  private val l18LakeConvert: Q = (s, dir) => {
+    val raw = java.nio.file.Files.createTempDirectory("graft_lake_conv")
+      .toString + "/raw"
+    val p = ordersProjected(s, dir)
+    p.createOrReplaceTempView("l18_src")
+    p.filter(col("o_orderkey") % 3 === 0)
+      .repartitionByRange(6, col("o_orderkey")).write.parquet(raw)
+    require(s.sql(s"CONVERT TO LAKE '$raw'").head().getLong(0) == 0L)
+    // adopted footer stats must file-prune a range predicate immediately
+    val keys = GraftLake.read(s, raw).agg(
+      min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (_, kept, total) = GraftLake.scanFiltered(s, raw,
+      col("o_orderkey") <= (keys.getLong(0) + keys.getLong(1)) / 8)
+    require(total == 6 && kept <= 2,
+      s"adopted stats must prune: kept $kept of $total")
+    s.sql("DROP TABLE IF EXISTS graft_l18")
+    s.sql(s"CREATE TABLE graft_l18 USING `graft-lake` OPTIONS (path '$raw')")
+    s.sql("INSERT INTO graft_l18 SELECT o_orderkey, o_orderstatus, " +
+      "o_orderpriority, price_c FROM l18_src WHERE o_orderkey % 3 = 1")
+    s.sql("DELETE FROM graft_l18 WHERE o_orderkey % 6 = 0")
+    s.catalog.refreshTable("graft_l18")
+    s.sql("SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c " +
+      "FROM graft_l18 ORDER BY o_orderkey")
+  }
+  private val l18LakeConvertSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       o_orderpriority,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders
+      |WHERE o_orderkey % 3 IN (0, 1) AND NOT o_orderkey % 6 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ── l19: batch change-data-feed — table_changes as reader options ─────
+  // The NET row-level delta of commits [startingVersion, endingVersion]:
+  // create (%4==0), append (%4==1), CoW delete (%8==0), CoW update
+  // (%20==1 doubles price), OPTIMIZE (pure layout, nets zero). Inserts
+  // land at their FINAL value (the appended-then-updated rows' transient
+  // value was both added and removed inside the range); deletes are the
+  // v0 rows that left. Oracle replays the net delta relationally.
+  private val l19LakeBatchCdf: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_bcdf")
+      .toString + "/t"
+    val p = ordersProjected(s, dir)
+    GraftLake.create(p.filter(col("o_orderkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey")), tbl)               // v0
+    GraftLake.append(p.filter(col("o_orderkey") % 4 === 1), tbl)    // v1
+    GraftLake.delete(s, tbl, col("o_orderkey") % 8 === 0)           // v2
+    GraftLake.update(s, tbl, col("o_orderkey") % 20 === 1,
+      Seq("price_c" -> (col("price_c") * 2)))                       // v3
+    GraftLake.optimize(s, tbl)                                      // v4
+    s.read.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1)
+      .option("endingVersion", GraftLake.latestVersion(tbl)).load(tbl)
+      .orderBy(col("o_orderkey"), col("change_kind"))
+  }
+  private val l19LakeBatchCdfSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |       CASE WHEN o_orderkey % 20 = 1 THEN price_c * 2 ELSE price_c END
+      |         AS price_c,
+      |       'insert' AS change_kind
+      |FROM p WHERE o_orderkey % 4 = 1
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c,
+      |       'delete' AS change_kind
+      |FROM p WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 = 0
+      |ORDER BY o_orderkey, change_kind""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "l18_lake_convert" -> l18LakeConvert,
+    "l19_lake_batch_cdf" -> l19LakeBatchCdf,
     "l14_lake_dv" -> l14LakeDv,
     "l15_lake_dv_update" -> l15LakeDvUpdate,
     "l16_lake_merge_mor" -> l16LakeMergeMor,
@@ -802,6 +884,8 @@ object LakeQueries {
     "l5_lake_planner_scan" -> l5LakePlannerScan)
 
   val oracles: Map[String, String] = Map(
+    "l18_lake_convert" -> l18LakeConvertSql,
+    "l19_lake_batch_cdf" -> l19LakeBatchCdfSql,
     "l14_lake_dv" -> l14LakeDvSql,
     "l15_lake_dv_update" -> l15LakeDvUpdateSql,
     "l16_lake_merge_mor" -> l10LakeSqlMergeSql, // same algebra, MoR path

@@ -683,8 +683,16 @@ object GraftLake {
   /** Field-id column resolution is conf-gated in Spark; flip it on for
     * any session about to read lake files. Benign globally: schemas
     * without id metadata resolve by name exactly as before. */
-  private[lake] def ensureFieldIdRead(spark: SparkSession): Unit =
+  private[lake] def ensureFieldIdRead(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // CONVERTed tables mix id-less adopted files with id-stamped files
+    // written by later evolution: ignoreMissing makes Spark fall back to
+    // NAME matching for files that carry no ids at all (instead of
+    // erroring), which is exactly the adopted files' contract — every
+    // lake-written file carries ids, so this relaxation never engages
+    // for them
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+  }
 
   // ── staging data files ───────────────────────────────────────────────
 
@@ -740,6 +748,58 @@ object GraftLake {
     val c = Commit(0L, System.currentTimeMillis(), "create", None, None,
       Some(schema.json), adds, Nil, ckptEvery = Some(checkpointEvery),
       maxColId = Some(schema.fields.length))
+    if (!tryCommit(dir, c))
+      throw new LakeContentionException(s"concurrent create at $dir")
+    0L
+  }
+
+  /** CONVERT an existing parquet directory into a lake table IN PLACE,
+    * zero data rewrite (the CONVERT TO DELTA migration shape): list the
+    * parquet files, read their FOOTERS for rows/bytes/min-max
+    * (distributed over executors when the list is large — the same
+    * machinery every commit uses), and commit v0 referencing the files
+    * where they already are. At 100 TB this is the adoption path:
+    * metadata-only, cost ∝ file COUNT, never data volume.
+    *
+    * The adopted schema carries NO field ids (the files were written
+    * without them), so the table starts name-keyed — Spark's field-id
+    * read only engages for fields with id metadata, and columns added by
+    * LATER evolution get fresh ids stamped into the files that carry
+    * them, so the mixture stays sound. Stats are keyed by column name
+    * for the same reason. Hive-partitioned layouts (`col=value`
+    * subdirectories) are REFUSED: their partition values live in paths,
+    * not footers, and silently adopting the files would drop those
+    * columns — rewrite into a clustered lake table instead (the lake's
+    * clustering-over-partitioning posture). */
+  def convert(spark: SparkSession, dir: String,
+      checkpointEvery: Int = 10): Long = {
+    require(latestVersion(dir) < 0, s"already a lake table: $dir")
+    val root = new File(dir)
+    require(root.isDirectory, s"not a directory: $dir")
+    val rels = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(f: File, rel: String): Unit =
+      if (f.isDirectory) {
+        require(!f.getName.contains("="),
+          s"hive-partitioned layout ($rel): partition values live in the " +
+            "path, not the files — read and write into a clustered lake " +
+            "table instead of converting in place")
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .foreach(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+      } else if (f.getName.endsWith(".parquet")) rels += rel
+    walk(root, "")
+    require(rels.nonEmpty, s"no parquet files under $dir")
+    val schema = StructType(spark.read
+      .parquet(rels.toSeq.map(r => s"$dir/$r"): _*).schema.fields
+      .map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val stats = footerStats(spark, rels.toSeq.sorted.map(r => s"$dir/$r"))
+    val adds = rels.toSeq.sorted.map { rel =>
+      val (rows, bytes, cs) = stats(s"$dir/$rel")
+      AddFile(rel, rows, bytes, cs)
+    }
+    val c = Commit(0L, System.currentTimeMillis(), "convert", None, None,
+      Some(schema.json), adds, Nil, ckptEvery = Some(checkpointEvery),
+      maxColId = Some(0))
     if (!tryCommit(dir, c))
       throw new LakeContentionException(s"concurrent create at $dir")
     0L
@@ -2004,11 +2064,18 @@ object GraftLake {
       new File(dir, rel).lastModified() <= cutoff
     def tombstoneOldEnough(rel: String): Boolean =
       removedTs.get(rel).exists(_ <= cutoff)
+    // orphan detection lists only data/ (the lake's own staging target;
+    // crash debris can't land anywhere else), but tombstone reclamation
+    // goes by the LOG's referenced paths directly — a CONVERTed table's
+    // adopted files live outside data/ and must still reclaim once
+    // rewritten out of the snapshot
     val onDisk = Option(dataDir(dir).listFiles((_, n) => n.endsWith(".parquet")))
       .getOrElse(Array.empty[File]).map(f => s"data/${f.getName}").toSet
     val doomed = (onDisk -- everReferenced).filter(orphanOldEnough) ++
       (if (keepHistory) Set.empty[String]
-       else ((everReferenced -- active) & onDisk).filter(tombstoneOldEnough))
+       else (everReferenced -- active)
+         .filter(rel => new File(dir, rel).isFile)
+         .filter(tombstoneOldEnough))
     doomed.foreach(rel => new File(dir, rel).delete())
 
     // ── DV sidecars ride the same lifecycle, keyed by AddFile reference:

@@ -110,6 +110,33 @@ class GraftLakeSource extends RelationProvider with CreatableRelationProvider
     val dir = pathOf(parameters)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
     val spark = sqlContext.sparkSession
+    // BATCH change-data-feed (the Delta table_changes shape as reader
+    // options): the net row-level delta of commits
+    // [startingVersion, endingVersion] with change_kind ∈ {insert,
+    // delete} — an updated row is its old value deleted + new value
+    // inserted, pure layout commits net to zero, cost bounded by
+    // changed-file volume (GraftLake.changes). endingVersion defaults to
+    // latest; startingVersion >= 1 (the initial state is a snapshot, not
+    // a change — read the table plainly for it).
+    if (parameters.getOrElse("readChangeFeed", "false").toBoolean) {
+      require(asOf.isEmpty, "readChangeFeed and versionAsOf are exclusive")
+      val from = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed=true requires startingVersion")).toLong
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(GraftLake.latestVersion(dir))
+      require(from >= 1, s"startingVersion must be >= 1, got $from " +
+        "(the initial state is a snapshot read, not a change)")
+      require(to >= from - 1, s"endingVersion $to before startingVersion $from")
+      val df = GraftLake.changes(spark, dir, from - 1, to)
+      val sqlc = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sqlc
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.rdd
+      }
+    }
     val idx = new LakeFileIndex(spark, dir, asOf)
     if (idx.hasDv) {
       // a BaseRelation is ONE scan — deletion vectors need the DML rule's

@@ -46,13 +46,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakeHistoryCommand(target)
     case Detail(target) =>
       LakeDetailCommand(target)
+    case Convert(path) =>
+      LakeConvertCommand(path)
     case _ => postProcess(delegate.parsePlan(sqlText))
   }
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
     case Vacuum(_, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) |
-         Detail(_) =>
+         Detail(_) | Convert(_) =>
       parsePlan(sqlText)
     case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
   }
@@ -110,6 +112,8 @@ object GraftSqlParser {
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
   private val Detail =
     ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*""").r
+  private val Convert =
+    ("""(?is)\s*CONVERT\s+TO\s+LAKE\s+('[^']+'|"[^"]+")\s*;?\s*""").r
 
   private[spark] def strip(s: String): String = {
     val t = s.trim
@@ -144,6 +148,23 @@ object GraftSqlParser {
       GraftLakeSource.lakeDirOf(ct).getOrElse(throw new IllegalArgumentException(
         s"$t is not a graft-lake table (provider ${ct.provider.orNull})"))
     }
+  }
+}
+
+/** CONVERT TO LAKE '<path>' — adopt an existing parquet directory as a
+  * lake table in place: footer-only v0 commit, zero data rewrite (the
+  * CONVERT TO DELTA migration shape; see [[GraftLake.convert]] for the
+  * name-keyed schema and hive-layout refusal). Register it in the
+  * catalog afterwards with plain `CREATE TABLE t USING graft-lake
+  * OPTIONS (path ...)` — that statement adopts an existing log. */
+case class LakeConvertCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.strip(target)
+    require(t.startsWith("/") || t.startsWith("file:"),
+      s"CONVERT TO LAKE takes a quoted path, got $target")
+    Seq(Row(GraftLake.convert(spark, GraftLakeSource.normalizePath(t))))
   }
 }
 
