@@ -862,9 +862,51 @@ object LakeQueries {
       |FROM p WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 = 0
       |ORDER BY o_orderkey, change_kind""".stripMargin
 
+  // ── l20: SHALLOW CLONE — zero-copy table clone, then divergence ───────
+  // One metadata commit references the source's files by absolute path
+  // (in-gate requires: no data files under the clone, source untouched
+  // after the clone diverges). The gate emits the CLONE's final state
+  // after SQL divergence; the oracle replays it relationally.
+  private val l20LakeClone: Q = (s, dir) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_clone")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    val p = ordersProjected(s, dir)
+    p.createOrReplaceTempView("l20_src")
+    s.sql("DROP TABLE IF EXISTS graft_l20_src")
+    s.sql("DROP TABLE IF EXISTS graft_l20")
+    s.sql(s"CREATE TABLE graft_l20_src USING `graft-lake` OPTIONS (path '$src') " +
+      "AS SELECT o_orderkey, o_orderstatus, price_c FROM l20_src " +
+      "WHERE o_orderkey % 2 = 0")
+    s.sql(s"CREATE TABLE graft_l20 SHALLOW CLONE graft_l20_src LOCATION '$dst'")
+    require(!new java.io.File(dst, "data").exists() ||
+      new java.io.File(dst, "data").listFiles().isEmpty,
+      "shallow clone must copy zero data files")
+    // diverge the clone by SQL; the source must stay untouched
+    s.sql("INSERT INTO graft_l20 SELECT o_orderkey, o_orderstatus, price_c " +
+      "FROM l20_src WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0")
+    s.sql("DELETE FROM graft_l20 WHERE o_orderkey % 10 = 4")
+    require(s.table("graft_l20_src").count() ==
+      GraftLake.read(s, src, asOf = Some(0L)).count(),
+      "divergence must not touch the source")
+    s.catalog.refreshTable("graft_l20")
+    s.sql("SELECT o_orderkey, o_orderstatus, price_c FROM graft_l20 " +
+      "ORDER BY o_orderkey")
+  }
+  private val l20LakeCloneSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_orderstatus, price_c FROM p
+      |WHERE (o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0))
+      |  AND NOT o_orderkey % 10 = 4
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l18_lake_convert" -> l18LakeConvert,
     "l19_lake_batch_cdf" -> l19LakeBatchCdf,
+    "l20_lake_clone" -> l20LakeClone,
     "l14_lake_dv" -> l14LakeDv,
     "l15_lake_dv_update" -> l15LakeDvUpdate,
     "l16_lake_merge_mor" -> l16LakeMergeMor,
@@ -886,6 +928,7 @@ object LakeQueries {
   val oracles: Map[String, String] = Map(
     "l18_lake_convert" -> l18LakeConvertSql,
     "l19_lake_batch_cdf" -> l19LakeBatchCdfSql,
+    "l20_lake_clone" -> l20LakeCloneSql,
     "l14_lake_dv" -> l14LakeDvSql,
     "l15_lake_dv_update" -> l15LakeDvUpdateSql,
     "l16_lake_merge_mor" -> l10LakeSqlMergeSql, // same algebra, MoR path

@@ -117,7 +117,7 @@ object GraftLake {
       retired: Map[String, Long] = Map.empty, ckptEvery: Int = 0,
       props: Map[String, String] = Map.empty,
       clusterBounds: Option[String] = None) {
-    def activePaths: Seq[String] = files.map(f => s"$dir/${f.path}")
+    def activePaths: Seq[String] = files.map(f => GraftLake.absPath(dir, f.path))
   }
 
   /** Thrown when `maxRetries` successive commit attempts all lost the
@@ -805,6 +805,40 @@ object GraftLake {
     0L
   }
 
+  /** SHALLOW CLONE: a new lake table whose v0 commit references the
+    * SOURCE table's current files by ABSOLUTE path — zero bytes copied,
+    * so cloning a 100 TB corpus for an experiment costs one metadata
+    * commit. The clone is fully independent from then on: its writes
+    * (appends, CoW/MoR DML, OPTIMIZE) land in its own directory, its
+    * reads pin its own log, and its vacuum NEVER reclaims absolute
+    * references (the source owns those bytes). Schema, field ids,
+    * retired names, properties (clusterBy + generation tags included)
+    * and cluster boundaries carry over, so pruning, rename-stable reads
+    * and incremental clustering behave identically on day one. Caveat
+    * (Delta's too): a keepHistory=false vacuum on the SOURCE can
+    * reclaim files the clone still references — clone from tables whose
+    * history retention you control. */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
+      checkpointEvery: Int = 10): Long = {
+    require(latestVersion(dstDir) < 0, s"lake table already exists: $dstDir")
+    val src = GraftLakeSource.normalizePath(srcDir)
+    val snap = snapshot(spark, src)
+    val adds = snap.files.map { f =>
+      f.copy(path = absPath(src, f.path),
+        dv = f.dv.map(d => d.copy(path = absPath(src, d.path))))
+    }
+    val props: Seq[(String, Option[String])] =
+      snap.props.toSeq.map { case (k, v) => k -> Some(v) }
+    val c = Commit(0L, System.currentTimeMillis(), "clone", None, None,
+      Some(snap.schema.json), adds, Nil, ckptEvery = Some(checkpointEvery),
+      maxColId = Some(snap.maxColId),
+      retiredNames = snap.retired.toSeq,
+      props = props, clusterBounds = snap.clusterBounds)
+    if (!tryCommit(dstDir, c))
+      throw new LakeContentionException(s"concurrent create at $dstDir")
+    0L
+  }
+
   /** Append-only commit; never conflicts, so losers just re-fence at the
     * next version. New nullable columns evolve the table schema (each
     * assigned a fresh, never-reused field id); a type conflict on a
@@ -1045,7 +1079,7 @@ object GraftLake {
           val byName = set.toMap
           val markedFiles = marked.keySet
           val sources = hit.filter(f => markedFiles.contains(baseName(f.path)))
-          val updated = readFiles(spark, snap, sources.map(f => s"$dir/${f.path}"))
+          val updated = readFiles(spark, snap, sources.map(f => absPath(dir, f.path)))
             .filter(coalesce(predicate, lit(false)))
             .select(snap.schema.fields.toIndexedSeq.map { fld =>
               byName.get(fld.name).map(_.cast(fld.dataType).as(fld.name))
@@ -1066,7 +1100,7 @@ object GraftLake {
   private def markDeletedPositions(spark: SparkSession, snap: Snapshot,
       files: Seq[AddFile], predicate: Column): Map[String, Array[Byte]] = {
     ensureFieldIdRead(spark)
-    val paths = files.map(f => s"${snap.dir}/${f.path}")
+    val paths = files.map(f => absPath(snap.dir, f.path))
     val dvByBase = dvPathsFor(snap, paths)
     val raw = spark.read.option("mergeSchema", "true").schema(snap.schema)
       .parquet(paths: _*)
@@ -1113,7 +1147,7 @@ object GraftLake {
     marked.foreach { case (base, newBytes) =>
       val f = byBase(base)
       val bm = DeletionVector.fromBytes(newBytes)
-      f.dv.foreach(d => bm.or(DeletionVector.read(new File(dir, d.path))))
+      f.dv.foreach(d => bm.or(DeletionVector.read(fileAt(dir, d.path))))
       val card = bm.getLongCardinality
       if (card != f.dv.map(_.cardinality).getOrElse(0L)) {
         removes += f.path
@@ -1174,7 +1208,7 @@ object GraftLake {
         }
         val base =
           if (candidates.isEmpty) emptyDf(spark, snap.schema)
-          else readFiles(spark, snap, candidates.map(f => s"$dir/${f.path}"))
+          else readFiles(spark, snap, candidates.map(f => absPath(dir, f.path)))
         val rewritten = base.join(upd.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(upd, allowMissingColumns = true)
         (candidates, rewritten)
@@ -1372,7 +1406,7 @@ object GraftLake {
           // target row a source row could match lives there.
           val tgt =
             if (cand.isEmpty) emptyDf(spark, evolved)
-            else readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
+            else readFiles(spark, snapE, cand.map(f => absPath(dir, f.path)))
           val inserts = src.alias("s").join(tgt.alias("t"), condition, "left_anti")
             .select(ch.insertChain.as("__gl_r"))
           (Nil, expand(inserts), schemaOut, None, None)
@@ -1385,7 +1419,7 @@ object GraftLake {
             if (notMatchedBySource.nonEmpty) snap.files
             else if (cand.isEmpty) Nil
             else {
-              val touched = readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
+              val touched = readFiles(spark, snapE, cand.map(f => absPath(dir, f.path)))
                 .withColumn("__gl_file", input_file_name()).alias("t")
                 .join(src.alias("s"), condition, "left_semi")
                 .select(col("__gl_file")).distinct()
@@ -1395,7 +1429,7 @@ object GraftLake {
 
           val tgt0 =
             if (victims.isEmpty) emptyDf(spark, evolved)
-            else readFiles(spark, snapE, victims.map(f => s"$dir/${f.path}"))
+            else readFiles(spark, snapE, victims.map(f => absPath(dir, f.path)))
 
           if (matched.isEmpty) {
             // ── not-matched-by-source WITHOUT matched clauses: matched
@@ -1527,7 +1561,7 @@ object GraftLake {
           if (notMatchedBySource.nonEmpty) snap.files
           else if (cand.isEmpty) Nil
           else {
-            val touched = readFiles(spark, snapE, cand.map(f => s"$dir/${f.path}"))
+            val touched = readFiles(spark, snapE, cand.map(f => absPath(dir, f.path)))
               .withColumn("__gl_file", input_file_name()).alias("t")
               .join(src.alias("s"), condition, "left_semi")
               .select(col("__gl_file")).distinct()
@@ -1536,7 +1570,7 @@ object GraftLake {
           }
 
         // target = victim files' LIVE rows WITH physical positions
-        val paths = victims.map(f => s"$dir/${f.path}")
+        val paths = victims.map(f => absPath(dir, f.path))
         ensureFieldIdRead(spark)
         val tgt =
           if (victims.isEmpty)
@@ -1688,7 +1722,7 @@ object GraftLake {
             else {
               val bytes = victims.map(_.bytes).sum
               val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-              val df0 = readFiles(spark, snap, victims.map(f => s"$dir/${f.path}"))
+              val df0 = readFiles(spark, snap, victims.map(f => absPath(dir, f.path)))
               // bucket with the PERSISTED boundaries when the table has
               // them (z-aligned with earlier generations, no quantile
               // pass); first cluster of a table computes and persists
@@ -1725,7 +1759,7 @@ object GraftLake {
       else {
         val total = small.map(_.bytes).sum
         val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-        val df = readFiles(spark, snap, small.map(f => s"$dir/${f.path}"))
+        val df = readFiles(spark, snap, small.map(f => absPath(dir, f.path)))
           .repartition(nOut)
         (small, df)
       }
@@ -2001,7 +2035,7 @@ object GraftLake {
     val target = snapshot(spark, dir, Some(version))
     val missing = target.files
       .flatMap(f => f.path +: f.dv.map(_.path).toSeq) // DV sidecars too
-      .filterNot(rel => new File(dir, rel).exists())
+      .filterNot(rel => fileAt(dir, rel).exists())
     require(missing.isEmpty,
       s"cannot restore $dir to v$version: ${missing.size} file(s) vacuumed, e.g. ${missing.head}")
     retry(dir, "restore") { snap =>
@@ -2071,9 +2105,15 @@ object GraftLake {
     // rewritten out of the snapshot
     val onDisk = Option(dataDir(dir).listFiles((_, n) => n.endsWith(".parquet")))
       .getOrElse(Array.empty[File]).map(f => s"data/${f.getName}").toSet
+    // ABSOLUTE references (SHALLOW CLONE pointing into the source
+    // table's directory) are NEVER reclaimed here: the clone does not
+    // own those bytes — the source table's own vacuum governs them
+    // (with the standard caveat that source-side history vacuum can
+    // break clones pinned to those files, Delta's documented contract)
     val doomed = (onDisk -- everReferenced).filter(orphanOldEnough) ++
       (if (keepHistory) Set.empty[String]
        else (everReferenced -- active)
+         .filterNot(_.startsWith("/"))
          .filter(rel => new File(dir, rel).isFile)
          .filter(tombstoneOldEnough))
     doomed.foreach(rel => new File(dir, rel).delete())
@@ -2106,9 +2146,12 @@ object GraftLake {
     }
     val onDiskDv = Option(new File(dir, "dv").listFiles((_, n) => n.endsWith(".bin")))
       .getOrElse(Array.empty[File]).map(f => s"dv/${f.getName}").toSet
+    // same absolute-reference exclusion as data files: a clone's DV
+    // sidecar references into the source are the source's to reclaim
     val doomedDv = (onDiskDv -- everReferencedDv).filter(orphanOldEnough) ++
       (if (keepHistory) Set.empty[String]
        else ((everReferencedDv -- activeDv) & onDiskDv)
+         .filterNot(_.startsWith("/"))
          .filter(rel => dvRemovedTs.get(rel).exists(_ <= cutoff)))
     doomedDv.foreach(rel => new File(dir, rel).delete())
 
@@ -2159,7 +2202,7 @@ object GraftLake {
     }
     val df =
       if (hit.isEmpty) emptyDf(spark, snap.schema)
-      else readFiles(spark, snap, hit.map(f => s"$dir/${f.path}"))
+      else readFiles(spark, snap, hit.map(f => absPath(dir, f.path)))
     (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
       hit.size, snap.files.size)
   }
@@ -2177,7 +2220,7 @@ object GraftLake {
     val hit = overlapping(snap, predicate)
     val df =
       if (hit.isEmpty) emptyDf(spark, snap.schema)
-      else readFiles(spark, snap, hit.map(f => s"$dir/${f.path}"))
+      else readFiles(spark, snap, hit.map(f => absPath(dir, f.path)))
     (df.filter(predicate), hit.size, snap.files.size)
   }
 
@@ -2207,7 +2250,7 @@ object GraftLake {
     def side(files: Seq[AddFile]): DataFrame =
       if (files.isEmpty) emptyDf(spark, to.schema)
       else readFiles(spark, to.copy(files = files),
-        files.map(f => s"$dir/${f.path}"))
+        files.map(f => absPath(dir, f.path)))
     val added = side(addedFiles)
     val removed = side(removedFiles)
     added.exceptAll(removed).withColumn("change_kind", lit("insert"))
@@ -2307,6 +2350,16 @@ object GraftLake {
   private[lake] def baseName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
 
+  /** Join a table-relative log path to its absolute location. SHALLOW
+    * CLONE records the SOURCE table's files as ABSOLUTE paths (that is
+    * the whole trick — zero data copy), so every read-side join must go
+    * through here; files the table wrote itself are always relative. */
+  private[lake] def absPath(dir: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$dir/$rel"
+
+  private[lake] def fileAt(dir: String, rel: String): File =
+    if (rel.startsWith("/")) new File(rel) else new File(dir, rel)
+
   /** basename → absolute DV sidecar path, for the subset of `paths` whose
     * AddFile (in `snap`) carries a deletion vector. */
   private[lake] def dvPathsFor(snap: Snapshot, paths: Seq[String]): Map[String, String] = {
@@ -2314,7 +2367,7 @@ object GraftLake {
     snap.files.iterator.flatMap { f =>
       f.dv.flatMap { d =>
         val b = baseName(f.path)
-        if (wanted.contains(b)) Some(b -> s"${snap.dir}/${d.path}") else None
+        if (wanted.contains(b)) Some(b -> absPath(snap.dir, d.path)) else None
       }
     }.toMap
   }
@@ -2426,7 +2479,7 @@ object GraftLake {
       val hit = overlapping(snap, predicate)
       if (hit.isEmpty) (Nil, emptyDf(spark, snap.schema))
       else {
-        val df = readFiles(spark, snap, hit.map(h => s"${snap.dir}/${h.path}"))
+        val df = readFiles(spark, snap, hit.map(h => absPath(snap.dir, h.path)))
         (hit, f(df, snap))
       }
     }

@@ -69,7 +69,7 @@ final class LakeFileIndex private[lake] (spark: SparkSession, val dir: String,
   override def partitionSchema: StructType = new StructType()
 
   override def inputFiles: Array[String] =
-    subsetFiles.map(f => s"$dir/${f.path}").toArray
+    subsetFiles.map(f => GraftLake.absPath(dir, f.path)).toArray
 
   override def refresh(): Unit = () // immutable snapshot by design
 
@@ -95,7 +95,7 @@ final class LakeFileIndex private[lake] (spark: SparkSession, val dir: String,
     val statuses = kept.map { a =>
       FileStatusWithMetadata(
         new FileStatus(a.bytes, false, 1, 128L << 20, 0L,
-          new Path(s"$dir/${a.path}")),
+          new Path(GraftLake.absPath(dir, a.path))),
         Map.empty)
     }
     Seq(PartitionDirectory(InternalRow.empty, statuses))

@@ -160,7 +160,7 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
         else
           GraftLake.readFiles(spark,
             pinned.copy(version = to, files = adds),
-            adds.map(a => s"$dir/${a.path}"))
+            adds.map(a => GraftLake.absPath(dir, a.path)))
     }
     GraftDatasetBridge.asStreaming(df)
   }

@@ -48,13 +48,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakeDetailCommand(target)
     case Convert(path) =>
       LakeConvertCommand(path)
+    case Clone(table, source, location) =>
+      LakeCloneCommand(table, source, Option(location))
     case _ => postProcess(delegate.parsePlan(sqlText))
   }
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
     case Vacuum(_, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) |
-         Detail(_) | Convert(_) =>
+         Detail(_) | Convert(_) | Clone(_, _, _) =>
       parsePlan(sqlText)
     case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
   }
@@ -114,6 +116,9 @@ object GraftSqlParser {
     ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*""").r
   private val Convert =
     ("""(?is)\s*CONVERT\s+TO\s+LAKE\s+('[^']+'|"[^"]+")\s*;?\s*""").r
+  private val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   private[spark] def strip(s: String): String = {
     val t = s.trim
@@ -165,6 +170,40 @@ case class LakeConvertCommand(target: String) extends LeafRunnableCommand {
     require(t.startsWith("/") || t.startsWith("file:"),
       s"CONVERT TO LAKE takes a quoted path, got $target")
     Seq(Row(GraftLake.convert(spark, GraftLakeSource.normalizePath(t))))
+  }
+}
+
+/** CREATE TABLE t SHALLOW CLONE src [LOCATION '<path>'] — a zero-copy
+  * clone (Delta's grammar): one metadata commit referencing the source's
+  * current files by absolute path, then a normal catalog registration.
+  * `src` is a lake table name or a quoted path; the clone lands at
+  * LOCATION (external) or the warehouse default for `t` (managed). */
+case class LakeCloneCommand(table: String, source: String,
+    location: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDir = GraftSqlParser.dirOf(spark, source)
+    val ti = spark.sessionState.sqlParser
+      .parseTableIdentifier(GraftSqlParser.strip(table))
+    val catalog = spark.sessionState.catalog
+    require(!catalog.tableExists(ti), s"table ${ti.quotedString} already exists")
+    val dstDir = location.map(GraftLakeSource.normalizePath).getOrElse(
+      GraftLakeSource.normalizePath(catalog.defaultTablePath(ti).toString))
+    val v = GraftLake.shallowClone(spark, srcDir, dstDir)
+    val schema = GraftLake.snapshot(spark, dstDir).schema
+    catalog.createTable(CatalogTable(
+      identifier = ti,
+      tableType = if (location.isDefined) CatalogTableType.EXTERNAL
+        else CatalogTableType.MANAGED,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(dstDir).toUri),
+        properties = Map("path" -> dstDir)),
+      schema = schema,
+      provider = Some("graft-lake")), ignoreIfExists = false,
+      validateLocation = false)
+    spark.catalog.refreshTable(ti.quotedString)
+    Seq(Row(v))
   }
 }
 
