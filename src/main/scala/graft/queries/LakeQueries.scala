@@ -903,10 +903,50 @@ object LakeQueries {
       |  AND NOT o_orderkey % 10 = 4
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── l21: CHECK constraints — ingest-time data-quality enforcement ─────
+  // constraint.<name> props (the Delta shape on the folded-props
+  // machinery): ADD scans once, writes enforce via a codegen'd
+  // assert_true riding the staging job. In-gate requires: a violating
+  // INSERT fails with nothing committed; the final state replays
+  // relationally (only the valid inserts landed).
+  private val l21LakeConstraint: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_ck")
+      .toString + "/t"
+    val p = ordersProjected(s, dir)
+    p.createOrReplaceTempView("l21_src")
+    s.sql("DROP TABLE IF EXISTS graft_l21")
+    s.sql(s"CREATE TABLE graft_l21 USING `graft-lake` OPTIONS (path '$tbl') " +
+      "AS SELECT o_orderkey, o_orderstatus, price_c FROM l21_src " +
+      "WHERE o_orderkey % 2 = 0")
+    s.sql("ALTER TABLE graft_l21 SET TBLPROPERTIES " +
+      "('constraint.price_pos' = 'price_c > 0')")
+    // valid insert flows
+    s.sql("INSERT INTO graft_l21 SELECT o_orderkey, o_orderstatus, price_c " +
+      "FROM l21_src WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0")
+    // violating insert fails with NOTHING committed
+    val vBefore = GraftLake.latestVersion(tbl)
+    val failed = try {
+      s.sql("INSERT INTO graft_l21 VALUES (999999999, 'X', -1)"); false
+    } catch { case _: Exception => true }
+    require(failed, "violating INSERT must fail the CHECK constraint")
+    require(GraftLake.latestVersion(tbl) == vBefore,
+      "failed INSERT must not commit")
+    s.catalog.refreshTable("graft_l21")
+    s.sql("SELECT o_orderkey, o_orderstatus, price_c FROM graft_l21 " +
+      "ORDER BY o_orderkey")
+  }
+  private val l21LakeConstraintSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "l18_lake_convert" -> l18LakeConvert,
     "l19_lake_batch_cdf" -> l19LakeBatchCdf,
     "l20_lake_clone" -> l20LakeClone,
+    "l21_lake_constraint" -> l21LakeConstraint,
     "l14_lake_dv" -> l14LakeDv,
     "l15_lake_dv_update" -> l15LakeDvUpdate,
     "l16_lake_merge_mor" -> l16LakeMergeMor,
@@ -929,6 +969,7 @@ object LakeQueries {
     "l18_lake_convert" -> l18LakeConvertSql,
     "l19_lake_batch_cdf" -> l19LakeBatchCdfSql,
     "l20_lake_clone" -> l20LakeCloneSql,
+    "l21_lake_constraint" -> l21LakeConstraintSql,
     "l14_lake_dv" -> l14LakeDvSql,
     "l15_lake_dv_update" -> l15LakeDvUpdateSql,
     "l16_lake_merge_mor" -> l10LakeSqlMergeSql, // same algebra, MoR path

@@ -701,11 +701,51 @@ object GraftLake {
     * under fresh unique names (invisible until the log references them),
     * and return their AddFile actions with footer stats keyed by field
     * id (rename-stable). */
+  /** CHECK-constraint property prefix (the Delta shape —
+    * `delta.constraints.<name>`): any folded table property
+    * `constraint.<name> = <boolean SQL expr>` is enforced on EVERY
+    * write. ADD validates existing data with one scan (set time);
+    * writes then enforce with a codegen'd `assert_true` filter that
+    * RIDES the staging write — zero extra pass, a violating batch
+    * fails its job before anything commits. Clones/REPLACE inherit or
+    * reset with the props they carry. */
+  private[graft] val ConstraintPrefix = "constraint."
+
+  private[graft] def constraintsOf(snap: Snapshot): Seq[(String, String)] =
+    snap.props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }.toSeq.sortBy(_._1)
+
+  /** The write-side enforcement frame: all rows pass through, a
+    * violation throws with the constraint's name and expression. SQL
+    * CHECK semantics: NULL passes (coalesce-to-true), only FALSE
+    * violates. A batch that omits a constrained column entirely fails
+    * ANALYSIS at write time — loud, not silent. */
+  private def enforceConstraints(df: DataFrame,
+      cs: Seq[(String, String)]): DataFrame =
+    cs.foldLeft(df) { case (d, (name, sql)) =>
+      d.filter(org.apache.spark.sql.functions.assert_true(
+        coalesce(org.apache.spark.sql.functions.expr(sql).cast("boolean"),
+          lit(true)),
+        lit(s"CHECK constraint $name violated: $sql")).isNull)
+    }
+
   private def stage(df: DataFrame, dir: String, numFiles: Int,
       target: StructType): Seq[AddFile] = {
     val spark = df.sparkSession
     val staged = new File(dir, s"_staged/${UUID.randomUUID()}")
-    val stamped = stampIds(df, target)
+    // every written file passes through here — append, CTAS, CoW
+    // rewrites, merge outputs, streaming batches — so this is THE
+    // constraint choke point (CoW re-staged rows satisfy by the
+    // ADD-time scan's induction)
+    val checked =
+      if (latestVersion(dir) < 0) df
+      else {
+        val cs = constraintsOf(snapshot(spark, dir))
+        if (cs.isEmpty) df else enforceConstraints(df, cs)
+      }
+    val stamped = stampIds(checked, target)
     val out = if (numFiles > 0) stamped.repartition(numFiles) else stamped
     out.write.mode("overwrite").parquet(staged.getAbsolutePath)
     val parts = Option(staged.listFiles((_, n) => n.startsWith("part-") && n.endsWith(".parquet")))
@@ -1916,7 +1956,45 @@ object GraftLake {
       }
       require(e >= 0, s"checkpointEvery must be >= 0, got $e")
     }
+    // CHECK constraints must at least RESOLVE against the schema before
+    // anything is created; the existing-data scan happens at set time
+    props.collect {
+      case (k, sql) if k.startsWith(ConstraintPrefix) =>
+        (k.stripPrefix(ConstraintPrefix), sql)
+    }.foreach { case (name, sql) =>
+      require(name.nonEmpty, "constraint name must be non-empty")
+      try emptyDf(SparkSession.active, schema)
+        .filter(org.apache.spark.sql.functions.expr(sql))
+        .queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"CHECK constraint $name does not resolve against the table " +
+            s"schema: $sql (${e.getMessage})")
+      }
+    }
   }
+
+  /** ADD-time data validation (Delta's contract): a new/changed CHECK
+    * constraint scans the CURRENT snapshot once and is rejected if any
+    * live row violates — so writes can then enforce by induction with
+    * no read-back. */
+  private def validateConstraintData(spark: SparkSession, snap: Snapshot,
+      sets: Map[String, String]): Unit =
+    sets.collect {
+      case (k, sql) if k.startsWith(ConstraintPrefix) &&
+          !snap.props.get(k).contains(sql) =>
+        (k.stripPrefix(ConstraintPrefix), sql)
+    }.foreach { case (name, sql) =>
+      if (snap.files.nonEmpty) {
+        val bad = readFiles(spark, snap, snap.activePaths)
+          .filter(!coalesce(
+            org.apache.spark.sql.functions.expr(sql).cast("boolean"),
+            lit(true)))
+          .limit(1).count()
+        require(bad == 0L,
+          s"cannot add CHECK constraint $name: existing rows violate $sql")
+      }
+    }
 
   /** The generation tag for `cols` under `snap`'s schema: field ids
     * where assigned (rename-stable — a renamed cluster column keeps its
@@ -1991,7 +2069,8 @@ object GraftLake {
     require(sets.keySet.intersect(unsets.toSet).isEmpty,
       "a key cannot be both set and unset")
     retry(dir, "set-properties") { snap =>
-      validateClusterBy(snap.schema, sets)
+      validateTableProps(snap.schema, sets)
+      validateConstraintData(spark, snap, sets)
       val ckpt = sets.get("checkpointEvery").map(_.toInt)
         .orElse(if (unsets.contains("checkpointEvery")) Some(0) else None)
       ckpt.foreach(e => require(e >= 0, s"checkpointEvery must be >= 0, got $e"))
@@ -2083,6 +2162,22 @@ object GraftLake {
     * crashed writer's debris carries. */
   private[lake] def vacuumAt(spark: SparkSession, dir: String,
       keepHistory: Boolean, minAgeMillis: Long, now: Long): Int = {
+    val (doomed, doomedDv) =
+      vacuumDoomed(spark, dir, keepHistory, minAgeMillis, now)
+    doomed.foreach(rel => new File(dir, rel).delete())
+    doomedDv.foreach(rel => new File(dir, rel).delete())
+    // sweep abandoned staging dirs under the same age guard
+    Option(new File(dir, "_staged").listFiles()).getOrElse(Array.empty)
+      .filter(_.lastModified() <= now - minAgeMillis).foreach(deleteRecursively)
+    doomed.size + doomedDv.size
+  }
+
+  /** What a vacuum WOULD reclaim — `VACUUM ... DRY RUN`'s answer and the
+    * delete list [[vacuumAt]] executes: (data files, DV sidecars), both
+    * table-relative. Pure computation, nothing touched. */
+  private[graft] def vacuumDoomed(spark: SparkSession, dir: String,
+      keepHistory: Boolean, minAgeMillis: Long,
+      now: Long): (Seq[String], Seq[String]) = {
     val cs = commits(dir)
     val everReferenced = cs.flatMap(_.adds.map(_.path)).toSet
     val activeFiles = snapshot(spark, dir).files
@@ -2116,7 +2211,6 @@ object GraftLake {
          .filterNot(_.startsWith("/"))
          .filter(rel => new File(dir, rel).isFile)
          .filter(tombstoneOldEnough))
-    doomed.foreach(rel => new File(dir, rel).delete())
 
     // ── DV sidecars ride the same lifecycle, keyed by AddFile reference:
     // a sidecar is removed when its carrying AddFile is removed OR
@@ -2153,12 +2247,7 @@ object GraftLake {
        else ((everReferencedDv -- activeDv) & onDiskDv)
          .filterNot(_.startsWith("/"))
          .filter(rel => dvRemovedTs.get(rel).exists(_ <= cutoff)))
-    doomedDv.foreach(rel => new File(dir, rel).delete())
-
-    // sweep abandoned staging dirs under the same age guard
-    Option(new File(dir, "_staged").listFiles()).getOrElse(Array.empty)
-      .filter(_.lastModified() <= cutoff).foreach(deleteRecursively)
-    doomed.size + doomedDv.size
+    (doomed.toSeq.sorted, doomedDv.toSeq.sorted)
   }
 
   // ── reads ────────────────────────────────────────────────────────────

@@ -33,9 +33,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(target, hours) =>
+    case Vacuum(target, hours, dry) =>
       LakeVacuumCommand(target,
-        Option(hours).map(_.toLong).getOrElse(168L)) // Delta's 7-day default
+        Option(hours).map(_.toLong).getOrElse(168L), // Delta's 7-day default
+        dryRun = dry != null)
     case Optimize(target, where, zcols, n) =>
       LakeOptimizeCommand(target, Option(where),
         Option(zcols).map(_.split(',').toSeq.map(c => strip(c.trim))),
@@ -55,7 +56,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
-    case Vacuum(_, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) |
+    case Vacuum(_, _, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) |
          Detail(_) | Convert(_) | Clone(_, _, _) =>
       parsePlan(sqlText)
     case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
@@ -101,7 +102,8 @@ object GraftSqlParser {
   // quoted path literal
   private val T = """([\w.`]+|'[^']+'|"[^"]+")"""
   private val Vacuum =
-    ("""(?is)\s*VACUUM\s+""" + T + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
+    ("""(?is)\s*VACUUM\s+""" + T +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
       """(?:\s+WHERE\s+(.+?))??""" +
@@ -209,15 +211,23 @@ case class LakeCloneCommand(table: String, source: String,
 
 /** VACUUM: reclaim orphan debris and tombstoned files older than the
   * retention window (history to those versions is given up — Delta's
-  * contract). Returns the number of files deleted. */
-case class LakeVacuumCommand(target: String, retainHours: Long)
-    extends LeafRunnableCommand {
+  * contract). Returns the number of files deleted — or, under DRY RUN
+  * (Delta's grammar), the would-be-deleted paths with nothing touched:
+  * the operator's look-before-you-give-up-history answer. */
+case class LakeVacuumCommand(target: String, retainHours: Long,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
-    Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
+    if (dryRun) Seq(AttributeReference("path", StringType, nullable = false)())
+    else Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val n = GraftLake.vacuum(spark, GraftSqlParser.dirOf(spark, target),
-      keepHistory = false, minAgeMillis = retainHours * 3600L * 1000L)
-    Seq(Row(n))
+    val dir = GraftSqlParser.dirOf(spark, target)
+    val age = retainHours * 3600L * 1000L
+    if (dryRun) {
+      val (d, dv) = GraftLake.vacuumDoomed(spark, dir, keepHistory = false,
+        minAgeMillis = age, now = System.currentTimeMillis())
+      (d ++ dv).sorted.map(Row(_))
+    } else Seq(Row(GraftLake.vacuum(spark, dir,
+      keepHistory = false, minAgeMillis = age)))
   }
 }
 

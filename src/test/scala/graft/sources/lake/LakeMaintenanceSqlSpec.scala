@@ -121,4 +121,26 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
     // a parse ERROR still surfaces as one
     intercept[Exception](spark.sql("SELEKT banana"))
   }
+
+  test("VACUUM ... DRY RUN lists the would-be-deleted paths and touches " +
+    "nothing; the real VACUUM then deletes exactly that list") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_dry").toString + "/t"
+    GraftLake.create(spark.range(0, 400).select(col("id"),
+      (col("id") * 2).as("v")).repartitionByRange(4, col("id")), dir)
+    GraftLake.delete(spark, dir, col("id") < 200) // tombstones ~2 files
+    val planned = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(planned.nonEmpty, "CoW victims must be reclaimable at RETAIN 0")
+    planned.foreach(rel => assert(new java.io.File(dir, rel).exists(),
+      s"DRY RUN must not delete: $rel"))
+    assert(GraftLake.read(spark, dir).count() == 200L)
+
+    val n = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").head().getInt(0)
+    assert(n == planned.size, s"real vacuum must delete the dry-run list: " +
+      s"$n vs ${planned.size}")
+    planned.foreach(rel => assert(!new java.io.File(dir, rel).exists()))
+    assert(GraftLake.read(spark, dir).count() == 200L)
+  }
 }
