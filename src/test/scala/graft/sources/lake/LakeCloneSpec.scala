@@ -119,6 +119,28 @@ class LakeCloneSpec extends SparkSpec {
       "merged vector must be written into the clone's own dv/")
   }
 
+  test("clone composes: a CONVERTED table clones (its already-relative " +
+    "adopted paths become absolute), and a clone of a clone keeps " +
+    "pointing at the ORIGINAL bytes") {
+    val raw = tmp()
+    spark.range(0, 1000).select(col("id"), (col("id") % 11).as("v"))
+      .repartitionByRange(4, col("id")).write.parquet(raw)
+    GraftLake.convert(spark, raw)
+    val c1 = tmp(); val c2 = tmp()
+    GraftLake.shallowClone(spark, raw, c1)
+    GraftLake.shallowClone(spark, c1, c2)
+    assert(dataFiles(c1).isEmpty && dataFiles(c2).isEmpty)
+    assert(GraftLake.read(spark, c2).count() == 1000L)
+    // second-level clone references resolve to the ORIGINAL directory
+    // (abs stays abs through absPath), not to c1
+    assert(GraftLake.snapshot(spark, c2).files.forall(_.path.startsWith(raw)),
+      "clone-of-clone must point at the original bytes")
+    GraftLake.delete(spark, c2, col("id") < 100)
+    assert(GraftLake.read(spark, c2).count() == 900L)
+    assert(GraftLake.read(spark, c1).count() == 1000L)
+    assert(GraftLake.read(spark, raw).count() == 1000L)
+  }
+
   test("SQL: CREATE TABLE c SHALLOW CLONE s registers the clone; history " +
     "starts at the clone commit") {
     val src = tmp()

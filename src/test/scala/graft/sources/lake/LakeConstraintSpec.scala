@@ -105,6 +105,24 @@ class LakeConstraintSpec extends SparkSpec {
     spark.sql("DROP TABLE lake_ck_t")
   }
 
+  test("MoR update enforces constraints on the REWRITTEN rows (the only " +
+    "new data a merge-on-read update writes)") {
+    val dir = tmp()
+    GraftLake.create(spark.range(1, 50).select(col("id"),
+      (col("id") * 2).as("price")), dir)
+    GraftLake.setProperties(spark, dir, Map("constraint.pos" -> "price > 0"))
+    val v = GraftLake.latestVersion(dir)
+    intercept[Exception] {
+      GraftLake.updateMoR(spark, dir, col("id") === 7L,
+        Seq("price" -> lit(-1L)))
+    }
+    assert(GraftLake.latestVersion(dir) == v, "violating MoR update must not commit")
+    assert(GraftLake.read(spark, dir).filter(col("price") <= 0).count() == 0L)
+    GraftLake.updateMoR(spark, dir, col("id") === 7L, Seq("price" -> lit(700L)))
+    assert(GraftLake.read(spark, dir).filter(col("id") === 7L)
+      .select("price").collect().head.getLong(0) == 700L)
+  }
+
   test("constraints survive checkpoints and carry to clones; a CREATE " +
     "with an unresolvable constraint is atomic (nothing created)") {
     val dir = tmp()
