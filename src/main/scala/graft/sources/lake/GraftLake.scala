@@ -859,10 +859,14 @@ object GraftLake {
     * reclaim files the clone still references — clone from tables whose
     * history retention you control. */
   def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
-      checkpointEvery: Int = 10): Long = {
+      checkpointEvery: Int = 10, asOf: Option[Long] = None): Long = {
     require(latestVersion(dstDir) < 0, s"lake table already exists: $dstDir")
     val src = GraftLakeSource.normalizePath(srcDir)
-    val snap = snapshot(spark, src)
+    // asOf = TIME-TRAVEL CLONE (SHALLOW CLONE s VERSION AS OF n): pin a
+    // past snapshot as a standalone table — the reproducible-training
+    // move ("run X trained on corpus v42") without keeping the source's
+    // whole history alive for readers
+    val snap = snapshot(spark, src, asOf)
     val adds = snap.files.map { f =>
       f.copy(path = absPath(src, f.path),
         dv = f.dv.map(d => d.copy(path = absPath(src, d.path))))

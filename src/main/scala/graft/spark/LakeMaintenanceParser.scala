@@ -49,15 +49,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakeDetailCommand(target)
     case Convert(path) =>
       LakeConvertCommand(path)
-    case Clone(table, source, location) =>
-      LakeCloneCommand(table, source, Option(location))
+    case Clone(table, source, version, location) =>
+      LakeCloneCommand(table, source, Option(location),
+        Option(version).map(_.toLong))
     case _ => postProcess(delegate.parsePlan(sqlText))
   }
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
     case Vacuum(_, _, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) |
-         Detail(_) | Convert(_) | Clone(_, _, _) =>
+         Detail(_) | Convert(_) | Clone(_, _, _, _) =>
       parsePlan(sqlText)
     case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
   }
@@ -120,6 +121,7 @@ object GraftSqlParser {
     ("""(?is)\s*CONVERT\s+TO\s+LAKE\s+('[^']+'|"[^"]+")\s*;?\s*""").r
   private val Clone =
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   private[spark] def strip(s: String): String = {
@@ -181,7 +183,8 @@ case class LakeConvertCommand(target: String) extends LeafRunnableCommand {
   * `src` is a lake table name or a quoted path; the clone lands at
   * LOCATION (external) or the warehouse default for `t` (managed). */
 case class LakeCloneCommand(table: String, source: String,
-    location: Option[String]) extends LeafRunnableCommand {
+    location: Option[String], versionAsOf: Option[Long] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -192,7 +195,8 @@ case class LakeCloneCommand(table: String, source: String,
     require(!catalog.tableExists(ti), s"table ${ti.quotedString} already exists")
     val dstDir = location.map(GraftLakeSource.normalizePath).getOrElse(
       GraftLakeSource.normalizePath(catalog.defaultTablePath(ti).toString))
-    val v = GraftLake.shallowClone(spark, srcDir, dstDir)
+    val v = GraftLake.shallowClone(spark, srcDir, dstDir,
+      asOf = versionAsOf)
     val schema = GraftLake.snapshot(spark, dstDir).schema
     catalog.createTable(CatalogTable(
       identifier = ti,

@@ -141,6 +141,34 @@ class LakeCloneSpec extends SparkSpec {
     assert(GraftLake.read(spark, raw).count() == 1000L)
   }
 
+  test("time-travel clone: SHALLOW CLONE ... VERSION AS OF pins a past " +
+    "snapshot as a standalone table (the reproducible-corpus move)") {
+    val src = tmp(); val dst = tmp()
+    GraftLake.create(spark.range(0, 100).select(col("id"),
+      (col("id") % 5).as("v")), src)                       // v0: 100 rows
+    spark.range(1000, 1050).select(col("id"), (col("id") % 5).as("v"))
+      .write.format("graft-lake").mode("append").save(src) // v1: 150
+    GraftLake.delete(spark, src, col("id") < 20)           // v2: 130
+    GraftLake.shallowClone(spark, src, dst, asOf = Some(1L))
+    assert(GraftLake.read(spark, dst).count() == 150L,
+      "clone must pin the v1 snapshot")
+    // the clone is v0 of ITS OWN log — its history starts fresh
+    assert(GraftLake.latestVersion(dst) == 0L)
+    // and the source's later divergence is invisible to it
+    assert(GraftLake.read(spark, src).count() == 130L)
+
+    // SQL spelling
+    spark.sql("DROP TABLE IF EXISTS clone_tt_src")
+    spark.sql("DROP TABLE IF EXISTS clone_tt_dst")
+    spark.sql(s"CREATE TABLE clone_tt_src USING `graft-lake` OPTIONS (path '$src')")
+    val dst2 = tmp()
+    spark.sql("CREATE TABLE clone_tt_dst SHALLOW CLONE clone_tt_src " +
+      s"VERSION AS OF 0 LOCATION '$dst2'")
+    assert(spark.table("clone_tt_dst").count() == 100L)
+    spark.sql("DROP TABLE clone_tt_dst")
+    spark.sql("DROP TABLE clone_tt_src")
+  }
+
   test("SQL: CREATE TABLE c SHALLOW CLONE s registers the clone; history " +
     "starts at the clone commit") {
     val src = tmp()
