@@ -42,6 +42,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // maintenance grammar (VACUUM / OPTIMIZE [ZORDER BY] / RESTORE /
     // DESCRIBE HISTORY) — statements vanilla Spark SQL cannot parse
     ext.injectParser((_, parser) => new GraftSqlParser(parser))
+    // table-valued change feed (Delta's exact UDTF shape):
+    //   SELECT * FROM table_changes('corpus', 2)        -- commits 2..latest
+    //   SELECT * FROM table_changes('corpus', 2, 5)     -- commits 2..5
+    // net row-level delta with change_kind ∈ {insert, delete}; rides the
+    // same GraftLake.changes machinery as the batch reader options, so
+    // cost is bounded by changed-file volume
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "table_changes",
+        "table_changes(table_or_path, startingVersion[, endingVersion]) - " +
+          "net row-level change feed of commits [start, end]", ""),
+      GraftExtensions.tableChangesBuilder))
   }
 }
 
@@ -165,6 +177,40 @@ object GraftExtensions {
           graft.functions.MultiPatternCounts(c,
             strArg(p, "patterns", "graft_multimatch").split(sep.head).toSeq)
       }: Seq[Expression] => Expression))
+
+  /** `table_changes(t, s[, e])` as a LogicalPlan builder: literals only
+    * (the table reference and version bounds parameterize a log read at
+    * ANALYSIS time — there is no row-dependent form). Commits [s, e]
+    * inclusive = `GraftLake.changes(s-1, e)`; s >= 1 (the initial state
+    * is a snapshot read, not a change). */
+  private[spark] val tableChangesBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    args => {
+      val spark = SparkSession.active
+      def longArg(e: Expression, name: String): Long = e match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"table_changes: $name must be an integer literal, got $other")
+      }
+      val (target, from, to) = args match {
+        case Seq(t, s) =>
+          (strArg(t, "table", "table_changes"), longArg(s, "startingVersion"),
+            -1L)
+        case Seq(t, s, e) =>
+          (strArg(t, "table", "table_changes"), longArg(s, "startingVersion"),
+            longArg(e, "endingVersion"))
+        case _ => throw new IllegalArgumentException(
+          "table_changes(table_or_path, startingVersion[, endingVersion])")
+      }
+      val dir = GraftSqlParser.dirOf(spark, target)
+      val end = if (to < 0) graft.sources.lake.GraftLake.latestVersion(dir) else to
+      require(from >= 1, s"startingVersion must be >= 1, got $from " +
+        "(the initial state is a snapshot read, not a change)")
+      require(end >= from - 1, s"endingVersion $end before startingVersion $from")
+      graft.sources.lake.GraftLake.changes(spark, dir, from - 1, end)
+        .queryExecution.logical
+    }
 
   /** Register into a live session's function registry (tests, notebooks —
     * no session restart needed).

@@ -67,6 +67,39 @@ class LakeBatchCdfSpec extends SparkSpec {
         r.getAs[String]("change_kind"))))
   }
 
+  test("table_changes(t, s[, e]) — the UDTF spelling — agrees with the " +
+    "reader options and takes catalog names or quoted paths") {
+    val dir = tmp()
+    spark.sql("DROP TABLE IF EXISTS lake_tc_t")
+    spark.range(0, 50).select(col("id"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("lake_tc_src")
+    spark.sql(s"CREATE TABLE lake_tc_t USING `graft-lake` OPTIONS (path '$dir') " +
+      "AS SELECT * FROM lake_tc_src")                                   // v0
+    spark.sql("INSERT INTO lake_tc_t SELECT id, id FROM range(100, 110)") // v1
+    spark.sql("DELETE FROM lake_tc_t WHERE id < 5")                      // v2
+
+    val viaUdtf = spark.sql(
+      "SELECT id, v, change_kind FROM table_changes('lake_tc_t', 1, 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val viaOptions = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .option("endingVersion", 2).load(dir)
+      .select("id", "v", "change_kind")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaUdtf == viaOptions && viaUdtf.nonEmpty)
+    assert(viaUdtf.count(_._3 == "insert") == 10)
+    assert(viaUdtf.count(_._3 == "delete") == 5)
+
+    // quoted-path target + open-ended range (to latest)
+    val openEnded = spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', 1)").head().getLong(0)
+    assert(openEnded == 15L)
+    // misuse errors
+    intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('lake_tc_t', 0)").collect())
+    spark.sql("DROP TABLE lake_tc_t")
+  }
+
   test("option validation: startingVersion required and >= 1; exclusive " +
     "with versionAsOf") {
     val dir = tmp()
