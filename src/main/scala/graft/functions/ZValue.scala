@@ -33,6 +33,12 @@ object ZValueKit {
   def quantileBucket(c: Column, boundaries: Seq[Double]): Column =
     GraftColumnBridge.column(QuantileBucket(
       GraftColumnBridge.expression(c.cast("double")), boundaries.toArray))
+
+  /** Monotone numeric proxy of a string's binary collation — see
+    * [[Utf8PrefixLong]]. What lets string cluster columns range-bucket
+    * through the same quantile machinery as numerics. */
+  def utf8PrefixLong(c: Column): Column =
+    GraftColumnBridge.column(Utf8PrefixLong(GraftColumnBridge.expression(c)))
 }
 
 /**
@@ -153,5 +159,51 @@ object QuantileBucket {
       if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
     }
     lo.toLong
+  }
+}
+
+/**
+ * The first 6 UTF-8 bytes of a string as a big-endian long — a MONOTONE
+ * numeric proxy for the string's binary (parquet footer min/max)
+ * collation: s1 <= s2 implies prefixLong(s1) <= prefixLong(s2), ties
+ * allowed where prefixes agree. 6 bytes keep the value exact in a
+ * DOUBLE (48 bits < 53), so string cluster columns ride the SAME
+ * approxQuantile + [[QuantileBucket]] machinery as numerics — which is
+ * what lets `clusterBy` on a string date/host column produce a layout
+ * whose per-file string envelopes are tight and RANGE predicates prune
+ * files (a hashed id can only prune equality). Shorter strings pad with
+ * zero bytes (below every extension — matches binary order).
+ */
+case class Utf8PrefixLong(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"utf8_prefix_long needs STRING input, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    Utf8PrefixLong.prefix(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Utf8PrefixLong.prefix($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Utf8PrefixLong =
+    copy(child = newChild)
+
+  override def prettyName: String = "utf8_prefix_long"
+}
+
+object Utf8PrefixLong {
+  def prefix(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    val n = math.min(6, b.length)
+    var r = 0L
+    var i = 0
+    while (i < n) { r = (r << 8) | (b(i) & 0xffL); i += 1 }
+    r << (8 * (6 - n)) // zero-pad: shorter sorts below every extension
   }
 }

@@ -144,32 +144,84 @@ object Layout {
     * in the zorder commit) and every later incremental cluster or append
     * buckets with the SAME boundaries: generations align in z-space and
     * no further quantile pass is paid per batch. */
+  /** Per-column cluster-bucket boundaries, plus — for STRING columns —
+    * the column-wide common-prefix length their numeric proxy values
+    * were computed AFTER (`skips`; presence in `skips` marks a string
+    * column). Both halves must travel together: bucketing a later batch
+    * with the boundaries but a different skip would misalign
+    * generations. */
+  final case class ClusterBounds(cols: Map[String, Array[Double]],
+      skips: Map[String, Int]) {
+    def isEmpty: Boolean = cols.isEmpty
+  }
+
   def clusterBounds(df: DataFrame, cols: Seq[String],
-      bits: Int = 10): Map[String, Array[Double]] = {
+      bits: Int = 10): ClusterBounds = {
     require(cols.size >= 2, "clustering needs at least two columns")
     val k = 1 << bits
-    val numeric = cols.filter(c => df.schema(c).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType])
-    if (numeric.isEmpty) Map.empty
+    // STRING columns range-bucket too: strip the column-wide common
+    // prefix (exact from min/max — every value binary-between two
+    // strings sharing a prefix shares it), then take the monotone
+    // 6-byte UTF-8 prefix proxy ([[graft.functions.Utf8PrefixLong]],
+    // exact in a double). Without the strip, realistic keys with long
+    // shared heads — ISO dates ("2024-0…"), URL hosts — collapse to a
+    // handful of proxy values and the column stops contributing bits. A
+    // clusterBy on a string date column then yields tight per-file
+    // string footer envelopes, so RANGE predicates on the string prune
+    // files; the hash fallback (all other types) only serves equality.
+    val strings = cols.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val skips: Map[String, Int] =
+      if (strings.isEmpty) Map.empty
+      else {
+        val mm = df.agg(
+          strings.flatMap(c => Seq(min(col(c)).cast("string"),
+            max(col(c)).cast("string"))).head,
+          strings.flatMap(c => Seq(min(col(c)).cast("string"),
+            max(col(c)).cast("string"))).tail: _*).head()
+        strings.zipWithIndex.map { case (c, i) =>
+          val mn = mm.getString(2 * i); val mx = mm.getString(2 * i + 1)
+          val skip =
+            if (mn == null || mx == null) 0
+            else mn.zip(mx).takeWhile { case (a, b) => a == b }.length
+          c -> skip
+        }.toMap
+      }
+    def proxy(c: String): Column =
+      graft.functions.ZValueKit.utf8PrefixLong(
+        col(c).substr(lit(skips(c) + 1), lit(Int.MaxValue)))
+    val bucketable = cols.filter(c => skips.contains(c) ||
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (bucketable.isEmpty) ClusterBounds(Map.empty, Map.empty)
     else {
       val probs = (1 until k).map(_.toDouble / k).toArray
-      val casted = df.select(numeric.map(c => col(c).cast("double").as(c)): _*)
-      numeric.zip(casted.stat.approxQuantile(numeric.toArray, probs, 0.001))
-        .map { case (c, b) => c -> b.distinct }.toMap
+      val casted = df.select(bucketable.map { c =>
+        val base = if (skips.contains(c)) proxy(c) else col(c)
+        base.cast("double").as(c)
+      }: _*)
+      ClusterBounds(
+        bucketable.zip(casted.stat.approxQuantile(bucketable.toArray, probs, 0.001))
+          .map { case (c, b) => c -> b.distinct }.toMap,
+        skips.filter { case (c, _) => bucketable.contains(c) })
     }
   }
 
   /** The interleave from PRECOMPUTED boundaries: columns present in
-    * `bounds` bucket by binary search, everything else hashes into the
-    * same id range. */
-  def clusteredZValueWith(cols: Seq[String], bounds: Map[String, Array[Double]],
+    * `bounds` bucket by binary search (strings through the stripped
+    * prefix proxy), everything else hashes into the same id range. */
+  def clusteredZValueWith(cols: Seq[String], bounds: ClusterBounds,
       bits: Int = 10): Column = {
     require(cols.size >= 2, "clustering needs at least two columns")
     val k = 1 << bits
     val ids = cols.map { c =>
-      bounds.get(c) match {
+      bounds.cols.get(c) match {
         case Some(b) if b.nonEmpty =>
-          graft.functions.ZValueKit.quantileBucket(col(c), b.toIndexedSeq)
+          val base = bounds.skips.get(c) match {
+            case Some(skip) => graft.functions.ZValueKit.utf8PrefixLong(
+              col(c).substr(lit(skip + 1), lit(Int.MaxValue)))
+            case None => col(c)
+          }
+          graft.functions.ZValueKit.quantileBucket(base, b.toIndexedSeq)
         case _ => xxhash64(col(c)).bitwiseAND(lit((k - 1).toLong))
       }
     }

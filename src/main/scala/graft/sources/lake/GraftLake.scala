@@ -2022,24 +2022,35 @@ object GraftLake {
   }
 
   /** Serialize cluster-bucket boundaries for the log:
-    * {"bits":B,"cols":{"c":[d,...],...}}. */
-  private def boundsJson(bits: Int, m: Map[String, Array[Double]]): String = {
+    * {"bits":B,"cols":{"c":[d,...]},"skips":{"s":n}} — `skips` marks
+    * string columns and the common-prefix length their proxy values
+    * stripped (absent on pre-r12 logs: those never bucketed strings). */
+  private def boundsJson(bits: Int,
+      m: graft.sources.Layout.ClusterBounds): String = {
     val n = mapper.createObjectNode()
     n.put("bits", bits)
     val cn = n.putObject("cols")
-    m.toSeq.sortBy(_._1).foreach { case (c, b) =>
+    m.cols.toSeq.sortBy(_._1).foreach { case (c, b) =>
       val an = cn.putArray(c)
       b.foreach(an.add)
+    }
+    if (m.skips.nonEmpty) {
+      val sn = n.putObject("skips")
+      m.skips.toSeq.sortBy(_._1).foreach { case (c, k) => sn.put(c, k) }
     }
     mapper.writeValueAsString(n)
   }
 
-  private[lake] def parseBounds(json: String): (Int, Map[String, Array[Double]]) = {
+  private[lake] def parseBounds(json: String)
+      : (Int, graft.sources.Layout.ClusterBounds) = {
     val n = mapper.readTree(json)
     val cols = n.get("cols").properties().asScala.map { e =>
       e.getKey -> e.getValue.elements().asScala.map(_.asDouble).toArray
     }.toMap
-    (n.get("bits").asInt, cols)
+    val skips = Option(n.get("skips")).map(_.properties().asScala.map { e =>
+      e.getKey -> e.getValue.asInt
+    }.toMap).getOrElse(Map.empty[String, Int])
+    (n.get("bits").asInt, graft.sources.Layout.ClusterBounds(cols, skips))
   }
 
   /** The write-side cluster sort key: the table's PERSISTED bucket

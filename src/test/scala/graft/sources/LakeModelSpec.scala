@@ -199,5 +199,23 @@ class LakeModelSpec extends SparkSpec {
       assert(tableRows(dir, Some(v.toLong)) == versions(v).values.toSet,
         s"final audit: v$v diverged")
     }
+    // CDC-reconstruction audit: for random version pairs a < b, the
+    // snapshot at a PLUS the net change feed (a, b] must reconstruct the
+    // snapshot at b exactly — ONE invariant binding every op the random
+    // program took (CoW/MoR delete-update-merge, optimize, zorder,
+    // restore, appends) through the change-feed lens. A feed that
+    // over-reports cancels wrongly; one that under-reports loses rows.
+    (1 to 5).foreach { _ =>
+      val b = 1 + rnd.nextInt(versions.size - 1)
+      val a = rnd.nextInt(b)
+      val ch = GraftLake.changes(spark, dir, a.toLong, b.toLong)
+      val ins = ch.filter(col("change_kind") === "insert")
+        .select("id", "tag", "v").as[Row3].collect().toSet
+      val del = ch.filter(col("change_kind") === "delete")
+        .select("id", "tag", "v").as[Row3].collect().toSet
+      val reconstructed = (versions(a).values.toSet -- del) ++ ins
+      assert(reconstructed == versions(b).values.toSet,
+        s"CDC replay $a -> $b diverged (${ins.size} ins, ${del.size} del)")
+    }
   }
 }

@@ -216,7 +216,7 @@ class LakeClusterBySpec extends SparkSpec {
     val b1 = GraftLake.snapshot(spark, dir).clusterBounds
     assert(b1.isDefined, "first cluster must persist its bucket boundaries")
     val (bits, bounds) = GraftLake.parseBounds(b1.get)
-    assert(bits == 10 && bounds.keySet == Set("x", "y"))
+    assert(bits == 10 && bounds.cols.keySet == Set("x", "y"))
 
     // an incremental cluster of a new batch REUSES the persisted
     // boundaries verbatim (z-aligned with the first generation)
@@ -240,7 +240,8 @@ class LakeClusterBySpec extends SparkSpec {
       .write.format("graft-lake").mode("append").save(dir)
     GraftLake.optimize(spark, dir)
     val b2 = GraftLake.snapshot(spark, dir).clusterBounds
-    assert(b2.isDefined && GraftLake.parseBounds(b2.get)._2.keySet == Set("x2", "y"))
+    assert(b2.isDefined &&
+      GraftLake.parseBounds(b2.get)._2.cols.keySet == Set("x2", "y"))
 
     // changing the property itself clears them too
     GraftLake.setProperties(spark, dir, Map("clusterBy" -> "p,y"))
