@@ -901,13 +901,34 @@ object GraftLake {
       case None => df
     }
     val adds = stage(staged, dir, numFiles, merged0)
-    retry(dir, "append") { snap =>
+    val v = retry(dir, "append") { snap =>
       val merged = mergedUnderFence(snap, df.schema, merged0, "append")
       val schemaJson = if (merged == snap.schema) None else Some(merged.json)
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "append",
         None, None, schemaJson, adds, Nil,
         maxColId = Some(maxIdOf(merged, snap.maxColId))), snap.version + 1))
     }.get
+    maybeAutoCompact(spark, dir)
+    v
+  }
+
+  /** Delta's autoCompact, as a folded table property: once the table
+    * carries `autoCompact = true` and the small-file census crosses the
+    * consolidation threshold, the append that tipped it runs a bare
+    * OPTIMIZE inline (clusters if clusterBy is set, bin-packs
+    * otherwise) — amortized O(1) rewrites per append, no nightly job to
+    * forget. Best-effort by design: the append ALREADY committed, so a
+    * compaction failure warns instead of failing a write that landed. */
+  private def maybeAutoCompact(spark: SparkSession, dir: String): Unit = {
+    val snap = snapshot(spark, dir)
+    if (!snap.props.get("autoCompact").exists(_.equalsIgnoreCase("true"))) return
+    if (snap.files.count(_.bytes < (32L << 20)) < ConsolidateSmallGenerations)
+      return
+    try { optimize(spark, dir); () } catch {
+      case e: Exception => System.err.println(
+        s"[graft-lake] auto-compact at $dir failed (the append already " +
+          s"committed): $e")
+    }
   }
 
   /** Recompute the evolved schema from the LATEST snapshot while keeping
@@ -1041,6 +1062,7 @@ object GraftLake {
           Some(appId), Some(epochId), None, adds, Nil), snap.version + 1))
     }
     if (committed.isEmpty) adds.foreach(a => new File(dir, a.path).delete())
+    else maybeAutoCompact(df.sparkSession, dir)
     committed.isDefined
   }
 
@@ -1959,6 +1981,10 @@ object GraftLake {
             s"checkpointEvery must be an integer, got '$v'")
       }
       require(e >= 0, s"checkpointEvery must be >= 0, got $e")
+    }
+    props.get("autoCompact").foreach { v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"autoCompact must be true or false, got '$v'")
     }
     // CHECK constraints must at least RESOLVE against the schema before
     // anything is created; the existing-data scan happens at set time

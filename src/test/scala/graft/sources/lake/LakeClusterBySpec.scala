@@ -475,6 +475,50 @@ class LakeClusterBySpec extends SparkSpec {
     assert(GraftLake.unclusteredFiles(GraftLake.snapshot(spark, dir)).isEmpty)
   }
 
+  test("autoCompact: appends past the small-file threshold compact " +
+    "themselves (clustered tables cluster); off by default; bad values " +
+    "rejected") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 512).select((col("id") % 32).as("x"),
+      (col("id") % 17).as("y"), col("id").as("p")), dir)
+    intercept[IllegalArgumentException] {
+      GraftLake.setProperties(spark, dir, Map("autoCompact" -> "yes please"))
+    }
+    // OFF (default): tiny appends accumulate files one per batch
+    (1 to GraftLake.ConsolidateSmallGenerations + 2).foreach { i =>
+      spark.range(i * 1000, i * 1000 + 16).select((col("id") % 32).as("x"),
+        (col("id") % 17).as("y"), col("id").as("p")).coalesce(1)
+        .write.format("graft-lake").mode("append").save(dir)
+    }
+    val without = GraftLake.snapshot(spark, dir).files.size
+    assert(without > GraftLake.ConsolidateSmallGenerations,
+      s"without autoCompact the file count must grow: $without")
+
+    // ON + clustered: the tipping append compacts inline and CLUSTERS
+    GraftLake.setProperties(spark, dir,
+      Map("autoCompact" -> "true", "clusterBy" -> "x,y"))
+    spark.range(90000, 90016).select((col("id") % 32).as("x"),
+      (col("id") % 17).as("y"), col("id").as("p")).coalesce(1)
+      .write.format("graft-lake").mode("append").save(dir)
+    val snap = GraftLake.snapshot(spark, dir)
+    assert(snap.files.size < without,
+      s"the tipping append must auto-compact: ${snap.files.size} vs $without")
+    assert(GraftLake.unclusteredFiles(snap).isEmpty,
+      "auto-compaction of a clustered table must cluster")
+    assert(GraftLake.history(dir).map(_._2).contains("zorder"))
+    assert(GraftLake.read(spark, dir).count() ==
+      512 + (GraftLake.ConsolidateSmallGenerations + 2) * 16 + 16)
+
+    // steady state: the next small append does NOT re-trigger (census
+    // below threshold again)
+    val vAfter = GraftLake.latestVersion(dir)
+    spark.range(95000, 95016).select((col("id") % 32).as("x"),
+      (col("id") % 17).as("y"), col("id").as("p")).coalesce(1)
+      .write.format("graft-lake").mode("append").save(dir)
+    assert(GraftLake.latestVersion(dir) == vAfter + 1,
+      "a below-threshold append must commit exactly once")
+  }
+
   test("DESCRIBE DETAIL properties column is VALID JSON even when values " +
     "carry quotes and backslashes") {
     val dir = tmp()
