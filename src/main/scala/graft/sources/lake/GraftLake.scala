@@ -720,8 +720,9 @@ object GraftLake {
   /** The write-side enforcement frame: all rows pass through, a
     * violation throws with the constraint's name and expression. SQL
     * CHECK semantics: NULL passes (coalesce-to-true), only FALSE
-    * violates. A batch that omits a constrained column entirely fails
-    * ANALYSIS at write time — loud, not silent. */
+    * violates. Callers pad batches that omit constrained columns with
+    * nulls first (see [[stage]]) — the stored value IS null, and null
+    * passes CHECK, so a pre-evolution writer keeps writing. */
   private def enforceConstraints(df: DataFrame,
       cs: Seq[(String, String)]): DataFrame =
     cs.foldLeft(df) { case (d, (name, sql)) =>
@@ -743,7 +744,20 @@ object GraftLake {
       if (latestVersion(dir) < 0) df
       else {
         val cs = constraintsOf(snapshot(spark, dir))
-        if (cs.isEmpty) df else enforceConstraints(df, cs)
+        if (cs.isEmpty) df
+        else {
+          // enforce on the NULL-FILLED shape the rows will actually read
+          // back as: a pre-evolution writer that omits a constrained
+          // column stores NULL there, and SQL CHECK passes on NULL — so
+          // the batch must pass too, not fail analysis. The padding is
+          // enforcement-only; the written file keeps the batch's columns.
+          val have = df.columns.map(_.toLowerCase).toSet
+          val padded = target.fields
+            .filterNot(f => have.contains(f.name.toLowerCase))
+            .foldLeft(df)((d, f) =>
+              d.withColumn(f.name, lit(null).cast(f.dataType)))
+          enforceConstraints(padded, cs).select(df.columns.map(col): _*)
+        }
       }
     val stamped = stampIds(checked, target)
     val out = if (numFiles > 0) stamped.repartition(numFiles) else stamped

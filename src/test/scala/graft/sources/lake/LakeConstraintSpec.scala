@@ -105,6 +105,26 @@ class LakeConstraintSpec extends SparkSpec {
     spark.sql("DROP TABLE lake_ck_t")
   }
 
+  test("a pre-evolution writer that OMITS a constrained column still " +
+    "writes: the stored value is NULL and NULL passes CHECK") {
+    val dir = tmp()
+    GraftLake.create(spark.range(1, 20).select(col("id"),
+      (col("id") * 2).as("price")), dir)
+    GraftLake.setProperties(spark, dir, Map("constraint.pos" -> "price > 0"))
+    // batch without `price` at all — reads back as NULL, which passes
+    spark.range(100, 110).toDF("id")
+      .write.format("graft-lake").mode("append").save(dir)
+    assert(GraftLake.read(spark, dir).count() == 29L)
+    assert(GraftLake.read(spark, dir)
+      .filter(col("price").isNull).count() == 10L)
+    // and a batch that CARRIES the column still enforces
+    intercept[Exception] {
+      spark.range(200, 205).select(col("id"), lit(-1L).as("price"))
+        .write.format("graft-lake").mode("append").save(dir)
+    }
+    assert(GraftLake.read(spark, dir).count() == 29L)
+  }
+
   test("MoR update enforces constraints on the REWRITTEN rows (the only " +
     "new data a merge-on-read update writes)") {
     val dir = tmp()
