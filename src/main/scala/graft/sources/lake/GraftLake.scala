@@ -1824,7 +1824,7 @@ object GraftLake {
         }
       }
     }
-    retryRewrite(spark, dir, "optimize") { snap =>
+    retryRewriteEvolving(spark, dir, "optimize") { snap =>
       // `where` = TARGETED compaction (Delta's OPTIMIZE ... WHERE): only
       // files whose footer stats overlap the predicate are candidates —
       // at 100 TB you compact the hot day/tenant, never the whole table
@@ -1835,13 +1835,35 @@ object GraftLake {
       // position filter and the sidecars become vacuumable
       val small = scoped.filter(f => f.bytes < smallBytes || f.dv.isDefined)
       if (small.size < 2 && !small.exists(_.dv.isDefined))
-        (Nil, emptyDf(spark, snap.schema))
+        (Nil, emptyDf(spark, snap.schema), None, None, None)
       else {
         val total = small.map(_.bytes).sum
         val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-        val df = readFiles(spark, snap, small.map(f => absPath(dir, f.path)))
-          .repartition(nOut)
-        (small, df)
+        val base = readFiles(spark, snap, small.map(f => absPath(dir, f.path)))
+        // targeted compaction of a CLUSTERED table keeps the rewrite
+        // z-aligned when the persisted bucket boundaries exist: the
+        // compacted hot slice re-sorts by the SAME cluster key the bulk
+        // uses (no quantile pass), so its new files keep tight envelopes
+        // instead of mixing the slice into envelope-wide outputs — and
+        // they are tagged as the current generation, because they ARE
+        // clustered (bare OPTIMIZE won't churn them again).
+        val zAligned = for {
+          cols <- clusterByOf(snap)
+          bj <- snap.clusterBounds
+          if cols.forall(snap.schema.fieldNames.contains)
+        } yield {
+          val (bits, bounds) = parseBounds(bj)
+          (base.withColumn("__z",
+            graft.sources.Layout.clusteredZValueWith(cols, bounds, bits))
+            .repartitionByRange(nOut, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z"),
+            clusterTagOf(snap, cols))
+        }
+        zAligned match {
+          case Some((df, tag)) => (small, df, None, None, Some(tag))
+          case None => (small, base.repartition(nOut), None, None, None)
+        }
       }
     }
   }

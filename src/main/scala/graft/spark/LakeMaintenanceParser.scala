@@ -43,6 +43,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(n).map(_.toInt).getOrElse(0))
     case Restore(target, version) =>
       LakeRestoreCommand(target, version.toLong)
+    case RestoreTs(target, ts) =>
+      LakeRestoreTimestampCommand(target, ts)
     case History(target) =>
       LakeHistoryCommand(target)
     case Detail(target) =>
@@ -57,7 +59,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
-    case Vacuum(_, _, _) | Optimize(_, _, _, _) | Restore(_, _) | History(_) |
+    case Vacuum(_, _, _) | Optimize(_, _, _, _) | Restore(_, _) |
+         RestoreTs(_, _) | History(_) |
          Detail(_) | Convert(_) | Clone(_, _, _, _) =>
       parsePlan(sqlText)
     case _ => postProcess(delegate.parsePlanWithParameters(sqlText, ctx))
@@ -113,6 +116,9 @@ object GraftSqlParser {
   private val Restore =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreTs =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
   private val Detail =
@@ -311,6 +317,21 @@ case class LakeDetailCommand(target: String) extends LeafRunnableCommand {
 
 object LakeDetailCommand {
   private[spark] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}
+
+/** RESTORE TABLE t TO TIMESTAMP AS OF 'ts' — resolve the wall-clock
+  * instant to the latest commit at or before it (the TIMESTAMP AS OF
+  * read semantics), then roll back as a new auditable commit. */
+case class LakeRestoreTimestampCommand(target: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(spark, target)
+    val millis = java.sql.Timestamp.valueOf(ts).getTime
+    val v = GraftLake.versionAtTimestamp(dir, millis)
+    Seq(Row(GraftLake.restore(spark, dir, v)))
+  }
 }
 
 /** RESTORE TABLE t TO VERSION AS OF n — roll back as a new auditable

@@ -122,6 +122,57 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELEKT banana"))
   }
 
+  test("OPTIMIZE ... WHERE on a CLUSTERED table keeps the compacted " +
+    "slice z-aligned (persisted bounds, no quantile pass) and tags it " +
+    "as the current generation") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_opt_where_z").toString + "/t"
+    GraftLake.create(spark.range(0, 8192).select((col("id") % 64).as("x"),
+      (shiftright(col("id"), 6) % 64).as("y"), col("id").as("p"))
+      .repartition(4), dir)
+    GraftLake.setProperties(spark, dir, Map("clusterBy" -> "x,y"))
+    GraftLake.optimize(spark, dir) // cluster + persist bounds
+    // many tiny appends inside one x-slice -> scoped compaction target
+    (1 to 6).foreach { i =>
+      spark.range(i * 1000, i * 1000 + 64).select(lit(3L).as("x"),
+        (col("id") % 64).as("y"), col("id").as("p")).coalesce(1)
+        .write.format("graft-lake").mode("append").save(dir)
+    }
+    val before = GraftLake.snapshot(spark, dir)
+    val beforeUncl = GraftLake.unclusteredFiles(before).map(_.path).toSet
+    assert(beforeUncl.size >= 6)
+    GraftLake.optimize(spark, dir, where = Some(col("x") === 3L),
+      smallBytes = 1L << 20)
+    val after = GraftLake.snapshot(spark, dir)
+    assert(after.files.size < before.files.size, "the slice must compact")
+    // the compacted outputs count as CLUSTERED (tagged with the current
+    // generation): staleness shrinks instead of staying flat
+    val afterUncl = GraftLake.unclusteredFiles(after).map(_.path).toSet
+    assert(afterUncl.size < beforeUncl.size,
+      s"z-aligned scoped compaction must reduce staleness: " +
+        s"${afterUncl.size} vs ${beforeUncl.size}")
+    assert(GraftLake.read(spark, dir).count() == 8192 + 6 * 64)
+  }
+
+  test("RESTORE ... TIMESTAMP AS OF resolves the instant to the latest " +
+    "commit at or before it, then restores") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_restore_ts").toString + "/t"
+    GraftLake.create(spark.range(0, 100).toDF("id"), dir)       // v0
+    Thread.sleep(5)
+    val tsAfterV0 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    spark.range(100, 150).toDF("id")
+      .write.format("graft-lake").mode("append").save(dir)      // v1
+    val v = spark.sql(s"RESTORE '$dir' TO TIMESTAMP AS OF '$tsAfterV0'")
+      .head().getLong(0)
+    assert(v == 2L, s"restore must commit a new version, got $v")
+    assert(GraftLake.read(spark, dir).count() == 100L,
+      "the instant between v0 and v1 must resolve to v0")
+  }
+
   test("VACUUM ... DRY RUN lists the would-be-deleted paths and touches " +
     "nothing; the real VACUUM then deletes exactly that list") {
     import org.apache.spark.sql.functions._
