@@ -145,14 +145,37 @@ object Layout {
     * buckets with the SAME boundaries: generations align in z-space and
     * no further quantile pass is paid per batch. */
   /** Per-column cluster-bucket boundaries, plus — for STRING columns —
-    * the column-wide common-prefix length their numeric proxy values
-    * were computed AFTER (`skips`; presence in `skips` marks a string
-    * column). Both halves must travel together: bucketing a later batch
-    * with the boundaries but a different skip would misalign
-    * generations. */
+    * the column-wide common PREFIX their numeric proxy values were
+    * computed after (presence in `prefixes` marks a string column).
+    * Both halves must travel together: bucketing a later batch with the
+    * boundaries but a different prefix would misalign generations.
+    *
+    * The prefix is stored as the STRING itself, not a length: later
+    * batches whose values no longer share it (key-domain drift — a
+    * "2024-…" table crossing into 2025) must NOT strip a fixed number
+    * of characters, because stripping k chars from a value outside the
+    * prefix reverses order ("2025-01" stripped of 6 loses to "2024-09"
+    * stripped of 6). [[clusteredZValueWith]] compares against the
+    * stored prefix and CLAMPS non-sharing values to the edge bucket on
+    * the right side — monotone by construction, and exactly what a
+    * frozen boundary set can say about out-of-range keys (numeric
+    * columns clamp at their min/max boundaries the same way). Query
+    * results are unaffected either way (footer stats stay exact);
+    * this guards layout/pruning quality only, until the next full
+    * OPTIMIZE refreshes bounds. */
   final case class ClusterBounds(cols: Map[String, Array[Double]],
-      skips: Map[String, Int]) {
+      prefixes: Map[String, String]) {
     def isEmpty: Boolean = cols.isEmpty
+  }
+
+  /** Longest common prefix by CODE POINT (not UTF-16 unit): a
+    * char-wise zip can split a surrogate pair, and the skip is applied
+    * with Spark `substr`, which counts code points — mixing the two
+    * units misaligns for supplementary characters. */
+  private[graft] def commonPrefixCp(a: String, b: String): String = {
+    val ai = a.codePoints().toArray; val bi = b.codePoints().toArray
+    val n = ai.iterator.zip(bi.iterator).takeWhile { case (x, y) => x == y }.size
+    new String(ai, 0, n)
   }
 
   def clusterBounds(df: DataFrame, cols: Seq[String],
@@ -171,7 +194,7 @@ object Layout {
     // files; the hash fallback (all other types) only serves equality.
     val strings = cols.filter(c =>
       df.schema(c).dataType == org.apache.spark.sql.types.StringType)
-    val skips: Map[String, Int] =
+    val prefixes: Map[String, String] =
       if (strings.isEmpty) Map.empty
       else {
         val mm = df.agg(
@@ -181,28 +204,27 @@ object Layout {
             max(col(c)).cast("string"))).tail: _*).head()
         strings.zipWithIndex.map { case (c, i) =>
           val mn = mm.getString(2 * i); val mx = mm.getString(2 * i + 1)
-          val skip =
-            if (mn == null || mx == null) 0
-            else mn.zip(mx).takeWhile { case (a, b) => a == b }.length
-          c -> skip
+          val p = if (mn == null || mx == null) "" else commonPrefixCp(mn, mx)
+          c -> p
         }.toMap
       }
     def proxy(c: String): Column =
       graft.functions.ZValueKit.utf8PrefixLong(
-        col(c).substr(lit(skips(c) + 1), lit(Int.MaxValue)))
-    val bucketable = cols.filter(c => skips.contains(c) ||
+        col(c).substr(lit(prefixes(c).codePointCount(0, prefixes(c).length) + 1),
+          lit(Int.MaxValue)))
+    val bucketable = cols.filter(c => prefixes.contains(c) ||
       df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     if (bucketable.isEmpty) ClusterBounds(Map.empty, Map.empty)
     else {
       val probs = (1 until k).map(_.toDouble / k).toArray
       val casted = df.select(bucketable.map { c =>
-        val base = if (skips.contains(c)) proxy(c) else col(c)
+        val base = if (prefixes.contains(c)) proxy(c) else col(c)
         base.cast("double").as(c)
       }: _*)
       ClusterBounds(
         bucketable.zip(casted.stat.approxQuantile(bucketable.toArray, probs, 0.001))
           .map { case (c, b) => c -> b.distinct }.toMap,
-        skips.filter { case (c, _) => bucketable.contains(c) })
+        prefixes.filter { case (c, _) => bucketable.contains(c) })
     }
   }
 
@@ -216,12 +238,29 @@ object Layout {
     val ids = cols.map { c =>
       bounds.cols.get(c) match {
         case Some(b) if b.nonEmpty =>
-          val base = bounds.skips.get(c) match {
-            case Some(skip) => graft.functions.ZValueKit.utf8PrefixLong(
-              col(c).substr(lit(skip + 1), lit(Int.MaxValue)))
-            case None => col(c)
+          bounds.prefixes.get(c) match {
+            case Some(p) if p.nonEmpty =>
+              // prefix-drift guard: only values that still SHARE the
+              // stored prefix strip-and-bucket (monotone within the
+              // prefix); drifted values clamp to the matching edge
+              // bucket instead of mis-bucketing through a reversed
+              // proxy. NULLs take the proxy path (utf8PrefixLong is
+              // null-safe) exactly as at bounds-computation time.
+              val stripped = graft.functions.ZValueKit.utf8PrefixLong(
+                col(c).substr(lit(p.codePointCount(0, p.length) + 1),
+                  lit(Int.MaxValue)))
+              val in = graft.functions.ZValueKit.quantileBucket(
+                stripped, b.toIndexedSeq)
+              when(col(c).isNull || col(c).startsWith(p), in)
+                .when(col(c) < lit(p), lit(0L))
+                .otherwise(lit(b.length.toLong))
+            case Some(_) => // all-distinct-from-the-first-char domain
+              graft.functions.ZValueKit.quantileBucket(
+                graft.functions.ZValueKit.utf8PrefixLong(col(c)),
+                b.toIndexedSeq)
+            case None =>
+              graft.functions.ZValueKit.quantileBucket(col(c), b.toIndexedSeq)
           }
-          graft.functions.ZValueKit.quantileBucket(base, b.toIndexedSeq)
         case _ => xxhash64(col(c)).bitwiseAND(lit((k - 1).toLong))
       }
     }

@@ -732,18 +732,60 @@ object GraftLake {
         lit(s"CHECK constraint $name violated: $sql")).isNull)
     }
 
+  /** A staged batch: the AddFile actions plus the CHECK-constraint set
+    * the rows were validated against AT STAGE TIME. Committers that
+    * stage before their fence loop (append / overwrite / replace /
+    * stream-append) must re-compare this set under the fence via
+    * [[fenceConstraints]] — otherwise a concurrent `ALTER TABLE SET
+    * ('constraint.x'=...)` that commits between stage and commit would
+    * land its ADD-time validation scan WITHOUT seeing the staged rows,
+    * silently breaking the write-side induction invariant (Delta
+    * resolves the same race as a metadata-change commit conflict). The
+    * rewrite paths that stage INSIDE their fence loop don't need it:
+    * any commit between their snapshot read and tryCommit bumps the
+    * version, loses them the fence, and re-stages against the new
+    * constraint set. */
+  private case class Staged(adds: Seq[AddFile],
+      checkedConstraints: Seq[(String, String)])
+
+  /** Fence-side re-validation for pre-staged batches: fail the commit
+    * (contention, retryable by the caller) if the snapshot under the
+    * fence carries any constraint the batch was NOT validated against.
+    * Direction matters: a constraint DROPPED since stage time is fine —
+    * the rows passed a superset — only a new/changed expression can
+    * admit unvalidated rows. */
+  private def fenceConstraints(staged: Staged, snap: Snapshot,
+      op: String): Unit = {
+    val now = constraintsOf(snap)
+    val missed = now.filterNot(staged.checkedConstraints.contains)
+    if (missed.nonEmpty)
+      throw new LakeContentionException(
+        s"$op at ${snap.dir}: CHECK constraint(s) ${missed.map(_._1).mkString(", ")} " +
+          "were set concurrently after this batch was validated; retry the write")
+  }
+
+  /** On a thrown commit (contention or constraint conflict), staged
+    * files were never referenced by any log version — delete them so a
+    * failed pre-staged write leaves no orphans for VACUUM to find. */
+  private def discardOnThrow[A](dir: String, adds: Seq[AddFile])(body: => A): A =
+    try body catch {
+      case e: Throwable =>
+        adds.foreach(a => new File(dir, a.path).delete()); throw e
+    }
+
   private def stage(df: DataFrame, dir: String, numFiles: Int,
-      target: StructType): Seq[AddFile] = {
+      target: StructType): Staged = {
     val spark = df.sparkSession
     val staged = new File(dir, s"_staged/${UUID.randomUUID()}")
     // every written file passes through here — append, CTAS, CoW
     // rewrites, merge outputs, streaming batches — so this is THE
     // constraint choke point (CoW re-staged rows satisfy by the
     // ADD-time scan's induction)
-    val checked =
-      if (latestVersion(dir) < 0) df
-      else {
-        val cs = constraintsOf(snapshot(spark, dir))
+    val cs0: Seq[(String, String)] =
+      if (latestVersion(dir) < 0) Nil
+      else constraintsOf(snapshot(spark, dir))
+    val checked = {
+        val cs = cs0
         if (cs.isEmpty) df
         else {
           // enforce on the NULL-FILLED shape the rows will actually read
@@ -776,10 +818,22 @@ object GraftLake {
     // to the field id so pruning survives later renames
     val keyOf: Map[String, String] =
       target.fields.flatMap(f => idOf(f).map(id => f.name -> id.toString)).toMap
-    moved.map { rel =>
+    Staged(moved.map { rel =>
       val (rows, bytes, cs) = stats(s"$dir/$rel")
       AddFile(rel, rows, bytes, cs.map { case (n, s) => keyOf.getOrElse(n, n) -> s })
-    }
+    }, cs0)
+  }
+
+  /** Unwind a freshly-cloned/created table after a failed catalog
+    * registration (create-then-register ordering): removes the LAKE
+    * METADATA only (_log, _staged, data/) and the dir itself if that
+    * left it empty — never arbitrary pre-existing content at a
+    * user-supplied LOCATION. A shallow clone's data/ is empty (absolute
+    * references), so this makes the failed registration leave no trace. */
+  private[graft] def deleteTableDir(dir: String): Unit = {
+    Seq("_log", "_staged", "data").foreach(d =>
+      deleteRecursively(new File(dir, d)))
+    new File(dir).delete() // only succeeds if now empty — intentional
   }
 
   private def deleteRecursively(f: File): Unit = {
@@ -798,7 +852,7 @@ object GraftLake {
       checkpointEvery: Int = 10): Long = {
     require(!versionFile(dir, 0).exists(), s"lake table already exists: $dir")
     val schema = assignIds(df.schema)
-    val adds = stage(df, dir, numFiles, schema)
+    val adds = stage(df, dir, numFiles, schema).adds
     val c = Commit(0L, System.currentTimeMillis(), "create", None, None,
       Some(schema.json), adds, Nil, ckptEvery = Some(checkpointEvery),
       maxColId = Some(schema.fields.length))
@@ -914,14 +968,16 @@ object GraftLake {
       case Some(cols) => df.sortWithinPartitions(clusterSortKey(pre, df, cols))
       case None => df
     }
-    val adds = stage(staged, dir, numFiles, merged0)
-    val v = retry(dir, "append") { snap =>
+    val batch = stage(staged, dir, numFiles, merged0)
+    val adds = batch.adds
+    val v = discardOnThrow(dir, adds) { retry(dir, "append") { snap =>
+      fenceConstraints(batch, snap, "append")
       val merged = mergedUnderFence(snap, df.schema, merged0, "append")
       val schemaJson = if (merged == snap.schema) None else Some(merged.json)
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "append",
         None, None, schemaJson, adds, Nil,
         maxColId = Some(maxIdOf(merged, snap.maxColId))), snap.version + 1))
-    }.get
+    } }.get
     maybeAutoCompact(spark, dir)
     v
   }
@@ -977,14 +1033,16 @@ object GraftLake {
     val spark = df.sparkSession
     val pre = snapshot(spark, dir)
     val merged0 = mergeSchemas(pre.schema, df.schema, pre.maxColId, pre.retired)
-    val adds = stage(df, dir, numFiles, merged0)
-    retry(dir, "overwrite") { snap =>
+    val batch = stage(df, dir, numFiles, merged0)
+    val adds = batch.adds
+    discardOnThrow(dir, adds) { retry(dir, "overwrite") { snap =>
+      fenceConstraints(batch, snap, "overwrite")
       val merged = mergedUnderFence(snap, df.schema, merged0, "overwrite")
       val schemaJson = if (merged == snap.schema) None else Some(merged.json)
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "overwrite",
         None, None, schemaJson, adds, snap.files.map(_.path),
         maxColId = Some(maxIdOf(merged, snap.maxColId))), snap.version + 1))
-    }.get
+    } }.get
   }
 
   /** CREATE OR REPLACE TABLE ... AS SELECT: ONE atomic commit that
@@ -1003,8 +1061,10 @@ object GraftLake {
     val schema = StructType(df.schema.fields.zipWithIndex.map {
       case (f, i) => withId(f, firstId + i)
     })
-    val adds = stage(df, dir, numFiles, schema)
-    retry(dir, "replace") { snap =>
+    val batch = stage(df, dir, numFiles, schema)
+    val adds = batch.adds
+    discardOnThrow(dir, adds) { retry(dir, "replace") { snap =>
+      fenceConstraints(batch, snap, "replace")
       if (snap.maxColId >= firstId)
         throw new LakeContentionException(
           s"replace at $dir raced a schema-evolving commit; retry")
@@ -1022,7 +1082,7 @@ object GraftLake {
         props = danglingCluster,
         clusterBounds = if (snap.clusterBounds.isDefined) Some("") else None),
         snap.version + 1))
-    }.get
+    } }.get
   }
 
   /** Copy-on-write UPDATE: rows matching `predicate` get each `set`
@@ -1066,15 +1126,17 @@ object GraftLake {
       case Some(cols) => df.sortWithinPartitions(clusterSortKey(pre, df, cols))
       case None => df
     }
-    val adds = stage(staged, dir, numFiles, pre.schema)
-    val committed = retry(dir, "stream-append") { snap =>
+    val batch = stage(staged, dir, numFiles, pre.schema)
+    val adds = batch.adds
+    val committed = discardOnThrow(dir, adds) { retry(dir, "stream-append") { snap =>
+      fenceConstraints(batch, snap, "stream-append")
       // re-check under the fence: a racing attempt of the SAME epoch may
       // have won a version while we staged
       if (fenced) None
       else
         Some((Commit(snap.version + 1, System.currentTimeMillis(), "stream-append",
           Some(appId), Some(epochId), None, adds, Nil), snap.version + 1))
-    }
+    } }
     if (committed.isEmpty) adds.foreach(a => new File(dir, a.path).delete())
     else maybeAutoCompact(df.sparkSession, dir)
     committed.isDefined
@@ -1165,7 +1227,7 @@ object GraftLake {
               byName.get(fld.name).map(_.cast(fld.dataType).as(fld.name))
                 .getOrElse(col(fld.name))
             }: _*)
-          val newAdds = stage(updated, dir, 0, snap.schema)
+          val newAdds = stage(updated, dir, 0, snap.schema).adds
           Some((Commit(snap.version + 1, System.currentTimeMillis(),
             "update-mor", None, None, None, dvAdds ++ newAdds, rm),
             snap.version + 1))
@@ -1706,7 +1768,7 @@ object GraftLake {
         val marked = bitmapsOf(slim.where(col("__gl_touched"))
           .select(col("__gl_file"), col("__gl_pos")).as[(String, Long)])
         val emitted = slim.where(col("__gl_r").isNotNull).select("__gl_r.*")
-        val newAdds = stage(emitted, dir, 0, evolved)
+        val newAdds = stage(emitted, dir, 0, evolved).adds
         val (rm, dvAdds) = dvGrow(dir,
           victims.map(f => baseName(f.path) -> f).toMap, marked)
         if (rm.isEmpty && newAdds.isEmpty) None
@@ -2084,9 +2146,14 @@ object GraftLake {
   }
 
   /** Serialize cluster-bucket boundaries for the log:
-    * {"bits":B,"cols":{"c":[d,...]},"skips":{"s":n}} — `skips` marks
-    * string columns and the common-prefix length their proxy values
-    * stripped (absent on pre-r12 logs: those never bucketed strings). */
+    * {"bits":B,"cols":{"c":[d,...]},"prefixes":{"s":"2024-0"}} —
+    * `prefixes` marks string columns and the common prefix their proxy
+    * values stripped, stored as the STRING (not a length) so later
+    * batches can detect key-domain drift and clamp instead of
+    * mis-bucketing (Layout.ClusterBounds scaladoc). Pre-r13 logs that
+    * carried a `skips` length can't replay the comparison — those
+    * columns fall back to the hash path until the next full OPTIMIZE
+    * rewrites bounds (layout quality only; results stay exact). */
   private def boundsJson(bits: Int,
       m: graft.sources.Layout.ClusterBounds): String = {
     val n = mapper.createObjectNode()
@@ -2096,9 +2163,9 @@ object GraftLake {
       val an = cn.putArray(c)
       b.foreach(an.add)
     }
-    if (m.skips.nonEmpty) {
-      val sn = n.putObject("skips")
-      m.skips.toSeq.sortBy(_._1).foreach { case (c, k) => sn.put(c, k) }
+    if (m.prefixes.nonEmpty) {
+      val sn = n.putObject("prefixes")
+      m.prefixes.toSeq.sortBy(_._1).foreach { case (c, p) => sn.put(c, p) }
     }
     mapper.writeValueAsString(n)
   }
@@ -2106,13 +2173,15 @@ object GraftLake {
   private[lake] def parseBounds(json: String)
       : (Int, graft.sources.Layout.ClusterBounds) = {
     val n = mapper.readTree(json)
+    val legacySkips = Option(n.get("skips")).map(_.properties().asScala
+      .map(_.getKey).toSet).getOrElse(Set.empty[String])
     val cols = n.get("cols").properties().asScala.map { e =>
       e.getKey -> e.getValue.elements().asScala.map(_.asDouble).toArray
-    }.toMap
-    val skips = Option(n.get("skips")).map(_.properties().asScala.map { e =>
-      e.getKey -> e.getValue.asInt
-    }.toMap).getOrElse(Map.empty[String, Int])
-    (n.get("bits").asInt, graft.sources.Layout.ClusterBounds(cols, skips))
+    }.filterNot { case (c, _) => legacySkips.contains(c) }.toMap
+    val prefixes = Option(n.get("prefixes")).map(_.properties().asScala.map { e =>
+      e.getKey -> e.getValue.asText
+    }.toMap).getOrElse(Map.empty[String, String])
+    (n.get("bits").asInt, graft.sources.Layout.ClusterBounds(cols, prefixes))
   }
 
   /** The write-side cluster sort key: the table's PERSISTED bucket
@@ -2624,7 +2693,7 @@ object GraftLake {
       // other rewrite with nothing to replace is a no-op
       if (victims.isEmpty && op != "merge" && op != "merge-into") return snap.version
       val adds = stage(replacement, dir, 0, evolvedOpt.getOrElse(snap.schema))
-        .map(a => if (clusterTag.isDefined) a.copy(cluster = clusterTag) else a)
+        .adds.map(a => if (clusterTag.isDefined) a.copy(cluster = clusterTag) else a)
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         evolvedOpt.map(_.json), adds, victims.map(_.path),
         maxColId = evolvedOpt.map(s => maxIdOf(s, snap.maxColId)),

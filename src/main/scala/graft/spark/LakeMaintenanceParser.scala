@@ -204,16 +204,29 @@ case class LakeCloneCommand(table: String, source: String,
     val v = GraftLake.shallowClone(spark, srcDir, dstDir,
       asOf = versionAsOf)
     val schema = GraftLake.snapshot(spark, dstDir).schema
-    catalog.createTable(CatalogTable(
-      identifier = ti,
-      tableType = if (location.isDefined) CatalogTableType.EXTERNAL
-        else CatalogTableType.MANAGED,
-      storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(new org.apache.hadoop.fs.Path(dstDir).toUri),
-        properties = Map("path" -> dstDir)),
-      schema = schema,
-      provider = Some("graft-lake")), ignoreIfExists = false,
-      validateLocation = false)
+    // registration can still lose to a concurrent CREATE that won the
+    // name despite the tableExists pre-check above — the clone's v0 log
+    // is already on disk by then, so unwind it rather than strand a
+    // populated lake directory with no catalog entry (the same
+    // create-then-fail ordering hazard validateTableProps closes for
+    // CREATE/REPLACE). A shallow clone is metadata-only, so deleting
+    // the dst log loses nothing but the clone commit itself.
+    try {
+      catalog.createTable(CatalogTable(
+        identifier = ti,
+        tableType = if (location.isDefined) CatalogTableType.EXTERNAL
+          else CatalogTableType.MANAGED,
+        storage = CatalogStorageFormat.empty.copy(
+          locationUri = Some(new org.apache.hadoop.fs.Path(dstDir).toUri),
+          properties = Map("path" -> dstDir)),
+        schema = schema,
+        provider = Some("graft-lake")), ignoreIfExists = false,
+        validateLocation = false)
+    } catch {
+      case e: Throwable =>
+        GraftLake.deleteTableDir(dstDir)
+        throw e
+    }
     spark.catalog.refreshTable(ti.quotedString)
     Seq(Row(v))
   }

@@ -192,4 +192,27 @@ class LakeCloneSpec extends SparkSpec {
     spark.sql("DROP TABLE clone_dst_t")
     spark.sql("DROP TABLE clone_src_t")
   }
+
+  test("a clone whose catalog registration FAILS unwinds its v0 log — no " +
+    "stranded populated lake directory without a catalog entry") {
+    val src = tmp()
+    spark.sql("DROP TABLE IF EXISTS clone_unwind_src")
+    spark.range(0, 50).toDF("id").createOrReplaceTempView("clone_unwind_v")
+    spark.sql(s"CREATE TABLE clone_unwind_src USING `graft-lake` " +
+      s"OPTIONS (path '$src') AS SELECT * FROM clone_unwind_v")
+    // a name in a nonexistent database passes the tableExists pre-check
+    // (false) but createTable throws — the deterministic stand-in for a
+    // concurrent CREATE winning the name between pre-check and register
+    val dstLoc = tmp()
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE no_such_db_graft.clone_unwind_dst " +
+        s"SHALLOW CLONE clone_unwind_src LOCATION '$dstLoc'")
+    }
+    assert(GraftLake.latestVersion(dstLoc) < 0,
+      "failed registration must unwind the clone's v0 log")
+    assert(!new java.io.File(dstLoc, "_log").exists())
+    // the source is untouched and still serves
+    assert(spark.table("clone_unwind_src").count() == 50L)
+    spark.sql("DROP TABLE clone_unwind_src")
+  }
 }

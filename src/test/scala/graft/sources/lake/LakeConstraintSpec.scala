@@ -177,4 +177,92 @@ class LakeConstraintSpec extends SparkSpec {
     }
     assert(GraftLake.latestVersion(dir2) < 0)
   }
+
+  test("TOCTOU closed: an ALTER SET constraint that commits AFTER a batch " +
+    "was staged but BEFORE its commit fails the write under the fence " +
+    "(metadata-change conflict), leaving no violating rows and no orphans") {
+    val dir = tmp()
+    GraftLake.create(spark.range(1, 20).select(col("id"),
+      (col("id") * 2).as("price")), dir)
+
+    // the violating batch's staging job blocks in a UDF: the constraint
+    // set has been READ (none yet) but the commit hasn't happened — the
+    // exact window the round-12 implementation left open
+    val gate = ConstraintRaceGate
+    gate.reset()
+    // module accessed statically inside the lambda (GETSTATIC, not a
+    // captured reference) so the closure stays serializable
+    val slow = udf { (p: Long) =>
+      ConstraintRaceGate.staging.countDown()
+      ConstraintRaceGate.proceed.await()
+      p
+    }
+    // single partition: ONE task blocks in the gate, leaving slots free
+    // for the concurrent ALTER's validation scan (no scheduler deadlock)
+    val bad = spark.range(500, 510, 1, 1)
+      .select(col("id"), slow(lit(-5L)).as("price"))
+
+    val writer = new Thread(() => {
+      try { GraftLake.append(bad, dir) }
+      catch { case e: Throwable => gate.failure = Some(e) }
+      gate.done.countDown()
+    })
+    writer.start()
+    assert(gate.staging.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "staging job never started")
+    // mid-window: the ALTER validates EXISTING data (staged rows are
+    // invisible to it) and commits the constraint
+    GraftLake.setProperties(spark, dir, Map("constraint.pos" -> "price > 0"))
+    val vAfterAlter = GraftLake.latestVersion(dir)
+    gate.proceed.countDown()
+    assert(gate.done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+
+    assert(gate.failure.exists(_.getMessage.contains("constraint")),
+      s"append must fail the fence-time constraint re-check, got ${gate.failure}")
+    assert(GraftLake.latestVersion(dir) == vAfterAlter,
+      "the violating batch must not have committed")
+    assert(GraftLake.read(spark, dir).filter(col("price") <= 0).count() == 0L,
+      "write-side induction invariant must hold")
+    // discardOnThrow: the staged-but-never-referenced files were deleted
+    val referenced = GraftLake.snapshot(spark, dir).files.map(_.path).toSet
+    val onDisk = Option(new java.io.File(dir, "data").listFiles())
+      .getOrElse(Array.empty).map(f => s"data/${f.getName}").toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"orphaned staged files left behind: ${onDisk -- referenced}")
+
+    // a DROPPED constraint mid-window is NOT a conflict (rows passed a
+    // superset): stage under the constraint, drop it mid-window, commit OK
+    GraftLake.setProperties(spark, dir, Map.empty, unsets = Seq("constraint.pos"))
+    GraftLake.setProperties(spark, dir, Map("constraint.pos2" -> "price > 0"))
+    gate.reset()
+    val good = spark.range(600, 605, 1, 1)
+      .select(col("id"), slow(lit(7L)).as("price"))
+    val writer2 = new Thread(() => {
+      try { GraftLake.append(good, dir) }
+      catch { case e: Throwable => gate.failure = Some(e) }
+      gate.done.countDown()
+    })
+    writer2.start()
+    assert(gate.staging.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    GraftLake.setProperties(spark, dir, Map.empty, unsets = Seq("constraint.pos2"))
+    gate.proceed.countDown()
+    assert(gate.done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(gate.failure.isEmpty,
+      s"constraint DROP mid-window must not conflict: ${gate.failure}")
+    assert(GraftLake.read(spark, dir).filter(col("id") >= 600).count() == 5L)
+  }
+}
+
+/** Latches for the TOCTOU race spec: static so the UDF (which runs on
+  * executor threads — same JVM under local[*]) and the driver share them. */
+object ConstraintRaceGate {
+  import java.util.concurrent.CountDownLatch
+  @volatile var staging: CountDownLatch = _
+  @volatile var proceed: CountDownLatch = _
+  @volatile var done: CountDownLatch = _
+  @volatile var failure: Option[Throwable] = None
+  def reset(): Unit = {
+    staging = new CountDownLatch(1); proceed = new CountDownLatch(1)
+    done = new CountDownLatch(1); failure = None
+  }
 }
