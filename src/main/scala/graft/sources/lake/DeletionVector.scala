@@ -72,50 +72,73 @@ private[lake] object DvCache {
 }
 
 /**
- * `dv_deleted(file_name, row_index)` — true iff the row at `row_index`
- * of data file `file_name` is deleted per `dvPathByFile` (basename →
- * absolute sidecar path; files without an entry have no deletions).
+ * `dv_deleted(dv_path, row_index)` — true iff the row at `row_index`
+ * of the file whose DV sidecar lives at `dv_path` is deleted; false
+ * when `dv_path` is NULL (a clean file). `dv_path` is the per-file
+ * constant metadata column [[GraftParquetFileFormat.DvPathField]], so
+ * the descriptor travels INSIDE the FileIndex's per-file metadata
+ * (Delta's shape): a task's closure carries only its own split's
+ * sidecar paths and the plan carries none — this expression is now a
+ * CONSTANT-size reference object, whatever the table's DV census.
+ * Measured ([[LakeDvMapBench]], r13): plan expression 892 B and
+ * per-32-file-task payload 5.1 KB, both INVARIANT from 10⁴ to 10⁶ DV
+ * files; the r12 plan-level map at the same census was 1.3 MB → 126 MB
+ * (2.4 s to serialize) — that ceiling is retired. The driver's O(F)
+ * listing build (0.1 s → 3.2 s over the same range) is the cost any
+ * FileIndex pays to list F files, not a DV overhead.
  *
- * Codegen'd (rides whole-stage codegen via a reference object — no UDF,
- * no broadcast of bitmap BYTES into the plan): each task lazily reads
- * only the sidecars of the files it actually scans, through the
- * immutable executor-side [[DvCache]] — Delta's DV architecture, where
- * the plan ships descriptors and executors fetch bitmaps.
+ * Codegen'd (rides whole-stage codegen — no UDF, no bitmap BYTES in
+ * the plan): each task lazily reads only the sidecars of the files it
+ * actually scans, through the immutable executor-side [[DvCache]].
  *
- * Descriptor-map ceiling (measured, [[LakeDvMapBench]]): the map rides
- * the ONE taskBinary broadcast per stage, and its size scales with the
- * DV-CARRYING files in the scan, not total files — 10⁴ → 1.3 MB /
- * ~50 ms serialize, 10⁵ → 12.6 MB / ~250 ms, 10⁶ → 126 MB / ~2.4 s.
- * 10⁵ is comfortably inside one broadcast; 10⁶ is past the comfortable
- * ceiling, but OPTIMIZE victims every DV-carrying file, so that census
- * means a table that skipped compaction across ~10⁶ point-delete-touched
- * files — run OPTIMIZE. If a real workload ever needs sustained 10⁶
- * live vectors, the next shape is Delta's: per-file descriptors inside
- * the FileIndex rather than one plan-level map.
+ * Null semantics: a NULL sidecar path means "no deletions", so this
+ * expression is NEVER null — it answers false, not null, exactly so
+ * `!dv_deleted(...)` keeps clean-file rows instead of dropping them
+ * through three-valued logic.
  */
-case class DvDeleted(fileName: Expression, rowIdx: Expression,
-    dvPathByFile: Map[String, String]) extends BinaryExpression {
+case class DvDeleted(dvPath: Expression, rowIdx: Expression)
+    extends BinaryExpression {
 
-  override def left: Expression = fileName
+  override def left: Expression = dvPath
   override def right: Expression = rowIdx
   override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
 
-  def deleted(file: UTF8String, pos: Long): Boolean = {
-    val bm = DvCache.bitmapFor(dvPathByFile.getOrElse(file.toString, null))
+  def deleted(path: UTF8String, pos: Long): Boolean = {
+    if (path == null) return false
+    val bm = DvCache.bitmapFor(path.toString)
     bm != null && bm.contains(pos)
   }
 
-  override protected def nullSafeEval(f: Any, p: Any): Any =
-    deleted(f.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val p = rowIdx.eval(input)
+    if (p == null) false
+    else deleted(dvPath.eval(input).asInstanceOf[UTF8String],
+      p.asInstanceOf[Long])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val ref = ctx.addReferenceObj("dvDeleted", this, classOf[DvDeleted].getName)
-    defineCodeGen(ctx, ev, (f, p) => s"$ref.deleted($f, $p)")
+    val pathGen = dvPath.genCode(ctx)
+    val posGen = rowIdx.genCode(ctx)
+    ev.copy(code =
+      code"""
+            |${pathGen.code}
+            |${posGen.code}
+            |boolean ${ev.value} = false;
+            |if (!${posGen.isNull}) {
+            |  ${ev.value} = $ref.deleted(
+            |    ${pathGen.isNull} ? null : ${pathGen.value}, ${posGen.value});
+            |}
+          """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =
-    copy(fileName = newLeft, rowIdx = newRight)
+    copy(dvPath = newLeft, rowIdx = newRight)
 
   override def prettyName: String = "dv_deleted"
 }

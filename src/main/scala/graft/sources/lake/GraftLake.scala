@@ -1235,24 +1235,50 @@ object GraftLake {
       }
     }.getOrElse(latestVersion(dir))
 
+  /** Scan `files` exposing per-row (`__gl_file` = basename, `__gl_pos` =
+    * row index) alongside `schema`'s columns, with already-deleted
+    * positions subtracted — the shared victim-read for MoR DML. Clean
+    * and DV-carrying files split into two FileSourceScans under one
+    * union (both keep pushdown/pruning); descriptors ride the per-file
+    * metadata, never the plan. */
+  private def scanWithPositions(spark: SparkSession, snap: Snapshot,
+      files: Seq[AddFile], schema: StructType): DataFrame = {
+    ensureFieldIdRead(spark)
+    val outCols = Seq(col("_metadata.file_name").as("__gl_file"),
+      col("_metadata.row_index").as("__gl_pos")) ++
+      schema.fieldNames.map(col).toSeq
+    def branch(group: Seq[AddFile], withDv: Boolean): Option[DataFrame] =
+      if (group.isEmpty) None
+      else {
+        val idx = new LakeFileIndex(spark, snap.dir, None,
+          Some(snap.copy(schema = schema, files = group)), Some(withDv))
+        val df = spark.baseRelationToDataFrame(
+          LakeFileIndex.relationFor(spark, idx))
+        val live = if (withDv) df.where(!dvDeletedCol()) else df
+        Some(live.select(outCols: _*))
+      }
+    val (dvd, clean) = files.partition(_.dv.isDefined)
+    (branch(clean, withDv = false), branch(dvd, withDv = true)) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) =>
+        emptyDf(spark, StructType(
+          StructField("__gl_file", org.apache.spark.sql.types.StringType) +:
+          StructField("__gl_pos", org.apache.spark.sql.types.LongType) +:
+          schema.fields.toSeq))
+    }
+  }
+
   /** Per-file bitmaps of LIVE rows matching `predicate`: map-side partial
     * bitmaps, merged per file, collected as compressed bytes (basename →
     * bitmap). Already-deleted rows are filtered first, so a no-new-rows
     * file simply doesn't appear. */
   private def markDeletedPositions(spark: SparkSession, snap: Snapshot,
       files: Seq[AddFile], predicate: Column): Map[String, Array[Byte]] = {
-    ensureFieldIdRead(spark)
-    val paths = files.map(f => absPath(snap.dir, f.path))
-    val dvByBase = dvPathsFor(snap, paths)
-    val raw = spark.read.option("mergeSchema", "true").schema(snap.schema)
-      .parquet(paths: _*)
-    val live =
-      if (dvByBase.isEmpty) raw else raw.where(!dvDeletedCol(dvByBase))
-    val base = live.select(Seq(col("_metadata.file_name").as("__gl_file"),
-      col("_metadata.row_index").as("__gl_pos")) ++
-      snap.schema.fieldNames.map(col).toSeq: _*)
     import spark.implicits._
-    val pairs = base.filter(predicate)
+    val pairs = scanWithPositions(spark, snap, files, snap.schema)
+      .filter(predicate)
       .select(col("__gl_file"), col("__gl_pos")).as[(String, Long)]
     bitmapsOf(pairs)
   }
@@ -1712,24 +1738,8 @@ object GraftLake {
           }
 
         // target = victim files' LIVE rows WITH physical positions
-        val paths = victims.map(f => absPath(dir, f.path))
-        ensureFieldIdRead(spark)
-        val tgt =
-          if (victims.isEmpty)
-            emptyDf(spark, StructType(
-              StructField("__gl_file", org.apache.spark.sql.types.StringType) +:
-              StructField("__gl_pos", org.apache.spark.sql.types.LongType) +:
-              evolved.fields.toSeq))
-          else {
-            val raw = spark.read.option("mergeSchema", "true")
-              .schema(evolved).parquet(paths: _*)
-            val dvByBase = dvPathsFor(snapE.copy(files = victims), paths)
-            val live = if (dvByBase.isEmpty) raw
-              else raw.where(!dvDeletedCol(dvByBase))
-            live.select(Seq(col("_metadata.file_name").as("__gl_file"),
-              col("_metadata.row_index").as("__gl_pos")) ++
-              evolved.fieldNames.map(col).toSeq: _*)
-          }
+        // (clean/DV split scan, per-file descriptors in the FileIndex)
+        val tgt = scanWithPositions(spark, snapE, victims, evolved)
         val t = tgt.withColumn("__gl_tid", monotonically_increasing_id()).alias("t")
         val s2 = src.withColumn("__gl_sid", monotonically_increasing_id()).alias("s")
         val joined = t.join(s2, condition, "full_outer")
@@ -2595,50 +2605,43 @@ object GraftLake {
   private[lake] def fileAt(dir: String, rel: String): File =
     if (rel.startsWith("/")) new File(rel) else new File(dir, rel)
 
-  /** basename → absolute DV sidecar path, for the subset of `paths` whose
-    * AddFile (in `snap`) carries a deletion vector. */
-  private[lake] def dvPathsFor(snap: Snapshot, paths: Seq[String]): Map[String, String] = {
-    val wanted = paths.map(baseName).toSet
-    snap.files.iterator.flatMap { f =>
-      f.dv.flatMap { d =>
-        val b = baseName(f.path)
-        if (wanted.contains(b)) Some(b -> absPath(snap.dir, d.path)) else None
-      }
-    }.toMap
-  }
-
-  /** The deleted-row predicate over `_metadata` columns for the given
-    * basename → sidecar map — a codegen'd expression whose tasks lazily
-    * read only the sidecars of files they actually scan. */
-  private[lake] def dvDeletedCol(dvByBase: Map[String, String]): Column =
+  /** The deleted-row predicate over the per-file `_metadata.__dv_path`
+    * constant column ([[GraftParquetFileFormat]]) — a codegen'd,
+    * CONSTANT-size expression whose tasks lazily read only the sidecars
+    * of files they actually scan. The descriptor itself travels in the
+    * FileIndex's per-file metadata, never the plan (Delta's shape —
+    * retires the measured plan-map ceiling, [[LakeDvMapBench]]).
+    * Never null: a NULL sidecar path answers false (clean file). */
+  private[lake] def dvDeletedCol(): Column =
     org.apache.spark.sql.GraftColumnBridge.column(DvDeleted(
-      org.apache.spark.sql.GraftColumnBridge.expression(col("_metadata.file_name")),
-      org.apache.spark.sql.GraftColumnBridge.expression(col("_metadata.row_index")),
-      dvByBase))
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        col(s"_metadata.${GraftParquetFileFormat.DvPathField}")),
+      org.apache.spark.sql.GraftColumnBridge.expression(col("_metadata.row_index"))))
+
+  /** `snap` restricted to the AddFiles whose absolute path is in `paths`
+    * (the identity every internal reader passes around). */
+  private def restrictTo(snap: Snapshot, paths: Seq[String]): Seq[AddFile] = {
+    val wanted = paths.map(baseName).toSet
+    snap.files.filter(f => wanted.contains(baseName(f.path)))
+  }
 
   private[lake] def readFiles(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {
     ensureFieldIdRead(spark) // columns resolve by field id (rename-stable)
     val outCols = snap.schema.fieldNames.map(col).toIndexedSeq
-    def plain(ps: Seq[String]): DataFrame =
+    val files = restrictTo(snap, paths)
+    if (!files.exists(_.dv.isDefined)) // common case: zero DV overhead
       spark.read.option("mergeSchema", "true")
         .schema(snap.schema) // evolved schema: absent columns null-filled per file
-        .parquet(ps: _*)
+        .parquet(paths: _*)
         .select(outCols: _*)
-    val dvByBase = dvPathsFor(snap, paths)
-    if (dvByBase.isEmpty) plain(paths) // common case: zero DV overhead
-    else {
-      // split the scan: clean files read plain; DV-carrying files read
-      // with _metadata positions and the deleted rows filtered out. Two
-      // FileSourceScans under one union — pushed filters and column
-      // pruning reach both sides
-      val (dvd, clean) = paths.partition(p => dvByBase.contains(baseName(p)))
-      val dvdDf = spark.read.option("mergeSchema", "true")
-        .schema(snap.schema).parquet(dvd: _*)
-        .where(!dvDeletedCol(dvByBase))
-        .select(outCols: _*)
-      if (clean.isEmpty) dvdDf else plain(clean).unionByName(dvdDf)
-    }
+    else
+      // split the scan through the FileIndex: clean files read plain;
+      // DV-carrying files read with per-file __dv_path descriptors and
+      // the deleted positions filtered out. Two FileSourceScans under
+      // one union — pushed filters and column pruning reach both sides
+      LakeFileIndex.dvSplitFrame(spark,
+        LakeFileIndex.restricted(spark, snap, files))
   }
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =

@@ -93,10 +93,21 @@ final class LakeFileIndex private[lake] (spark: SparkSession, val dir: String,
     val kept = GraftLake.overlappingResolved(
       snap.copy(files = subsetFiles), dataFilters)
     val statuses = kept.map { a =>
+      // the DV descriptor rides HERE — per-file metadata, the Delta
+      // shape: it flows into PartitionedFile.otherConstantMetadataColumn
+      // Values and materializes as the _metadata.__dv_path constant
+      // column ([[GraftParquetFileFormat]]), so each task carries only
+      // its own split's descriptors and the PLAN carries none. Clean
+      // files attach nothing and read the column as NULL.
+      val meta: Map[String, Any] = a.dv match {
+        case Some(d) =>
+          Map(GraftParquetFileFormat.DvPathField -> GraftLake.absPath(dir, d.path))
+        case None => Map.empty
+      }
       FileStatusWithMetadata(
         new FileStatus(a.bytes, false, 1, 128L << 20, 0L,
           new Path(GraftLake.absPath(dir, a.path))),
-        Map.empty)
+        meta)
     }
     Seq(PartitionDirectory(InternalRow.empty, statuses))
   }
@@ -118,8 +129,18 @@ object LakeFileIndex {
       partitionSchema = new StructType(),
       dataSchema = idx.schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      // parquet + the _metadata.__dv_path per-file constant column —
+      // identical scan behavior for DV-less tables (the column is just
+      // never requested)
+      fileFormat = new GraftParquetFileFormat,
       options = Map("mergeSchema" -> "true"))(spark)
+
+  /** An index over `snap` restricted to `files` (same dir/schema) — how
+    * internal rewrite readers route DV'd subsets through the per-file
+    * descriptor machinery instead of a plan-level map. */
+  private[lake] def restricted(spark: SparkSession, snap: GraftLake.Snapshot,
+      files: Seq[GraftLake.AddFile]): LakeFileIndex =
+    new LakeFileIndex(spark, snap.dir, None, Some(snap.copy(files = files)), None)
 
   /** The two DV-split siblings of an all-files index, SHARING its pinned
     * snapshot (no reload, no race with concurrent commits). */
@@ -135,9 +156,8 @@ object LakeFileIndex {
       idx: LakeFileIndex): DataFrame = {
     val (cleanIdx, dvdIdx) = dvSplit(spark, idx)
     val outCols: Seq[Column] = idx.schema.fieldNames.map(col).toIndexedSeq
-    val dvByBase = GraftLake.dvPathsFor(idx.snap, dvdIdx.inputFiles.toSeq)
     val dvd = spark.baseRelationToDataFrame(relationFor(spark, dvdIdx))
-      .where(!GraftLake.dvDeletedCol(dvByBase))
+      .where(!GraftLake.dvDeletedCol())
       .select(outCols: _*)
     spark.baseRelationToDataFrame(relationFor(spark, cleanIdx))
       .select(outCols: _*)

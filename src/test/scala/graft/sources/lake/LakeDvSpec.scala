@@ -369,4 +369,57 @@ class LakeDvSpec extends SparkSpec {
       .map(i => if (i == 20L) (i, 888L) else (i, i * 2)).toSet + ((10L, 777L))
     assert(got == expected)
   }
+
+  test("DV descriptors ride the FileIndex's PER-FILE metadata, not the " +
+    "plan: the predicate is constant-size, tasks see only their split's " +
+    "sidecar paths, and _metadata.__dv_path answers per file") {
+    val dir = tmp()
+    mkTable(dir)
+    GraftLake.deleteMoR(spark, dir, col("id") % 10 === 3 && col("id") < 500)
+
+    // the plan's DvDeleted reference object is CONSTANT size — no map of
+    // the table's files (the r12 shape measured 126 MB at 1e6 DV files)
+    val frame = LakeFileIndex.readPruned(spark, dir)
+    val exprs = frame.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.collect { case d: DvDeleted => d }
+    }.flatten
+    assert(exprs.nonEmpty, "DV table read must carry the position predicate")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(exprs.head); oos.close()
+    assert(bos.size() < 16384,
+      s"DvDeleted must serialize constant-small, got ${bos.size()} bytes")
+
+    // both split branches scan through the graft format (which declares
+    // the __dv_path constant column); results are DV-exact
+    val formats = frame.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc.relation.fileFormat
+    }
+    assert(formats.nonEmpty &&
+      formats.forall(_.isInstanceOf[GraftParquetFileFormat]))
+    assert(frame.count() == 1000L - 50L)
+
+    // per-file metadata: the DV branch's listing carries a sidecar path
+    // per DV'd file; the clean branch's listing carries none. This is
+    // exactly what a task's split inherits — its own files' descriptors.
+    val idx = new LakeFileIndex(spark, dir, None)
+    val (cleanIdx, dvdIdx) = LakeFileIndex.dvSplit(spark, idx)
+    val dvdMeta = dvdIdx.listFiles(Nil, Nil).head.files
+      .map(_.metadata.get(GraftParquetFileFormat.DvPathField))
+    assert(dvdMeta.nonEmpty && dvdMeta.forall(_.isDefined))
+    val cleanMeta = cleanIdx.listFiles(Nil, Nil).head.files
+      .map(_.metadata.get(GraftParquetFileFormat.DvPathField))
+    assert(cleanMeta.forall(_.isEmpty))
+
+    // and the metadata column is queryable directly: per-row sidecar
+    // path on the DV branch, matching the log's references
+    val dvPaths = spark.baseRelationToDataFrame(
+        LakeFileIndex.relationFor(spark, dvdIdx))
+      .select(col(s"_metadata.${GraftParquetFileFormat.DvPathField}"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val expected = GraftLake.snapshot(spark, dir).files
+      .flatMap(_.dv.map(d => GraftLake.absPath(dir, d.path))).toSet
+    assert(dvPaths == expected)
+  }
 }
