@@ -42,6 +42,46 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ")
         .take(3).mkString(" ")
       catch { case _: Throwable => "n/a" }
+    // Self-adjudication (VERDICT r12 item 4): a bench started under host
+    // load produces phantom regressions that cost a judge an
+    // investigation. Loadavg can't tell OUR load from external load
+    // (the sweep itself pushes it past any threshold), so measure
+    // EXTERNAL pressure directly: while this JVM sleeps, any non-idle
+    // CPU is someone else's. Probe before the sweep and before the
+    // isolated pass; cool down in bounded steps while pressure exceeds
+    // the threshold; emit load_ok so the artifact carries the verdict.
+    def cpuTimes(): (Long, Long) =
+      try {
+        val l = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.next()
+        val xs = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (xs.sum, xs(3) + xs(4)) // (total, idle+iowait)
+      } catch { case _: Throwable => (-1L, 0L) }
+    def externalBusy(ms: Long): Double = {
+      val (t0, i0) = cpuTimes()
+      if (t0 < 0) return -1.0 // no /proc: unknown, don't block
+      Thread.sleep(ms)
+      val (t1, i1) = cpuTimes()
+      val dt = (t1 - t0).toDouble
+      if (dt <= 0) 0.0 else math.max(0.0, 1.0 - (i1 - i0) / dt)
+    }
+    val busyMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_BUSY", "0.10").toDouble
+    def coolDown(tag: String): Double = {
+      var busy = externalBusy(1000)
+      var waited = 0
+      while (busy >= 0 && busy > busyMax && waited < 120) {
+        System.err.println(f"[bench] $tag: external CPU busy $busy%.2f > " +
+          f"$busyMax%.2f, cooling down (${waited}s)")
+        Thread.sleep(9000); waited += 10
+        busy = externalBusy(1000)
+      }
+      if (busy > busyMax) System.err.println(
+        f"[bench] $tag: still busy $busy%.2f after ${waited}s — numbers " +
+          "may carry host noise (load_ok:false)")
+      busy
+    }
+    val busyStart = coolDown("pre-sweep")
     val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -81,6 +121,9 @@ object Bench {
     // compare across rounds; both are committed so the artifact carries
     // its own noise evidence.
     val topNames = results.sortBy(-_._2).take(10).map(_._1)
+    // the isolated medians are the cross-round comparison numbers — take
+    // them under verified-quiet external load too
+    val busyIso = coolDown("pre-isolated")
     val isolated = topNames.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).map { _ =>
@@ -94,9 +137,11 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val top = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val loadOk = busyStart >= 0 && busyStart <= busyMax &&
+      busyIso >= 0 && busyIso <= busyMax
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
-        s""""isolated":$isolatedJson,""" +
+        s""""isolated":$isolatedJson,"load_ok":$loadOk,""" +
         s""""nQueries":${results.size},"sf":"$sfDir","full":"bench_out.json"}""")
     // The committed artifact carries its own noise evidence (VERDICT r7
     // item 5): per-query rep spread {med,min,max}, rep count, and host
@@ -107,7 +152,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
       s""","reps":$reps,"cpus":$cpus,"detail":$detail,""" +
-      s""""isolated":$isolatedJson,""" +
+      s""""isolated":$isolatedJson,"load_ok":$loadOk,""" +
+      f""""external_busy":{"pre_sweep":$busyStart%.3f,"pre_isolated":$busyIso%.3f},""" +
       s""""load":{"before":"$loadBefore","after":"$loadAfter"}}"""
     // the on-disk copy also keeps round-over-round comparison independent
     // of driver log truncation (VERDICT r6 item 5)

@@ -942,7 +942,136 @@ object LakeQueries {
       |WHERE o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── l22: ADVERSARIAL lifecycle composition — the seams between the
+  // lake surfaces, chained: CONVERT (id-less adopted files) → clusterBy
+  // + OPTIMIZE (re-layout of adopted data) → CHECK constraint (ADD-scan
+  // over converted+clustered state, then write-side enforcement) →
+  // SHALLOW CLONE VERSION AS OF (pin of a converted ancestor) → source
+  // divergence → MoR DELETE on the CLONE (DVs over absolute-path
+  // adopted references) → rename on the source REFUSED (id-less files
+  // cannot rename — the fail-fast seam Delta hits as silent corruption)
+  // → table_changes on BOTH → VACUUM DRY RUN on the source touching
+  // nothing the clone references. Each surface is spec'd alone; the
+  // bugs live in the seams, so ONE oracle replays the composed final
+  // state of both tables relationally.
+  private val l22LakeLifecycle: Q = (s, dir) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_e2e")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    val p = ordersProjected(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price_c"))
+    p.createOrReplaceTempView("l22_src")
+
+    // 1. CONVERT: footer-only adoption of raw parquet (id-less files)
+    p.filter(col("o_orderkey") % 3 === 0)
+      .repartitionByRange(6, col("o_orderkey")).write.parquet(src)
+    require(s.sql(s"CONVERT TO LAKE '$src'").head().getLong(0) == 0L)
+    s.sql("DROP TABLE IF EXISTS graft_l22_src")
+    s.sql("DROP TABLE IF EXISTS graft_l22")
+    s.sql(s"CREATE TABLE graft_l22_src USING `graft-lake` OPTIONS (path '$src')")
+
+    // 2. cluster the ADOPTED data: declared columns + full re-layout
+    s.sql("ALTER TABLE graft_l22_src SET TBLPROPERTIES " +
+      "('clusterBy' = 'o_orderkey,price_c')")
+    s.sql("OPTIMIZE graft_l22_src")
+
+    // 3. CHECK constraint: ADD validates converted+clustered state in
+    // one scan; a violating insert then fails with nothing committed
+    s.sql("ALTER TABLE graft_l22_src SET TBLPROPERTIES " +
+      "('constraint.price_pos' = 'price_c > 0')")
+    s.sql("INSERT INTO graft_l22_src SELECT * FROM l22_src " +
+      "WHERE o_orderkey % 3 = 1 AND o_orderkey % 4 = 1")
+    val vPin = GraftLake.latestVersion(src)
+    val failed = try {
+      s.sql("INSERT INTO graft_l22_src VALUES (999999999, 'X', -5)"); false
+    } catch { case _: Exception => true }
+    require(failed && GraftLake.latestVersion(src) == vPin,
+      "violating INSERT must fail atomically on the converted table")
+
+    // 4. time-travel clone of the pinned state; then the source diverges
+    s.sql(s"CREATE TABLE graft_l22 SHALLOW CLONE graft_l22_src " +
+      s"VERSION AS OF $vPin LOCATION '$dst'")
+    s.sql("INSERT INTO graft_l22_src SELECT * FROM l22_src " +
+      "WHERE o_orderkey % 3 = 2 AND o_orderkey % 4 = 2")
+
+    // 5. MoR DELETE on the CLONE: DVs over absolute-path adopted files,
+    // zero parquet written into the clone
+    s.conf.set("spark.graft.lake.deleteMode", "mor")
+    try s.sql("DELETE FROM graft_l22 WHERE o_orderkey % 7 = 0")
+    finally s.conf.unset("spark.graft.lake.deleteMode")
+    require(Option(new java.io.File(dst, "data").listFiles())
+      .getOrElse(Array.empty).forall(!_.getName.endsWith(".parquet")),
+      "MoR delete on a shallow clone must write no parquet")
+    val cloneSnap = GraftLake.snapshot(s, dst)
+    require(cloneSnap.files.exists(f => f.dv.isDefined &&
+      f.path.startsWith("/")),
+      "the clone's DVs must reference the ADOPTED absolute-path files")
+
+    // 6. rename on the source is REFUSED: adopted files carry no field
+    // ids, so a rename would corrupt name-keyed reads — fail fast
+    val renameRefused = try {
+      s.sql("ALTER TABLE graft_l22_src RENAME COLUMN price_c TO pc"); false
+    } catch { case e: Exception =>
+      e.getMessage != null && e.getMessage.contains("field ids") }
+    require(renameRefused,
+      "rename over id-less adopted files must be refused, not corrupting")
+
+    // 7. change feeds on BOTH: the source's post-clone delta is exactly
+    // the divergence insert; the clone's is exactly the MoR delete
+    val srcDelta = s.sql(s"SELECT change_kind, count(*) AS n FROM " +
+      s"table_changes('graft_l22_src', ${vPin + 1}) GROUP BY 1").collect()
+    val insB = p.filter(col("o_orderkey") % 3 === 2 &&
+      col("o_orderkey") % 4 === 2).count()
+    require(srcDelta.toSeq.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("insert", insB)), s"source CDF must be the divergence insert")
+    val cloneDelta = s.sql("SELECT change_kind, count(*) AS n FROM " +
+      "table_changes('graft_l22', 1) GROUP BY 1").collect()
+    val delN = p.filter((col("o_orderkey") % 3 === 0 ||
+      (col("o_orderkey") % 3 === 1 && col("o_orderkey") % 4 === 1)) &&
+      col("o_orderkey") % 7 === 0).count()
+    require(cloneDelta.toSeq.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("delete", delN)), "clone CDF must be the MoR delete")
+
+    // 8. VACUUM DRY RUN on the source: reports, touches NOTHING, and
+    // names no file the clone references
+    def filesUnder(d: String): Set[String] =
+      Option(new java.io.File(d, "data").listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+    val before = filesUnder(src)
+    val doomed = s.sql("VACUUM graft_l22_src RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    require(filesUnder(src) == before, "DRY RUN must delete nothing")
+    val cloneRefs = cloneSnap.files.map(_.path).toSet
+    require(doomed.intersect(cloneRefs).isEmpty,
+      "the dry run must not name files the clone's pinned version holds")
+
+    s.catalog.refreshTable("graft_l22_src")
+    s.catalog.refreshTable("graft_l22")
+    s.sql("""SELECT 'src' AS side, o_orderkey, o_orderstatus, price_c
+            |FROM graft_l22_src
+            |UNION ALL
+            |SELECT 'clone' AS side, o_orderkey, o_orderstatus, price_c
+            |FROM graft_l22
+            |ORDER BY side, o_orderkey""".stripMargin)
+  }
+  private val l22LakeLifecycleSql =
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |SELECT 'src' AS side, o_orderkey, o_orderstatus, price_c FROM p
+      |WHERE o_orderkey % 3 = 0
+      |   OR (o_orderkey % 3 = 1 AND o_orderkey % 4 = 1)
+      |   OR (o_orderkey % 3 = 2 AND o_orderkey % 4 = 2)
+      |UNION ALL
+      |SELECT 'clone' AS side, o_orderkey, o_orderstatus, price_c FROM p
+      |WHERE (o_orderkey % 3 = 0
+      |   OR (o_orderkey % 3 = 1 AND o_orderkey % 4 = 1))
+      |  AND NOT o_orderkey % 7 = 0
+      |ORDER BY side, o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "l22_lake_lifecycle" -> l22LakeLifecycle,
     "l18_lake_convert" -> l18LakeConvert,
     "l19_lake_batch_cdf" -> l19LakeBatchCdf,
     "l20_lake_clone" -> l20LakeClone,
@@ -966,6 +1095,7 @@ object LakeQueries {
     "l5_lake_planner_scan" -> l5LakePlannerScan)
 
   val oracles: Map[String, String] = Map(
+    "l22_lake_lifecycle" -> l22LakeLifecycleSql,
     "l18_lake_convert" -> l18LakeConvertSql,
     "l19_lake_batch_cdf" -> l19LakeBatchCdfSql,
     "l20_lake_clone" -> l20LakeCloneSql,

@@ -989,12 +989,20 @@ object GraftLake {
     * otherwise) — amortized O(1) rewrites per append, no nightly job to
     * forget. Best-effort by design: the append ALREADY committed, so a
     * compaction failure warns instead of failing a write that landed. */
+  /** Victim cap for ONE inline auto-compaction (≈2 GB at the 32 MB
+    * small-file bar): bounds the latency the TIPPING append pays. A
+    * bigger backlog (a converted table with 10⁴ small files, say)
+    * amortizes — each subsequent append past the threshold folds
+    * another capped slice until the census drops under it. Measured
+    * ([[LakeAutoCompactBench]]): the figures in its scaladoc. */
+  private[graft] val AutoCompactMaxVictims = 64
+
   private def maybeAutoCompact(spark: SparkSession, dir: String): Unit = {
     val snap = snapshot(spark, dir)
     if (!snap.props.get("autoCompact").exists(_.equalsIgnoreCase("true"))) return
     if (snap.files.count(_.bytes < (32L << 20)) < ConsolidateSmallGenerations)
       return
-    try { optimize(spark, dir); () } catch {
+    try { optimize(spark, dir, maxVictims = AutoCompactMaxVictims); () } catch {
       case e: Exception => System.err.println(
         s"[graft-lake] auto-compact at $dir failed (the append already " +
           s"committed): $e")
@@ -1828,9 +1836,15 @@ object GraftLake {
   /** Bin-pack small files (< `smallBytes`) into ~`targetBytes` outputs.
     * Pure layout change: same rows before and after; old files stay on
     * disk for time travel until [[vacuum]]. */
+  /** `maxVictims` caps how many files ONE run rewrites (smallest first,
+    * so the worst small-file offenders fold first): an inline
+    * auto-compaction must never make the tipping append pay a whole
+    * backlog's fold — the backlog amortizes across subsequent appends
+    * instead (measured: [[LakeAutoCompactBench]]). Explicit OPTIMIZE
+    * runs uncapped. */
   def optimize(spark: SparkSession, dir: String,
       smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
-      where: Option[Column] = None): Long = {
+      where: Option[Column] = None, maxVictims: Int = Int.MaxValue): Long = {
     // liquid-clustering-lite: a bare OPTIMIZE of a table carrying the
     // clusterBy property clusters INCREMENTALLY on those columns — only
     // files that are not part of the latest zorder generation (plus any
@@ -1868,7 +1882,10 @@ object GraftLake {
                   !unclPaths.contains(f.path) && f.bytes < smallBytes)
                 if (smalls.size >= ConsolidateSmallGenerations) smalls else Nil
               }
-            val victims = uncl ++ smallClustered
+            val victims0 = uncl ++ smallClustered
+            val victims =
+              if (victims0.size <= maxVictims) victims0
+              else victims0.sortBy(_.bytes).take(maxVictims)
             if (victims.isEmpty)
               (Nil, emptyDf(spark, snap.schema), None, None, None)
             else {
@@ -1905,7 +1922,10 @@ object GraftLake {
       // compaction purges the deletion vectors back out of the steady
       // state (Delta's OPTIMIZE does the same), so reads stop paying the
       // position filter and the sidecars become vacuumable
-      val small = scoped.filter(f => f.bytes < smallBytes || f.dv.isDefined)
+      val small0 = scoped.filter(f => f.bytes < smallBytes || f.dv.isDefined)
+      val small =
+        if (small0.size <= maxVictims) small0
+        else small0.sortBy(_.bytes).take(maxVictims)
       if (small.size < 2 && !small.exists(_.dv.isDefined))
         (Nil, emptyDf(spark, snap.schema), None, None, None)
       else {

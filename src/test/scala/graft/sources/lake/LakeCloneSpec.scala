@@ -193,6 +193,46 @@ class LakeCloneSpec extends SparkSpec {
     spark.sql("DROP TABLE clone_src_t")
   }
 
+  test("the documented clone/source-vacuum race: the SOURCE's history " +
+    "vacuum CAN reclaim bytes a clone still references (Delta's caveat, " +
+    "pinned) — and DRY RUN is the look-before-you-reclaim escape hatch") {
+    val src = tmp(); val dst = tmp()
+    GraftLake.create(spark.range(0, 1000).select(col("id"),
+      (col("id") * 3).as("v")).repartitionByRange(4, col("id")), src)
+    GraftLake.shallowClone(spark, src, dst) // clone pins src's v0 files
+    // the source moves on: OPTIMIZE tombstones the original 4 files
+    GraftLake.optimize(spark, src, smallBytes = Long.MaxValue)
+    assert(GraftLake.read(spark, dst).count() == 1000L,
+      "clone reads fine while the source retains history")
+
+    // ESCAPE HATCH: DRY RUN names exactly what a history vacuum would
+    // reclaim — the operator can check those paths against live clones
+    // BEFORE giving up the bytes
+    val (doomed, _) = GraftLake.vacuumDoomed(spark, src,
+      keepHistory = false, minAgeMillis = 0L,
+      now = System.currentTimeMillis() + 1000L)
+    val cloneRefs = GraftLake.snapshot(spark, dst).files.map(_.path).toSet
+    assert(doomed.exists(p => cloneRefs.contains(s"$src/$p")),
+      "DRY RUN must surface the clone-referenced files it would reclaim")
+    assert(GraftLake.read(spark, dst).count() == 1000L,
+      "the dry run itself must touch nothing")
+
+    // the RACE, pinned: a keepHistory=false vacuum on the source
+    // reclaims the tombstoned originals — the clone's reads now fail
+    // (fail-FAST on missing files, never silently partial). This is the
+    // documented contract: clone from tables whose retention you
+    // control, or OPTIMIZE the clone (localizing it) before the
+    // source's history expires.
+    GraftLake.vacuumAt(spark, src, keepHistory = false, minAgeMillis = 0L,
+      now = System.currentTimeMillis() + 1000L)
+    assert(GraftLake.read(spark, src).count() == 1000L,
+      "the source itself is intact (its active files were never doomed)")
+    val failed = try { GraftLake.read(spark, dst).count(); false }
+      catch { case _: Exception => true }
+    assert(failed, "clone reads must fail fast once the source reclaimed " +
+      "the referenced bytes — not return silently partial data")
+  }
+
   test("a clone whose catalog registration FAILS unwinds its v0 log — no " +
     "stranded populated lake directory without a catalog entry") {
     val src = tmp()

@@ -519,6 +519,37 @@ class LakeClusterBySpec extends SparkSpec {
       "a below-threshold append must commit exactly once")
   }
 
+  test("autoCompact inline runs are victim-CAPPED: a tipping append on a " +
+    "big backlog folds at most AutoCompactMaxVictims files (bounded " +
+    "latency), and subsequent appends amortize the rest down") {
+    val dir = tmp()
+    GraftLake.create(spark.range(0, 64).select(col("id"), col("id").as("v")),
+      dir, checkpointEvery = 64)
+    val backlog = GraftLake.AutoCompactMaxVictims + 40
+    (1 to backlog).foreach { i =>
+      spark.range(i * 1000L, i * 1000L + 8)
+        .select(col("id"), col("id").as("v")).coalesce(1)
+        .write.format("graft-lake").mode("append").save(dir)
+    }
+    GraftLake.setProperties(spark, dir, Map("autoCompact" -> "true"))
+    val before = GraftLake.snapshot(spark, dir).files.size
+    spark.range(900000L, 900008L).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graft-lake").mode("append").save(dir)
+    val after1 = GraftLake.snapshot(spark, dir).files.size
+    val folded1 = before - after1
+    assert(folded1 > 0 && folded1 <= GraftLake.AutoCompactMaxVictims,
+      s"one inline run must fold at most the cap, folded $folded1")
+    assert(after1 > GraftLake.ConsolidateSmallGenerations,
+      "a capped run on a big backlog must leave remainder for later")
+    // the NEXT tipping append folds another capped slice — amortization
+    spark.range(910000L, 910008L).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.format("graft-lake").mode("append").save(dir)
+    val after2 = GraftLake.snapshot(spark, dir).files.size
+    assert(after2 < after1, "the backlog must keep amortizing down")
+    assert(GraftLake.read(spark, dir).count() ==
+      64L + backlog * 8L + 16L, "no rows lost across capped folds")
+  }
+
   test("DESCRIBE DETAIL properties column is VALID JSON even when values " +
     "carry quotes and backslashes") {
     val dir = tmp()
