@@ -392,6 +392,11 @@ object Graph {
    * stopword-frequency shingles in the LSH caps. Degrees and Jaccard are
    * computed over the capped graph, so `common <= min(d1, d2)` remains
    * an invariant. Pass `Long.MaxValue` for the exact uncapped semantics.
+   * The r12 default change from exact to capped is INTENTIONAL
+   * (adjudicated, ADVICE r12): a scale-unsafe default is the worse
+   * contract; callers needing the old behavior opt in explicitly, and
+   * both semantics stay oracle-gated (`x_link_predict` at the default
+   * cap, `x_link_predict_capped` at cap 50).
    * Three hash shuffles total (degree aggs, pair agg) + two
    * broadcastable dimension joins.
    *

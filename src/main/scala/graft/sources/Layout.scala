@@ -168,6 +168,21 @@ object Layout {
     def isEmpty: Boolean = cols.isEmpty
   }
 
+  /** Tie granularity of the 6-bytes-after-prefix proxy, assessed
+    * (r13): the feared degradation — sub-second string timestamps
+    * within one day collapsing to coarse buckets — does NOT occur,
+    * because the column-wide min/max common prefix absorbs every
+    * globally-shared head (the date, zero padding of fixed-width
+    * numerics) and the 6-byte window then lands on the
+    * highest-variance bytes (HH:MM: for a one-day domain — minute
+    * resolution). Spec'd: ZValueSpec "string-timestamp tie
+    * granularity" pins an hour predicate pruning a one-day sub-second
+    * domain. A residual tie needs >6 bytes of content shared between
+    * NEIGHBORS but not globally (min/max differing early while the
+    * mass ties later) — a distribution shape we have no real workload
+    * for; segment-wise bucketing was considered and rejected as
+    * complexity without a demonstrated profile. */
+
   /** Longest common prefix by CODE POINT (not UTF-16 unit): a
     * char-wise zip can split a surrogate pair, and the skip is applied
     * with Spark `substr`, which counts code points — mixing the two
