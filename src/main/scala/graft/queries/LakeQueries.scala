@@ -1070,7 +1070,59 @@ object LakeQueries {
       |  AND NOT o_orderkey % 7 = 0
       |ORDER BY side, o_orderkey""".stripMargin
 
+  // ── l23: bloom-filter point lookup — the takedown/audit shape ─────────
+  // `bloomFilter.columns` makes every staged file carry a parquet-native
+  // bloom on the key: point lookups on a uniformly distributed
+  // high-cardinality column (which overlaps every file's [min,max], so
+  // footer stats prune NOTHING) drop disproven row groups inside each
+  // task, zero planning cost. In-gate requires: pre-property files are
+  // bare, post-property files carry the bloom, OPTIMIZE backfills the
+  // rest through the same stage() choke point, and a key absent from the
+  // table is disproven by every file's bloom. The oracle replays the
+  // point-lookup result relationally.
+  private val l23LakeBloom: Q = (s, dir) => {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_bloom")
+      .toString + "/t"
+    val p = ordersProjected(s, dir)
+    // v0 lands BEFORE the property exists -> bare files
+    GraftLake.create(p.filter(col("o_orderkey") % 2 === 0), tbl, numFiles = 2)
+    GraftLake.setProperties(s, tbl, Map(
+      "bloomFilter.columns" -> "o_orderkey",
+      "bloomFilter.ndv.o_orderkey" -> "100000"))
+    require(GraftLake.snapshot(s, tbl).files.forall(f => GraftLake.readBloom(
+      s, GraftLake.absPath(tbl, f.path), "o_orderkey").isEmpty),
+      "files written before the property must be bare")
+    // the other half lands WITH blooms; OPTIMIZE then backfills v0
+    GraftLake.append(p.filter(col("o_orderkey") % 2 === 1), tbl, numFiles = 2)
+    GraftLake.optimize(s, tbl, smallBytes = Long.MaxValue)
+    val snap = GraftLake.snapshot(s, tbl)
+    val blooms = snap.files.map(f => GraftLake.readBloom(
+      s, GraftLake.absPath(tbl, f.path), "o_orderkey"))
+    require(blooms.nonEmpty && blooms.forall(_.isDefined),
+      "every active file must carry the key bloom after OPTIMIZE backfill")
+    // a key the TABLE does not hold is disproven by every file's bloom
+    // (deterministic data -> deterministic filters)
+    val absent = p.agg(max(col("o_orderkey"))).head().getLong(0) * 2 + 1
+    require(blooms.forall(b => !b.get.findHash(b.get.hash(absent))),
+      "an absent key must be disproven by the blooms")
+    // the point lookup itself rides the planner-integrated scan (Eq/In
+    // pushdown reaches parquet's task-side bloom check)
+    graft.sources.lake.LakeFileIndex.readPruned(s, tbl)
+      .filter(col("o_orderkey").isin(1L, 77L, 501L, 1001L, 1313L, 1499L))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("price_c"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val l23LakeBloomSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       o_orderpriority,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |FROM orders
+      |WHERE o_orderkey IN (1, 77, 501, 1001, 1313, 1499)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "l23_lake_bloom" -> l23LakeBloom,
     "l22_lake_lifecycle" -> l22LakeLifecycle,
     "l18_lake_convert" -> l18LakeConvert,
     "l19_lake_batch_cdf" -> l19LakeBatchCdf,
@@ -1095,6 +1147,7 @@ object LakeQueries {
     "l5_lake_planner_scan" -> l5LakePlannerScan)
 
   val oracles: Map[String, String] = Map(
+    "l23_lake_bloom" -> l23LakeBloomSql,
     "l22_lake_lifecycle" -> l22LakeLifecycleSql,
     "l18_lake_convert" -> l18LakeConvertSql,
     "l19_lake_batch_cdf" -> l19LakeBatchCdfSql,

@@ -780,10 +780,13 @@ object GraftLake {
     // every written file passes through here — append, CTAS, CoW
     // rewrites, merge outputs, streaming batches — so this is THE
     // constraint choke point (CoW re-staged rows satisfy by the
-    // ADD-time scan's induction)
+    // ADD-time scan's induction) AND the bloom-filter choke point
+    // (every file written after the property is set carries the blooms;
+    // OPTIMIZE rewrites backfill older files)
+    val stageSnap: Option[Snapshot] =
+      if (latestVersion(dir) < 0) None else Some(snapshot(spark, dir))
     val cs0: Seq[(String, String)] =
-      if (latestVersion(dir) < 0) Nil
-      else constraintsOf(snapshot(spark, dir))
+      stageSnap.map(constraintsOf).getOrElse(Nil)
     val checked = {
         val cs = cs0
         if (cs.isEmpty) df
@@ -803,7 +806,9 @@ object GraftLake {
       }
     val stamped = stampIds(checked, target)
     val out = if (numFiles > 0) stamped.repartition(numFiles) else stamped
-    out.write.mode("overwrite").parquet(staged.getAbsolutePath)
+    out.write.mode("overwrite")
+      .options(stageSnap.map(bloomWriteOptions(_, df.columns.toSeq)).getOrElse(Map.empty))
+      .parquet(staged.getAbsolutePath)
     val parts = Option(staged.listFiles((_, n) => n.startsWith("part-") && n.endsWith(".parquet")))
       .getOrElse(Array.empty[File]).sortBy(_.getName)
     dataDir(dir).mkdirs()
@@ -1084,10 +1089,22 @@ object GraftLake {
       val danglingCluster = clusterByOf(snap)
         .filterNot(_.forall(schema.fieldNames.contains))
         .map(_ => ClusterByKey -> None).toSeq
+      // bloom columns the new schema lacks dangle the same way: keep the
+      // survivors (they bloom the fresh data), unset what no longer
+      // resolves, drop orphaned NDV overrides
+      val oldBloom = bloomColsIn(snap.props)
+      val keptBloom = oldBloom.filter(schema.fieldNames.contains)
+      val danglingBloom: Seq[(String, Option[String])] =
+        (if (keptBloom == oldBloom) Nil
+        else Seq(BloomColsKey ->
+          (if (keptBloom.nonEmpty) Some(keptBloom.mkString(",")) else None))) ++
+          snap.props.keys.filter(k => k.startsWith(BloomNdvPrefix) &&
+            !schema.fieldNames.contains(k.stripPrefix(BloomNdvPrefix)))
+            .map(_ -> None).toSeq
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "replace",
         None, None, Some(schema.json), adds, snap.files.map(_.path),
         maxColId = Some(firstId + df.schema.fields.length - 1),
-        props = danglingCluster,
+        props = danglingCluster ++ danglingBloom,
         clusterBounds = if (snap.clusterBounds.isDefined) Some("") else None),
         snap.version + 1))
     } }.get
@@ -1983,15 +2000,25 @@ object GraftLake {
           "carry it; pick a different name")
       val fields = snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f)
-      // a clustered column rename follows the column (same commit, so
-      // the property can never dangle between two versions)
+      // a clustered/bloom column rename follows the column (same commit,
+      // so neither property can dangle between two versions)
       val clusterDelta = clusterByOf(snap).filter(_.contains(oldName))
         .map(cols => ClusterByKey -> Some(
           cols.map(c => if (c == oldName) newName else c).mkString(",")))
         .toSeq
+      val bloomCols = bloomColsIn(snap.props)
+      val bloomDelta: Seq[(String, Option[String])] =
+        (if (bloomCols.contains(oldName))
+          Seq(BloomColsKey -> Some(bloomCols
+            .map(c => if (c == oldName) newName else c).mkString(",")))
+        else Nil) ++
+          snap.props.get(BloomNdvPrefix + oldName).toSeq.flatMap(v =>
+            Seq(BloomNdvPrefix + oldName -> None,
+              BloomNdvPrefix + newName -> Some(v)))
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "rename-column",
         None, None, Some(StructType(fields).json), Nil, Nil,
-        retiredNames = Seq(oldName -> movingId), props = clusterDelta,
+        retiredNames = Seq(oldName -> movingId),
+        props = clusterDelta ++ bloomDelta,
         clusterBounds = if (clusterDelta.nonEmpty &&
           snap.clusterBounds.isDefined) Some("") else None),
         snap.version + 1))
@@ -2010,16 +2037,26 @@ object GraftLake {
       require(snap.schema.fields.length > 1, s"cannot drop the only column of $dir")
       val fields = snap.schema.fields.filterNot(_.name == name)
       // dropping a clustered column shrinks (or, below two survivors,
-      // clears) the clusterBy property in the SAME commit
+      // clears) the clusterBy property in the SAME commit; a bloom
+      // column drops out of its list (and its NDV override) the same way
       val clusterDelta = clusterByOf(snap).filter(_.contains(name)).map { cols =>
         val rest = cols.filterNot(_ == name)
         ClusterByKey -> (if (rest.size >= 2) Some(rest.mkString(",")) else None)
       }.toSeq
+      val bloomCols = bloomColsIn(snap.props)
+      val bloomDelta: Seq[(String, Option[String])] =
+        (if (bloomCols.contains(name)) {
+          val rest = bloomCols.filterNot(_ == name)
+          Seq(BloomColsKey ->
+            (if (rest.nonEmpty) Some(rest.mkString(",")) else None))
+        } else Nil) ++
+          snap.props.get(BloomNdvPrefix + name)
+            .map(_ => BloomNdvPrefix + name -> None).toSeq
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "drop-column",
         None, None, Some(StructType(fields).json), Nil, Nil,
         maxColId = Some(snap.maxColId),
         retiredNames = Seq(name -> idOf(snap.schema(name)).getOrElse(-1L)),
-        props = clusterDelta,
+        props = clusterDelta ++ bloomDelta,
         clusterBounds = if (clusterDelta.nonEmpty &&
           snap.clusterBounds.isDefined) Some("") else None),
         snap.version + 1))
@@ -2067,6 +2104,79 @@ object GraftLake {
     * best-effort sort by it. */
   private[graft] val ClusterByKey = "clusterBy"
 
+  /** Per-column parquet BLOOM FILTER properties — point-lookup data
+    * skipping where footer min/max stats are blind: a uniformly
+    * distributed high-cardinality key (document id, content hash, user
+    * id) overlaps EVERY file's [min,max], so a takedown / audit lookup
+    * (`WHERE doc_id = 'x'`) scans all 100 TB under stats-only pruning.
+    * `bloomFilter.columns` = comma-separated column list; every file
+    * staged after the property folds in carries a parquet-native bloom
+    * per listed column (written via `parquet.bloom.filter.enabled#col`,
+    * sized by `bloomFilter.ndv.<col>` — else `bloomFilter.ndv`, else
+    * [[BloomDefaultNdv]] — expected distinct values PER ROW GROUP).
+    *
+    * Scale shape: the filters live IN the data files (footer-referenced
+    * bitsets, ~1.2 MB at 1M NDV / 1% FPP, capped by parquet's
+    * `parquet.bloom.filter.max.bytes` = 1 MB default), so planning cost
+    * is ZERO — the driver's log fold never sees them — and each task
+    * consults only its own splits' blooms at open time, where parquet-mr
+    * drops disproven ROW GROUPS before any page IO (Spark's pushed Eq/In
+    * filters reach that check through the default
+    * `spark.sql.parquet.filterPushdown` path; re-verified against the
+    * bundled parquet-hadoop: bloom read filtering defaults ON). min/max
+    * file pruning stays first — blooms cut the residual row groups that
+    * stats cannot disprove. Backfill contract = Delta's bloom index:
+    * only files written AFTER the property is set carry blooms;
+    * OPTIMIZE rewrites the rest. Rename/drop of a bloom column follows
+    * in the SAME metadata commit ([[renameColumn]]/[[dropColumn]]), so
+    * the property never dangles; a renamed column's OLD files keep
+    * serving their blooms under the write-time name only until parquet's
+    * name-keyed pushdown stops matching — exactly the existing stats
+    * contract, and OPTIMIZE refreshes. Measured (LakeBloomBench figures
+    * in that file's scaladoc). */
+  private[graft] val BloomColsKey = "bloomFilter.columns"
+  private[graft] val BloomNdvKey = "bloomFilter.ndv"
+  private[graft] val BloomNdvPrefix = "bloomFilter.ndv."
+  private[graft] val BloomDefaultNdv = 100000L
+
+  private[graft] def bloomColsIn(props: Map[String, String]): Seq[String] =
+    props.get(BloomColsKey).toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** The parquet bloom filter of `column` in `file`'s first row group,
+    * if the footer references one — the verification surface for
+    * [[BloomColsKey]] (specs and gates probe presence and membership
+    * through it; the hot read path never calls this — parquet-mr applies
+    * blooms inside each task's row-group filtering). */
+  private[graft] def readBloom(spark: SparkSession, file: String,
+      column: String): Option[org.apache.parquet.column.values.bloomfilter.BloomFilter] = {
+    val in = HadoopInputFile.fromPath(new Path(file),
+      spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      val block = r.getFooter.getBlocks.get(0)
+      block.getColumns.asScala.find(_.getPath.toDotString == column)
+        .flatMap(cc => Option(r.getBloomFilterDataReader(block).readBloomFilter(cc)))
+    } finally r.close()
+  }
+
+  /** Writer options staging a batch under `snap`'s bloom properties:
+    * keys carry the BATCH's exact column name (what the parquet file
+    * will store), matched case-insensitively against the property's
+    * canonical name; bloom columns the batch omits (pre-evolution
+    * writers) contribute nothing. */
+  private def bloomWriteOptions(snap: Snapshot,
+      batchCols: Seq[String]): Map[String, String] =
+    bloomColsIn(snap.props).flatMap { c =>
+      batchCols.find(_.equalsIgnoreCase(c)).toSeq.flatMap { actual =>
+        val ndv = snap.props.get(BloomNdvPrefix + c)
+          .orElse(snap.props.get(BloomNdvKey))
+          .map(_.toLong).getOrElse(BloomDefaultNdv)
+        Seq(s"parquet.bloom.filter.enabled#$actual" -> "true",
+          s"parquet.bloom.filter.expected.ndv#$actual" -> ndv.toString)
+      }
+    }.toMap
+
   /** How many SMALL clustered files (bytes < OPTIMIZE's smallBytes) a
     * table accumulates before a bare OPTIMIZE folds them back into one
     * generation. High enough that the normal incremental cadence (a few
@@ -2099,9 +2209,55 @@ object GraftLake {
     * invalid clusterBy (or a malformed checkpointEvery) throws before any
     * side effect — the old order created the table first and could leave
     * an orphaned lake directory with data but no catalog entry. */
+  /** Bloom property validation: columns must exist and be atomic
+    * non-boolean (parquet bloom filters cover every primitive physical
+    * type except boolean/int96; nested columns aren't reachable by
+    * Spark's parquet pushdown anyway); NDV overrides must be positive
+    * integers naming schema columns. */
+  private def validateBloom(schema: StructType,
+      props: Map[String, String]): Unit = {
+    import org.apache.spark.sql.types._
+    def bloomable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    props.get(BloomColsKey).foreach { v =>
+      val cols = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, s"$BloomColsKey must name at least one column")
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"$BloomColsKey columns not in the table schema: ${missing.mkString(", ")}")
+      val bad = cols.filterNot(c => bloomable(schema(c).dataType))
+      require(bad.isEmpty,
+        s"$BloomColsKey columns must be atomic non-boolean types, got: " +
+          bad.map(c => s"$c: ${schema(c).dataType.simpleString}").mkString(", "))
+    }
+    props.foreach {
+      case (k, v) if k.startsWith(BloomNdvPrefix) =>
+        val c = k.stripPrefix(BloomNdvPrefix)
+        require(schema.fieldNames.contains(c),
+          s"$k: no column '$c' in the table schema")
+        requirePositiveLong(k, v)
+      case (k, v) if k == BloomNdvKey => requirePositiveLong(k, v)
+      case _ =>
+    }
+  }
+
+  private def requirePositiveLong(key: String, v: String): Unit = {
+    val n = try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a positive integer, got '$v'")
+    }
+    require(n > 0, s"$key must be positive, got $n")
+  }
+
   private[graft] def validateTableProps(schema: StructType,
       props: Map[String, String]): Unit = {
     validateClusterBy(schema, props)
+    validateBloom(schema, props)
     props.get("checkpointEvery").foreach { v =>
       val e = try v.toInt catch {
         case _: NumberFormatException =>
@@ -2619,7 +2775,7 @@ object GraftLake {
     * CLONE records the SOURCE table's files as ABSOLUTE paths (that is
     * the whole trick — zero data copy), so every read-side join must go
     * through here; files the table wrote itself are always relative. */
-  private[lake] def absPath(dir: String, rel: String): String =
+  private[graft] def absPath(dir: String, rel: String): String =
     if (rel.startsWith("/")) rel else s"$dir/$rel"
 
   private[lake] def fileAt(dir: String, rel: String): File =
