@@ -948,12 +948,14 @@ object LakeQueries {
   // over converted+clustered state, then write-side enforcement) →
   // SHALLOW CLONE VERSION AS OF (pin of a converted ancestor) → source
   // divergence → MoR DELETE on the CLONE (DVs over absolute-path
-  // adopted references) → rename on the source REFUSED (id-less files
-  // cannot rename — the fail-fast seam Delta hits as silent corruption)
-  // → table_changes on BOTH → VACUUM DRY RUN on the source touching
-  // nothing the clone references. Each surface is spec'd alone; the
-  // bugs live in the seams, so ONE oracle replays the composed final
-  // state of both tables relationally.
+  // adopted references) → RENAME of the source's id-less column WORKS
+  // via column mapping (r13: the file-side name freezes as the
+  // physical name; this was refused fail-fast before, and corrupts
+  // silently on engines without mapping) → table_changes on BOTH →
+  // VACUUM DRY RUN on the source touching nothing the clone
+  // references. Each surface is spec'd alone; the bugs live in the
+  // seams, so ONE oracle replays the composed final state of both
+  // tables relationally — the source through its post-rename schema.
   private val l22LakeLifecycle: Q = (s, dir) => {
     val base = java.nio.file.Files.createTempDirectory("graft_lake_e2e")
     val src = s"$base/src"; val dst = s"$base/dst"
@@ -1006,14 +1008,27 @@ object LakeQueries {
       f.path.startsWith("/")),
       "the clone's DVs must reference the ADOPTED absolute-path files")
 
-    // 6. rename on the source is REFUSED: adopted files carry no field
-    // ids, so a rename would corrupt name-keyed reads — fail fast
-    val renameRefused = try {
+    // 6. RENAME on the source's id-less column: refused while the CHECK
+    // constraint references it (the stored SQL can't be rewritten —
+    // Delta's rule), then WORKS via column mapping once the constraint
+    // is dropped (r13; before mapping this was refused outright):
+    // the rename freezes the file-side name as the column's physical
+    // name — a pure metadata commit, old and new files keep serving it
+    val ckGuard = try {
       s.sql("ALTER TABLE graft_l22_src RENAME COLUMN price_c TO pc"); false
     } catch { case e: Exception =>
-      e.getMessage != null && e.getMessage.contains("field ids") }
-    require(renameRefused,
-      "rename over id-less adopted files must be refused, not corrupting")
+      e.getMessage != null && e.getMessage.contains("price_pos") }
+    require(ckGuard,
+      "renaming a constraint-referenced column must be refused")
+    s.sql("ALTER TABLE graft_l22_src UNSET TBLPROPERTIES ('constraint.price_pos')")
+    val srcFilesPreRename = GraftLake.snapshot(s, src).files.map(_.path).toSet
+    s.sql("ALTER TABLE graft_l22_src RENAME COLUMN price_c TO pc")
+    s.catalog.refreshTable("graft_l22_src")
+    require(GraftLake.snapshot(s, src).files.map(_.path).toSet ==
+      srcFilesPreRename, "the id-less rename must be metadata-only")
+    require(s.sql("SELECT count(*) FROM graft_l22_src WHERE pc > 0").head()
+      .getLong(0) == s.table("graft_l22_src").count(),
+      "the renamed column must keep serving every adopted row")
 
     // 7. change feeds on BOTH: the source's post-clone delta is exactly
     // the divergence insert; the clone's is exactly the MoR delete
@@ -1046,7 +1061,10 @@ object LakeQueries {
 
     s.catalog.refreshTable("graft_l22_src")
     s.catalog.refreshTable("graft_l22")
-    s.sql("""SELECT 'src' AS side, o_orderkey, o_orderstatus, price_c
+    // the source was renamed (pc), the clone was pinned pre-rename
+    // (price_c) — the union aliases both to one oracle-replayable shape
+    s.sql("""SELECT 'src' AS side, o_orderkey, o_orderstatus,
+            |       pc AS price_c
             |FROM graft_l22_src
             |UNION ALL
             |SELECT 'clone' AS side, o_orderkey, o_orderstatus, price_c

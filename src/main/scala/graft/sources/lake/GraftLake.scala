@@ -651,6 +651,40 @@ object GraftLake {
     if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
     else None
 
+  /** Column-mapping-by-physical-name (the Delta column-mapping shape,
+    * restricted to where it is NEEDED): a field of a CONVERTed table
+    * carries no field id — its identity in the data files is its NAME —
+    * so renaming it used to be refused outright. Instead, the first
+    * rename FREEZES the file-side name as `graft.physical` field
+    * metadata and the rename becomes a pure label change: parquet files
+    * (adopted AND lake-written — [[stampIds]] writes physical names)
+    * only ever contain physical names, reads translate
+    * logical→physical inside [[GraftParquetFileFormat]] (schemas and
+    * pushed filters; row batches are positional, so nothing translates
+    * back), and footer stats stay keyed by the stable physical name
+    * ([[statsKey]]). Fields WITH ids never need this — id resolution
+    * is already rename-proof — so the mapping engages only for id-less
+    * fields, and a table with no renamed id-less fields pays zero. */
+  private[lake] val PhysicalNameKey = "graft.physical"
+
+  private[lake] def physOf(f: StructField): Option[String] =
+    if (f.metadata.contains(PhysicalNameKey))
+      Some(f.metadata.getString(PhysicalNameKey))
+    else None
+
+  /** The column name the data files carry for this field. */
+  private[lake] def physNameOf(f: StructField): String =
+    physOf(f).getOrElse(f.name)
+
+  /** logical → physical, for the fields where they differ. */
+  private[graft] def physicalMapOf(schema: StructType): Map[String, String] =
+    schema.fields.flatMap(f =>
+      physOf(f).filter(_ != f.name).map(p => f.name -> p)).toMap
+
+  private def withPhysical(f: StructField, phys: String): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysicalNameKey, phys).build())
+
   private def withId(f: StructField, id: Int): StructField =
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
@@ -661,24 +695,38 @@ object GraftLake {
     StructType(schema.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1) })
 
   /** Stamp the target schema's field ids onto `df`'s columns (by name)
-    * so the staged parquet files carry them; unknown columns pass
-    * through. */
+    * so the staged parquet files carry them, and write each column
+    * under its PHYSICAL name (= logical except for renamed id-less
+    * fields) so the file namespace stays rename-stable; unknown columns
+    * pass through. */
   private def stampIds(df: DataFrame, target: StructType): DataFrame = {
     val byName = target.fields.map(f => f.name -> f).toMap
     df.select(df.columns.toIndexedSeq.map { c =>
-      byName.get(c).flatMap(idOf) match {
-        case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong(FieldIdKey, id).build())
+      byName.get(c) match {
+        case Some(f) =>
+          val written = physNameOf(f)
+          idOf(f) match {
+            case Some(id) => col(c).as(written,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(FieldIdKey, id).build())
+            case None if written != c => col(c).as(written)
+            case None => col(c)
+          }
         case None => col(c)
       }
     }: _*)
   }
 
   /** The key a column's footer stats live under in AddFile.stats: its
-    * field id when assigned (rename-stable), else the name (legacy). */
+    * field id when assigned (rename-stable), else the PHYSICAL name —
+    * which is what id-less (adopted/converted) files were footer-read
+    * under, and what [[stampIds]] writes, so a renamed id-less column
+    * keeps pruning too. */
   private[lake] def statsKey(schema: StructType, logical: String): String =
-    schema.fields.find(_.name == logical).flatMap(idOf)
-      .map(_.toString).getOrElse(logical)
+    schema.fields.find(_.name == logical) match {
+      case Some(f) => idOf(f).map(_.toString).getOrElse(physNameOf(f))
+      case None => logical
+    }
 
   /** Field-id column resolution is conf-gated in Spark; flip it on for
     * any session about to read lake files. Benign globally: schemas
@@ -716,6 +764,21 @@ object GraftLake {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
     }.toSeq.sortBy(_._1)
+
+  /** CHECK constraints whose stored SQL references `colName` — a
+    * rename/drop of such a column is refused (Delta's rule): the text
+    * can't be rewritten reliably, and a dangling reference would fail
+    * every future write at enforcement time. Drop or re-state the
+    * constraint first. */
+  private def constraintsReferencing(snap: Snapshot,
+      colName: String): Seq[String] =
+    constraintsOf(snap).collect {
+      case (name, sql) if SparkSession.active.sessionState.sqlParser
+        .parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.exists(_.equalsIgnoreCase(colName)) => name
+    }
 
   /** The write-side enforcement frame: all rows pass through, a
     * violation throws with the constraint's name and expression. SQL
@@ -807,7 +870,8 @@ object GraftLake {
     val stamped = stampIds(checked, target)
     val out = if (numFiles > 0) stamped.repartition(numFiles) else stamped
     out.write.mode("overwrite")
-      .options(stageSnap.map(bloomWriteOptions(_, df.columns.toSeq)).getOrElse(Map.empty))
+      .options(stageSnap.map(bloomWriteOptions(_, df.columns.toSeq, target))
+        .getOrElse(Map.empty))
       .parquet(staged.getAbsolutePath)
     val parts = Option(staged.listFiles((_, n) => n.startsWith("part-") && n.endsWith(".parquet")))
       .getOrElse(Array.empty[File]).sortBy(_.getName)
@@ -819,10 +883,12 @@ object GraftLake {
     }
     val stats = footerStats(spark, moved.map(r => s"$dir/$r"))
     deleteRecursively(staged)
-    // stats come keyed by the parquet column NAME at write time; re-key
-    // to the field id so pruning survives later renames
+    // stats come keyed by the parquet column NAME at write time — the
+    // PHYSICAL name since stampIds — and re-key to the field id where
+    // one exists so pruning survives later renames (id-less fields stay
+    // keyed by their physical name, which is itself rename-stable)
     val keyOf: Map[String, String] =
-      target.fields.flatMap(f => idOf(f).map(id => f.name -> id.toString)).toMap
+      target.fields.flatMap(f => idOf(f).map(id => physNameOf(f) -> id.toString)).toMap
     Staged(moved.map { rel =>
       val (rows, bytes, cs) = stats(s"$dir/$rel")
       AddFile(rel, rows, bytes, cs.map { case (n, s) => keyOf.getOrElse(n, n) -> s })
@@ -1977,29 +2043,51 @@ object GraftLake {
     }
   }
 
-  /** ALTER TABLE ... RENAME COLUMN as a pure metadata commit: the field
-    * id is the column's identity, so every existing data file keeps
-    * serving the renamed column (no rewrite), filters on the new name
-    * still stats-prune (stats are id-keyed), and time travel to
-    * pre-rename versions shows the old name. */
+  /** ALTER TABLE ... RENAME COLUMN as a pure metadata commit. Two
+    * identities, one contract:
+    *  - a field WITH an id renames freely — the id is its identity, so
+    *    every existing data file keeps serving it (no rewrite), filters
+    *    on the new name still stats-prune (stats are id-keyed), and
+    *    time travel to pre-rename versions shows the old name;
+    *  - an id-less field (a CONVERTed table's adopted columns, whose
+    *    file-side identity is its NAME) renames via column mapping:
+    *    the first rename freezes [[PhysicalNameKey]] = the current
+    *    file-side name, and from then on the logical name is a pure
+    *    label — reads/writes/stats all use the frozen physical name
+    *    (this used to be REFUSED; Delta's column-mapping mode is the
+    *    same resolution). */
   def renameColumn(spark: SparkSession, dir: String, oldName: String,
       newName: String): Long =
     retry(dir, "rename-column") { snap =>
       require(snap.schema.fieldNames.contains(oldName), s"no column '$oldName' in $dir")
       require(!snap.schema.fieldNames.contains(newName),
         s"column '$newName' already exists in $dir")
-      require(snap.schema.fields.forall(f => idOf(f).isDefined),
-        s"table $dir predates field ids; cannot rename")
-      val movingId = idOf(snap.schema(oldName)).get
+      val ckRefs = constraintsReferencing(snap, oldName)
+      require(ckRefs.isEmpty, s"cannot rename column '$oldName': CHECK " +
+        s"constraint(s) ${ckRefs.mkString(", ")} reference it; drop or " +
+        "re-state the constraint(s) first")
+      val f0 = snap.schema(oldName)
+      val movingId = idOf(f0).getOrElse(-1L)
       // a retired name may only come back for the SAME field id (data
       // files still carry that column name; binding it to a different id
-      // would mislead parquet's name-keyed row-group pushdown)
-      require(snap.retired.get(newName).forall(_ == movingId),
+      // would mislead parquet's name-keyed row-group pushdown). An
+      // id-less field never re-claims a retired name: its -1 sentinel
+      // must not alias whatever the name used to mean.
+      require(snap.retired.get(newName).forall(id =>
+          (idOf(f0).isDefined && id == movingId) ||
+            // an id-less field renaming BACK to its own frozen physical
+            // name reclaims exactly the files it already serves — safe
+            physNameOf(f0) == newName),
         s"column name '$newName' was retired by an earlier rename/drop " +
-          s"(field id ${snap.retired(newName)}) and old data files still " +
-          "carry it; pick a different name")
-      val fields = snap.schema.fields.map(f =>
-        if (f.name == oldName) f.copy(name = newName) else f)
+          s"(field id ${snap.retired.get(newName).orNull}) and old data " +
+          "files still carry it; pick a different name")
+      val fields = snap.schema.fields.map { f =>
+        if (f.name != oldName) f
+        else if (idOf(f).isDefined) f.copy(name = newName)
+        // id-less: freeze the file-side name once (first rename wins —
+        // later renames keep mapping to the same physical column)
+        else withPhysical(f, physNameOf(f)).copy(name = newName)
+      }
       // a clustered/bloom column rename follows the column (same commit,
       // so neither property can dangle between two versions)
       val clusterDelta = clusterByOf(snap).filter(_.contains(oldName))
@@ -2015,9 +2103,17 @@ object GraftLake {
           snap.props.get(BloomNdvPrefix + oldName).toSeq.flatMap(v =>
             Seq(BloomNdvPrefix + oldName -> None,
               BloomNdvPrefix + newName -> Some(v)))
+      // retire the old name when data files CARRY it: always for the id
+      // path, and for the FIRST id-less rename (oldName is the frozen
+      // physical name, sentinel id -1 so nothing can rebind it). Later
+      // id-less renames move a pure label no file ever stored — free.
+      val retire: Seq[(String, Long)] =
+        if (idOf(f0).isDefined) Seq(oldName -> movingId)
+        else if (physNameOf(f0) == oldName) Seq(oldName -> -1L)
+        else Nil
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "rename-column",
         None, None, Some(StructType(fields).json), Nil, Nil,
-        retiredNames = Seq(oldName -> movingId),
+        retiredNames = retire,
         props = clusterDelta ++ bloomDelta,
         clusterBounds = if (clusterDelta.nonEmpty &&
           snap.clusterBounds.isDefined) Some("") else None),
@@ -2035,6 +2131,10 @@ object GraftLake {
     retry(dir, "drop-column") { snap =>
       require(snap.schema.fieldNames.contains(name), s"no column '$name' in $dir")
       require(snap.schema.fields.length > 1, s"cannot drop the only column of $dir")
+      val ckRefs = constraintsReferencing(snap, name)
+      require(ckRefs.isEmpty, s"cannot drop column '$name': CHECK " +
+        s"constraint(s) ${ckRefs.mkString(", ")} reference it; drop or " +
+        "re-state the constraint(s) first")
       val fields = snap.schema.fields.filterNot(_.name == name)
       // dropping a clustered column shrinks (or, below two survivors,
       // clears) the clusterBy property in the SAME commit; a bloom
@@ -2055,7 +2155,11 @@ object GraftLake {
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "drop-column",
         None, None, Some(StructType(fields).json), Nil, Nil,
         maxColId = Some(snap.maxColId),
-        retiredNames = Seq(name -> idOf(snap.schema(name)).getOrElse(-1L)),
+        // retire the name the FILES carry — the physical name for a
+        // mapped (renamed id-less) field; its logical label was never
+        // written anywhere and needs no protection
+        retiredNames = Seq(physNameOf(snap.schema(name)) ->
+          idOf(snap.schema(name)).getOrElse(-1L)),
         props = clusterDelta ++ bloomDelta,
         clusterBounds = if (clusterDelta.nonEmpty &&
           snap.clusterBounds.isDefined) Some("") else None),
@@ -2078,6 +2182,12 @@ object GraftLake {
         s"column name '$name' was retired by an earlier rename/drop " +
           s"(field id ${snap.retired.get(name).orNull}) and old data files " +
           "still carry it; pick a different name")
+      // a mapped field's PHYSICAL name is live in every data file even
+      // though no logical column shows it — adding a column under it
+      // would alias that data for name-resolved (id-less) files
+      require(!snap.schema.fields.exists(f => physNameOf(f) == name),
+        s"column name '$name' is the physical (file-side) name of " +
+          "a renamed column and data files carry it; pick a different name")
       val f = withId(StructField(name, dataType, nullable = true), snap.maxColId + 1)
       Some((Commit(snap.version + 1, System.currentTimeMillis(), "add-column",
         None, None, Some(StructType(snap.schema.fields :+ f).json), Nil, Nil,
@@ -2161,19 +2271,22 @@ object GraftLake {
   }
 
   /** Writer options staging a batch under `snap`'s bloom properties:
-    * keys carry the BATCH's exact column name (what the parquet file
-    * will store), matched case-insensitively against the property's
-    * canonical name; bloom columns the batch omits (pre-evolution
-    * writers) contribute nothing. */
-  private def bloomWriteOptions(snap: Snapshot,
-      batchCols: Seq[String]): Map[String, String] =
+    * keys carry the column name the parquet file will STORE — the
+    * target field's physical name (stampIds writes physical names) —
+    * matched case-insensitively against the property's canonical name;
+    * bloom columns the batch omits (pre-evolution writers) contribute
+    * nothing. */
+  private def bloomWriteOptions(snap: Snapshot, batchCols: Seq[String],
+      target: StructType): Map[String, String] =
     bloomColsIn(snap.props).flatMap { c =>
-      batchCols.find(_.equalsIgnoreCase(c)).toSeq.flatMap { actual =>
+      batchCols.find(_.equalsIgnoreCase(c)).toSeq.flatMap { _ =>
+        val written = target.fields.find(_.name.equalsIgnoreCase(c))
+          .map(physNameOf).getOrElse(c)
         val ndv = snap.props.get(BloomNdvPrefix + c)
           .orElse(snap.props.get(BloomNdvKey))
           .map(_.toLong).getOrElse(BloomDefaultNdv)
-        Seq(s"parquet.bloom.filter.enabled#$actual" -> "true",
-          s"parquet.bloom.filter.expected.ndv#$actual" -> ndv.toString)
+        Seq(s"parquet.bloom.filter.enabled#$written" -> "true",
+          s"parquet.bloom.filter.expected.ndv#$written" -> ndv.toString)
       }
     }.toMap
 
@@ -2311,12 +2424,16 @@ object GraftLake {
     }
 
   /** The generation tag for `cols` under `snap`'s schema: field ids
-    * where assigned (rename-stable — a renamed cluster column keeps its
-    * physically-unchanged layout "clustered"), names otherwise. */
+    * where assigned, else the PHYSICAL name (both rename-stable — a
+    * renamed cluster column keeps its physically-unchanged layout
+    * "clustered" whether its identity is an id or a frozen file-side
+    * name), bare names otherwise. */
   private[graft] def clusterTagOf(snap: Snapshot, cols: Seq[String]): String = {
-    val ids = snap.schema.fields.map(f => f.name -> idOf(f)).toMap
-    cols.map(c => ids.get(c).flatten.map(_.toString).getOrElse(c))
-      .mkString(",")
+    val byName = snap.schema.fields.map(f => f.name -> f).toMap
+    cols.map(c => byName.get(c) match {
+      case Some(f) => idOf(f).map(_.toString).getOrElse(physNameOf(f))
+      case None => c
+    }).mkString(",")
   }
 
   /** Still-active files a bare OPTIMIZE of a clustered table would
@@ -2806,10 +2923,18 @@ object GraftLake {
     ensureFieldIdRead(spark) // columns resolve by field id (rename-stable)
     val outCols = snap.schema.fieldNames.map(col).toIndexedSeq
     val files = restrictTo(snap, paths)
-    if (!files.exists(_.dv.isDefined)) // common case: zero DV overhead
+    if (!files.exists(_.dv.isDefined) && physicalMapOf(snap.schema).isEmpty)
+      // common case: zero DV / zero column-mapping overhead
       spark.read.option("mergeSchema", "true")
         .schema(snap.schema) // evolved schema: absent columns null-filled per file
         .parquet(paths: _*)
+        .select(outCols: _*)
+    else if (!files.exists(_.dv.isDefined))
+      // renamed id-less columns present: the scan must translate
+      // logical → physical names, which only the planner-integrated
+      // relation (GraftParquetFileFormat) does
+      spark.baseRelationToDataFrame(LakeFileIndex.relationFor(spark,
+        LakeFileIndex.restricted(spark, snap, files)))
         .select(outCols: _*)
     else
       // split the scan through the FileIndex: clean files read plain;

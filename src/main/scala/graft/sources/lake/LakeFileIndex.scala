@@ -131,8 +131,10 @@ object LakeFileIndex {
       bucketSpec = None,
       // parquet + the _metadata.__dv_path per-file constant column —
       // identical scan behavior for DV-less tables (the column is just
-      // never requested)
-      fileFormat = new GraftParquetFileFormat,
+      // never requested) — and the logical→physical name translation
+      // for renamed id-less columns (empty map = no-op)
+      fileFormat = new GraftParquetFileFormat(
+        GraftLake.physicalMapOf(idx.schema)),
       options = Map("mergeSchema" -> "true"))(spark)
 
   /** An index over `snap` restricted to `files` (same dir/schema) — how
