@@ -1,6 +1,7 @@
 package graft.sources.lake
 
 import org.apache.spark.sql.{DataFrame, GraftDatasetBridge, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.StructType
@@ -35,9 +36,18 @@ import org.apache.spark.sql.types.StructType
  * files of its version range — at 100 TB the per-trigger cost tracks the
  * ingest rate, not the table size, and the log fold that computes the
  * range is the KB-sized checkpointed state.
+ *
+ * `Trigger.AvailableNow` is supported NATIVELY
+ * ([[SupportsTriggerAvailableNow]], the same seam Delta's source
+ * implements): the trigger pins the table version at stream start and
+ * the engine then drains up to that version in maxVersionsPerTrigger-
+ * bounded batches before stopping — a backlog catch-up is a sequence of
+ * bounded batches, not Spark's single-giant-batch fallback (which would
+ * defeat admission control exactly when the backlog is largest).
  */
 final class LakeStreamSource(spark: SparkSession, dir: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String])
+  extends Source with SupportsTriggerAvailableNow {
 
   require(GraftLake.latestVersion(dir) >= 0, s"not a lake table: $dir")
 
@@ -76,6 +86,40 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
   // its next answer relative to this (V1 Source API has no start param)
   @volatile private var lastBatchEnd: Option[Long] = None
 
+  // Trigger.AvailableNow: the version pinned when the engine prepares
+  // the trigger — latestOffset never advances past it, so the query
+  // drains exactly the data available at start (in admission-controlled
+  // batches) and terminates
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftLake.latestVersion(dir))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-controlled latest offset (the engine prefers this over
+    * [[getOffset]] once [[SupportsTriggerAvailableNow]] is implemented):
+    * unlike V1 getOffset it RECEIVES the start, so the per-trigger
+    * version cap needs no internal bookkeeping here. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val live = GraftLake.latestVersion(dir)
+    val v = availableNowCap.fold(live)(math.min(_, live))
+    if (v < 0) null
+    else {
+      val from = Option(start).map(versionOf)
+      val capped = (maxVersionsPerTrigger, from) match {
+        case (Some(n), Some(f)) => math.min(v, f + n)
+        case _ => v // first batch: the snapshot is one version's files
+      }
+      LongOffset(capped)
+    }
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = GraftLake.latestVersion(dir)
+    if (v < 0) null else LongOffset(v)
+  }
+
   override def schema: StructType =
     if (readChangeFeed) LakeStreamSource.withChangeKind(pinned.schema)
     else pinned.schema
@@ -95,7 +139,7 @@ final class LakeStreamSource(spark: SparkSession, dir: String,
     }
   }
 
-  private def versionOf(o: Offset): Long = o match {
+  private def versionOf(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json().trim.toLong // SerializedOffset after restart
   }

@@ -90,27 +90,43 @@ class LakeStreamSpec extends SparkSpec {
       ((0L until 20L) ++ Seq(100L, 200L)))
   }
 
-  test("maxVersionsPerTrigger: a catch-up drain advances at most N " +
-    "commits per batch instead of one giant batch") {
+  test("maxVersionsPerTrigger + native Trigger.AvailableNow: a catch-up " +
+    "drain delivers the WHOLE backlog in N-commit batches, then stops " +
+    "(not Spark's single-giant-batch fallback)") {
     val dir = tmp("lakestream_rate") + "/t"
     val out = tmp("lakestream_rate_out"); val ckpt = tmp("lakestream_rate_ck")
     GraftLake.create((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
       dir, numFiles = 1)
     drain(dir, out, ckpt) // initial snapshot, checkpoint at v0
     assert(spark.read.parquet(out).count() == 10)
-    // a 3-commit backlog; each rate-limited drain must admit ONE commit
+    // a 3-commit backlog; ONE AvailableNow run drains it all, but each
+    // admitted batch advances a single commit (SupportsTriggerAvailableNow
+    // + the version cap — before r13 this fell back to one giant batch)
     GraftLake.append(Seq((100L, 0L)).toDF("id", "v"), dir, 1)
     GraftLake.append(Seq((101L, 0L)).toDF("id", "v"), dir, 1)
     GraftLake.append(Seq((102L, 0L)).toDF("id", "v"), dir, 1)
     val opts = Map("maxVersionsPerTrigger" -> "1")
-    drain(dir, out, ckpt, opts)
-    assert(spark.read.parquet(out).count() == 11, "one commit per trigger")
-    drain(dir, out, ckpt, opts)
-    assert(spark.read.parquet(out).count() == 12)
-    drain(dir, out, ckpt, opts)
-    drain(dir, out, ckpt, opts) // nothing left: no-op
+    var r = spark.readStream.format("graft-lake").option("path", dir)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"3 one-commit batches expected, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 1))
     assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq ==
       ((0L until 10L) ++ Seq(100L, 101L, 102L)))
+    // a version committed AFTER the trigger prepared would not have been
+    // drained; a fresh AvailableNow run picks it up — and an empty
+    // backlog run is a clean no-op
+    GraftLake.append(Seq((103L, 0L)).toDF("id", "v"), dir, 1)
+    drain(dir, out, ckpt, opts)
+    assert(spark.read.parquet(out).count() == 14)
+    drain(dir, out, ckpt, opts) // nothing left: no-op
+    assert(spark.read.parquet(out).count() == 14)
   }
 
   test("readChangeFeed: a CDC stream survives OPTIMIZE and delete-mor " +
