@@ -95,7 +95,8 @@ object GraftLake {
       ckptEvery: Option[Int] = None, maxColId: Option[Int] = None,
       retiredNames: Seq[(String, Long)] = Nil,
       props: Seq[(String, Option[String])] = Nil,
-      clusterBounds: Option[String] = None)
+      clusterBounds: Option[String] = None,
+      features: Seq[String] = Nil)
 
   /** Folded log state at one version — what a checkpoint persists: the
     * active file set, the evolved schema, the high-water epoch per
@@ -110,15 +111,47 @@ object GraftLake {
       files: scala.collection.immutable.VectorMap[String, AddFile],
       txns: Map[String, Long], maxColId: Int, retired: Map[String, Long],
       ckptEvery: Int = 0, props: Map[String, String] = Map.empty,
-      clusterBounds: Option[String] = None)
+      clusterBounds: Option[String] = None,
+      features: Set[String] = Set.empty)
 
   final case class Snapshot(dir: String, version: Long, schema: StructType,
       files: Seq[AddFile], maxColId: Int = 0,
       retired: Map[String, Long] = Map.empty, ckptEvery: Int = 0,
       props: Map[String, String] = Map.empty,
-      clusterBounds: Option[String] = None) {
+      clusterBounds: Option[String] = None,
+      features: Set[String] = Set.empty) {
     def activePaths: Seq[String] = files.map(f => GraftLake.absPath(dir, f.path))
   }
+
+  /** Table FEATURES this build of the library understands — protocol
+    * gating, the Delta table-features shape: every commit that uses a
+    * gated capability is auto-stamped at the [[tryCommit]] choke point
+    * (one place — no writer path can forget), the log folds their
+    * union, and a reader that meets a feature it does NOT support
+    * FAILS FAST instead of silently misreading (an old fold that
+    * ignores an unknown `dv` field would resurrect deleted rows; one
+    * that ignores `graft.physical` metadata binds renamed columns to
+    * the wrong parquet names). Features are monotone — once used,
+    * recorded forever (RESTORE keeps them; clones re-detect from what
+    * they actually carry). */
+  private[lake] val SupportedFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "checkConstraints", "clustering")
+
+  /** The gated capabilities this commit actually uses. */
+  private def detectFeatures(c: Commit): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (c.adds.exists(_.dv.isDefined)) b += "deletionVectors"
+    if (c.schemaJson.exists(_.contains(PhysicalNameKey))) b += "columnMapping"
+    if (c.props.exists { case (k, v) =>
+        v.isDefined && k.startsWith(ConstraintPrefix) }) b += "checkConstraints"
+    if (c.props.exists { case (k, v) => v.isDefined && k == ClusterByKey })
+      b += "clustering"
+    b.result()
+  }
+
+  /** Thrown when a log records a feature this build does not support. */
+  final class LakeUnsupportedFeatureException(msg: String)
+    extends RuntimeException(msg)
 
   /** Thrown when `maxRetries` successive commit attempts all lost the
     * version fence (pathological contention). */
@@ -202,6 +235,10 @@ object GraftLake {
       }
     }
     c.clusterBounds.foreach(n.put("clusterBounds", _))
+    if (c.features.nonEmpty) {
+      val fn = n.putArray("features")
+      c.features.foreach(fn.add)
+    }
     val adds = n.putArray("adds")
     c.adds.foreach(addFileNode(adds, _))
     val rem = n.putArray("removes")
@@ -224,7 +261,9 @@ object GraftLake {
       Option(n.get("props")).map(_.properties().asScala.map { e =>
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
       }.toSeq).getOrElse(Nil),
-      Option(n.get("clusterBounds")).map(_.asText))
+      Option(n.get("clusterBounds")).map(_.asText),
+      Option(n.get("features")).map(_.asInstanceOf[ArrayNode]
+        .elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
   }
 
   // ── log checkpoints: snapshot cost O(active files + tail), not O(log) ─
@@ -255,6 +294,11 @@ object GraftLake {
         g.writeEndObject()
       }
       s.clusterBounds.foreach(g.writeStringField("clusterBounds", _))
+      if (s.features.nonEmpty) {
+        g.writeArrayFieldStart("features")
+        s.features.toSeq.sorted.foreach(g.writeString)
+        g.writeEndArray()
+      }
       g.writeObjectFieldStart("txns")
       s.txns.foreach { case (app, epoch) => g.writeNumberField(app, epoch) }
       g.writeEndObject()
@@ -304,6 +348,7 @@ object GraftLake {
       var txns = Map.empty[String, Long]
       var props = Map.empty[String, String]
       var clusterBounds: Option[String] = None
+      var features = Set.empty[String]
       val files = Vector.newBuilder[(String, AddFile)]
       require(p.nextToken() == JsonToken.START_OBJECT, s"corrupt checkpoint $f")
       while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -321,6 +366,9 @@ object GraftLake {
             props = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
               .properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
           case "clusterBounds" => clusterBounds = Some(p.getText)
+          case "features" =>
+            features = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+              .elements().asScala.map(_.asText).toSet
           case "txns" =>
             txns = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
               .properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
@@ -336,7 +384,7 @@ object GraftLake {
       LogState(version,
         Option(schema).getOrElse(sys.error(s"checkpoint $f has no schema")),
         scala.collection.immutable.VectorMap.from(files.result()), txns,
-        maxColId, retired, ckptEvery, props, clusterBounds)
+        maxColId, retired, ckptEvery, props, clusterBounds, features)
     } finally p.close()
   }
 
@@ -373,9 +421,12 @@ object GraftLake {
     val props = scala.collection.mutable.Map.empty[String, String]
     base.foreach(b => props ++= b.props)
     var clusterBounds: Option[String] = base.flatMap(_.clusterBounds)
+    val features = scala.collection.mutable.Set.empty[String]
+    base.foreach(b => features ++= b.features)
     var v = base.map(_.version + 1).getOrElse(0L)
     while (v <= target) {
       val c = parseCommit(versionFile(dir, v))
+      features ++= c.features
       c.removes.foreach(active.remove)
       c.adds.foreach(a => active(a.path) = a)
       c.schemaJson.foreach(s => schemaJson = Some(s))
@@ -393,10 +444,19 @@ object GraftLake {
         txns(app) = math.max(epoch, txns.getOrElse(app, Long.MinValue))
       v += 1
     }
+    // protocol gate: the whole point of recorded features is that a
+    // build meeting one it does NOT understand stops HERE, before any
+    // read/write could silently misinterpret the log
+    val unknown = features.toSet -- SupportedFeatures
+    if (unknown.nonEmpty)
+      throw new LakeUnsupportedFeatureException(
+        s"table $dir uses feature(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+          "that this build of graft-lake does not support; upgrade the " +
+          "library to read or write this table")
     LogState(target, schemaJson.getOrElse(
         sys.error(s"no schema recorded in $dir through v$target")),
       scala.collection.immutable.VectorMap(active.toSeq: _*), txns.toMap, maxColId,
-      retired.toMap, ckptEvery, props.toMap, clusterBounds)
+      retired.toMap, ckptEvery, props.toMap, clusterBounds, features.toSet)
   }
 
   /** Write a checkpoint after version `v` when the cadence says so.
@@ -449,7 +509,7 @@ object GraftLake {
       org.apache.spark.sql.types.DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     Snapshot(dir, target, schema, st.files.values.toSeq,
       math.max(st.maxColId, schema.fields.flatMap(idOf).foldLeft(0L)(math.max).toInt),
-      st.retired, st.ckptEvery, st.props, st.clusterBounds)
+      st.retired, st.ckptEvery, st.props, st.clusterBounds, st.features)
   }
 
   // ── the atomic commit fence ──────────────────────────────────────────
@@ -462,7 +522,12 @@ object GraftLake {
     * ([[LakeWriterBench]]); not part of any correctness path. */
   private[lake] val lostFences = new java.util.concurrent.atomic.AtomicLong()
 
-  private def tryCommit(dir: String, c: Commit): Boolean = {
+  private def tryCommit(dir: String, c0: Commit): Boolean = {
+    // auto-stamp the gated capabilities this commit uses — ONE choke
+    // point, so no writer path (DML, clone, restore, convert, stream
+    // sink) can introduce a feature without recording it in the log
+    val c = c0.copy(features =
+      (c0.features ++ detectFeatures(c0)).distinct)
     val ld = logDir(dir); ld.mkdirs()
     val tmp = new File(ld, s".tmp-${UUID.randomUUID()}")
     // SYNC: the bytes are durable BEFORE the link makes them visible —
