@@ -3051,9 +3051,33 @@ object GraftLake {
     * the evolved field ids and the commit carries the new schema + the
     * advanced maxColId — schema change and rewrite land atomically, so a
     * failed merge never leaves half-applied columns behind. */
+  /** Test-only seam: invoked (once) after a rewrite has staged its
+    * files, before its first commit attempt — lets a spec interleave a
+    * concurrent commit deterministically into the stage/commit window. */
+  private[lake] var testHookBeforeRewriteCommit: Option[String => Unit] = None
+
+  /** Can a lost-fence PURE-LAYOUT rewrite (optimize/zorder — row-set
+    * invariant by construction) rebase its already-staged commit onto
+    * `between` instead of re-planning? Safe iff every intervening commit
+    * is DISJOINT: none removed or re-added (DV'd) a victim, none changed
+    * the schema, properties, or cluster bounds. Appends — the common
+    * concurrent writer — satisfy this trivially, which is the point: at
+    * 100 TB an OPTIMIZE runs for hours, and without rebase every append
+    * would discard ALL its staged work (and a steady append cadence
+    * starves it outright). Row-CHANGING rewrites (delete/update/merge)
+    * never rebase: serializability demands they see concurrently
+    * appended rows, so they re-plan from the new snapshot (Delta's
+    * conflict matrix draws the same line). */
+  private def canRebase(between: Seq[Commit], victimPaths: Set[String]): Boolean =
+    between.forall(b =>
+      b.schemaJson.isEmpty && b.props.isEmpty && b.clusterBounds.isEmpty &&
+        b.removes.forall(!victimPaths.contains(_)) &&
+        b.adds.forall(a => !victimPaths.contains(a.path)))
+
   private def retryRewriteEvolving(spark: SparkSession, dir: String, op: String)(
       plan: Snapshot => (Seq[AddFile], DataFrame, Option[StructType],
         Option[String], Option[String])): Long = {
+    val pureLayout = op == "optimize" || op == "zorder"
     var attempts = 0
     while (attempts < 20) {
       val snap = snapshot(spark, dir)
@@ -3063,13 +3087,35 @@ object GraftLake {
       if (victims.isEmpty && op != "merge" && op != "merge-into") return snap.version
       val adds = stage(replacement, dir, 0, evolvedOpt.getOrElse(snap.schema))
         .adds.map(a => if (clusterTag.isDefined) a.copy(cluster = clusterTag) else a)
-      val c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
+      testHookBeforeRewriteCommit.foreach { h =>
+        testHookBeforeRewriteCommit = None; h(op)
+      }
+      var c = Commit(snap.version + 1, System.currentTimeMillis(), op, None, None,
         evolvedOpt.map(_.json), adds, victims.map(_.path),
         maxColId = evolvedOpt.map(s => maxIdOf(s, snap.maxColId)),
         clusterBounds = boundsOpt)
-      if (tryCommit(dir, c)) {
-        maybeCheckpoint(dir, c.version, snap.ckptEvery)
-        return c.version
+      var rebasing = true
+      var rebases = 0
+      while (rebasing) {
+        if (tryCommit(dir, c)) {
+          maybeCheckpoint(dir, c.version, snap.ckptEvery)
+          return c.version
+        }
+        // lost the fence. Pure-layout ops try to REBASE the staged work
+        // onto the commits that beat them; anything else re-plans. Each
+        // iteration only repeats if ANOTHER writer committed (lock-free
+        // system-wide progress); the bound is a backstop, past which the
+        // op falls back to a full re-plan.
+        rebases += 1
+        rebasing = pureLayout && rebases <= 100 && {
+          val latest = latestVersion(dir)
+          val between = (c.version to latest)
+            .map(v => parseCommit(versionFile(dir, v)))
+          canRebase(between, victims.map(_.path).toSet) && {
+            c = c.copy(version = latest + 1, ts = System.currentTimeMillis())
+            true
+          }
+        }
       }
       adds.foreach(a => new File(dir, a.path).delete()) // lost: discard staging
       attempts += 1
