@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // JIT code cache sized for whole-stage-codegen workloads: the JDK default
+  // (240 MB) fills up when one JVM runs hundreds of distinct query shapes,
+  // and the sweeper then flushes hot methods into a compile/flush churn
+  // (C2 thread measured at 187 s CPU / 807 s wall before this; full-sweep
+  // bench 224 -> 178 s from this flag alone — OPTIMIZATION_r13.md,
+  // Finding 0). Overridable the usual way via SPARK_GRAFT_EXTRA_JAVA_OPTS
+  // (last flag wins on the JVM command line).
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -83,6 +83,7 @@ object Bench {
     }
     val busyStart = coolDown("pre-sweep")
     val loadBefore = loadavg()
+    val benchT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -97,6 +98,10 @@ object Bench {
       val med =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.size / 2)
+      // stderr progress (diagnosis aid, not part of the stdout contract):
+      // per-query rep spread localizes in-sweep stalls to a position
+      System.err.println(f"[bench] +${(System.nanoTime() - benchT0) / 1e9}%.1fs " +
+        f"$name med=$med%.3f min=${times.min}%.3f max=${times.max}%.3f")
       (name, med, times.min, times.max)
     }
     val loadAfter = loadavg()

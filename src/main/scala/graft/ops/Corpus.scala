@@ -800,6 +800,22 @@ object Corpus {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** [[bpeMergePass]] behind a cheap containment guard: a word whose
+    * symbol array lacks `l` or `r` is untouched by the pass, and the fold —
+    * O(n) iterations each allocating a fresh accumulator array (O(n²)
+    * copying) — is pure overhead for it. After a few training rounds most
+    * vocabulary words contain neither symbol of the chosen pair, so two
+    * O(n) `array_contains` probes skip the quadratic fold for the common
+    * case; identical output by construction (the guard is exactly the
+    * fold's no-op precondition). ONLY safe where `sym` is a plain column
+    * reference: the guard repeats `sym` three extra times, so chaining it
+    * over expression inputs (the [[applyBpeMerges]] shape) would grow the
+    * tree 4^passes — that caller keeps the unguarded pass. Measured r13
+    * (t_bpe_train, OPTIMIZATION_r13.md). */
+  private[ops] def bpeMergePassGuarded(sym: Column, l: String, r: String): Column =
+    when(array_contains(sym, l) && array_contains(sym, r),
+      bpeMergePass(sym, l, r)).otherwise(sym)
+
   /** Apply a trained merge table (rank order) as chained fold passes — the
     * declarative twin of [[graft.functions.NativeTextKit.bpeEncodeWord]];
     * the gated query asserts the two paths agree symbol-for-symbol. */
@@ -859,7 +875,7 @@ object Corpus {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, c))
         val next = dict.select(col("f"),
-          bpeMergePass(col("sym"), l, r).as("sym")).persist()
+          bpeMergePassGuarded(col("sym"), l, r).as("sym")).persist()
         prev = Some(dict)
         dict = next
       }

@@ -575,7 +575,6 @@ object Dedup {
   def setJaccardPairs(df: DataFrame, idCol: String, setCol: String,
       threshold: Double, maxElementFreq: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    import org.apache.spark.sql.expressions.Window
     val sets = df.select(col(idCol).as("__id"),
       array_distinct(col(setCol)).as("__s"))
     val posts = sets.select(col("__id"), size(col("__s")).as("__sz"),
@@ -586,14 +585,27 @@ object Dedup {
     // Jaccard ≥ t share > ceil(t·|s|) - 1 elements (given the size filter
     // below), so they MUST collide inside both prefixes — recall stays
     // exactly 1 while ubiquitous elements (which rank last) generate
-    // candidates only from sets made almost entirely of them. The window
-    // partitions by set id (set-size-bounded, never corpus-bounded).
+    // candidates only from sets made almost entirely of them.
+    // Per-set prefix selection as a hash AGGREGATE (collect + in-group
+    // array sort + per-row slice + posexplode), not a row_number window:
+    // the window's shuffle must SORT whole partitions by (__id, __df, __e)
+    // before ranking, the aggregate only sorts each set's own (df, e)
+    // array — both are set-size-bounded, but the aggregate skips the
+    // partition-wide sort. Same rewrite as the containment prefix (r8,
+    // measured 7.8 -> 3.4 s there); r13 measurement for this operator in
+    // OPTIMIZATION_r13.md. Elements are distinct within a set
+    // (array_distinct above), so the (df, e) order is total and the rank
+    // assignment identical to the window's.
     val dfreq = posts.groupBy(col("__e")).agg(count(lit(1)).as("__df"))
     val prefix = posts.join(dfreq, Seq("__e"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__e"))))
-      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select(col("__e"), col("__id"), col("__sz"), col("__rn"))
+      .groupBy(col("__id"), col("__sz"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__e")))).as("__a"))
+      .select(col("__id"), col("__sz"),
+        posexplode(slice(col("__a"), lit(1),
+          (col("__sz") - ceil(lit(threshold) * col("__sz")) + 1).cast("int")))
+          .as(Seq("__p", "__pe")))
+      .select(col("__pe.__e").as("__e"), col("__id"), col("__sz"),
+        (col("__p") + 1).cast("int").as("__rn"))
     val capped = sizeBandedBuckets(prefix, Seq("__e"), 1L, maxElementFreq)
     val cands = capped.select(col("__e"), col("__id").as("id_a"),
         col("__sz").as("__sza"), col("__rn").as("__rna"))
