@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to this process's stdout/stderr
+// instead of sbt's logger: the logger prefixes every line with [info] /
+// [error], which broke the driver's parse of Bench's one-line JSON contract
+// in rounds 12 AND 13 (PERF_r13 prev/now_bench_ok:false — VERDICT r13
+// item 1). StdoutOutput keeps the contract line byte-exact at column 0.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

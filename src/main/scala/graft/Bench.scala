@@ -27,11 +27,20 @@ object Bench {
     // this precompiles the exact classes the timed run reuses — the timed
     // numbers then measure execution, not first-compile (~2-4 s per heavy
     // pair-join otherwise, charged to whichever query ran first).
+    // TWO passes (VERDICT r13 item 4): one pass compiles the generated
+    // classes but leaves C2 still chewing on the application's own hot
+    // methods while the first timed queries run — the r13 driver artifact
+    // showed early-sweep queries 1.3–3.6× their isolated medians. A second
+    // untimed pass gives the JIT that window for free.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, warmDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: $e")
-      }
+    (1 to 2).foreach { pass =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+          try { fn(spark, warmDir).count() } catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup($pass) $name failed: $e")
+          }
+        }
     }
     // Per-query median-of-reps: sf0.1 totals swing ±2× with machine load
     // (SURVEY §9.1), and a median per query absorbs one-off stalls without
@@ -100,26 +109,20 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       // stderr progress (diagnosis aid, not part of the stdout contract):
       // per-query rep spread localizes in-sweep stalls to a position
-      System.err.println(f"[bench] +${(System.nanoTime() - benchT0) / 1e9}%.1fs " +
-        f"$name med=$med%.3f min=${times.min}%.3f max=${times.max}%.3f")
+      if (times.contains(-1.0))
+        System.err.println(f"[bench] +${(System.nanoTime() - benchT0) / 1e9}%.1fs " +
+          s"$name FAILED")
+      else
+        System.err.println(f"[bench] +${(System.nanoTime() - benchT0) / 1e9}%.1fs " +
+          f"$name med=$med%.3f min=${times.min}%.3f max=${times.max}%.3f")
       (name, med, times.min, times.max)
     }
     val loadAfter = loadavg()
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // stdout: the driver contract — ONE line, "queries" = name -> median sec
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver stores only a ~2000-char TAIL of this process's output and
-    // parses the last {"metric":"total"...} line out of it; with 200+
-    // queries the full line above is ~6 KB, so every round's BENCH_r{N}
-    // artifact recorded parsed:null (ADVICE r9). Emit a compact twin LAST —
-    // top-10 slowest queries only — that always fits the tail window; the
-    // full per-query data stays in the line above and in bench_out.json.
     // Isolated re-medians for the top-10 slowest lines (VERDICT r11 item
-    // 6): the sweep medians above are taken inside a 227-query run whose
+    // 6): the sweep medians above are taken inside a 234-query run whose
     // JVM/GC/host state drifts, so the headline lines swing 2× round to
     // round and every judge re-investigates. A back-to-back median-of-3
     // per top line, AFTER the sweep warmed everything, is the number to
@@ -140,14 +143,16 @@ object Bench {
     }
     val isolatedJson = isolated
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val loadOk = busyStart >= 0 && busyStart <= busyMax &&
       busyIso >= 0 && busyIso <= busyMax
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
+    // stdout: the driver contract — ONE line, "queries" = name -> median
+    // sec, the FULL per-query map (VERDICT r13 item 1: the r12/r13 compact
+    // top-10 twin left the driver with no parseable per-query table in two
+    // consecutive rounds — PERF_r13 per_query:{} / prev+now_bench_ok:false).
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""isolated":$isolatedJson,"load_ok":$loadOk,""" +
-        s""""nQueries":${results.size},"sf":"$sfDir","full":"bench_out.json"}""")
+        s""""nQueries":${results.size},"sf":"$sfDir"}"""
     // The committed artifact carries its own noise evidence (VERDICT r7
     // item 5): per-query rep spread {med,min,max}, rep count, and host
     // load before/after — so a committed-vs-driver gap (97.5 vs 135 s in
@@ -157,7 +162,6 @@ object Bench {
     }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
       s""","reps":$reps,"cpus":$cpus,"detail":$detail,""" +
-      s""""isolated":$isolatedJson,"load_ok":$loadOk,""" +
       f""""external_busy":{"pre_sweep":$busyStart%.3f,"pre_isolated":$busyIso%.3f},""" +
       s""""load":{"before":"$loadBefore","after":"$loadAfter"}}"""
     // the on-disk copy also keeps round-over-round comparison independent
@@ -167,6 +171,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
+    // Stop Spark BEFORE the contract line so no late executor/SQL WARN can
+    // interleave into it, then print it as the LAST stdout line (the
+    // driver parses the last {"metric":"total"...} line of the tail;
+    // build.sbt's StdoutOutput strategy keeps sbt's [info] prefix off it).
     spark.stop()
+    println(line)
   }
 }

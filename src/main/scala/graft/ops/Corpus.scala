@@ -841,6 +841,13 @@ object Corpus {
    * [[bpePairStats]], whose output is exactly this trainer's round-1
    * census.
    */
+  /** First merge rounds run the unguarded fold; later rounds add the
+    * containment guard (see the call site in [[trainBpeMerges]]). 24 ≈
+    * where byte-level BPE stops picking pairs present in most words
+    * (the top ~20 English char bigrams cover the bulk of running text;
+    * beyond them per-word hit rates fall fast). */
+  private[ops] val guardFromRound = 24
+
   def trainBpeMerges(df: DataFrame, textCol: String, nMerges: Int)
       : Seq[(String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be positive")
@@ -848,18 +855,23 @@ object Corpus {
     // the evolving dict carries ONLY (f, sym): the word string never feeds a
     // round, and single-char words can never contribute a pair — both would
     // just inflate every round's cache
+    // localCheckpoint, NOT persist: persist caches the rows but keeps the
+    // full logical plan, so round N's analyzer/optimizer pass re-walks all
+    // N−1 previous fold expressions — measured r14 (graft.Profile): 3.0 s
+    // of 4.7 s wall was driver-side gaps, growing 0.02 → 0.45 s per round.
+    // The eager checkpoint freezes each round to a scan of materialized
+    // rows, making per-round plan cost O(1); the materializing job replaces
+    // the argmax-triggered cache fill, so the action count is unchanged.
+    // Old round RDDs are unreferenced after the swap and reclaimed by the
+    // ContextCleaner (vocab-bound rows — ≤ a few MB per round here).
     var dict = df.repartition(par)
       .select(explode(TextKit.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .filter(length(col("w")) >= 2)
       .select(col("f"),
         filter(split(col("w"), ""), s => length(s) > 0).as("sym"))
-      .persist()
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    // ONE action per round: the argmax materializes the round's cache, so
-    // the parent cache is dropped one round late (after its child is safely
-    // materialized) instead of paying a dedicated count() materialization
-    var prev: Option[DataFrame] = None
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
       val top = dict
@@ -868,20 +880,27 @@ object Corpus {
         .agg(sum(col("f")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
-      prev.foreach(_.unpersist())
-      prev = None
       if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, c))
-        val next = dict.select(col("f"),
-          bpeMergePassGuarded(col("sym"), l, r).as("sym")).persist()
-        prev = Some(dict)
-        dict = next
+        // Guard the merge fold only from round `guardFromRound` on: the
+        // first rounds pick the corpus's highest-frequency char pairs, so
+        // nearly every word contains both symbols and the guard's two
+        // array_contains probes are pure per-word overhead (measured r13:
+        // guarding EVERY round cost +0.8–1.0 s on the 12-merge gate, both
+        // builder sweep 4.17→4.99 s and driver 3.81→4.80 s — VERDICT r13
+        // item 2). Deep in a real training run (10³–10⁵ merges) the argmax
+        // pair is rare and the guard skips the O(n²)-copy fold for almost
+        // every word — that long tail keeps it. Output identical either
+        // way (the guard is the fold's no-op precondition).
+        val pass =
+          if (merges.length > guardFromRound)
+            bpeMergePassGuarded(col("sym"), l, r)
+          else bpeMergePass(col("sym"), l, r)
+        dict = dict.select(col("f"), pass.as("sym")).localCheckpoint(true)
       }
     }
-    dict.unpersist()
-    prev.foreach(_.unpersist())
     merges.toSeq
   }
 
